@@ -1,0 +1,123 @@
+"""End-to-end HFP load job — the reference's single entry point, restated.
+
+Reference trace (SURVEY §3.1, index.ts:9-34 → service/hfpTask.ts:13-146):
+for each event group (StopEvent → OtherEvent → VehiclePosition, sequential),
+list the date's blobs, load the day's existing uuids, stream-parse blobs,
+type-coerce, drop empty-uuid rows, skip uuids already in the sink, route
+VehiclePosition non-journey rows to ``unsignedevent``, bulk-append.
+
+Spark restatement: per event group ONE lazy plan
+``csv_scan → typed_select → filter(uuid) → anti_join(existing keys) →
+[route] → append`` — Catalyst pipelines scan/project/filter/probe into a
+single whole-stage-codegen pass; executors provide the parallelism the
+reference approximated with overlapped I/O (INSERT_CONCURRENCY=100 in-flight
+INSERTs, constants.ts:51).  The group loop stays sequential in the driver to
+preserve the reference's side-effect ordering (hfpTask.ts:83-86) — each
+group's plan is fully parallel internally, so this costs nothing at scale.
+
+Row counters (hfpTask.ts:18-31's insertsQueued/insertsCompleted) map to
+``DataFrame.observe`` metrics collected during the write action — no extra
+pass over the data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid as _uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.dedup import (
+    anti_join_existing,
+    filter_valid_uuid,
+    union_key_sets,
+)
+from hfp_loader_spark.operators.routing import (
+    TARGET_COL,
+    routed_tables,
+    with_target_table,
+)
+from hfp_loader_spark.operators.transform import typed_projection
+from hfp_loader_spark.schema import EVENT_GROUPS, VEHICLE_POSITION
+from hfp_loader_spark.sources.csv_source import read_hfp_group
+
+
+@dataclass
+class LoadReport:
+    """Per-run counters (the A1 instrumentation surface)."""
+
+    date: str
+    inserted_by_table: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def total_inserted(self) -> int:
+        return sum(self.inserted_by_table.values())
+
+
+def validate_date(date: str) -> str:
+    """ISO date guard (index.ts:12-21)."""
+    datetime.date.fromisoformat(date)
+    return date
+
+
+def load_event_group(
+    spark: SparkSession,
+    sink,
+    storage_root: str,
+    event_group: str,
+    date: str,
+    report: LoadReport,
+) -> None:
+    """Build and execute the load plan for one event group."""
+    try:
+        raw = read_hfp_group(spark, storage_root, event_group, date)
+    except Exception:
+        # No blobs for this group/date — the reference just logs and moves on
+        # (hfpTask.ts:88-95).
+        return
+
+    typed = filter_valid_uuid(typed_projection(raw))
+
+    # Existing-key set: union over every table this group can write to —
+    # eventExists probes one per-group set, so a uuid already present in
+    # vehicleposition also blocks unsignedevent and vice versa
+    # (hfpTask.ts:97-115).
+    tables = routed_tables(event_group)
+    existing = union_key_sets(
+        *[sink.existing_keys(spark, t, date) for t in tables]
+    )
+    deduped = anti_join_existing(typed, existing)
+
+    routed = with_target_table(deduped, event_group)
+
+    for table in tables:
+        out = routed.where(F.col(TARGET_COL) == table).drop(TARGET_COL)
+        obs = Observation(f"insert_{event_group}_{table}_{_uuid.uuid4().hex[:8]}")
+        sink.write(out.observe(obs, F.count(F.lit(1)).alias("rows")), table)
+        report.inserted_by_table[table] = report.inserted_by_table.get(
+            table, 0
+        ) + int(obs.get["rows"])
+
+
+def hfp_load(
+    spark: SparkSession,
+    storage_root: str,
+    date: str,
+    sink,
+    event_groups: list[str] | None = None,
+) -> LoadReport:
+    """Load one calendar day of HFP events (the `yarn start <date>` surface).
+
+    Idempotent by construction: a re-run's anti-join sees the rows the first
+    run wrote and inserts nothing (README.md:53-57 re-load semantics).
+    """
+    validate_date(date)
+    report = LoadReport(date=date)
+    for group in event_groups or EVENT_GROUPS:
+        load_event_group(spark, sink, storage_root, group, date, report)
+    return report
+
+
+__all__ = ["hfp_load", "load_event_group", "LoadReport", "validate_date", "VEHICLE_POSITION"]

@@ -1,0 +1,142 @@
+"""Canonical HFP schemas and event-group maps.
+
+Reference citations:
+- column order: /root/reference/utils/hfpColumns.ts:1-46 (headerless CSV is
+  positional; names are supplied externally, never inferred)
+- types: /root/reference/utils/transformHfpItem.ts:5-51 reconciled with the
+  DDL /root/reference/postgres_schema.sql (SURVEY §1.2/§1.3)
+- event groups → target tables: /root/reference/utils/hfp.ts:48-58
+- VehiclePosition routing target: /root/reference/service/insertHfpFromBlobStream.ts:68-70
+
+Schema-key mismatches in the reference are resolved per SURVEY §1.3:
+``vehicle_number`` is typed int per DDL (the reference's transform map has a
+dead ``vehicle_int`` key so the column fell through to string); ``id`` exists
+in the DDL but is never populated (stays NULL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: The 44 positional CSV column names, in blob column order
+#: (utils/hfpColumns.ts:1-46).
+HFP_COLUMNS: list[str] = [
+    "acc", "desi", "dir", "direction_id", "dl", "dr_type", "drst",
+    "event_type", "geohash_level", "hdg", "headsign", "is_ongoing",
+    "journey_start_time", "journey_type", "jrn", "lat", "line", "loc",
+    "long", "mode", "next_stop_id", "occu", "oday", "odo", "oper",
+    "owner_operator_id", "received_at", "route_id", "route", "seq", "spd",
+    "start", "stop", "topic_latitude", "topic_longitude", "topic_prefix",
+    "topic_version", "tsi", "tst", "unique_vehicle_id", "uuid", "veh",
+    "vehicle_number", "version",
+]
+
+#: Raw scan schema: all strings (the CSV is untyped text; typing is an
+#: explicit projection, never inference — SURVEY §1.1).
+RAW_SCHEMA = T.StructType(
+    [T.StructField(name, T.StringType(), True) for name in HFP_COLUMNS]
+)
+
+#: Coercion categories per transformHfpItem.ts:5-51 (``time`` columns
+#: journey_start_time/start deliberately stay strings — Spark has no TIME
+#: type and the reference never coerces them either).
+HFP_TYPE_MAP: dict[str, str] = {
+    "topic_prefix": "string",
+    "topic_version": "string",
+    "journey_type": "string",
+    "is_ongoing": "boolean",
+    "event_type": "string",
+    "mode": "string",
+    "owner_operator_id": "int",
+    "vehicle_number": "int",  # DDL smallint; ref transform had dead 'vehicle_int'
+    "unique_vehicle_id": "string",
+    "route_id": "string",
+    "direction_id": "int",
+    "headsign": "string",
+    "journey_start_time": "string",
+    "next_stop_id": "string",
+    "geohash_level": "int",
+    "topic_latitude": "float",
+    "topic_longitude": "float",
+    "desi": "string",
+    "dir": "int",
+    "oper": "int",
+    "veh": "int",
+    "tst": "isodate",
+    "tsi": "bigint",  # DDL bigint (postgres_schema.sql:26)
+    "spd": "float",
+    "hdg": "int",
+    "lat": "float",
+    "long": "float",
+    "acc": "float",
+    "dl": "int",
+    "odo": "float",
+    "drst": "boolean",
+    "oday": "date",
+    "jrn": "int",
+    "line": "int",
+    "start": "string",
+    "loc": "string",
+    "stop": "int",
+    "route": "string",
+    "occu": "int",
+    "received_at": "isodate",
+    "uuid": "string",
+    "seq": "int",
+    "dr_type": "int",
+    "version": "bigint",  # DDL bigint (postgres_schema.sql:45)
+}
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.DoubleType(),  # DDL double precision
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "isodate": T.TimestampType(),
+}
+
+#: Typed output schema (FIXTURES.md A3), in HFP_COLUMNS order.
+TYPED_SCHEMA = T.StructType(
+    [
+        T.StructField(name, _SPARK_TYPES[HFP_TYPE_MAP.get(name, "string")], True)
+        for name in HFP_COLUMNS
+    ]
+)
+
+# --- Event groups (utils/hfp.ts:48-58) -------------------------------------
+
+STOP_EVENT = "stopEvent"
+OTHER_EVENT = "otherEvent"
+VEHICLE_POSITION = "vehiclePosition"
+
+EVENT_GROUPS: list[str] = [STOP_EVENT, OTHER_EVENT, VEHICLE_POSITION]
+
+#: Event group → primary target table (utils/hfp.ts:54-58).
+EVENT_GROUP_TABLES: dict[str, str] = {
+    STOP_EVENT: "stopevent",
+    OTHER_EVENT: "otherevent",
+    VEHICLE_POSITION: "vehicleposition",
+}
+
+#: VehiclePosition rows with journey_type != 'journey' are routed here
+#: (insertHfpFromBlobStream.ts:68-70).
+UNSIGNED_TABLE = "unsignedevent"
+
+#: Blob path prefix per event group (service/hfpStorage.ts:5-13): blobs live
+#: under ``csv/<EventGroup>/<date>…``.
+EVENT_GROUP_PATH_PREFIXES: dict[str, str] = {
+    STOP_EVENT: "csv/StopEvent/",
+    OTHER_EVENT: "csv/OtherEvent/",
+    VEHICLE_POSITION: "csv/VehiclePosition/",
+}
+
+#: All physical sink tables (postgres_schema.sql; lightpriorityevent exists in
+#: the DDL but no code path writes it — dormant, SURVEY §1.3).
+SINK_TABLES: list[str] = [
+    "stopevent",
+    "otherevent",
+    "vehicleposition",
+    "unsignedevent",
+]

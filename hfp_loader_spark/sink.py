@@ -1,0 +1,99 @@
+"""Routed append sinks (S5 + P4).
+
+Two backends behind one API:
+
+- **Parquet staging** (default; what the tests and driver gates exercise):
+  one directory per sink table, partitioned by ``oday`` so the day-scoped
+  dedup scan (utils/getEvents.ts:10-15) becomes partition pruning instead of
+  a full scan.  At 100 TB this is the layout that keeps re-load dedup cheap:
+  the existing-keys read touches exactly one date partition.
+- **JDBC** (reference-parity sink): plain multi-row INSERT append — the
+  reference's "upsert" is INSERT without ON CONFLICT (utils/upsert.ts:49-52),
+  i.e. at-least-once with re-run dedup, and ``mode('append')`` matches that
+  exactly.  Batching (EVENT_BATCH_SIZE, constants.ts:52) maps to the JDBC
+  ``batchsize`` option; insert concurrency (INSERT_CONCURRENCY,
+  constants.ts:51) maps to the number of write partitions.
+
+The ``id`` DDL column (postgres_schema.sql:3) is never populated by the
+reference (dead ``id: float`` transform key, SURVEY §1.3) → emitted as an
+always-NULL double for schema parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.schema import HFP_COLUMNS
+
+
+def with_id_column(df: DataFrame) -> DataFrame:
+    """Prepend the always-NULL ``id`` column (DDL parity)."""
+    return df.select(F.lit(None).cast("double").alias("id"), *HFP_COLUMNS)
+
+
+class ParquetSink:
+    """Staging sink: ``<root>/<table>/`` parquet, partitioned by oday."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def table_path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+    def write(self, df: DataFrame, table: str) -> None:
+        (
+            with_id_column(df)
+            .write.mode("append")
+            .partitionBy("oday")
+            .parquet(self.table_path(table))
+        )
+
+    def existing_keys(
+        self, spark: SparkSession, table: str, date: str
+    ) -> DataFrame:
+        """Day-scoped uuid scan (S4 analog).
+
+        The oday filter prunes to one partition and Catalyst prunes columns
+        to just ``uuid`` — the Spark translation of
+        ``SELECT uuid FROM <t> WHERE oday = $1``.
+        Missing table (first load) → empty key set.
+        """
+        try:
+            df = spark.read.parquet(self.table_path(table))
+        except Exception:
+            return spark.createDataFrame([], "uuid string")
+        return df.where(F.col("oday") == F.to_date(F.lit(date))).select("uuid")
+
+
+class JdbcSink:
+    """Reference-parity Postgres sink (gated: needs a reachable database)."""
+
+    def __init__(
+        self,
+        url: str,
+        properties: dict[str, str] | None = None,
+        batchsize: int = 1000,  # EVENT_BATCH_SIZE default, constants.ts:52
+        num_partitions: int = 10,  # INSERT_CONCURRENCY deployed value
+    ):
+        self.url = url
+        self.properties = dict(properties or {})
+        self.properties.setdefault("batchsize", str(batchsize))
+        self.properties.setdefault("reWriteBatchedInserts", "true")
+        self.num_partitions = num_partitions
+
+    def write(self, df: DataFrame, table: str) -> None:
+        (
+            with_id_column(df)
+            .coalesce(self.num_partitions)
+            .write.mode("append")
+            .jdbc(self.url, f"public.{table}", properties=self.properties)
+        )
+
+    def existing_keys(
+        self, spark: SparkSession, table: str, date: str
+    ) -> DataFrame:
+        # Predicate pushed into the remote query — only that day's uuids
+        # cross the wire (utils/getEvents.ts:10-15).
+        query = f"(SELECT uuid FROM public.{table} WHERE oday = DATE '{date}') q"
+        return spark.read.jdbc(self.url, query, properties=self.properties)
