@@ -1,0 +1,94 @@
+"""The declared query catalog: every operator from SURVEY §2 (+§2.11
+extensions) as a named query with a Spark implementation and, where
+SQL-expressible, an equivalent DuckDB oracle.
+
+Contract (driver's t2 gate): the Spark result and the oracle result must
+match on row count, schema (column names), and order-insensitive value hash.
+Conventions that make that hold across engines:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are ``round``-ed on both sides (cross-engine summation
+  order differs in the last ulps);
+- rankings/limits are tiebroken on unique keys, and rank on *rounded*
+  measures so both engines rank identical values;
+- count-like results are BIGINT on both sides (DuckDB ``sum(int)`` returns
+  HUGEINT → explicit casts in the oracle), grouping/rank columns cast to a
+  common type;
+- session timezone pinned UTC (session.py) vs DuckDB's UTC-naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver tables as temp views for SQL-side plans."""
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet").createOrReplaceTempView(
+            name
+        )
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def defquery(name: str, oracle: str | None, doc: str):
+    """Decorator registering a catalog entry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_views(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name=name, builder=builder, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# Importing the query modules populates REGISTRY.
+from hfp_loader_spark.plans import core_relational  # noqa: E402,F401
+from hfp_loader_spark.plans import hfp_parity  # noqa: E402,F401
+from hfp_loader_spark.plans import dedup_queries  # noqa: E402,F401
+from hfp_loader_spark.plans import text_queries  # noqa: E402,F401
+from hfp_loader_spark.plans import similarity_queries  # noqa: E402,F401
+from hfp_loader_spark.plans import streaming_queries  # noqa: E402,F401
