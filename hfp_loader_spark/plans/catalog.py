@@ -23,6 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -38,12 +39,33 @@ TABLES = [
 ]
 
 
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet.  Spark has no
+# nanosecond timestamp type, so the session sets
+# ``spark.sql.legacy.parquet.nanosAsLong`` and ``load_table`` converts the
+# resulting epoch-nanos LONG to TimestampType with *integer* division
+# (``div 1000`` — a double-rounded FLOOR would lose precision at 1e18).
+# DuckDB applies the same ns→µs truncation, so the engines agree.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read a driver table, normalizing nanos-long columns to timestamps."""
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver tables as temp views for SQL-side plans."""
     for name in TABLES:
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet").createOrReplaceTempView(
-            name
-        )
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 @dataclass(frozen=True)
@@ -82,7 +104,7 @@ def oracle_map() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # Importing the query modules populates REGISTRY.

@@ -1,0 +1,397 @@
+"""Core relational query catalog (SURVEY §2.11 "core relational" row).
+
+Broadcast/shuffle joins, hash aggregates, rollup/cube, exact and approximate
+distinct counts, ranking/lag/lead windows, top-k, and set operations over the
+driver's TPC-H-ish tables — each paired with a DuckDB oracle.
+
+Scale notes (the plans you'd want at 100 TB):
+- dimension joins (region/nation/customer-sized) broadcast explicitly, so the
+  fact table never shuffles for them;
+- every aggregate is a plain ``groupBy().agg()`` → Catalyst plans partial
+  (map-side) aggregation before the exchange;
+- top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-task k-row
+  heaps, driver merge, no global sort) or window row_number ≤ k with a
+  per-partition local sort;
+- all rankings are tiebroken on a unique key and rank on *rounded* measures
+  so results are deterministic across engines and parallelism levels.
+
+Cross-engine hash-match conventions (see catalog.py docstring): float
+aggregates rounded on both sides, DuckDB ``sum(int)`` HUGEINT cast to BIGINT,
+timestamps/dates stringified on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.relational import (
+    anti_join,
+    broadcast_join,
+    global_top_k,
+    top_k_per_group,
+)
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+
+@defquery(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           CAST(count(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: filtered scan → partial+final hash agg. "
+    "Flagship query; one shuffle on the 2-value group key.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@defquery(
+    "q3_top_unshipped_orders",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-like shipping priority: 3-way join (customer side "
+    "broadcast-able) → hash agg → global top-k via TakeOrderedAndProject.",
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = broadcast_join(
+        orders, cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey")
+    ).join(li, li.l_orderkey == orders.o_orderkey)
+    agg = (
+        joined.where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+    return global_top_k(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+
+
+@defquery(
+    "join_region_rollup",
+    """
+    SELECT coalesce(r.r_name, '<all>') AS region_name,
+           coalesce(n.n_name, '<all>') AS nation_name,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+           round(sum(coalesce(c.c_acctbal, 0)), 2) AS total_acctbal
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Broadcast dim join (region, nation ≤ 25 rows) + ROLLUP hierarchy "
+    "aggregate. Fact table shuffles once, for the grouping only.",
+)
+def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = broadcast_join(
+        broadcast_join(cust, nat, cust.c_nationkey == nat.n_nationkey),
+        reg,
+        nat.n_regionkey == reg.r_regionkey,
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum(F.coalesce("c_acctbal", F.lit(0))), 2).alias(
+                "total_acctbal"
+            ),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@defquery(
+    "agg_cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')   AS orderstatus,
+           coalesce(o_orderpriority, '<all>') AS orderpriority,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           round(sum(o_totalprice), 2)        AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two low-cardinality dims: Spark expands grouping sets "
+    "before the single shuffle; map-side partial aggs keep it cheap.",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@defquery(
+    "agg_exact_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact multi-column distinct counts: Catalyst plans expand + "
+    "two-phase aggregate; the scale-path alternative is "
+    "approx_count_distinct (see agg_approx_distinct, rows-only).",
+)
+def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@defquery(
+    "agg_approx_distinct",
+    None,  # HLL sketches differ across engines → rows-only check.
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) per returnflag — "
+    "the 100 TB path for distinct counts: one pass, fixed memory, no "
+    "expand. Accuracy asserted vs exact counts in tests/test_catalog.py.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        )
+    )
+
+
+@defquery(
+    "agg_monthly_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Time-bucketed aggregate (date_trunc month). At scale this keys the "
+    "natural partition layout (month) so the shuffle is pruning-friendly.",
+)
+def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@defquery(
+    "window_topk_per_nation",
+    """
+    SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY round(c.c_acctbal, 2) DESC, c.c_custkey) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group: row_number over (rounded measure, unique "
+    "tiebreaker). One shuffle on the partition key; local sorts only.",
+)
+def window_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = broadcast_join(cust, nat, cust.c_nationkey == nat.n_nationkey).select(
+        "n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return top_k_per_group(
+        joined,
+        ["n_name"],
+        [F.desc("acctbal"), F.asc("c_custkey")],
+        3,
+    ).select("n_name", "c_custkey", "acctbal", F.col("rn").cast("long").alias("rn"))
+
+
+@defquery(
+    "window_lag_lead_running",
+    """
+    SELECT user_id, event_id,
+           round(value, 4)                         AS value,
+           round(coalesce(lag(value)  OVER w, 0), 4) AS prev_value,
+           round(coalesce(lead(value) OVER w, 0), 4) AS next_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Analytic windows (lag/lead/running sum) per user ordered by event "
+    "time with unique tiebreaker. All three frames share one shuffle+sort.",
+)
+def window_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0)), 4).alias("prev_value"),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(0)), 4).alias("next_value"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_sum"),
+    )
+
+
+@defquery(
+    "set_ops_custkeys",
+    """
+    SELECT CAST(c AS BIGINT) AS n_custkeys, label FROM (
+      SELECT count(*) AS c, 'both_O_and_F' AS label FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      UNION ALL
+      SELECT count(*) AS c, 'O_not_F' AS label FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    )
+    """,
+    doc="Set operations (INTERSECT / EXCEPT distinct) between key scans, "
+    "summarized to counts. Spark plans these as aggregate+join — no "
+    "driver-side set materialization (contrast reference hfpTask.ts:105).",
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o_keys = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_keys = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = (
+        o_keys.intersect(f_keys)
+        .agg(F.count("*").alias("n_custkeys"))
+        .select("n_custkeys", F.lit("both_O_and_F").alias("label"))
+    )
+    only_o = (
+        o_keys.subtract(f_keys)  # EXCEPT (distinct set difference)
+        .agg(F.count("*").alias("n_custkeys"))
+        .select("n_custkeys", F.lit("O_not_F").alias("label"))
+    )
+    return both.unionByName(only_o)
+
+
+@defquery(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="LEFT ANTI join (NOT EXISTS) — the same primitive as the HFP dedup "
+    "J1 (SURVEY §2.3): customers with no urgent order, then aggregated.",
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        anti_join(cust, urgent, cust.c_custkey == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@defquery(
+    "global_topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+    FROM orders
+    ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+    LIMIT 15
+    """,
+    doc="Global ORDER BY + LIMIT → TakeOrderedAndProject: per-task k-heaps, "
+    "driver merge; no full sort at any scale.",
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderpriority",
+    )
+    return global_top_k(orders, [F.desc("totalprice"), F.asc("o_orderkey")], 15)

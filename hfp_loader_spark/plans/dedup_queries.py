@@ -1,0 +1,1 @@
+"""dedup_queries query catalog (filled in this round)."""

@@ -1,0 +1,1 @@
+"""similarity_queries query catalog (filled in this round)."""

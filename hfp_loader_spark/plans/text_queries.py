@@ -1,0 +1,1 @@
+"""text_queries query catalog (filled in this round)."""

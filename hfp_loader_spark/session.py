@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Files: pack small test files but keep 128 MiB splits for real data.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The driver's synthetic parquet stores TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp — read as epoch-nanos LONG and convert at the
+        # source (plans/catalog.py load_table) with integer division.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
