@@ -1,0 +1,149 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All pure Catalyst expressions (zero Python UDFs): tokenization, shingling,
+language-ID heuristic, quality scoring, token counting, and document
+fingerprinting over a ``text`` column.  Extension tier — the reference has
+no string operators at all (SURVEY §2.8: "no string manipulation … anywhere
+in the reference"); this is the §2.11 text-analysis surface.
+
+Scale notes:
+- every helper is a narrow projection (no shuffle); aggregations are left to
+  the caller so the single shuffle happens once, after all per-row work;
+- ``explode`` of token arrays multiplies rows ~100× — do it *after* any
+  per-document filter, and aggregate immediately (partial aggregation keeps
+  the shuffle small);
+- fingerprints are fixed-width (md5 / xxhash64), so dedup group-bys shuffle
+  16-byte keys, not document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic.  Deliberately small: the heuristic is the operator; real
+# deployments swap in fuller lexicons via the ``lexicons`` parameter.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "value", "table"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est", "dans"),
+    "es": ("el", "la", "y", "de", "un", "una", "es", "en"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "von", "mit"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens with empties removed (whitespace + regex)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_RE), lambda t: F.length(t) > 0
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (MinHash/Jaccard input).
+
+    ``sequence(1, size-n+1)`` + ``transform`` keeps everything JVM-side;
+    documents shorter than ``n`` tokens yield an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(joined)
+
+
+def token_count(text: Column) -> Column:
+    """Token count (whitespace + regex tokenizer) — BPE-ish proxy."""
+    return F.size(tokens(text))
+
+
+def lang_scores(toks: Column, lexicons: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a token array."""
+    lex = lexicons or LANG_LEXICONS
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+        )
+        for lang, words in lex.items()
+    }
+
+
+def predict_lang(toks: Column, lexicons: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """argmax language by stopword hits, deterministic tiebreak by name;
+    no hits at all → 'und' (undetermined)."""
+    lex = lexicons or LANG_LEXICONS
+    scores = lang_scores(toks, lex)
+    # struct sort: (-hits, lang) ascending → first element is the argmax.
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(lex)
+        ]
+    )
+    best = F.array_sort(pairs).getItem(0)
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: length, token stats, ratios."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin(*[F.lit(w) for w in LANG_LEXICONS["en"]]),
+            )
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": mean_tok_len,
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0, 1]: length + word-shape + stopword mix.
+
+    The formula is arbitrary-but-deterministic; what matters at scale is
+    that it is a single narrow projection usable as a pushed-down filter
+    before expensive downstream stages.
+    """
+    f = quality_features(text)
+    length_score = F.least(f["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    shape_score = F.lit(1.0) - F.least(
+        F.abs(f["mean_token_len"] - 5.0) / F.lit(5.0), F.lit(1.0)
+    )
+    return F.round(
+        0.4 * length_score + 0.3 * shape_score + 0.3 * f["stopword_ratio"], 6
+    )
+
+
+def fingerprint(text: Column, n_prefix_tokens: int = 5) -> Column:
+    """Document fingerprint: md5 of the normalized leading token shingle.
+
+    Normalization (lowercase, collapse non-alphanumerics) makes the
+    fingerprint robust to whitespace/punctuation noise; md5 keeps the
+    dedup shuffle key at 16 bytes regardless of document size.
+    """
+    head = F.concat_ws(" ", F.slice(tokens(text), 1, n_prefix_tokens))
+    return F.md5(head)

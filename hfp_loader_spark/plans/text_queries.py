@@ -1,1 +1,237 @@
-"""text_queries query catalog (filled in this round)."""
+"""Text-analysis query catalog over ``documents`` (SURVEY §2.11 text tier).
+
+Tokenization, term counts, TF-IDF, language-ID, quality scoring, and
+fingerprinting — all zero-UDF Catalyst expressions from
+``operators.text``, each with a DuckDB oracle (``string_split_regex`` +
+``unnest`` on the SQL side).
+
+Scale shape: tokenize/score are narrow projections fused into the scan;
+``explode`` happens only where a term-level aggregate follows immediately,
+so partial (map-side) aggregation absorbs the ~100× row blowup before any
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.relational import global_top_k, top_k_per_group
+from hfp_loader_spark.operators.text import (
+    LANG_LEXICONS,
+    fingerprint,
+    predict_lang,
+    quality_features,
+    quality_score,
+    tokens,
+)
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+
+@defquery(
+    "text_token_counts_top20",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+    doc="Global term frequencies: tokenize → explode → count → top-20. "
+    "Partial aggregation happens before the shuffle; the final top-k is "
+    "TakeOrderedAndProject.",
+)
+def text_token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return global_top_k(counts, [F.desc("n"), F.asc("term")], 20)
+
+
+@defquery(
+    "text_doc_token_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(t) > 0
+                 THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
+                 ELSE 0 END, 4)                  AS mean_token_len
+    FROM toks
+    """,
+    doc="Per-document token counting (whitespace+regex tokenizer): counts, "
+    "distinct counts, mean token length. Pure narrow projection — no "
+    "shuffle at any scale.",
+)
+def text_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.round(
+            F.when(
+                n > 0,
+                F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)) / n,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+@defquery(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored WHERE doc_id < 50
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF: term frequency × ln(N/df), top-3 terms per document "
+    "(rounded score + term tiebreak). Two aggregations share the exploded "
+    "tokens; the df side is tiny and broadcast into the join.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; at scale use a broadcast scalar subquery
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    return top_k_per_group(
+        scored.where(F.col("doc_id") < 50),
+        ["doc_id"],
+        [F.desc("tfidf"), F.asc("term")],
+        3,
+    ).select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
+
+
+def _lex_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter(t, x -> list_contains([{words}], x)))"
+
+
+@defquery(
+    "text_langid_agreement",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lex_sql("de")} AS de_h, {_lex_sql("en")} AS en_h,
+             {_lex_sql("es")} AS es_h, {_lex_sql("fr")} AS fr_h
+      FROM (SELECT lang, {_TOKS_SQL} AS t FROM documents)
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN de_h > 0 AND de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+                  WHEN en_h > 0 AND en_h >= es_h AND en_h >= fr_h THEN 'en'
+                  WHEN es_h > 0 AND es_h >= fr_h THEN 'es'
+                  WHEN fr_h > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+    doc="Language-ID heuristic: per-language stopword hits, argmax with "
+    "alphabetical tiebreak, compared against the labeled lang column. "
+    "One narrow projection + one small aggregate.",
+)
+def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", predict_lang(tokens(F.col("text"))).alias("predicted")
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@defquery(
+    "text_quality_top20",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, length(text) AS n_chars, {_TOKS_SQL} AS t,
+             len(list_filter({_TOKS_SQL},
+                 x -> list_contains(['the','a','and','of','to','in','is','value','table'], x)))
+               AS stop_hits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(0.4 * least(len(t) / 50.0, 1.0)
+                 + 0.3 * (1.0 - least(abs(CASE WHEN len(t) > 0
+                       THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
+                       ELSE 0 END - 5.0) / 5.0, 1.0))
+                 + 0.3 * (CASE WHEN len(t) > 0 THEN stop_hits * 1.0 / len(t) ELSE 0 END),
+               4) AS quality
+      FROM feats
+    )
+    SELECT doc_id, quality FROM scored
+    ORDER BY quality DESC, doc_id LIMIT 20
+    """,
+    doc="Quality scoring (length + token-shape + stopword-ratio mix in "
+    "[0,1]) and global top-20. The score is a pushdown-friendly narrow "
+    "projection — the 100 TB use is filtering before expensive stages.",
+)
+def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+    return global_top_k(scored, [F.desc("quality"), F.asc("doc_id")], 20)
+
+
+@defquery(
+    "text_fingerprint_groups",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(({_TOKS_SQL})[1:5], ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM fp GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+    doc="Document fingerprinting: md5 over the normalized 5-token prefix "
+    "shingle → duplicate groups. The dedup shuffle carries 16-byte keys, "
+    "never document bodies.",
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
