@@ -1,0 +1,280 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Extension tier (SURVEY §2.11) — the large-scale training-data dedup
+operators.  Everything is built-in Catalyst expressions (hash/xxhash64,
+higher-order array functions, joins); zero Python UDFs.
+
+Scale design (the 100 TB bar — never all-pairs):
+
+- **Exact Jaccard join** (`jaccard_pairs`) explodes distinct shingles and
+  self-joins on the shingle.  Cost is Σ|posting list|² per shingle — fine
+  when shingles are distinctive (word n-grams), quadratic on stop-shingles.
+  It is the *verification* primitive, not the discovery path.
+- **MinHash+LSH** (`minhash_signatures` → `lsh_candidate_pairs`) is the
+  discovery path: one pass computes k min-hashes per doc, signatures are
+  cut into b bands and docs are bucketed by (band, band-hash).  Candidate
+  pairs come from a self-join *within buckets only*; expected bucket sizes
+  are tiny, so the join is linear-ish in corpus size.  P[candidate] =
+  1-(1-s^r)^b — with k=32, b=8, r=4 the curve crosses 0.5 near s≈0.6.
+- **SimHash** (`simhash_fingerprints`) gives each doc a 32-bit fingerprint
+  by per-bit voting over token hashes; near-dups differ in few bits.
+  Pigeonhole banding (4 bytes) finds all pairs within Hamming distance 3
+  with a byte-equality join — again no all-pairs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles array) with distinct word n-gram shingles."""
+    from hfp_loader_spark.operators.text import tokens, word_shingles
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float, round_to: int = 4
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
+
+    Posting-list self-join on the shingle (doc_a < doc_b), then
+    |∩| / (|A|+|B|-|∩|).  Output: (doc_a, doc_b, jaccard).
+    """
+    posting = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_shingles").alias("na"),
+            F.first("b.n_shingles").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select(
+            "doc_a", "doc_b", F.round(jac, round_to).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig array<long>): k independent min-hashes per document.
+
+    Hash family: xxhash64 seeded by the permutation index via concat —
+    computed with one `transform`+`array_min` pass per hash over the
+    in-row shingle array (no explode, no shuffle).
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.xxhash64(F.concat(F.lit(f"mh{j}:"), s)),
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return shingled.select("doc_id", sig.alias("sig"), "shingles")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 32, num_bands: int = 8
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs sharing ≥ 1 LSH band.
+
+    Bands hash the signature slice to one long; the bucket join shuffles
+    (band, bucket) keys only.  Candidates must be verified (e.g. with
+    `jaccard_pairs`-style exact similarity) downstream.
+    """
+    rows_per_band = num_hashes // num_bands
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(num_bands)
+            ]
+        )
+    )
+    bucketed = signatures.select("doc_id", bands.alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup join, exact-Jaccard verified.
+
+    LSH proposes candidates (linear-ish), exact Jaccard on the candidate
+    pairs confirms them — output is (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    shingled = shingle_docs(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, num_bands)
+    sets_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over token hashes.
+
+    For each bit position, +1 if the token's 64-bit hash has the bit set
+    else -1; the fingerprint sets bits with a positive total.  One narrow
+    projection per document — aggregate over the in-row token array, no
+    explode.  64 bits (not 32) keeps unrelated documents far apart even on
+    small vocabularies.
+    """
+    from hfp_loader_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(b: int):
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    fingerprint = reduce(
+        lambda acc, b: acc
+        + F.when(
+            bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), fingerprint.alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` via pigeonhole bands.
+
+    Split the fingerprint into (max_hamming+1) byte-bands: any pair with
+    ≤ max_hamming differing bits agrees on at least one band, so a
+    band-equality join finds all of them without an all-pairs product.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    banded = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,1 +1,126 @@
-"""dedup_queries query catalog (filled in this round)."""
+"""Dedup query catalog over ``documents`` (SURVEY §2.11 dedup tier).
+
+Exact dedup (hash-groupBy), n-gram Jaccard near-dup join (oracle-checked),
+and the scale-path MinHash+LSH / SimHash variants (engine-specific hash
+functions → rows-only driver check; recall/precision vs the exact join is
+asserted in tests/test_neardup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.dedup import exact_dedup
+from hfp_loader_spark.operators.neardup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_docs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from hfp_loader_spark.operators.text import fingerprint
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+# Word-trigram shingles, distinct, as DuckDB SQL (lockstep with
+# operators.text.word_shingles(n=3)).
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(
+        generate_series(1, greatest(len({_TOKS_SQL}) - 2, 0)),
+        i -> ({_TOKS_SQL})[i] || ' ' || ({_TOKS_SQL})[i+1] || ' ' || ({_TOKS_SQL})[i+2]))
+"""
+
+
+@defquery(
+    "dedup_exact_by_fingerprint",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             lang || ':' || md5(array_to_string(({_TOKS_SQL})[1:5], ' ')) AS dup_key
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(count(DISTINCT dup_key) AS BIGINT)  AS n_unique,
+           CAST(count(*) - count(DISTINCT dup_key) AS BIGINT) AS n_removed
+    FROM fp GROUP BY lang
+    """,
+    doc="Exact dedup via hash-groupBy on a (lang, content-fingerprint) key: "
+    "per-language kept/removed counts. The dropDuplicates shuffle carries "
+    "16-byte keys; counts are verified against distinct-count SQL.",
+)
+def dedup_exact_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat_ws(":", "lang", fingerprint(F.col("text"))).alias("dup_key"),
+    )
+    kept = exact_dedup(docs, ["dup_key"]).groupBy("lang").agg(
+        F.count("*").alias("n_unique")
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return totals.join(kept, "lang").select(
+        "lang",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_removed"),
+    )
+
+
+@defquery(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM pairs
+    WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8
+    """,
+    doc="Exact word-trigram Jaccard similarity join (threshold 0.8): "
+    "posting-list self-join on the shingle, |∩|/|∪| per pair. The "
+    "verification primitive for near-dup detection; discovery at scale is "
+    "dedup_minhash_lsh.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return jaccard_pairs(shingled, threshold=0.8)
+
+
+@defquery(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 min-hashes have no DuckDB twin → rows-only check;
+    # recall vs dedup_jaccard_pairs asserted in tests/test_neardup.py.
+    doc="MinHash(32)+LSH(8 bands) near-dup discovery, exact-Jaccard "
+    "verified at 0.8 — the 100 TB path: bucket join within bands only, "
+    "never all-pairs. P[candidate] = 1-(1-s^4)^8 ≈ 1 at s≥0.9.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+@defquery(
+    "dedup_simhash",
+    None,  # Spark xxhash64 token hashes → rows-only check (tests assert
+    # near-dup pairs land within the Hamming radius).
+    doc="SimHash(64-bit) fingerprints + pigeonhole-banded Hamming≤3 pair "
+    "search: per-bit vote over token hashes, byte-band equality join — "
+    "no all-pairs product at any scale.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = simhash_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return simhash_near_pairs(fps, max_hamming=3)
