@@ -1,0 +1,180 @@
+"""Vector similarity search over embedding columns (SURVEY §2.11).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random-hyperplane / sign-LSH) variant as the 100 TB scale path.  All
+distances are built-in expressions (`zip_with` + `aggregate` over
+``array<float>`` columns) — JVM-side, no Python UDFs.
+
+Scale design:
+- `cosine(a, b)` is a pure expression → usable inside any join/filter and
+  fused by whole-stage codegen;
+- brute-force top-k broadcasts the (small) query set against the corpus:
+  one pass, per-partition heaps via window row_number, no corpus shuffle;
+- sign-LSH buckets both sides by the sign pattern of projections onto
+  deterministic pseudo-random hyperplanes (derived from xxhash64, so
+  executors agree without shipping a model); candidate generation joins
+  on bucket equality — at 1000 executors the corpus-side bucketing is a
+  single narrow pass and only candidates shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL-safe on zero vectors (→ NULL, not NaN)."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
+
+
+def as_double_array(a: Column) -> Column:
+    """Promote array<float> to array<double> so accumulation happens in
+    float64 on both engines (DuckDB lists compare via ::DOUBLE[])."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × corpus scan.
+
+    Output: (query_id, vec_id, cos, rn ≤ k), ranked on the rounded cosine
+    with vec_id tiebreak (deterministic across engines/parallelism).
+    """
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("cos"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: ±1 per dimension from
+    xxhash64(plane, dim).  No model object, no driver state — every
+    executor derives the identical plane."""
+    return F.array(
+        *[
+            F.when(
+                F.xxhash64(F.lit(f"p{plane}d{d}")) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            for d in range(dim)
+        ]
+    )
+
+
+def signlsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (sign of projection)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bit = F.when(dot(vec, _hyperplane(dim, p)) >= 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    return bucket
+
+
+def signlsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_probes: int = 0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: compare only within matching sign-LSH
+    buckets (plus ``n_probes`` single-bit-flip neighbor buckets for
+    recall).  The corpus is bucketed in one narrow pass; only bucket-equal
+    pairs are scored.  Candidate count ≈ N·k'/2^n_planes per query."""
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    c = corpus.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_cvec"),
+    ).withColumn("_bucket", signlsh_bucket(F.col("_cvec"), dim, n_planes))
+
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_qvec"),
+    ).withColumn("_qbucket", signlsh_bucket(F.col("_qvec"), dim, n_planes))
+    # multi-probe: also look in buckets one bit-flip away
+    probes = F.array(
+        F.col("_qbucket"),
+        *[
+            F.col("_qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p))
+            for p in range(min(n_probes, n_planes))
+        ],
+    )
+    q = q.select(
+        query_id_col, "_qvec", F.explode(probes).alias("_bucket")
+    )
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("cos"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Brute all-pairs is the sf-test baseline; at scale call with a bucketed
+    frame (`signlsh_bucket` as join key) so only same-bucket pairs score.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        as_double_array(F.col(vec_col)).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        as_double_array(F.col(vec_col)).alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= threshold)

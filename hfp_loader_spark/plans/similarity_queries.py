@@ -1,1 +1,127 @@
-"""similarity_queries query catalog (filled in this round)."""
+"""Similarity-search query catalog over ``embeddings`` (SURVEY §2.11).
+
+Brute-force cosine top-k and embedding near-dup pairs are oracle-checked
+against DuckDB's ``list_cosine_similarity``; the sign-LSH ANN variant is
+rows-only (bucketing hash has no DuckDB twin) with recall asserted in
+tests/test_similarity.py.  Vector math is `zip_with`/`aggregate` fold —
+JVM expressions, no UDFs, accumulation pinned to float64 on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.similarity import (
+    as_double_array,
+    brute_force_top_k,
+    cosine_neardup_pairs,
+    norm,
+    signlsh_top_k,
+)
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+_DIM = 64  # embedding dimensionality of the driver's embeddings table
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+@defquery(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Exact cosine top-5 per query vector: broadcast query set × one "
+    "corpus pass, per-partition heaps (window row_number on rounded cos "
+    "with vec_id tiebreak). The ANN baseline.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_top_k(emb, queries, k=5).select(
+        "query_id", "vec_id", "cos", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@defquery(
+    "sim_embedding_norm_stats",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) ** 0.5), 4)
+             AS avg_norm,
+           round(avg(embedding[1]::DOUBLE), 4) AS avg_dim0
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Typed vector-column aggregate: per-label L2-norm and first-"
+    "component means. Exercises array<float> as a first-class multimodal "
+    "column (norm folds fused into the scan; one tiny shuffle).",
+)
+def sim_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            norm(v).alias("_norm"),
+            F.element_at("embedding", 1).cast("double").alias("_d0"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("_norm"), 4).alias("avg_norm"),
+            F.round(F.avg("_d0"), 4).alias("avg_dim0"),
+        )
+    )
+
+
+@defquery(
+    "sim_cosine_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.45). Brute all-pairs at "
+    "test scale; the scale path buckets both sides with signlsh_bucket "
+    "first so only same-bucket pairs are scored.",
+)
+def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@defquery(
+    "sim_ann_signlsh",
+    None,  # bucket hash has no DuckDB twin → rows-only; recall vs
+    # sim_cosine_topk asserted in tests/test_similarity.py.
+    doc="Approximate top-5 via sign-LSH (8 deterministic hyperplanes, "
+    "1-bit multi-probe): corpus bucketed in one narrow pass, candidates "
+    "joined on bucket equality — ~2^-8 of the corpus scored per probe. "
+    "The 100 TB ANN path.",
+)
+def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return signlsh_top_k(emb, queries, k=5, dim=_DIM, n_probes=4)
