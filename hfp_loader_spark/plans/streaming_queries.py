@@ -1,1 +1,124 @@
-"""streaming_queries query catalog (filled in this round)."""
+"""Streaming query catalog over ``events`` (SURVEY §2.9 / §2.11).
+
+Spark's batch/stream unification is the correctness strategy: the window
+transformations in ``streaming.jobs`` are plain DataFrame functions, so
+the batch-executed entries are oracle-checked against DuckDB
+``time_bucket`` / islands SQL, and the genuinely-streaming entries
+(``readStream`` + ``availableNow``) reuse the SAME transformation — with
+the watermark-truncation semantics stated in the oracle where it applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hfp_loader_spark.plans.catalog import _t, defquery
+from hfp_loader_spark.streaming.jobs import (
+    read_events_stream,
+    run_available_now,
+    session_window_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+    watermark_dedup,
+)
+
+
+@defquery(
+    "stream_tumbling_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows per event_type (batch "
+    "execution of the shared streaming transformation). One shuffle on "
+    "(window, type); map-side partials absorb the raw events.",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_counts(_t(spark, sf_dir, "events"))
+
+
+@defquery(
+    "stream_sliding_counts",
+    """
+    WITH offsets AS (SELECT unnest([0, 1]) AS k)
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                    - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+    doc="Sliding windows (1 h width, 30 min slide): each event lands in "
+    "width/slide = 2 windows. Spark expands in-row before the aggregate; "
+    "the oracle states the same expansion with an offsets cross join.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(_t(spark, sf_dir, "events"))
+
+
+@defquery(
+    "stream_session_counts",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    doc="Session windows per user (10 min gap): Spark session_window "
+    "merge-interval semantics vs the lag+cumsum islands oracle. State is "
+    "per-user in streaming; batch plans one shuffle + sort per user.",
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_counts(_t(spark, sf_dir, "events"))
+
+
+@defquery(
+    "streaming_watermark_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="GENUINE streaming execution: readStream(parquet) → withWatermark "
+    "10 min → dropDuplicates(user_id, event_type) → availableNow to a "
+    "memory sink. First arrival per key is emitted and watermark prunes "
+    "key state; projected to keys so batch DISTINCT is the exact oracle.",
+)
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    deduped = watermark_dedup(stream, ["user_id", "event_type"])
+    return run_available_now(deduped)
+
+
+@defquery(
+    "streaming_tumbling_availablenow",
+    None,  # append-mode watermark truncation depends on micro-batch
+    # boundaries at the data's tail → rows-only; the emitted prefix is
+    # asserted equal to the batch result in tests/test_streaming.py.
+    doc="GENUINE streaming execution of the tumbling-window aggregate: "
+    "readStream → withWatermark 10 min → window counts → availableNow, "
+    "append mode. Emits exactly the windows closed by the final "
+    "watermark — the bounded-state 100 TB ingest path.",
+)
+def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return run_available_now(tumbling_window_counts(stream))

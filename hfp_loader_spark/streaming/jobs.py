@@ -1,0 +1,164 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference is batch-only (SURVEY §2.9): its streaming-shaped properties
+(pipelined execution, idempotent re-run) map to Spark task pipelining and
+the dedup anti-join.  This module adds the genuine streaming surface the
+extension tier requires:
+
+- file-source ``readStream`` with ``trigger(availableNow=True)`` — the
+  "process the day's archive incrementally, then stop" mode that matches
+  the reference's daily batch cadence while scaling to continuous ingest;
+- ``withWatermark`` + ``dropDuplicates`` — streaming dedup, the streaming
+  twin of the J1 anti-join (state is bounded by the watermark horizon);
+- tumbling / sliding ``window`` and ``session_window`` aggregates.
+
+The window transformations are expressed on a plain DataFrame, so the SAME
+function serves batch (oracle-checkable) and streaming inputs — Spark's
+unified batch/stream semantics make the batch result the ground truth of
+the streaming one.
+
+Scale notes: watermark state and window state are per-key in the state
+store, pruned as the watermark advances; ``availableNow`` splits the
+backlog into rate-limited micro-batches (``maxFilesPerTrigger``) instead
+of one giant batch, so a 100 TB backfill does not need one-batch memory.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_counter = itertools.count()
+
+
+def _as_source_dir(path: str) -> str:
+    """Spark's file stream source requires a *directory*.  The driver's
+    tables are single parquet files, so stage a hardlink/copy into a
+    content-addressed temp dir (idempotent, done once per input file)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    digest = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "hfp_stream_src", digest)
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(dst):
+        try:
+            os.link(path, dst)
+        except OSError:
+            shutil.copy2(path, dst)
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the events table (schema from a batch probe;
+    nanos-long ``ts`` normalized to TimestampType like plans.catalog)."""
+    path = _as_source_dir(f"{sf_dir.rstrip('/')}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows: counts + value sum per (window, type)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of silence.
+
+    Spark merges overlapping [ts, ts+gap) intervals per key; the session
+    start is the first event, matching the lag/cumsum islands batch
+    pattern (operators.relational.sessionize).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def watermark_dedup(
+    events: DataFrame, keys: list[str], delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup: ``withWatermark`` bounds the key state, then
+    ``dropDuplicates`` keeps the first arrival per key.
+
+    Projected to the key columns so batch and streaming agree exactly
+    (which non-key row survives is arrival-order-dependent in a stream).
+    """
+    return events.withWatermark("ts", delay).select(
+        "ts", *keys
+    ).dropDuplicates(keys).select(*keys)
+
+
+def run_available_now(streaming_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
+    """Execute a streaming DataFrame to completion with availableNow
+    into an in-memory table; returns the materialized result.
+
+    Append mode: only windows fully below the final watermark are emitted
+    — the streaming-semantics tail truncation the oracle must replicate.
+    """
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover — safety on timeout
+            q.stop()
+    return streaming_df.sparkSession.table(name)
