@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at SPARK_GRAFT_SF_DIR (default
+sf0.1), one JSON line on stdout.
+
+Each query is the registered catalog entry (same code path as the
+correctness gate), materialized with the noop sink so every column is
+computed but nothing is collected to the driver.  A warmup run of the
+flagship absorbs JVM/codegen startup so the numbers measure the plans,
+not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # one per tier: relational aggs, join+topk, windows, HFP parity,
+    # near-dup discovery, TF-IDF, vector topk (exact + ANN), sessions,
+    # genuine streaming dedup.
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "window_lag_lead_running",
+    "hfp_typed_coercion_net",
+    "dedup_minhash_lsh",
+    "text_tfidf_top_terms",
+    "sim_cosine_topk",
+    "sim_ann_signlsh",
+    "stream_session_counts",
+    "streaming_watermark_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hfp_loader_spark.plans import catalog
+    from hfp_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    def run(name: str) -> float:
+        builder = catalog.REGISTRY[name].builder
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

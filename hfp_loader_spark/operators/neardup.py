@@ -86,22 +86,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>): k independent min-hashes per document.
 
-    Hash family: xxhash64 seeded by the permutation index via concat —
-    computed with one `transform`+`array_min` pass per hash over the
-    in-row shingle array (no explode, no shuffle).
+    Hash family: xxhash64 seeded by the permutation index via concat.
+    Implementation explodes shingles and takes per-doc mins through a
+    hash aggregate: the k hashes are computed ONCE per shingle (an
+    in-row `transform` per hash would let Catalyst inline — and thus
+    recompute — the shingling k times), and map-side partial mins mean
+    the shuffle carries k longs per doc per partition, not shingles.
     """
-    sig = F.array(
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    hashed = ex.select(
+        "doc_id",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: F.xxhash64(F.concat(F.lit(f"mh{j}:"), s)),
-                )
-            )
+            F.xxhash64(F.concat(F.lit(f"mh{j}:"), F.col("shingle"))).alias(f"_h{j}")
             for j in range(num_hashes)
-        ]
+        ],
     )
-    return shingled.select("doc_id", sig.alias("sig"), "shingles")
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{j}").alias(f"_h{j}") for j in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(

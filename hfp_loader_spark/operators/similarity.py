@@ -82,17 +82,20 @@ def brute_force_top_k(
 
 
 def _hyperplane(dim: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: ±1 per dimension from
-    xxhash64(plane, dim).  No model object, no driver state — every
-    executor derives the identical plane."""
-    return F.array(
-        *[
-            F.when(
-                F.xxhash64(F.lit(f"p{plane}d{d}")) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random hyperplane: ±1 per dimension derived
+    from md5(plane, dim) at plan-build time.  Pure literals — Catalyst
+    constant-folds the whole plane array, so executors evaluate zero hash
+    calls per row; and the derivation is seed-stable across sessions, so
+    there is no model object to ship."""
+    import hashlib
+
+    signs = [
+        1.0
+        if hashlib.md5(f"p{plane}d{d}".encode()).digest()[0] % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+    return F.array(*[F.lit(s) for s in signs])
 
 
 def signlsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:

@@ -44,17 +44,24 @@ def tokens(text: Column) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a token array (MinHash/Jaccard input).
 
-    ``sequence(1, size-n+1)`` + ``transform`` keeps everything JVM-side;
-    documents shorter than ``n`` tokens yield an empty array.
+    Built by zipping the token array with its own shifted slices — all
+    top-level expressions, evaluated once per row.  (An index-based
+    ``transform(sequence(...), i -> element_at(toks, i+k))`` would embed
+    ``toks`` in the lambda body, and Spark does not hoist loop-invariant
+    subexpressions out of higher-order lambdas — the tokenizer would
+    re-run per shingle per offset, ~3 orders of magnitude more work.)
+
+    ``zip_with`` pads the shorter side with NULL and ``concat`` propagates
+    it, so the padded tail drops in the NULL filter; documents shorter
+    than ``n`` tokens yield an empty array.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-        ),
-    )
-    return F.array_distinct(joined)
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
 
 
 def token_count(text: Column) -> Column:
