@@ -122,7 +122,14 @@ def signlsh_top_k(
     """Approximate cosine top-k: compare only within matching sign-LSH
     buckets (plus ``n_probes`` single-bit-flip neighbor buckets for
     recall).  The corpus is bucketed in one narrow pass; only bucket-equal
-    pairs are scored.  Candidate count ≈ N·k'/2^n_planes per query."""
+    pairs are scored.  Candidate count ≈ N·(1+n_probes)/2^n_planes per
+    query.
+
+    Sizing rule (IVF-style): pick ``n_planes ≈ log2(N / target_bucket)``
+    so buckets hold ~100-1000 vectors — at N=10^9 and 2^16 buckets each
+    bucket holds ~15k vectors and a 5-probe query scores ~75k candidates
+    instead of a billion.  Small corpora need FEW planes (recall collapses
+    when buckets hold fewer vectors than k)."""
     from hfp_loader_spark.operators.relational import top_k_per_group
 
     c = corpus.select(

@@ -114,14 +114,15 @@ def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_signlsh",
     None,  # bucket hash has no DuckDB twin → rows-only; recall vs
     # sim_cosine_topk asserted in tests/test_similarity.py.
-    doc="Approximate top-5 via sign-LSH (8 deterministic hyperplanes, "
-    "1-bit multi-probe): corpus bucketed in one narrow pass, candidates "
-    "joined on bucket equality — ~2^-8 of the corpus scored per probe. "
-    "The 100 TB ANN path.",
+    doc="Approximate top-5 via sign-LSH (deterministic hyperplanes, 1-bit "
+    "multi-probe): corpus bucketed in one narrow pass, candidates joined "
+    "on bucket equality — (1+probes)/2^planes of the corpus scored per "
+    "query. Planes sized IVF-style to the corpus (~log2(N/bucket)); "
+    "the 100 TB ANN path.",
 )
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return signlsh_top_k(emb, queries, k=5, dim=_DIM, n_probes=4)
+    return signlsh_top_k(emb, queries, k=5, dim=_DIM, n_planes=5, n_probes=5)

@@ -1,0 +1,84 @@
+"""Near-dup operator properties: LSH recall, SimHash locality.
+
+The MinHash+LSH and SimHash catalog entries are rows-only at the driver
+gate (engine-specific hash functions); these tests supply the missing
+correctness signal by comparing them against the exact oracle-checked
+Jaccard join on the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hfp_loader_spark.operators.neardup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_docs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from hfp_loader_spark.plans.catalog import load_table
+
+THRESHOLD = 0.8
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    shingled = shingle_docs(docs, "doc_id", "text")
+    rows = jaccard_pairs(shingled, THRESHOLD).collect()
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+
+
+def test_exact_jaccard_finds_planted_neardups(exact_pairs):
+    assert len(exact_pairs) > 0
+    assert all(j >= THRESHOLD for j in exact_pairs.values())
+
+
+def test_minhash_lsh_recall_and_precision(docs, exact_pairs):
+    """LSH + exact verification must reproduce the exact join at high
+    similarity: verification guarantees precision = 1; banding (b=8, r=4:
+    P[candidate] = 1-(1-s^4)^8 ≈ 0.9998 at s=0.8) makes missing a planted
+    pair overwhelmingly unlikely."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", THRESHOLD
+        ).collect()
+    }
+    assert set(got) <= set(exact_pairs)  # precision 1 (exact-verified)
+    recall = len(got) / len(exact_pairs)
+    assert recall >= 0.9
+    for pair, j in got.items():
+        assert j == exact_pairs[pair]
+
+
+def test_lsh_candidates_far_below_all_pairs(docs):
+    """The scale property: candidate count ≪ n(n-1)/2 (never all-pairs)."""
+    shingled = shingle_docs(docs, "doc_id", "text")
+    n = shingled.count()
+    cands = lsh_candidate_pairs(minhash_signatures(shingled)).count()
+    assert cands < 0.05 * n * (n - 1) / 2
+
+
+def test_simhash_locality(docs, exact_pairs):
+    """Near-identical documents (exact Jaccard ≥ 0.8) must land within the
+    Hamming radius; the pair search must find a superset-limited, small
+    candidate set rather than all pairs."""
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    near = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(fps, max_hamming=3).collect()
+    }
+    n = fps.count()
+    assert len(near) < 0.05 * n * (n - 1) / 2
+    # most planted near-dups should be within the radius (SimHash is a
+    # weaker signal than MinHash; allow some misses but not a no-op)
+    hit = sum(1 for p in exact_pairs if p in near)
+    assert hit / len(exact_pairs) >= 0.5

@@ -1,0 +1,98 @@
+"""Vector similarity operator properties: exactness and ANN recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.similarity import (
+    brute_force_top_k,
+    cosine,
+    signlsh_top_k,
+)
+from hfp_loader_spark.plans.catalog import load_table
+
+K = 5
+N_QUERIES = 5
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_cosine_expression_matches_python(emb):
+    rows = emb.limit(2).collect()
+    a, b = rows[0]["embedding"], rows[1]["embedding"]
+    dot = sum(x * y for x, y in zip(a, b))
+    expect = dot / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    two = emb.limit(2).agg(
+        F.collect_list("embedding").alias("vs")
+    ).select(
+        cosine(
+            F.element_at("vs", 1).cast("array<double>"),
+            F.element_at("vs", 2).cast("array<double>"),
+        ).alias("cos")
+    )
+    got = two.collect()[0]["cos"]
+    assert abs(got - expect) < 1e-9
+
+
+def test_brute_force_topk_is_exact(emb, queries):
+    """Window top-k agrees with a collect-and-sort reference."""
+    got = brute_force_top_k(emb, queries, K).collect()
+    corpus = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    qs = {r["query_id"]: r["embedding"] for r in queries.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(d / (na * nb), 4)
+
+    for qid, qv in qs.items():
+        expect = sorted(
+            ((cos(qv, v), vid) for vid, v in corpus.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        mine = sorted(
+            [
+                (r["cos"], r["vec_id"])
+                for r in got
+                if r["query_id"] == qid
+            ],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert mine == expect
+
+
+def test_signlsh_recall(emb, queries):
+    """ANN top-k with multi-probe must recover most of the exact top-k.
+
+    Planes are sized to the (tiny) test corpus per the IVF-style rule in
+    signlsh_top_k's docstring; ≥ 0.5 recall is a loose-but-meaningful
+    floor (random bucketing would give ~(1+probes)/2^planes ≈ 0.3)."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, queries, K).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in signlsh_top_k(
+            emb, queries, K, dim=DIM, n_planes=4, n_probes=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5

@@ -1,0 +1,56 @@
+"""Streaming tier: batch/stream agreement and watermark semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.plans.catalog import load_table
+from hfp_loader_spark.streaming.jobs import (
+    read_events_stream,
+    run_available_now,
+    tumbling_window_counts,
+    watermark_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_stream_watermark_dedup_equals_batch_distinct(spark, sf_dir, events):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(watermark_dedup(stream, ["user_id", "event_type"]))
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    expect = {
+        (r["user_id"], r["event_type"])
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == expect
+
+
+def test_stream_tumbling_is_watermark_truncated_prefix_of_batch(
+    spark, sf_dir, events
+):
+    """Append-mode emits exactly the windows closed by the final watermark:
+    a subset of the batch result, equal on every emitted window, missing
+    only windows near max(ts)."""
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_window_counts(events).collect()
+    }
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    emitted = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_available_now(tumbling_window_counts(stream)).collect()
+    }
+    assert emitted  # something closed
+    assert set(emitted) <= set(batch)
+    for k, v in emitted.items():
+        assert v == batch[k]
+    # everything missing is at the tail (within watermark horizon of max ts)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts.replace(minute=0, second=0, microsecond=0)
+    for window_start, _etype in set(batch) - set(emitted):
+        assert window_start >= horizon.strftime("%Y-%m-%d %H:%M:%S")
