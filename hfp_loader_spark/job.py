@@ -28,6 +28,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from hfp_loader_spark.errors import is_path_not_found
 
 from hfp_loader_spark.operators.dedup import (
     anti_join_existing,
@@ -73,10 +76,14 @@ def load_event_group(
     """Build and execute the load plan for one event group."""
     try:
         raw = read_hfp_group(spark, storage_root, event_group, date)
-    except Exception:
-        # No blobs for this group/date — the reference just logs and moves on
-        # (hfpTask.ts:88-95).
-        return
+    except AnalysisException as e:
+        # No blobs for this group/date — the reference logs and moves on
+        # (hfpTask.ts:88-95).  ONLY path-not-found qualifies: any other
+        # read error (corrupt footer, permission denial) must propagate,
+        # or a failed day would silently register as "nothing to load".
+        if is_path_not_found(e):
+            return
+        raise
 
     typed = filter_valid_uuid(typed_projection(raw))
 
@@ -92,13 +99,28 @@ def load_event_group(
 
     routed = with_target_table(deduped, event_group)
 
-    for table in tables:
-        out = routed.where(F.col(TARGET_COL) == table).drop(TARGET_COL)
-        obs = Observation(f"insert_{event_group}_{table}_{_uuid.uuid4().hex[:8]}")
-        sink.write(out.observe(obs, F.count(F.lit(1)).alias("rows")), table)
-        report.inserted_by_table[table] = report.inserted_by_table.get(
-            table, 0
-        ) + int(obs.get["rows"])
+    # Multi-table groups (VehiclePosition → vehicleposition + unsignedevent)
+    # trigger one write action per table; without a materialization barrier
+    # each action would re-execute the full scan → typed-project → anti-join
+    # lineage — a second full pass over the day's largest event group at
+    # 100 TB — and the second write's existing-keys scan could even observe
+    # the first write's own appends.  persist() runs the lineage once and
+    # serves both filtered writes from cached partitions.
+    if len(tables) > 1:
+        routed = routed.persist()
+    try:
+        for table in tables:
+            out = routed.where(F.col(TARGET_COL) == table).drop(TARGET_COL)
+            obs = Observation(
+                f"insert_{event_group}_{table}_{_uuid.uuid4().hex[:8]}"
+            )
+            sink.write(out.observe(obs, F.count(F.lit(1)).alias("rows")), table)
+            report.inserted_by_table[table] = report.inserted_by_table.get(
+                table, 0
+            ) + int(obs.get["rows"])
+    finally:
+        if len(tables) > 1:
+            routed.unpersist()
 
 
 def hfp_load(

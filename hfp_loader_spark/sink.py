@@ -21,8 +21,13 @@ always-NULL double for schema parity.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from hfp_loader_spark.errors import is_path_not_found
 
 from hfp_loader_spark.schema import HFP_COLUMNS
 
@@ -57,12 +62,16 @@ class ParquetSink:
         The oday filter prunes to one partition and Catalyst prunes columns
         to just ``uuid`` — the Spark translation of
         ``SELECT uuid FROM <t> WHERE oday = $1``.
-        Missing table (first load) → empty key set.
+        Missing table (first load) → empty key set; any OTHER read error
+        (corrupt footer, permission denial) propagates — swallowing it
+        would silently re-insert the whole day.
         """
         try:
             df = spark.read.parquet(self.table_path(table))
-        except Exception:
-            return spark.createDataFrame([], "uuid string")
+        except AnalysisException as e:
+            if is_path_not_found(e):
+                return spark.createDataFrame([], "uuid string")
+            raise
         return df.where(F.col("oday") == F.to_date(F.lit(date))).select("uuid")
 
 
@@ -94,6 +103,9 @@ class JdbcSink:
         self, spark: SparkSession, table: str, date: str
     ) -> DataFrame:
         # Predicate pushed into the remote query — only that day's uuids
-        # cross the wire (utils/getEvents.ts:10-15).
+        # cross the wire (utils/getEvents.ts:10-15).  The date is re-parsed
+        # here (not only at the hfp_load entry) so a caller reaching this
+        # directly cannot interpolate arbitrary SQL.
+        date = datetime.date.fromisoformat(date).isoformat()
         query = f"(SELECT uuid FROM public.{table} WHERE oday = DATE '{date}') q"
         return spark.read.jdbc(self.url, query, properties=self.properties)

@@ -60,6 +60,12 @@ def read_hfp_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         .option("ignoreLeadingWhiteSpace", "true")
         .option("ignoreTrailingWhiteSpace", "true")
         .option("mode", "PERMISSIVE")
+        # Documented divergence (like the F2 parseInt note in transform.py):
+        # the reference's csv-parse is quote-aware across newlines; Spark
+        # needs multiLine=true for that, which disables input splitting (one
+        # task per file).  HFP archives never quote newlines — telemetry
+        # fields are machine-generated scalars — so we keep splittable scans
+        # and accept the divergence on hypothetical embedded newlines.
     )
     df = reader.csv(paths)
 
