@@ -1,0 +1,173 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+Extension tier (builder brief / SURVEY §2.11 "multimodal"): image/audio/
+video content rides in ``binary`` columns next to a typed metadata struct;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+Pandas functions over ``mapInPandas``.
+
+The actual codec step is STUBBED (no image/audio libraries in this
+environment): :func:`decode_payload` raises ``NotImplementedError`` unless
+the deterministic fake decoder is requested.  Everything AROUND the codec —
+the schema contract, the ``mapInPandas`` batch shape, partition sizing,
+Arrow transfer, metadata struct typing — is real and tested; swapping the
+fake for PIL/ffmpeg is a one-function change on the executors.
+
+Scale notes:
+- payload bytes move driver-free: scan → Arrow batch → Python worker →
+  Arrow batch; nothing is collected;
+- feature extraction is embarrassingly parallel: no shuffle at all, output
+  partitioning inherits the scan;
+- batch memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  — at 100 TB with ~MB payloads, set it so batch_size × payload_size fits
+  the worker (e.g. 64 × 4 MB);
+- binary columns make parquet row groups huge: store payloads in their own
+  column chunk (they already are) and NEVER prune-late — project payload
+  off before any wide shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata contract for decoded media.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("md5_hex", StringType()),
+        StructField("first_byte", IntegerType()),
+        StructField("mean_byte", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("meta", MEDIA_META_SCHEMA),
+        StructField("frame_offsets", ArrayType(IntegerType())),
+        StructField("frame_digests", ArrayType(StringType())),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a ``binary`` payload column (UTF-8 bytes of the text column).
+
+    Test-harness stand-in for real media bytes: deterministic, both
+    engines can derive it, and downstream operators treat it as opaque.
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_payload(payload: bytes, media_type: str = "image", fake: bool = False):
+    """Codec stub.  Real deployments plug PIL/libav here.
+
+    ``fake=True`` yields a deterministic pseudo-decode derived from the
+    payload digest — shaped exactly like a real decode result so the
+    Spark-side plumbing is fully exercisable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.md5(payload).digest()
+    return {
+        "media_type": media_type,
+        "width": 16 + digest[0] % 64,
+        "height": 16 + digest[1] % 64,
+        "n_channels": 1 + digest[2] % 3,
+        "n_frames": 1 + digest[3] % 8,
+    }
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Byte-level features via ``mapInPandas`` (Arrow-batched).
+
+    Output is FEATURE_SCHEMA; each batch is processed as a whole pandas
+    DataFrame — no per-row Python calls across the serialization boundary.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "md5_hex": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "first_byte": payloads.map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ).astype("int32"),
+                    "mean_byte": payloads.map(
+                        lambda b: int(sum(b) // len(b)) if len(b) else -1
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(compute, FEATURE_SCHEMA)
+
+
+def decode_and_sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_type: str = "video",
+    n_samples: int = 4,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode metadata + uniform frame sampling via ``mapInPandas``.
+
+    Frames of the fake codec are equal byte-slices of the payload; the
+    sampler picks ``n_samples`` uniformly spaced frames and emits their
+    offsets and digests — the exact shape a real video pipeline produces
+    (frame index + thumbnail/feature per frame).
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "meta": [], "frame_offsets": [], "frame_digests": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                meta = decode_payload(b, media_type, fake=fake_decode)
+                n_frames = meta["n_frames"]
+                frame_len = max(len(b) // n_frames, 1)
+                step = max(n_frames // n_samples, 1)
+                idxs = list(range(0, n_frames, step))[:n_samples]
+                offsets = [i * frame_len for i in idxs]
+                digests = [
+                    hashlib.md5(b[o : o + frame_len]).hexdigest()[:16]
+                    for o in offsets
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["meta"].append(meta)
+                out["frame_offsets"].append(offsets)
+                out["frame_digests"].append(digests)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(compute, DECODED_SCHEMA)

@@ -1,0 +1,66 @@
+"""Multimodal query catalog (builder brief: binary columns + Pandas UDFs).
+
+``documents.text`` stands in for media bytes (UTF-8 payload both engines
+can derive), so even the ``mapInPandas`` feature path gets a DuckDB oracle:
+Spark computes features FROM THE BINARY PAYLOAD in Arrow-batched pandas,
+the oracle recomputes them from the text — if the plumbing (batching,
+schema, byte handling) is wrong, the hashes diverge.  The decode+frame-
+sample entry exercises the stubbed codec path (rows-only: nested structs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.multimodal import (
+    decode_and_sample_frames,
+    extract_features,
+    with_binary_payload,
+)
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+
+@defquery(
+    "multimodal_byte_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text)                                  AS md5_hex,
+           ascii(text[1])                             AS first_byte,
+           CAST(floor(list_avg(list_transform(
+                generate_series(1, length(text)), i -> ascii(text[i]))))
+                AS BIGINT)                            AS mean_byte
+    FROM documents
+    """,
+    doc="Binary-payload feature extraction via Arrow-batched mapInPandas "
+    "(size, md5, first/mean byte) — the Pandas-UDF plumbing itself is "
+    "oracle-checked because the payload is derivable on both engines. "
+    "No shuffle; output partitioning inherits the scan.",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(docs)
+
+
+@defquery(
+    "multimodal_decode_frames",
+    None,  # nested meta struct + stub codec → rows-only; determinism and
+    # stub gating asserted in tests/test_multimodal.py.
+    doc="Stubbed media decode + uniform frame sampling over mapInPandas: "
+    "typed metadata struct, frame offsets and digests — the real Spark "
+    "plumbing around a codec that is NotImplementedError-gated in this "
+    "environment (fake deterministic decoder in tests).",
+)
+def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    decoded = decode_and_sample_frames(docs, media_type="video")
+    return decoded.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.size("frame_offsets").alias("n_sampled"),
+        F.element_at("frame_digests", 1).alias("first_frame_digest"),
+    )

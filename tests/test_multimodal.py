@@ -1,0 +1,56 @@
+"""Multimodal operator tests: stub gating, determinism, batch shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from hfp_loader_spark.operators.multimodal import (
+    decode_and_sample_frames,
+    decode_payload,
+    extract_features,
+    with_binary_payload,
+)
+from hfp_loader_spark.plans.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return with_binary_payload(load_table(spark, sf_dir, "documents"))
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x01", "image")
+
+
+def test_fake_decode_is_deterministic_and_typed():
+    a = decode_payload(b"same bytes", "image", fake=True)
+    b = decode_payload(b"same bytes", "image", fake=True)
+    assert a == b
+    assert set(a) == {"media_type", "width", "height", "n_channels", "n_frames"}
+    assert a["width"] >= 16 and a["n_frames"] >= 1
+
+
+def test_extract_features_matches_python(docs):
+    got = {r["doc_id"]: r for r in extract_features(docs).collect()}
+    for row in docs.select("doc_id", "text", "payload").limit(20).collect():
+        b = bytes(row["payload"])
+        assert b == row["text"].encode("utf-8")  # payload contract
+        r = got[row["doc_id"]]
+        assert r["n_bytes"] == len(b)
+        assert r["md5_hex"] == hashlib.md5(b).hexdigest()
+        assert r["first_byte"] == b[0]
+        assert r["mean_byte"] == sum(b) // len(b)
+
+
+def test_frame_sampling_shape(docs):
+    out = decode_and_sample_frames(docs, n_samples=4).collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        n = len(r["frame_offsets"])
+        assert 1 <= n <= 4
+        assert len(r["frame_digests"]) == n
+        assert r["meta"]["n_frames"] >= n
+        assert sorted(r["frame_offsets"]) == list(r["frame_offsets"])
