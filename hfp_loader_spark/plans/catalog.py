@@ -39,12 +39,14 @@ TABLES = [
 ]
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver's parquet.  Spark has no
-# nanosecond timestamp type, so the session sets
-# ``spark.sql.legacy.parquet.nanosAsLong`` and ``load_table`` converts the
-# resulting epoch-nanos LONG to TimestampType with *integer* division
-# (``div 1000`` — a double-rounded FLOOR would lose precision at 1e18).
-# DuckDB applies the same ns→µs truncation, so the engines agree.
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet.  Reading them
+# requires ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py);
+# without it the scan raises PARQUET_TYPE_ILLEGAL.  Spark 4.1 then surfaces
+# the column as timestamp_ntz truncated to µs — the same truncation DuckDB
+# applies, so the engines agree.  The bigint branch below is the fallback
+# for Spark versions that surface the raw epoch-nanos LONG instead: the
+# conversion uses *integer* division (``div 1000`` — a double-rounded FLOOR
+# would lose precision at 1e18).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -52,10 +54,52 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read a driver table, normalizing nanos-long columns to timestamps."""
+def _micros(iso_ts: str) -> int:
+    import datetime
+
+    dt = datetime.datetime.fromisoformat(iso_ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_pushdown: list[tuple[str, str, str]] | None = None,
+):
+    """Read a driver table, normalizing nanos-long columns to timestamps.
+
+    ``ts_pushdown``: optional ``(column, op, iso_timestamp)`` predicates
+    applied on the RAW epoch-nanos long BEFORE the conversion projection.
+    A filter on the converted column is an expression over the raw long
+    and cannot reach the parquet reader; rewriting it into the raw domain
+    makes it a plain long comparison → ``PushedFilters`` in the scan (at
+    100 TB the difference between reading one row group and reading the
+    table).  Boundaries replicate the ns→µs truncation exactly:
+    ``ts_µs <= t`` ⟺ ``ts_ns < (t+1µs)·1000``.
+    """
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     dtypes = dict(df.dtypes)
+    for col, op, iso_ts in ts_pushdown or ():
+        us = _micros(iso_ts)
+        if dtypes.get(col) == "bigint":  # raw epoch-nanos
+            bounds = {
+                "<=": F.col(col) < (us + 1) * 1000,
+                "<": F.col(col) < us * 1000,
+                ">=": F.col(col) >= us * 1000,
+                ">": F.col(col) >= (us + 1) * 1000,
+            }
+        else:  # already a real timestamp column
+            ts = F.timestamp_micros(F.lit(us))
+            bounds = {
+                "<=": F.col(col) <= ts,
+                "<": F.col(col) < ts,
+                ">=": F.col(col) >= ts,
+                ">": F.col(col) > ts,
+            }
+        df = df.where(bounds[op])
     for c in _NANOS_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))

@@ -54,11 +54,19 @@ from hfp_loader_spark.plans.catalog import _t, defquery
     "Flagship query; one shuffle on the 2-value group key.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from hfp_loader_spark.plans.catalog import load_table
+
+    # shipdate filter rewritten into the raw scan domain → PushedFilters
+    # (see load_table docstring; asserted in tests/test_plans.py)
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ts_pushdown=[("l_shipdate", "<=", "1998-09-02")],
+    )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),

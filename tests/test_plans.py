@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, by contract.
+
+Correctness tests prove the right rows come back at sf0.001; these prove
+the right PLAN produces them — pushdown reaching the scan, partition
+pruning on the staging sink, broadcast dimension joins, anti-join
+strategy, and TakeOrderedAndProject for global top-k.  A regression here
+is invisible at test scale and catastrophic at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.plans.catalog import REGISTRY
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _optimized_plan(REGISTRY["q1_pricing_summary"].builder(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _optimized_plan(REGISTRY["q1_pricing_summary"].builder(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # Q1 needs 7 of lineitem's 11 columns; the scan must not read keys.
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(REGISTRY["join_region_rollup"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hfp_dedup_is_anti_join(spark, sf_dir):
+    plan = _executed_plan(REGISTRY["hfp_dedup_anti_join"].builder(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = _optimized_plan(REGISTRY["global_topk_orders"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_staging_sink_partition_prunes(spark, tmp_path):
+    """existing_keys must read ONE oday partition and ONLY the uuid column
+    (the Spark translation of `SELECT uuid FROM t WHERE oday = $1`)."""
+    from hfp_loader_spark.sink import ParquetSink
+
+    from hfp_fixtures import write_fixture  # tests dir on sys.path
+
+    from hfp_loader_spark.job import hfp_load
+
+    write_fixture(tmp_path, date="2021-02-09")
+    sink = ParquetSink(str(tmp_path / "stage"))
+    hfp_load(spark, str(tmp_path), "2021-02-09", sink)
+
+    keys = sink.existing_keys(spark, "vehicleposition", "2021-02-09")
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "oday" in part
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "uuid" in read_schema
+    assert "lat" not in read_schema  # pruned to the key column
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    plan = _executed_plan(REGISTRY["sim_cosine_topk"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
