@@ -15,7 +15,9 @@ Layout
 - ``schema``    canonical HFP schemas and event-group maps
 - ``sources``   CSV / parquet / JDBC scans and manifests
 - ``operators`` typed projection, dedup (anti-join + exact/minhash/simhash),
-                routing, relational helpers, similarity search, text analysis
+                routing, relational helpers, similarity search, text
+                analysis, multimodal binary columns
+- ``errors``    error classification shared by sources/sinks/job
 - ``plans``     the declared query catalog (Spark impl + DuckDB oracle SQL)
 - ``streaming`` Structured Streaming variants (windows, sessions, dedup)
 - ``sink``      routed append writes (parquet staging or JDBC)
