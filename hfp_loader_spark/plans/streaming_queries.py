@@ -122,3 +122,26 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return run_available_now(tumbling_window_counts(stream))
+
+
+@defquery(
+    "streaming_stateful_counters",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                  AS n_events,
+           round(sum(value), 2)                      AS total_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S')    AS max_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="GENUINE streaming execution of a CUSTOM stateful operator: "
+    "applyInPandasWithState carries per-user running totals across "
+    "micro-batches in the state store (O(keys) memory, Arrow-batched "
+    "group shipping). With the archive fully ingested, the cumulative "
+    "totals equal the batch aggregate — the oracle.",
+)
+def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.streaming.stateful import stateful_user_counters
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(stateful_user_counters(stream))

@@ -54,3 +54,32 @@ def test_stream_tumbling_is_watermark_truncated_prefix_of_batch(
     horizon = max_ts.replace(minute=0, second=0, microsecond=0)
     for window_start, _etype in set(batch) - set(emitted):
         assert window_start >= horizon.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_stateful_counters_carry_state_across_batches(spark, sf_dir, events, tmp_path):
+    """Split the archive into multiple files and rate-limit to one file
+    per micro-batch: per-user totals must accumulate across batches (the
+    final emission per user equals the batch aggregate)."""
+    from hfp_loader_spark.streaming.stateful import stateful_user_counters
+
+    src = tmp_path / "events_split"
+    events.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_available_now(stateful_user_counters(stream))
+    # append mode emits one row per touched user per batch → keep the max
+    emissions = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.count("*").alias("n_emissions"),
+    )
+    got = {r["user_id"]: r for r in emissions.collect()}
+    expect = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {u: r["n_events"] for u, r in got.items()} == expect
+    # state genuinely crossed batches: users were touched in >1 batch
+    assert any(r["n_emissions"] > 1 for r in got.values())
