@@ -403,3 +403,78 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return global_top_k(orders, [F.desc("totalprice"), F.asc("o_orderkey")], 15)
+
+
+@defquery(
+    "window_rank_dense",
+    """
+    SELECT n_name, c_custkey, acctbal,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM (
+      SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 0) AS acctbal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WINDOW w AS (PARTITION BY n_name ORDER BY acctbal DESC)
+    QUALIFY rank() OVER w <= 5
+    """,
+    doc="rank/dense_rank with genuine ties (acctbal rounded to integers): "
+    "gap vs no-gap ranking semantics, deterministic because equal inputs "
+    "get equal ranks. Same single-shuffle window shape as top-k.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = broadcast_join(cust, nat, cust.c_nationkey == nat.n_nationkey).select(
+        "n_name", "c_custkey", F.round("c_acctbal", 0).alias("acctbal")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("acctbal"))
+    return (
+        joined.withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@defquery(
+    "window_range_trailing",
+    """
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT)  AS n_last_10min,
+           round(sum(value) OVER w, 2)      AS sum_last_10min
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events WHERE user_id < 30)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE frame (trailing 10 minutes by event time, not row count): "
+    "value-based window bounds over epoch seconds — the sliding-metric "
+    "primitive. One shuffle + sort per user partition.",
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").cast("long").alias("ts_sec"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("long").alias("n_last_10min"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_10min"),
+    )
