@@ -478,3 +478,98 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_last_10min"),
         F.round(F.sum("value").over(w), 2).alias("sum_last_10min"),
     )
+
+
+@defquery(
+    "q17_small_quantity_avg",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice), 2) AS total_price,
+           CAST(count(*) AS BIGINT)         AS n_items
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17-like correlated scalar subquery: Catalyst decorrelates "
+    "it into an aggregate + equi-join (no per-row re-scan). The per-part "
+    "avg side is a partial-agg shuffle on the join key.",
+)
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    small = li.join(per_part, li.l_partkey == F.col("pk")).where(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@defquery(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(max(o_totalprice), 2)                AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group — Spark "
+    "``percentile`` ≡ DuckDB ``quantile_cont``. The 100 TB path swaps in "
+    "approx_percentile (t-digest) the same way approx_count_distinct "
+    "replaces exact distinct.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@defquery(
+    "sessionize_islands",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+    FROM marked
+    """,
+    doc="Batch sessionization via the lag+cumsum islands operator "
+    "(operators.relational.sessionize, 30 min gap): both window passes "
+    "share one exchange on user_id. The batch twin of session_window.",
+)
+def sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return out.select(
+        "user_id", "event_id", F.col("session_id").cast("long").alias("session_id")
+    )
