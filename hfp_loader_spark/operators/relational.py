@@ -89,3 +89,30 @@ def sessionize(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi-join: salt the hot side, replicate the other.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; salting is the explicit fallback for joins AQE cannot split
+    (e.g. followed by a same-key aggregate, or under bucketed layouts).
+    The skewed side gets a uniform salt in [0, n_salts); the small side is
+    replicated n_salts× via an in-row explode — its shuffle volume grows
+    n_salts×, so use this only when ``small`` is orders of magnitude
+    smaller than the hot keys' row counts.  Join semantics are unchanged:
+    every (key, salt) pair on the left finds exactly the original right
+    rows for that key.
+    """
+    salt = F.floor(F.rand(42) * n_salts).cast("int")
+    left = skewed.withColumn("_salt", salt)
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return left.join(right, [*on, "_salt"], how).drop("_salt")

@@ -1,0 +1,36 @@
+"""Relational helper properties (incl. the skew-salting join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.relational import salted_join, sessionize
+from hfp_loader_spark.plans.catalog import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — same multiset of rows as
+    the plain equi-join, even with a heavily skewed key distribution."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # skew it: fold most keys onto one hot key
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 7 != 0, F.lit(1)).otherwise(F.col("l_orderkey"))
+    )
+    dim = (
+        skewed.select("k").distinct().withColumn("payload", F.col("k") * 2)
+    )
+    plain = skewed.join(dim, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(skewed, dim, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both window passes must share one shuffle on the user key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = sessionize(ev, "user_id", "ts", 1800)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
