@@ -188,3 +188,76 @@ def cosine_neardup_pairs(
         F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold)
+
+
+def arrow_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
+
+    The vectorized twin of :func:`brute_force_top_k`: the (small) query
+    matrix ships to every partition in the task closure; each Arrow batch
+    of corpus vectors becomes one numpy matrix and ALL query-candidate
+    scores come from a single BLAS matmul — ~10-100× the throughput of
+    per-row fold expressions when dims are wide.  Per-batch local top-k
+    bounds the shuffle to (batches × queries × k) rows before the exact
+    global top-k window.
+    """
+    import numpy as np
+
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (c_mat / norms) @ q_norm.T  # (batch, n_queries)
+            ids = pdf[id_col].to_numpy()
+            # k + margin: local selection is on raw sims, global ranking on
+            # ROUNDED sims + id tiebreak — the margin keeps rounded ties
+            # from being cut at batch boundaries
+            take = min(k + 8, len(ids))
+            # local top-k per query inside the batch
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            out = {query_id_col: [], id_col: [], "cos": []}
+            for qi in range(sims.shape[1]):
+                rows = part[:, qi]
+                out[query_id_col].extend([int(q_ids[qi])] * len(rows))
+                out[id_col].extend(int(i) for i in ids[rows])
+                out["cos"].extend(
+                    round(float(s), round_to) for s in sims[rows, qi]
+                )
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return top_k_per_group(
+        local, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )

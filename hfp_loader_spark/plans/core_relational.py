@@ -573,3 +573,57 @@ def sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.col("session_id").cast("long").alias("session_id")
     )
+
+
+@defquery(
+    "json_extract_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                          AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS INTEGER)), 4)     AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: JSON path into the props column "
+    "(get_json_object ≡ DuckDB ->>), typed cast, aggregate. The JSON "
+    "probe is a narrow projection fused into the scan.",
+)
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@defquery(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')   AS orderstatus,
+           coalesce(o_orderpriority, '<all>') AS orderpriority,
+           CAST(count(*) AS BIGINT)           AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (neither rollup nor cube): two 1-D "
+    "marginals + grand total in ONE pass — Spark expands the sets before "
+    "a single shuffle instead of three separate aggregates.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # views are registered by the defquery wrapper → plain Spark SQL
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>')   AS orderstatus,
+               coalesce(o_orderpriority, '<all>') AS orderpriority,
+               CAST(count(*) AS BIGINT)           AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -235,3 +235,35 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# GPT-2-style pre-tokenizer (simplified, RE2/Java-regex compatible: no
+# backtracking constructs): contractions, letter runs, digit runs,
+# punctuation runs — each with an optional leading space.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+_BPE_SQL = _BPE_RE.replace("'", "''")  # escape for the SQL string literal
+
+
+@defquery(
+    "text_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+             AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+    doc="BPE-ish token counting: GPT-2-style pre-tokenizer regex "
+    "(contractions / letter runs / digit runs / punctuation, optional "
+    "leading space) via regexp_extract_all on both engines. The "
+    "training-data token-budget primitive; narrow projection, no shuffle.",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
