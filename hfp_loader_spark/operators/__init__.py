@@ -1,0 +1,48 @@
+"""Operator tier: the engine's public operator API.
+
+Grouped per SURVEY §2: ETL parity operators (transform/dedup/routing),
+core relational helpers, and the §2.11 extension operators (near-dup,
+text, similarity, multimodal).
+"""
+
+from hfp_loader_spark.operators.dedup import (  # noqa: F401
+    anti_join_existing,
+    exact_dedup,
+    filter_valid_uuid,
+    union_key_sets,
+)
+from hfp_loader_spark.operators.neardup import (  # noqa: F401
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from hfp_loader_spark.operators.relational import (  # noqa: F401
+    anti_join,
+    broadcast_join,
+    global_top_k,
+    salted_join,
+    semi_join,
+    sessionize,
+    top_k_per_group,
+)
+from hfp_loader_spark.operators.routing import (  # noqa: F401
+    routed_tables,
+    with_target_table,
+)
+from hfp_loader_spark.operators.similarity import (  # noqa: F401
+    arrow_top_k,
+    brute_force_top_k,
+    cosine,
+    cosine_neardup_pairs,
+    signlsh_top_k,
+)
+from hfp_loader_spark.operators.text import (  # noqa: F401
+    fingerprint,
+    predict_lang,
+    quality_score,
+    tokens,
+    word_shingles,
+)
+from hfp_loader_spark.operators.transform import typed_projection  # noqa: F401
