@@ -94,10 +94,15 @@ def minhash_signatures(
     the shuffle carries k longs per doc per partition, not shingles.
     """
     ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    hashed = ex.select(
+    # Hash the (variable-length) shingle string ONCE; derive the k
+    # permutation hashes from the resulting 8-byte long — xxhash64 over a
+    # long + seed literal costs a fixed few ns vs re-hashing (and
+    # re-concatenating) the string k times.
+    base = ex.select("doc_id", F.xxhash64("shingle").alias("_h"))
+    hashed = base.select(
         "doc_id",
         *[
-            F.xxhash64(F.concat(F.lit(f"mh{j}:"), F.col("shingle"))).alias(f"_h{j}")
+            F.xxhash64(F.col("_h"), F.lit(j)).alias(f"_h{j}")
             for j in range(num_hashes)
         ],
     )
