@@ -28,6 +28,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_tfidf_top_terms",
     "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
     "sim_ann_signlsh",
     "stream_session_counts",
     "streaming_watermark_dedup",
