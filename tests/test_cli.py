@@ -1,0 +1,29 @@
+"""CLI surface (__main__): parity with index.ts arg handling."""
+
+from __future__ import annotations
+
+from hfp_loader_spark.__main__ import build_parser, main, make_sink
+from hfp_loader_spark.sink import JdbcSink, ParquetSink
+
+
+def test_sink_spec_parsing():
+    assert isinstance(make_sink("parquet:/tmp/x"), ParquetSink)
+    assert make_sink("parquet:/tmp/x").root == "/tmp/x"
+    assert isinstance(make_sink("jdbc:postgresql://h/db"), JdbcSink)
+    assert isinstance(make_sink("/plain/dir"), ParquetSink)
+
+
+def test_invalid_date_exits_nonzero(capsys):
+    # index.ts:12-21: invalid date → error message + non-zero exit
+    rc = main(["not-a-date", "--storage-root", "/nope"])
+    assert rc == 2
+    assert "Invalid date" in capsys.readouterr().err
+
+
+def test_parser_defaults(monkeypatch):
+    monkeypatch.setenv("HFP_STORAGE_ROOT", "/data/hfp")
+    monkeypatch.setenv("HFP_SINK", "parquet:/data/stage")
+    args = build_parser().parse_args(["2021-02-09"])
+    assert args.storage_root == "/data/hfp"
+    assert args.sink == "parquet:/data/stage"
+    assert not args.streaming
