@@ -116,3 +116,98 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )
     return left.join(right, [*on, "_salt"], how).drop("_salt")
+
+
+def asof_join(
+    probes: DataFrame,
+    events: DataFrame,
+    key: str,
+    probe_ts: str,
+    event_ts: str,
+    event_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each probe row, the latest event with the same key
+    and ``event_ts <= probe_ts`` (inclusive), inner semantics.
+
+    Spark has no ASOF JOIN; the naive formulation is an inequality join
+    (quadratic per key).  This composition is the scale-correct plan:
+    union both sides tagged, ONE shuffle+sort on (key, ts, side), then a
+    running ``last(…, ignorenulls)`` carries the most recent event's
+    columns forward onto each probe row.  Cost is sort-merge-like:
+    O((|events|+|probes|) log) per key partition, no pair blowup, and the
+    single exchange is shared by every carried column.
+    """
+    probe_cols = [c for c in probes.columns if c not in (key, probe_ts)]
+    ev = events.select(
+        F.col(key),
+        F.col(event_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_ev_{c}") for c in event_cols],
+        *[F.lit(None).cast(dict(probes.dtypes)[c]).alias(c) for c in probe_cols],
+    )
+    pr = probes.select(
+        F.col(key),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(events.dtypes)[c]).alias(f"_ev_{c}") for c in event_cols],
+        *[F.col(c) for c in probe_cols],
+    )
+    u = ev.unionByName(pr)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        key,
+        "_ts",
+        "_side",
+        *probe_cols,
+        *[
+            F.last(f"_ev_{c}", ignorenulls=True).over(w).alias(c)
+            for c in event_cols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).drop("_side")
+    # inner semantics: drop probes with no event at or before them
+    return out.where(F.col(event_cols[0]).isNotNull()).withColumnRenamed(
+        "_ts", probe_ts
+    )
+
+
+def bucketed_interval_join(
+    intervals: DataFrame,
+    events: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: event rows with
+    ``start <= ts <= end`` per key — without the quadratic blowup.
+
+    A naive ``ON ts BETWEEN start AND end`` is a conditional join Spark
+    executes as broadcast-nested-loop.  Bucketing makes it an equi-join:
+    events hash to their time bucket; each interval explodes to the (few)
+    buckets it overlaps; the join runs on (key, bucket) equality and the
+    exact BETWEEN predicate refines.  Shuffle volume is rows × overlap
+    factor (≈ interval_len/bucket + 1), independent of corpus size per
+    key.  Pick ``bucket_seconds`` ≈ the typical interval length.
+    """
+    ev = events.withColumn(
+        "_bucket", F.floor(F.col(ts_col).cast("long") / bucket_seconds)
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / bucket_seconds),
+                F.floor(F.col(end_col).cast("long") / bucket_seconds),
+            )
+        ),
+    )
+    joined = iv.join(ev, [key, "_bucket"]).where(
+        F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -627,3 +627,93 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@defquery(
+    "asof_join_latest_event",
+    """
+    WITH probes AS (
+      SELECT event_id AS probe_id, user_id,
+             ts + INTERVAL '30 seconds' AS probe_ts
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.probe_id, p.user_id,
+           e.event_id AS matched_event_id,
+           round(e.value, 4) AS matched_value
+    FROM probes p
+    ASOF JOIN events e
+      ON p.user_id = e.user_id AND p.probe_ts >= e.ts
+    """,
+    doc="AS-OF join (Spark has none built in): latest event per key at or "
+    "before each probe time, composed as union + one (key, ts) sort + "
+    "carry-forward last() — sort-merge cost, no inequality-join pair "
+    "blowup. Oracle: DuckDB's native ASOF JOIN.",
+)
+def asof_join_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("probe_ts"),
+    )
+    events_side = ev.select(
+        "user_id", "ts", F.col("event_id").alias("matched_event_id"),
+        F.round("value", 4).alias("matched_value"),
+    )
+    out = asof_join(
+        probes,
+        events_side,
+        key="user_id",
+        probe_ts="probe_ts",
+        event_ts="ts",
+        event_cols=["matched_event_id", "matched_value"],
+    )
+    return out.select("probe_id", "user_id", "matched_event_id", "matched_value")
+
+
+@defquery(
+    "range_join_interval_counts",
+    """
+    WITH intervals AS (
+      SELECT event_id AS interval_id, user_id,
+             ts AS start_ts, ts + INTERVAL '15 minutes' AS end_ts
+      FROM events WHERE event_id % 131 = 0
+    )
+    SELECT i.interval_id,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(e.value), 2)    AS total_value
+    FROM intervals i JOIN events e
+      ON i.user_id = e.user_id
+     AND e.ts BETWEEN i.start_ts AND i.end_ts
+    GROUP BY i.interval_id
+    """,
+    doc="Range join (interval containment) via time-bucketing: intervals "
+    "explode to overlapped buckets, events hash to theirs, equi-join on "
+    "(key, bucket) + exact BETWEEN refine — no BroadcastNestedLoopJoin, "
+    "shuffle ∝ rows × overlap factor. Oracle: DuckDB inequality join.",
+)
+def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_id") % 131 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    joined = bucketed_interval_join(
+        intervals,
+        ev.select("user_id", "ts", "value"),
+        key="user_id",
+        start_col="start_ts",
+        end_col="end_ts",
+        ts_col="ts",
+        bucket_seconds=900,
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
