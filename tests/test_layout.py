@@ -1,0 +1,92 @@
+"""Bucketed layout: co-located joins plan with zero Exchange.
+
+The point of hfp_loader_spark/layout.py is physical, not logical: writing
+both fact tables bucketed by the join key pre-pays the shuffle once, so
+every later join is Exchange-free.  These tests assert that property on
+the actual physical plan, not just that the join returns correct rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hfp_loader_spark.layout import colocated_join, write_bucketed
+from hfp_loader_spark.plans.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        li, "li_b", "l_orderkey", 4, path=str(base / "li_b")
+    )
+    write_bucketed(
+        od, "od_b", "o_orderkey", 4, path=str(base / "od_b")
+    )
+    yield "li_b", "od_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def smj_confs(spark):
+    """Pin the plan shape that exists at scale: at sf0.001 everything fits
+    under the broadcast threshold and AQE's auto-bucketed-scan heuristic
+    turns bucketing off as not-worth-it, so force the sort-merge path the
+    bucketed layout is designed for."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    yield
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_colocated_join_elides_exchanges(spark, bucketed_tables, smj_confs):
+    li_b, od_b = bucketed_tables
+    joined = colocated_join(
+        spark,
+        li_b,
+        od_b,
+        on=spark.table(li_b)["l_orderkey"] == spark.table(od_b)["o_orderkey"],
+    )
+    plan = _plan(joined.select("l_orderkey", "o_orderdate"))
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_colocated_join_matches_shuffled_join(spark, sf_dir, bucketed_tables):
+    li_b, od_b = bucketed_tables
+    joined = colocated_join(
+        spark,
+        li_b,
+        od_b,
+        on=spark.table(li_b)["l_orderkey"] == spark.table(od_b)["o_orderkey"],
+    )
+    n_bucketed = joined.count()
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    n_plain = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+    assert n_bucketed == n_plain > 0
+
+
+def test_bucketed_agg_on_bucket_key_elides_exchange(spark, bucketed_tables, smj_confs):
+    li_b, _ = bucketed_tables
+    agg = spark.table(li_b).groupBy("l_orderkey").count()
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
