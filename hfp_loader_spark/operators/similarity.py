@@ -162,6 +162,134 @@ def signlsh_top_k(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train unit centroids for an IVF index: spherical k-means on a
+    seeded sample, driver-side numpy.
+
+    Scale design: the collect is bounded by ``sample_cap`` rows and the
+    Lloyd iterations cost O(sample_cap · nlist · dim) on the driver —
+    independent of corpus size.  The resulting centroids are a few KB of
+    plan literals; nothing is shipped to executors beyond the plan, and
+    no model object / MLlib pipeline has to be persisted.
+    """
+    import numpy as np
+
+    sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+    frac = min(1.0, 4.0 * sample_cap / max(1, sample.count()))
+    rows = sample.sample(fraction=frac, seed=seed).limit(sample_cap).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        # spherical Lloyd step: assign by max dot, re-mean, re-normalize
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members) == 0:  # dead cell → reseed from the sample
+                cent[c] = x[rng.randint(len(x))]
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            cent[c] = m / n if n > 0 else cent[c]
+    return [[float(v) for v in c] for c in cent]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_i) — pure literal expressions,
+    constant-folded per plan, fused by whole-stage codegen."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(v) for v in c])) for c in centroids]
+    )
+
+
+def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (0-based; ties → lowest cell)."""
+    scores = _centroid_scores(vec, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cell ids, best first (score-desc, id tiebreak)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(v) for v in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"])
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    The scale shape: one narrow pass tags each corpus vector with its
+    nearest-centroid cell (pure expressions, no shuffle); each query
+    probes its ``nprobe`` nearest cells; only cell-equal pairs are scored
+    — ~nprobe/nlist of the corpus per query instead of all of it.  At
+    100 TB the cell column is written once (partition or cluster by it)
+    and every subsequent search prunes to the probed cells' files.
+
+    Compared to sign-LSH buckets, IVF cells adapt to the data
+    distribution (centroids fall where vectors are dense), giving better
+    recall at the same candidate budget on clustered corpora.
+    """
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, nlist, vec_col=vec_col)
+
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
+    ).withColumn("_cell", ivf_assign_cell(F.col("_cvec"), centroids))
+
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_qvec"),
+    ).select(
+        query_id_col,
+        "_qvec",
+        F.explode(
+            ivf_probe_cells(F.col("_qvec"), centroids, nprobe)
+        ).alias("_cell"),
+    )
+    scored = c.join(F.broadcast(q), "_cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("cos"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,

@@ -129,6 +129,27 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "sim_ann_ivf",
+    None,  # approximate index → rows-only; recall vs the exact top-k is
+    # asserted in tests/test_similarity.py::test_ivf_recall.
+    doc="Approximate top-5 via an IVF index: spherical-kmeans centroids "
+    "(driver-trained on a seeded bounded sample, shipped as plan "
+    "literals), nearest-cell tagging as pure expressions, nprobe-cell "
+    "candidate join. Cells adapt to the data distribution — better "
+    "recall than sign-LSH at the same candidate budget; at scale the "
+    "cell id becomes a partition/cluster column so probes prune files.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4)
+
+
+@defquery(
     "sim_cosine_topk_arrow",
     f"""
     WITH q AS (

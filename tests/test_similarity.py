@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from hfp_loader_spark.operators.similarity import (
     brute_force_top_k,
     cosine,
+    ivf_top_k,
     signlsh_top_k,
+    train_ivf_centroids,
 )
 from hfp_loader_spark.plans.catalog import load_table
 
@@ -96,3 +98,32 @@ def test_signlsh_recall(emb, queries):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5
+
+
+def test_ivf_centroids_are_unit_and_deterministic(emb):
+    import math as m
+
+    c1 = train_ivf_centroids(emb, nlist=8)
+    c2 = train_ivf_centroids(emb, nlist=8)
+    assert c1 == c2  # seeded sample + seeded init → reproducible index
+    for c in c1:
+        assert abs(m.sqrt(sum(v * v for v in c)) - 1.0) < 1e-9
+
+
+def test_ivf_recall_beats_candidate_budget(emb, queries):
+    """IVF with nprobe/nlist = 1/2 of the corpus scanned must recover
+    most of the exact top-k (data-adaptive cells ≫ random pruning)."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, queries, K).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_top_k(emb, queries, K, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6
+
+    # every approx hit must be a genuine corpus row with a valid rank
+    assert all(qid < N_QUERIES for qid, _ in approx)
+    assert len(approx) == len(exact)  # k rows per query on both sides
