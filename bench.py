@@ -48,7 +48,19 @@ def main() -> None:
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+    # Warmup: JVM + codegen + parquet footer cache.  The relational plans
+    # warm through the flagship; the text tier's regex/higher-order-array
+    # codegen is warmed on a 50-doc slice so the measured near-dup number
+    # reflects the plan, not first-compile JIT.
+    run("q1_pricing_summary")
+    from hfp_loader_spark.operators.neardup import minhash_lsh_pairs
+
+    warm_docs = (
+        catalog.load_table(spark, sf_dir, "documents").limit(50)
+    )
+    minhash_lsh_pairs(
+        warm_docs, "doc_id", "text", threshold=0.8, reuse_shingles=False
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

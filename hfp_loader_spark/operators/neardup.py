@@ -30,6 +30,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by ``key`` only when the scan has fewer partitions than
+    the cluster's parallelism.
+
+    A small corpus (one parquet file) plans as ONE input partition, so a
+    CPU-heavy projection chain (regex tokenize → shingle → hash) runs
+    single-threaded no matter how many cores exist.  At real scale the
+    input already has thousands of splits and this is a no-op — the check
+    costs a plan inspection, not a job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def shingle_docs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -171,14 +186,41 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_hashes: int = 32,
     num_bands: int = 8,
+    reuse_shingles: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup join, exact-Jaccard verified.
 
     LSH proposes candidates (linear-ish), exact Jaccard on the candidate
     pairs confirms them — output is (doc_a, doc_b, jaccard ≥ threshold).
+
+    ``reuse_shingles`` persists the shingled corpus (MEMORY_AND_DISK):
+    it is consumed three times (signatures + both verification sides),
+    and recomputing the regex tokenize + shingle pass is the dominant
+    cost — at 100 TB you spill shingles to local disk rather than re-read
+    and re-tokenize the corpus twice more.  The cache entry lives until
+    the session drops it (or the caller unpersists the intermediate);
+    measured 6.7s → 3.3s at sf0.1 (PERF.md).
     """
-    shingled = shingle_docs(df, id_col, text_col, shingle_n)
+    shingled = shingle_docs(
+        ensure_parallelism(df, id_col), id_col, text_col, shingle_n
+    )
+    if reuse_shingles:
+        from pyspark import StorageLevel
+
+        # Eagerly materialized: the three consumers below otherwise run in
+        # concurrent stages that each race to (re)compute the un-populated
+        # cache — a lazy persist measured zero wall-clock win.
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        shingled.count()
     sigs = minhash_signatures(shingled, num_hashes)
+    if reuse_shingles:
+        from pyspark import StorageLevel
+
+        # The band self-join consumes the signatures on BOTH sides; without
+        # this the whole shingle→hash→aggregate lineage runs twice more.
+        # Tiny: num_hashes longs per doc.
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs.count()
     cands = lsh_candidate_pairs(sigs, num_hashes, num_bands)
     sets_a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
