@@ -62,6 +62,19 @@ def main() -> None:
         warm_docs, "doc_id", "text", threshold=0.8, reuse_shingles=False
     ).write.format("noop").mode("overwrite").save()
 
+    # ... and the Arrow/Python-worker lane (fork + Arrow serde init),
+    # exercised by the mapInPandas entries.
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.similarity import arrow_top_k
+
+    warm_emb = catalog.load_table(spark, sf_dir, "embeddings").limit(50)
+    arrow_top_k(
+        warm_emb,
+        warm_emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(2),
+        k=2,
+    ).write.format("noop").mode("overwrite").save()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = round(run(name), 3)
