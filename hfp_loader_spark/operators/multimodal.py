@@ -134,6 +134,63 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(compute, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("meta", MEDIA_META_SCHEMA),
+        StructField("target_width", IntegerType()),
+        StructField("target_height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    id_col: str = "doc_id",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode → resize → re-emit binary, via ``mapInPandas``.
+
+    The fake "resize" nearest-neighbor-samples the payload bytes onto the
+    target w×h grid — deterministic, and shaped exactly like a real
+    thumbnailing pass (binary in, smaller binary out, metadata struct
+    alongside).  Swapping in PIL's ``Image.resize`` touches only the
+    inner function.  No shuffle: output partitioning inherits the scan,
+    and the resized payload is SMALLER than the input, so this is the
+    stage after which wide ops become affordable.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "meta": [],
+                "target_width": [],
+                "target_height": [],
+                "resized": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                meta = decode_payload(b, "image", fake=fake_decode)
+                n = max(len(b), 1)
+                # nearest-neighbor sample onto the target grid
+                total = target_width * target_height
+                resized = bytes(
+                    b[(i * n) // total] if b else 0 for i in range(total)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["meta"].append(meta)
+                out["target_width"].append(target_width)
+                out["target_height"].append(target_height)
+                out["resized"].append(resized)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(compute, RESIZED_SCHEMA)
+
+
 def decode_and_sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from hfp_loader_spark.operators.multimodal import (
     decode_and_sample_frames,
     extract_features,
+    resize_images,
     with_binary_payload,
 )
 from hfp_loader_spark.plans.catalog import _t, defquery
@@ -63,4 +64,36 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_frames").alias("n_frames"),
         F.size("frame_offsets").alias("n_sampled"),
         F.element_at("frame_digests", 1).alias("first_frame_digest"),
+    )
+
+
+@defquery(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           8 AS target_width,
+           8 AS target_height,
+           64 AS n_resized_bytes,
+           ascii(text[1]) AS first_resized_byte
+    FROM documents WHERE length(text) > 0
+    """,
+    doc="Decode→resize→re-emit binary over mapInPandas (stub codec, "
+    "nearest-neighbor byte sampling as the deterministic fake). The "
+    "oracle pins the output CONTRACT both engines can state: one row per "
+    "non-empty payload, 8×8 target, 64-byte resized payload whose first "
+    "byte is the first input byte (grid index 0 samples offset 0).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(
+        _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    )
+    resized = resize_images(docs, target_width=8, target_height=8)
+    return resized.select(
+        "doc_id",
+        F.col("target_width").cast("int").alias("target_width"),
+        F.col("target_height").cast("int").alias("target_height"),
+        F.octet_length("resized").alias("n_resized_bytes"),
+        F.conv(F.hex(F.substring(F.col("resized"), 1, 1)), 16, 10)
+        .cast("int")
+        .alias("first_resized_byte"),
     )

@@ -45,6 +45,30 @@ def test_extract_features_matches_python(docs):
         assert r["mean_byte"] == sum(b) // len(b)
 
 
+def test_resize_contract(docs):
+    from hfp_loader_spark.operators.multimodal import resize_images
+
+    out = resize_images(docs, 8, 8).limit(20).collect()
+    for r in out:
+        assert len(r["resized"]) == 64
+        assert r["target_width"] == 8 and r["target_height"] == 8
+        assert set(r["meta"].asDict()) == {
+            "media_type",
+            "width",
+            "height",
+            "n_channels",
+            "n_frames",
+        }
+
+    # deterministic fake: nearest-neighbor sample of the payload bytes
+    row = docs.select("doc_id", "payload").first()
+    b = bytes(row["payload"])
+    expect = bytes(b[(i * len(b)) // 64] for i in range(64))
+    got = {r["doc_id"]: bytes(r["resized"]) for r in out}
+    if row["doc_id"] in got:
+        assert got[row["doc_id"]] == expect
+
+
 def test_frame_sampling_shape(docs):
     out = decode_and_sample_frames(docs, n_samples=4).collect()
     assert len(out) == docs.count()
