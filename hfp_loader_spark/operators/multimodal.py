@@ -134,6 +134,69 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(compute, FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", StringType()),  # round(·,4) as text → hash-stable
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    window_size: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature extraction: payload bytes as unsigned 8-bit PCM.
+
+    Per track: sample count, analysis-window count, zero-crossing count
+    (sign changes around the 128 midline — the classic voiced/unvoiced
+    discriminator), peak amplitude, RMS energy.  numpy-vectorized per
+    Arrow batch inside ``mapInPandas``; a real decoder (libav/soundfile)
+    replaces only the ``frombuffer`` line.  Embarrassingly parallel —
+    no shuffle, output partitioning inherits the scan.
+    """
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "n_windows": [],
+                "zero_crossings": [],
+                "peak": [],
+                "rms": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+                n = len(x)
+                centered_sign = np.sign(x) >= 0
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["n_windows"].append(-(-n // window_size) if n else 0)
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(centered_sign[1:] != centered_sign[:-1]))
+                    if n > 1
+                    else 0
+                )
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+                out["rms"].append(
+                    format(float(np.sqrt(np.mean(x.astype(np.float64) ** 2))), ".4f")
+                    if n
+                    else "0.0000"
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(compute, AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -68,6 +68,42 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "multimodal_audio_features",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(text)),
+                            i -> ascii(text[i]) - 128) AS xs
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(len(xs) AS BIGINT)                        AS n_samples,
+           CAST(ceil(len(xs) / 256.0) AS INTEGER)         AS n_windows,
+           CAST(len(list_filter(generate_series(2, len(xs)),
+                i -> (xs[i] >= 0) <> (xs[i-1] >= 0))) AS BIGINT)
+                                                          AS zero_crossings,
+           CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak,
+           format('{:.4f}', sqrt(list_avg(list_transform(xs, x -> x * x))))
+                                                          AS rms
+    FROM b
+    """,
+    doc="Audio feature extraction (payload as unsigned 8-bit PCM): sample/"
+    "window counts, midline zero-crossings, peak, RMS — numpy-vectorized "
+    "per Arrow batch. Oracle recomputes every feature from the text-"
+    "derived bytes, so the mapInPandas plumbing itself is hash-checked "
+    "(RMS as fixed-point text: both engines sum exactly-representable "
+    "integer squares, so the doubles agree bit-for-bit).",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.multimodal import audio_features
+
+    docs = with_binary_payload(
+        _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    )
+    return audio_features(docs)
+
+
+@defquery(
     "multimodal_resize",
     """
     SELECT doc_id,

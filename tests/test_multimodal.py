@@ -69,6 +69,29 @@ def test_resize_contract(docs):
         assert got[row["doc_id"]] == expect
 
 
+def test_audio_features_match_python(docs):
+    from hfp_loader_spark.operators.multimodal import audio_features
+
+    got = {r["doc_id"]: r for r in audio_features(docs).collect()}
+    for row in docs.select("doc_id", "payload").limit(20).collect():
+        b = bytes(row["payload"])
+        if not b:
+            continue
+        x = [v - 128 for v in b]
+        r = got[row["doc_id"]]
+        assert r["n_samples"] == len(x)
+        assert r["n_windows"] == -(-len(x) // 256)
+        assert r["zero_crossings"] == sum(
+            1 for i in range(1, len(x)) if (x[i] >= 0) != (x[i - 1] >= 0)
+        )
+        assert r["peak"] == max(abs(v) for v in x)
+        import math
+
+        assert r["rms"] == format(
+            math.sqrt(sum(v * v for v in x) / len(x)), ".4f"
+        )
+
+
 def test_frame_sampling_shape(docs):
     out = decode_and_sample_frames(docs, n_samples=4).collect()
     assert len(out) == docs.count()
