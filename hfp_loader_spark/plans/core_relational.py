@@ -81,6 +81,61 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "q5_local_supplier_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-like local-supplier revenue: 6-table join. The dim chain "
+    "region→nation→supplier collapses into ONE broadcast onto lineitem "
+    "(region filter applied before the broadcast, so only ASIA suppliers "
+    "ship); the only fact-fact shuffle is lineitem⋈orders⋈customer on "
+    "their keys. The c_nationkey = s_nationkey residual rides the "
+    "broadcast join condition — no extra exchange.",
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    asia_nations = broadcast_join(
+        nation, region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = broadcast_join(
+        _t(spark, sf_dir, "supplier"),
+        asia_nations,
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@defquery(
     "q3_top_unshipped_orders",
     """
     SELECT l.l_orderkey AS o_orderkey,
