@@ -99,12 +99,20 @@ def _hyperplane(dim: int, plane: int) -> Column:
 
 
 def signlsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane (sign of projection)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bit = F.when(dot(vec, _hyperplane(dim, p)) >= 0, 1).otherwise(0)
-        bucket = bucket + F.shiftleft(bit.cast("long"), p)
-    return bucket
+    """Sign-LSH bucket id: one bit per hyperplane (sign of projection).
+
+    Loop-style over a single folded plane-matrix constant — same
+    compile-time rationale as :func:`_centroids_lit`."""
+    planes = F.array(*[_hyperplane(dim, p) for p in range(n_planes)])
+    bits = F.transform(
+        planes,
+        # bit i → 2^i (shiftleft needs a literal shift; pow is exact for
+        # the ≤ 2^53 values any sane n_planes produces)
+        lambda pl, i: F.when(
+            dot(vec, pl) >= 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def signlsh_top_k(
@@ -169,6 +177,7 @@ def train_ivf_centroids(
     sample_cap: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    fraction: float | None = None,
 ) -> list[list[float]]:
     """Train unit centroids for an IVF index: spherical k-means on a
     seeded sample, driver-side numpy.
@@ -178,12 +187,19 @@ def train_ivf_centroids(
     independent of corpus size.  The resulting centroids are a few KB of
     plan literals; nothing is shipped to executors beyond the plan, and
     no model object / MLlib pipeline has to be persisted.
+
+    Pass ``fraction`` (sampling rate that yields ≳ sample_cap rows) when
+    the corpus size is known even approximately — deriving it otherwise
+    costs a ``count()``, i.e. a full scan before training ever starts.
     """
     import numpy as np
 
     sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
-    frac = min(1.0, 4.0 * sample_cap / max(1, sample.count()))
-    rows = sample.sample(fraction=frac, seed=seed).limit(sample_cap).collect()
+    if fraction is None:
+        fraction = min(1.0, 4.0 * sample_cap / max(1, sample.count()))
+    if fraction < 1.0:
+        sample = sample.sample(fraction=fraction, seed=seed)
+    rows = sample.limit(sample_cap).collect()
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -205,12 +221,21 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
+def _centroids_lit(centroids: list[list[float]]) -> Column:
+    """The centroid matrix as ONE array<array<double>> literal constant.
+
+    Shape matters for compile time: per-centroid unrolled expressions
+    generate O(nlist · dim) Java source and measured ~8s of one-time
+    Janino/JIT compilation; a single folded constant traversed by
+    higher-order-function loops compiles in milliseconds and evaluates
+    identically."""
+    return F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+
+
 def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of dot(vec, centroid_i) — pure literal expressions,
-    constant-folded per plan, fused by whole-stage codegen."""
-    return F.array(
-        *[dot(vec, F.array(*[F.lit(v) for v in c])) for c in centroids]
-    )
+    """array<double> of dot(vec, centroid_i) — one loop over a folded
+    2-D constant."""
+    return F.transform(_centroids_lit(centroids), lambda c: dot(vec, c))
 
 
 def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -223,14 +248,9 @@ def ivf_probe_cells(
     vec: Column, centroids: list[list[float]], nprobe: int
 ) -> Column:
     """The ``nprobe`` nearest cell ids, best first (score-desc, id tiebreak)."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(v) for v in c])).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    scored = F.transform(
+        _centroids_lit(centroids),
+        lambda c, i: F.struct(dot(vec, c).alias("s"), i.cast("int").alias("i")),
     )
     ranked = F.reverse(F.array_sort(scored))
     return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"])
@@ -247,6 +267,7 @@ def ivf_top_k(
     query_id_col: str = "query_id",
     round_to: int = 4,
     centroids: list[list[float]] | None = None,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -264,7 +285,9 @@ def ivf_top_k(
     from hfp_loader_spark.operators.relational import top_k_per_group
 
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, nlist, vec_col=vec_col)
+        centroids = train_ivf_centroids(
+            corpus, nlist, vec_col=vec_col, fraction=train_fraction
+        )
 
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")

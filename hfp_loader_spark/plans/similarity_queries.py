@@ -146,7 +146,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4)
+    # driver tables are ≤ sample_cap at every tested SF → no count() job
+    return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4, train_fraction=1.0)
 
 
 @defquery(
