@@ -1,0 +1,136 @@
+"""Table maintenance: small-file compaction for append-heavy layouts.
+
+The staging sink (sink.py) appends per load and partitions by ``oday`` —
+exactly the write pattern that fragments a lake: every re-run adds files,
+and at 100 TB a scan of 10-million 1 MB files spends more time in
+listing/open overhead than in I/O.  Compaction rewrites a table (or one
+partition of it) into files sized for the scan path.
+
+Scale notes:
+- sizing is computed from the ACTUAL on-disk bytes (driver-side Hadoop
+  FS listing — metadata only, no data read);
+- the rewrite is one narrow job: scan → repartition(target) → write;
+  with a partition column, repartitioning on it keeps each output file
+  single-partition so partition pruning still skips whole files;
+- the swap is directory-rename based (write to a sibling tmp dir, then
+  rename).  That is atomic per-rename on HDFS/local but NOT transactional
+  end-to-end — concurrent writers must be fenced by the caller, which is
+  the honest contract of plain-parquet lakes (table formats like
+  Iceberg/Delta exist precisely to lift it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionPlan:
+    path: str
+    n_files: int
+    total_bytes: int
+    small_files: int  # files under half the target size
+    target_files: int
+    n_leaf_dirs: int  # partition directories (1 for unpartitioned)
+
+    @property
+    def worthwhile(self) -> bool:
+        """Compact when fragmentation dominates: more than half the files
+        are small and compaction would at least halve the file count."""
+        return self.small_files > self.n_files // 2 and (
+            self.target_files * 2 <= self.n_files
+        )
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    return jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), conf
+    ), jvm.org.apache.hadoop.fs.Path
+
+
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> CompactionPlan:
+    """Inspect a parquet directory and size the compaction (metadata only)."""
+    fs, HPath = _fs(spark, path)
+    it = fs.listFiles(HPath(path), True)
+    n = total = small = 0
+    leaf_dirs: set[str] = set()
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        size = status.getLen()
+        n += 1
+        total += size
+        leaf_dirs.add(str(status.getPath().getParent()))
+        if size < target_file_bytes // 2:
+            small += 1
+    # A layout that keeps its partition dirs cannot drop below one file
+    # per partition value — floor the target there, or a freshly
+    # compacted table would look compactable forever.
+    return CompactionPlan(
+        path=path,
+        n_files=n,
+        total_bytes=total,
+        small_files=small,
+        target_files=max(
+            1, -(-total // target_file_bytes), len(leaf_dirs) or 1
+        ),
+        n_leaf_dirs=len(leaf_dirs) or 1,
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    force: bool = False,
+) -> CompactionPlan:
+    """Rewrite ``path`` into ~target-sized files; returns the plan executed.
+
+    No-op (returns the plan, rewrites nothing) unless ``plan.worthwhile``
+    or ``force``.  With ``partition_cols`` the rewrite keeps the
+    partitioned layout — repartitioning by the partition columns, so each
+    output file belongs to exactly one partition directory and pruning
+    keeps skipping whole files.  One file per partition VALUE; a single
+    partition that outgrows the target should be compacted on its own by
+    passing its subdirectory as ``path`` (with no partition_cols).
+    """
+    plan = plan_compaction(spark, path, target_file_bytes)
+    if not (plan.worthwhile or force) or plan.n_files == 0:
+        return plan
+
+    df = spark.read.parquet(path)
+    fs, HPath = _fs(spark, path)
+    tmp = path.rstrip("/") + "__compacting"
+    fs.delete(HPath(tmp), True)
+
+    writer_df = (
+        df.repartition(plan.target_files, *partition_cols)
+        if partition_cols
+        else df.repartition(plan.target_files)
+    )
+    writer = writer_df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    old = path.rstrip("/") + "__precompact"
+    fs.delete(HPath(old), True)
+    if not fs.rename(HPath(path), HPath(old)):
+        raise IOError(f"compaction fence failed: cannot move {path} aside")
+    if not fs.rename(HPath(tmp), HPath(path)):
+        # roll back: put the original directory back
+        fs.rename(HPath(old), HPath(path))
+        raise IOError(f"compaction swap failed for {path}; original restored")
+    fs.delete(HPath(old), True)
+    return plan
