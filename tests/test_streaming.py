@@ -83,3 +83,34 @@ def test_stateful_counters_carry_state_across_batches(spark, sf_dir, events, tmp
     assert {u: r["n_events"] for u, r in got.items()} == expect
     # state genuinely crossed batches: users were touched in >1 batch
     assert any(r["n_emissions"] > 1 for r in got.values())
+
+
+def test_transform_with_state_distinct_types(spark, sf_dir, events):
+    """transformWithState ListState variant — skipped where the worker
+    protobuf dependency is absent (this container)."""
+    from hfp_loader_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        stateful_distinct_types,
+    )
+    from hfp_loader_spark.streaming.jobs import read_events_stream
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        import pytest
+
+        pytest.skip("transformWithStateInPandas needs protobuf on workers")
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(stateful_distinct_types(stream))
+    got = {
+        r["user_id"]: r["n_distinct_types"]
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_distinct_types").alias("n_distinct_types"))
+        .collect()
+    }
+    expect = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert got == expect
