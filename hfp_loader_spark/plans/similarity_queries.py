@@ -163,6 +163,55 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "sim_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x,
+             list_max(list_transform(embedding::DOUBLE[], a -> abs(a))) / 127.0
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_max(list_transform(x, a -> round(a / scale))) AS INTEGER)
+             AS max_q,
+           CAST(list_min(list_transform(x, a -> round(a / scale))) AS INTEGER)
+             AS min_q,
+           round(sqrt(list_avg(list_transform(
+                 x, a -> (a - round(a / scale) * scale) ** 2))), 4) AS rmse
+    FROM v WHERE scale > 0
+    """,
+    doc="Symmetric int8 quantization of the embedding column (scale = "
+    "max|x|/127, q = round(x/scale) as smallint): 4× smaller storage / "
+    "shuffle payload for vector corpora, rerank-time dequantize. Oracle "
+    "recomputes scale, q-range, and reconstruction RMSE per vector — "
+    "both engines run the identical double arithmetic.",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    q = emb.select("vec_id", v.alias("x"), quantize_embedding(v).alias("qt"))
+    dq = dequantize_embedding(F.col("qt"))
+    sq_err = F.zip_with(F.col("x"), dq, lambda a, b: (a - b) * (a - b))
+    rmse = F.sqrt(
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, e: acc + e)
+        / F.size("x")
+    )
+    return q.where(F.col("qt.scale") > 0).select(
+        "vec_id",
+        F.round(F.col("qt.scale"), 6).alias("scale_r"),
+        F.array_max("qt.q").cast("int").alias("max_q"),
+        F.array_min("qt.q").cast("int").alias("min_q"),
+        F.round(rmse, 4).alias("rmse"),
+    )
+
+
+@defquery(
     "sim_cosine_topk_arrow",
     f"""
     WITH q AS (

@@ -110,6 +110,32 @@ def test_ivf_centroids_are_unit_and_deterministic(emb):
         assert abs(m.sqrt(sum(v * v for v in c)) - 1.0) < 1e-9
 
 
+def test_quantize_roundtrip_error_bounded(emb):
+    from hfp_loader_spark.operators.similarity import (
+        as_double_array,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    v = as_double_array(F.col("embedding"))
+    q = emb.select("vec_id", v.alias("x"), quantize_embedding(v).alias("qt"))
+    rows = q.select(
+        "vec_id",
+        "x",
+        "qt.scale",
+        dequantize_embedding(F.col("qt")).alias("dq"),
+        F.array_max(F.col("qt.q")).alias("qmax"),
+        F.array_min(F.col("qt.q")).alias("qmin"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["qmin"] <= r["qmax"] <= 127
+        if r["scale"] and r["scale"] > 0:
+            for orig, rec in zip(r["x"], r["dq"]):
+                # symmetric rounding → per-dim error ≤ scale/2 (+ float slop)
+                assert abs(orig - rec) <= r["scale"] / 2 + 1e-9
+
+
 def test_ivf_recall_beats_candidate_budget(emb, queries):
     """IVF with nprobe/nlist = 1/2 of the corpus scanned must recover
     most of the exact top-k (data-adaptive cells ≫ random pruning)."""
