@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hfp_loader_spark.plans.catalog import _t, defquery
 from hfp_loader_spark.streaming.jobs import (
+    followup_join,
     read_events_stream,
     run_available_now,
     session_window_counts,
@@ -145,6 +146,31 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(stateful_user_counters(stream))
+
+
+@defquery(
+    "streaming_followup_join",
+    """
+    WITH p AS (
+      SELECT event_id AS probe_id, user_id, ts AS probe_ts
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.probe_id, p.user_id, e.event_id AS matched_event_id,
+           CAST(date_diff('second', p.probe_ts, e.ts) AS BIGINT) AS lag_seconds
+    FROM p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts > p.probe_ts
+     AND e.ts <= p.probe_ts + INTERVAL '12 hours'
+    """,
+    doc="GENUINE streaming stream-stream self-join: probes vs follow-up "
+    "events of the same user within 12 h, watermarks on BOTH sides so "
+    "buffered join state is pruned to watermark+horizon. Inner join → "
+    "every in-horizon match emitted exactly once; batch execution of the "
+    "same join is the oracle.",
+)
+def streaming_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(followup_join(stream))
 
 
 def _register_transform_with_state() -> None:

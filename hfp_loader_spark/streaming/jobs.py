@@ -141,6 +141,53 @@ def watermark_dedup(
     ).dropDuplicates(keys).select(*keys)
 
 
+def followup_join(
+    events: DataFrame,
+    probe_mod: int = 97,
+    horizon: str = "12 hours",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream self-join: for each probe event (every
+    ``probe_mod``-th id), the same user's follow-up events within
+    ``horizon``.
+
+    The genuinely streaming-only join shape: BOTH sides carry watermarks
+    and the join condition time-bounds the match window, so each side's
+    buffered state is pruned to watermark + horizon — O(horizon of
+    events), not O(stream).  Batch execution of the same expression is
+    the oracle (inner join: every in-horizon match is emitted exactly
+    once regardless of micro-batching).
+    """
+    probes = (
+        events.where((F.col("event_id") % probe_mod) == 0)
+        .select(
+            F.col("event_id").alias("probe_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("probe_ts"),
+        )
+        .withWatermark("probe_ts", delay)
+    )
+    matches = events.select(
+        F.col("event_id").alias("matched_event_id"),
+        F.col("user_id").alias("m_user"),
+        F.col("ts").alias("m_ts"),
+    ).withWatermark("m_ts", delay)
+    joined = probes.join(
+        matches,
+        (F.col("p_user") == F.col("m_user"))
+        & (F.col("m_ts") > F.col("probe_ts"))
+        & (F.col("m_ts") <= F.col("probe_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "probe_id",
+        F.col("p_user").alias("user_id"),
+        "matched_event_id",
+        (F.unix_timestamp("m_ts") - F.unix_timestamp("probe_ts"))
+        .cast("long")
+        .alias("lag_seconds"),
+    )
+
+
 def run_available_now(streaming_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
     """Execute a streaming DataFrame to completion with availableNow
     into an in-memory table; returns the materialized result.
