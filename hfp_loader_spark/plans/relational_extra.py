@@ -1,0 +1,334 @@
+"""Relational coverage extensions: the join types and query shapes the core
+catalog (core_relational.py) doesn't yet exercise.
+
+Adds LEFT SEMI (EXISTS), LEFT OUTER with ON-clause predicate, FULL OUTER,
+HAVING over join aggregates, uncorrelated scalar subquery (broadcast, no
+driver collect), disjunctive multi-column predicates, and the
+ntile/percent_rank/cume_dist window family — each an adapted TPC-H query
+(Q4/Q13/Q10/Q18/Q19/Q22) over the driver's tables, each with a DuckDB
+oracle.
+
+Scale notes:
+- the semi/anti probes keep only join keys on the build side, so the
+  broadcast (or shuffle) ships the minimal columns;
+- the scalar subquery is a 1-row aggregate crossJoin-broadcast onto the
+  fact side — never a ``.collect()`` round-trip through the driver;
+- Q10's quarter filter is pushed into the orders parquet scan via the
+  raw-domain rewrite (``load_table(ts_pushdown=…)``), so at 100 TB the
+  scan reads one quarter, not seven years;
+- Q19's disjunction stays a single scan + one broadcast join: Catalyst
+  splits the OR into partial pushdowns (brand IN (…) reaches the part
+  scan) and evaluates the residual inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.relational import anti_join, broadcast_join, global_top_k
+from hfp_loader_spark.plans.catalog import _t, defquery, load_table
+
+
+@defquery(
+    "q4_order_priority_semi",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-like order-priority check: EXISTS → LEFT SEMI join with a "
+    "non-equi residual (l_shipdate > o_orderdate rides the join condition). "
+    "The probe side projects only (key, shipdate); one shuffle on orderkey, "
+    "then a tiny aggregate.",
+)
+def q4_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@defquery(
+    "q13_customer_distribution",
+    """
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13-like customer order-count distribution: LEFT OUTER join "
+    "with an ON-clause predicate on the right side (filter pushed below the "
+    "join — equivalent for outer joins, and prunes before the shuffle), "
+    "count(nullable) preserving zero-order customers, then a histogram "
+    "re-aggregate on the count.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@defquery(
+    "q10_returned_revenue_top20",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-like returned-item revenue: quarter filter pushed into "
+    "the orders parquet scan (raw-domain rewrite → PushedFilters), "
+    "returnflag pushed into lineitem, nation broadcast, top-20 via "
+    "TakeOrderedAndProject on (rounded revenue, unique custkey).",
+)
+def q10_returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(
+        spark,
+        sf_dir,
+        "orders",
+        ts_pushdown=[
+            ("o_orderdate", ">=", "1995-10-01"),
+            ("o_orderdate", "<", "1996-01-01"),
+        ],
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return global_top_k(
+        agg.select("c_custkey", "c_name", "n_name", "revenue"),
+        [F.desc("revenue"), F.asc("c_custkey")],
+        20,
+    )
+
+
+@defquery(
+    "q18_large_volume_orders",
+    """
+    SELECT o.o_orderkey,
+           round(o.o_totalprice, 2) AS totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+    HAVING sum(l.l_quantity) > 250
+    """,
+    doc="TPC-H Q18-like large-volume orders: join-aggregate with a HAVING "
+    "filter on the aggregate (post-agg filter — Catalyst cannot push it, "
+    "but the partial agg shrinks the shuffle first). Quantity sums of "
+    "integer-valued doubles are FP-exact, so the threshold is engine-safe.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 250)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@defquery(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19-like disjunctive predicate revenue: OR-of-conjunctions "
+    "spanning both join sides. Catalyst derives the common `p_brand IN "
+    "(…)` implication and pushes it into the part scan before the "
+    "broadcast; the full disjunction evaluates as a codegen residual on "
+    "the joined rows — one scan, one broadcast, zero shuffles.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = broadcast_join(li, part, li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return joined.where(pred).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@defquery(
+    "q22_wealthy_inactive",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT)    AS n_customers,
+           round(sum(c.c_acctbal), 2)  AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22-like wealthy-inactive customers: uncorrelated scalar "
+    "subquery (1-row avg, crossJoin-broadcast onto the fact side — no "
+    "driver collect) + NOT EXISTS anti-join against urgent orders, then "
+    "a segment aggregate.",
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    inactive = anti_join(
+        wealthy, urgent, F.col("c_custkey") == F.col("o_custkey")
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@defquery(
+    "full_outer_daily_activity",
+    """
+    WITH o AS (SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+                      count(*) AS n_orders
+               FROM orders GROUP BY 1),
+         s AS (SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+                      count(*) AS n_ships
+               FROM lineitem GROUP BY 1)
+    SELECT coalesce(o.day, s.day) AS day,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(s.n_ships, 0) AS BIGINT)  AS n_ships
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
+    doc="FULL OUTER join of two pre-aggregated daily series (order days vs "
+    "ship days), null-filled to zeros. Both inputs aggregate down to "
+    "~date-cardinality before the join, so the outer join is tiny "
+    "regardless of fact-table scale.",
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = lambda c: F.date_format(F.date_trunc("day", c), "yyyy-MM-dd")  # noqa: E731
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(day("o_orderdate").alias("o_day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(day("l_shipdate").alias("s_day"))
+        .agg(F.count("*").alias("n_ships"))
+    )
+    j = o.join(s, o.o_day == s.s_day, "full_outer")
+    return j.select(
+        F.coalesce("o_day", "s_day").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).cast("long").alias("n_ships"),
+    )
+
+
+@defquery(
+    "window_ntile_percentiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(10) OVER w AS BIGINT)     AS decile,
+           round(percent_rank() OVER w, 6)      AS pct_rank,
+           round(cume_dist() OVER w, 6)         AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY round(c_acctbal, 2), c_custkey)
+    """,
+    doc="Distribution window family (ntile / percent_rank / cume_dist) per "
+    "market segment, ordered on (rounded balance, unique key) so both "
+    "engines see an identical total order. All three functions share one "
+    "shuffle + local sort on the segment key.",
+)
+def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("_bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("_bal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
