@@ -1,0 +1,136 @@
+"""Dataset sampling / splitting for training-data pipelines.
+
+A 100 TB corpus needs reproducible, engine-independent sampling: random()
+splits are neither (different seeds per task, different generators per
+engine, and a re-run re-deals every row).  The portable primitive is a
+**content hash partition**: ``md5(key)`` is identical in every engine, and
+comparing its leading hex digits lexicographically IS a uniform draw on
+[0, 1) — 4 hex chars give 2^-16 granularity.  Rows never migrate between
+splits when the corpus grows, the split is a pure projection (no shuffle,
+no state, trivially pushed into a scan filter), and any engine — Spark,
+DuckDB, a downstream loader — reproduces the exact membership.
+
+Also here: deterministic stratified sampling (fixed k per group via a
+hash-ordered window) and PIVOT (conditional-aggregate matrix layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+# Lexicographic thresholds on the first 4 hex chars of md5(doc_id):
+# 'c000'/16^4 = 0.75, 'e000'/16^4 = 0.875 → 75 / 12.5 / 12.5 % splits.
+_TRAIN_HI = "c000"
+_VAL_HI = "e000"
+
+
+@defquery(
+    "sample_train_test_split",
+    f"""
+    SELECT split,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT)  AS min_doc_id
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_TRAIN_HI}'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_VAL_HI}'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY split
+    """,
+    doc="Deterministic 75/12.5/12.5 train/val/test split by content hash "
+    "(md5 leading hex vs lexicographic threshold — engine-portable, "
+    "shuffle-free, stable under corpus growth). Aggregated per split; the "
+    "n_chars checksum pins exact membership, not just proportions.",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@defquery(
+    "sample_stratified_per_lang",
+    """
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+      FROM documents)
+    WHERE rnk <= 5
+    """,
+    doc="Stratified sample: exactly k=5 docs per language, chosen by "
+    "hash-order (md5 of the key = a deterministic, engine-portable "
+    "shuffle) with the unique key as tiebreaker. One exchange on the "
+    "stratum key; per-group top-k heaps, never a global sort.",
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "lang", "rnk")
+    )
+
+
+@defquery(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+             AS open_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (long → wide matrix layout): status becomes columns via "
+    "``groupBy().pivot(values=[…])``. Pinning the pivot values keeps it a "
+    "single-pass conditional aggregate — omitting them costs an extra "
+    "distinct scan to discover columns. Oracle: FILTER aggregates.",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            # count("*") is invalid inside Pivot — count(lit(1)) is the same
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_pending"),
+        F.col("O_total").alias("open_total"),
+    )
