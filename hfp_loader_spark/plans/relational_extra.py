@@ -303,6 +303,35 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "skew_salted_join_agg",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2)   AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-mitigated equi-join (operators.relational.salted_join): the "
+    "hot side gets a uniform salt, the small side replicates n_salts× via "
+    "an in-row explode, so one hot key spreads over n_salts reducers "
+    "instead of melting one. Join semantics are provably unchanged — the "
+    "oracle is the PLAIN join, which is the point.",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, on=["user_id"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@defquery(
     "window_ntile_percentiles",
     """
     SELECT c_custkey, c_mktsegment,
