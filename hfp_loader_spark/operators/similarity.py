@@ -42,6 +42,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d)
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the norms precomputed per side.
+
+    Higher-order array folds are interpreted (not whole-stage-codegen'd),
+    so inside an N_queries × N_corpus score the inline ``cosine`` costs
+    THREE folds per pair and recomputes each corpus norm N_queries times.
+    Hoisting ``norm`` into a per-side projection before the join makes it
+    one fold per pair — same doubles, same rounding, ~3× less work."""
+    d = na * nb
+    return F.when(d > 0, dot(a, b) / d)
+
+
 def as_double_array(a: Column) -> Column:
     """Promote array<float> to array<double> so accumulation happens in
     float64 on both engines (DuckDB lists compare via ::DOUBLE[])."""
@@ -67,14 +79,19 @@ def brute_force_top_k(
     q = queries.select(
         F.col(query_id_col),
         as_double_array(F.col(vec_col)).alias("_qvec"),
-    )
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
-    )
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("cos"),
+        F.round(
+            cosine_prenormed(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+            ),
+            round_to,
+        ).alias("cos"),
     )
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
@@ -140,10 +157,14 @@ def signlsh_top_k(
     when buckets hold fewer vectors than k)."""
     from hfp_loader_spark.operators.relational import top_k_per_group
 
-    c = corpus.select(
-        F.col(id_col),
-        as_double_array(F.col(vec_col)).alias("_cvec"),
-    ).withColumn("_bucket", signlsh_bucket(F.col("_cvec"), dim, n_planes))
+    c = (
+        corpus.select(
+            F.col(id_col),
+            as_double_array(F.col(vec_col)).alias("_cvec"),
+        )
+        .withColumn("_bucket", signlsh_bucket(F.col("_cvec"), dim, n_planes))
+        .withColumn("_cnorm", norm(F.col("_cvec")))
+    )
 
     q = queries.select(
         F.col(query_id_col),
@@ -158,12 +179,20 @@ def signlsh_top_k(
         ],
     )
     q = q.select(
-        query_id_col, "_qvec", F.explode(probes).alias("_bucket")
+        query_id_col,
+        "_qvec",
+        norm(F.col("_qvec")).alias("_qnorm"),
+        F.explode(probes).alias("_bucket"),
     )
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("cos"),
+        F.round(
+            cosine_prenormed(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+            ),
+            round_to,
+        ).alias("cos"),
     )
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
@@ -289,9 +318,13 @@ def ivf_top_k(
             corpus, nlist, vec_col=vec_col, fraction=train_fraction
         )
 
-    c = corpus.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
-    ).withColumn("_cell", ivf_assign_cell(F.col("_cvec"), centroids))
+    c = (
+        corpus.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
+        )
+        .withColumn("_cell", ivf_assign_cell(F.col("_cvec"), centroids))
+        .withColumn("_cnorm", norm(F.col("_cvec")))
+    )
 
     q = queries.select(
         F.col(query_id_col),
@@ -299,6 +332,7 @@ def ivf_top_k(
     ).select(
         query_id_col,
         "_qvec",
+        norm(F.col("_qvec")).alias("_qnorm"),
         F.explode(
             ivf_probe_cells(F.col("_qvec"), centroids, nprobe)
         ).alias("_cell"),
@@ -306,7 +340,12 @@ def ivf_top_k(
     scored = c.join(F.broadcast(q), "_cell").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_to).alias("cos"),
+        F.round(
+            cosine_prenormed(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+            ),
+            round_to,
+        ).alias("cos"),
     )
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
@@ -356,15 +395,20 @@ def cosine_neardup_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         as_double_array(F.col(vec_col)).alias("va"),
-    )
+    ).withColumn("_na", norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"),
         as_double_array(F.col(vec_col)).alias("vb"),
-    )
+    ).withColumn("_nb", norm(F.col("vb")))
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos"),
+        F.round(
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ),
+            round_to,
+        ).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold)
 
