@@ -81,3 +81,54 @@ def test_staging_sink_partition_prunes(spark, tmp_path):
 def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
     plan = _executed_plan(REGISTRY["sim_cosine_topk"].builder(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q10_quarter_filter_pushed_to_orders_scan(spark, sf_dir):
+    plan = _optimized_plan(
+        REGISTRY["q10_returned_revenue_top20"].builder(spark, sf_dir)
+    )
+    # the o_orderdate range must reach a parquet scan, not sit in a Filter
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("ReadSchema", 1)[0] or any(
+        "o_orderdate" in seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ), plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    plan = _optimized_plan(
+        REGISTRY["q19_disjunctive_revenue"].builder(spark, sf_dir)
+    )
+    pushed_segments = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    # brand/size OR-implication reaches the part scan, quantity OR the
+    # lineitem scan — neither side reads rows the predicate excludes
+    assert any("p_brand" in seg for seg in pushed_segments), pushed_segments
+    assert any("l_quantity" in seg for seg in pushed_segments), pushed_segments
+
+
+def test_q4_is_semi_join(spark, sf_dir):
+    plan = _executed_plan(
+        REGISTRY["q4_order_priority_semi"].builder(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan
+
+
+def test_q13_outer_join_pushes_on_clause_predicate(spark, sf_dir):
+    plan = _optimized_plan(
+        REGISTRY["q13_customer_distribution"].builder(spark, sf_dir)
+    )
+    pushed_segments = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("o_orderpriority" in seg for seg in pushed_segments)
+
+
+def test_salted_join_has_no_skewed_single_partition(spark, sf_dir):
+    # the salted plan must join on (key, salt) — the salt column appears
+    # in the join keys, proving the hot key is spread over n_salts hashes
+    df = REGISTRY["skew_salted_join_agg"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
