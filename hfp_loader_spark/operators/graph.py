@@ -1,0 +1,91 @@
+"""Iterative graph operators for dedup clustering.
+
+Near-dup detection yields PAIRS; actually deduplicating a corpus needs the
+transitive closure — duplicate CLUSTERS — so "keep one canonical doc per
+cluster" is well-defined even for chains (A~B, B~C, A≁C).  That closure is
+connected components, computed here as iterative min-label propagation in
+pure DataFrame ops:
+
+- each vertex starts labeled with its own id;
+- each round, every vertex takes ``min(own label, neighbors' labels)``;
+- fixed point = every vertex holds the min id of its component.
+
+Scale design:
+- each round is one shuffle join + one aggregate — fully distributed; the
+  driver only checks the convergence counter;
+- ``localCheckpoint`` truncates lineage per round (an iterative plan that
+  grows by two joins per round melts the optimizer after ~15 rounds);
+- rounds needed = graph diameter.  Near-dup graphs are short chains, so
+  this converges in 2-4 rounds.  For adversarial diameters (long chains)
+  the known upgrade is large-star/small-star (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) at O(log n) rounds — same
+  per-round primitives, documented here as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge list.
+
+    Returns (id, component) where ``component`` is the minimum vertex id
+    reachable from ``id``.  Vertices = every endpoint in ``edges``
+    (callers wanting singletons union them in afterwards — a left join
+    with ``coalesce(component, id)``).
+
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iter`` rounds (diameter > max_iter) rather than silently
+    returning a partial clustering.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # dedup the symmetric edge list once: repeated edges would only
+    # re-prove the same min and inflate every round's join
+    sym = sym.distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage; materializes eagerly
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixed point after {max_iter} rounds "
+        "(graph diameter exceeds max_iter)"
+    )

@@ -124,3 +124,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
     return simhash_near_pairs(fps, max_hamming=3)
+
+
+@defquery(
+    "dedup_duplicate_clusters",
+    f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM dup_edges
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM dup_edges
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id
+    )
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+    FROM walk GROUP BY id
+    """,
+    doc="Duplicate CLUSTERS (the step near-dup pipelines actually need): "
+    "Jaccard>=0.8 pairs as edges, transitive closure via iterative "
+    "min-label propagation (operators.graph.connected_components — one "
+    "distributed join+agg per round, localCheckpoint lineage truncation, "
+    "rounds = diameter). component_id = min doc_id reachable, i.e. the "
+    "canonical keeper. Oracle: DuckDB recursive-CTE reachability.",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import connected_components
+
+    shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    edges = jaccard_pairs(shingled, threshold=0.8)
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("component_id"),
+    )

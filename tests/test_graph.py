@@ -1,0 +1,40 @@
+"""connected_components: transitive closure semantics + convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from hfp_loader_spark.operators.graph import connected_components
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_is_one_component(spark):
+    # 1-2, 2-3, 3-4: no direct 1-4 edge — only transitivity links them
+    got = _components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_and_star(spark):
+    got = _components(spark, [(10, 11), (10, 12), (10, 13), (20, 21)])
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_min_id_wins_regardless_of_edge_direction(spark):
+    # min vertex appears only as dst; label must still flow to everyone
+    got = _components(spark, [(5, 1), (6, 5), (7, 6)])
+    assert set(got.values()) == {1}
+
+
+def test_unconverged_diameter_raises(spark):
+    # a 5-chain needs ~4 rounds; max_iter=1 must fail loudly, not return
+    # a partial clustering
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components(df, max_iter=1)
