@@ -132,3 +132,36 @@ def test_salted_join_has_no_skewed_single_partition(spark, sf_dir):
     df = REGISTRY["skew_salted_join_agg"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_q6_all_predicates_reach_scan_no_join(spark, sf_dir):
+    plan = _optimized_plan(REGISTRY["q6_forecast_revenue"].builder(spark, sf_dir))
+    pushed_segments = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    # shipdate range, discount band, and quantity cap ALL reach the scan
+    assert any("l_shipdate" in seg for seg in pushed_segments), pushed_segments
+    assert any("l_discount" in seg for seg in pushed_segments), pushed_segments
+    assert any("l_quantity" in seg for seg in pushed_segments), pushed_segments
+    assert "Join" not in plan  # scan-aggregate only
+
+
+def test_q6_reads_only_needed_columns(spark, sf_dir):
+    plan = _optimized_plan(REGISTRY["q6_forecast_revenue"].builder(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q8_fact_shuffle_only_dims_broadcast(spark, sf_dir):
+    plan = _executed_plan(REGISTRY["q8_market_share"].builder(spark, sf_dir))
+    # seven joins total; everything except lineitem⋈orders must broadcast
+    assert plan.count("BroadcastHashJoin") >= 5, plan.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark, sf_dir):
+    plan = _executed_plan(
+        REGISTRY["q20_qualifying_suppliers"].builder(spark, sf_dir)
+    )
+    assert plan.count("LeftSemi") >= 2  # both IN levels, no re-execution
