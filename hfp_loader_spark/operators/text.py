@@ -154,3 +154,96 @@ def fingerprint(text: Column, n_prefix_tokens: int = 5) -> Column:
     """
     head = F.concat_ws(" ", F.slice(tokens(text), 1, n_prefix_tokens))
     return F.md5(head)
+
+
+def word_ngrams(toks: Column, n: int = 2) -> Column:
+    """NON-distinct, order-preserving word n-grams (repetition metrics need
+    multiplicity — ``word_shingles``'s ``array_distinct`` would erase the
+    very signal being measured). Same shifted-slice zip construction, same
+    NULL-padding drop for the tail."""
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_threshold: float = 0.18,
+    dup_unigram_threshold: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021, §A1.1):
+    fraction of tokens that are repeats (1 - distinct/total) and the
+    fraction of all bigrams taken by the single most frequent bigram.
+    Documents exceeding either threshold get ``flagged = true``.
+
+    Shape at scale: the unigram side is a narrow per-row projection (array
+    functions, no explode). Only the bigram mode needs an explode →
+    two-level aggregate, and partial aggregation compacts the ~n_tokens×
+    blowup before the (id, gram) shuffle. The two sides join back on the
+    unique id — at 100 TB both sides are id-partitioned aggregates, so AQE
+    plans a plain shuffle join with no skew (ids are unique)."""
+    toks = tokens(F.col(text_col))
+    uni = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+        word_ngrams(toks, 2).alias("_bigrams"),
+    )
+    bigram_mode = (
+        uni.select(id_col, F.explode("_bigrams").alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_max_c"), F.sum("_c").alias("_tot_c"))
+    )
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        1.0 - F.col("_n_distinct") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.coalesce(F.col("_max_c") / F.col("_tot_c"), F.lit(0.0))
+    return (
+        uni.drop("_bigrams")
+        .join(bigram_mode, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(dup_frac, 6).alias("dup_unigram_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            (
+                (F.round(dup_frac, 6) >= dup_unigram_threshold)
+                | (F.round(top_frac, 6) >= top_bigram_threshold)
+            ).alias("flagged"),
+        )
+    )
+
+
+# PII scrub patterns, applied IN ORDER (emails contain digits and dots, so
+# they must be scrubbed before the phone/IP patterns can misfire on their
+# fragments). Every regex is in the common Java-regex ∩ RE2 dialect so
+# Spark and DuckDB agree character-for-character.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (regexp_extract_all → size)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with its category placeholder, in the fixed
+    pattern order. One chained narrow projection — fused into the scan."""
+    out = text
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out

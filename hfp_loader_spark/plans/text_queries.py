@@ -267,3 +267,109 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
+
+
+@defquery(
+    "text_repetition_flags",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t WHERE len(toks) > 1
+    ),
+    bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgm AS (SELECT doc_id, max(c) AS max_c, sum(c) AS tot_c FROM bgc GROUP BY 1),
+    uni AS (SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct
+            FROM t)
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN u.n_tokens > 0
+                      THEN 1.0 - u.n_distinct * 1.0 / u.n_tokens
+                      ELSE 0.0 END, 6) AS dup_unigram_frac,
+           round(coalesce(b.max_c * 1.0 / b.tot_c, 0.0), 6) AS top_bigram_frac,
+           (round(CASE WHEN u.n_tokens > 0
+                       THEN 1.0 - u.n_distinct * 1.0 / u.n_tokens
+                       ELSE 0.0 END, 6) >= 0.30
+            OR round(coalesce(b.max_c * 1.0 / b.tot_c, 0.0), 6) >= 0.18)
+             AS flagged
+    FROM uni u LEFT JOIN bgm b ON u.doc_id = b.doc_id
+    """,
+    doc="Gopher-style repetition gates (operators.text.repetition_metrics): "
+    "duplicate-unigram fraction (narrow array expression, no explode) + "
+    "top-bigram fraction (explode → two-level aggregate with map-side "
+    "partials) joined on the unique doc id. Oracle replays both metrics "
+    "with list functions + unnest.",
+)
+def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+# The synthetic corpus contains no PII, so the scrub query plants a
+# deterministic email/IP/phone per row from key columns, then proves both
+# engines redact them identically (counts + scrubbed-text hash). The unit
+# suite (tests/test_text_pii.py) additionally covers tricky literals.
+_PII_AUG_SQL = (
+    "text || ' contact ' || source || '@example.' || lang"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || ' tel +358 40 ' || CAST(1000000 + doc_id % 9000000 AS VARCHAR)"
+)
+
+
+@defquery(
+    "text_pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS body FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(body,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(body,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                 '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+               '\\+[0-9][0-9 ()-]{{6,}}[0-9]', '<PHONE>', 'g') AS clean
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_hash
+    FROM scrubbed
+    """,
+    doc="PII redaction (operators.text.scrub_pii): ordered "
+    "email → IPv4 → phone regexp_replace chain in the shared "
+    "Java-regex ∩ RE2 dialect; parity proven by per-row match counts and "
+    "an md5 of the scrubbed body. Narrow projection — fused into the "
+    "scan, zero shuffles, trivially 100 TB-safe.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example."),
+        F.col("lang"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.lit(" tel +358 40 "),
+        (F.lit(1000000) + F.col("doc_id") % 9000000).cast("string"),
+    )
+    aug = docs.select("doc_id", body.alias("body"))
+    clean = scrub_pii(F.col("body"))
+    return aug.select(
+        "doc_id",
+        pii_counts(F.col("body"))["email"].cast("long").alias("n_email"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
+    )
