@@ -89,3 +89,55 @@ def connected_components(
         f"connected_components: no fixed point after {max_iter} rounds "
         "(graph diameter exceeds max_iter)"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (simplified:
+    dangling mass is dropped, the standard power-iteration shortcut).
+
+    rank_{i+1}(v) = (1-d)/N + d · Σ_{u→v} rank_i(u) / outdeg(u)
+
+    Each iteration is one join + one aggregate + one left join — fully
+    distributed, ``localCheckpoint`` truncating lineage per round exactly
+    like ``connected_components``.  N is a single driver-side ``count()``
+    of the vertex set — a scalar constant folded into the expression, not
+    a data collect.  Fixed ``n_iter`` (rather than convergence-check)
+    keeps the result engine-reproducible, which is what the unrolled-CTE
+    oracle replays."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    e = e.distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("e_src").alias("id"))
+        .unionByName(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("e_src").agg(F.count("*").alias("_deg")).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e.e_src == ranks.id)
+            .join(outdeg, "e_src")
+            .groupBy(F.col("e_dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

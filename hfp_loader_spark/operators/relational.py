@@ -211,3 +211,63 @@ def bucketed_interval_join(
         F.col(ts_col).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE semantics as a pure DataFrame composition: source rows replace
+    key-matching target rows (WHEN MATCHED THEN UPDATE with full-row
+    payload), unmatched source rows are inserted, untouched target rows
+    survive.  ``new_target = source ∪ (target ANTI source ON keys)``.
+
+    Sources must be key-unique (enforce upstream with dropDuplicates —
+    SQL MERGE raises on multiple matches; a silent union would
+    nondeterministically duplicate).
+
+    Scale shape: one anti-join on the keys (broadcast when the changeset
+    is small — the common CDC case) + a union; no window, no sort. This
+    is the engine-level core of Delta/Iceberg MERGE INTO, minus the
+    transaction log — pair with an atomic-swap rewrite
+    (maintenance.compact_table) for the durable variant."""
+    assert target.columns == source.columns, (
+        f"schema mismatch: {target.columns} vs {source.columns}"
+    )
+    kept = target.join(source.select(*keys), keys, "left_anti")
+    return kept.unionByName(source)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse a change-event
+    stream into effective-dated intervals per key.
+
+    Consecutive duplicate states compress away first (lag over the
+    per-key timeline — a repeated reading is not a change), then lead()
+    closes each interval at the next change's timestamp; the current
+    state gets valid_to = NULL.
+
+    One shuffle total: both windows partition by ``key`` and order by
+    (``ts_col``, tiebreak on ``state_col``), so Catalyst evaluates them
+    in a single sort pass. At 100 TB the shuffle is the per-key history —
+    bounded by entity count, and naturally partition-prunable on the key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, state_col)
+    changes = df.select(key, state_col, ts_col).withColumn(
+        "_prev_state", F.lag(state_col).over(w)
+    ).where(
+        F.col("_prev_state").isNull()
+        | (F.col(state_col) != F.col("_prev_state"))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, state_col)
+    return changes.select(
+        key,
+        state_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
