@@ -820,3 +820,24 @@ def range_join_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@defquery(
+    "agg_approx_percentile",
+    None,  # KLL/GK sketch internals differ across engines → rows-only.
+    doc="approx_percentile (p50/p90/p99 of o_totalprice per orderstatus, "
+    "accuracy 10000) — the 100 TB quantile path: one pass, bounded "
+    "memory, mergeable sketches, vs the exact sort-based percentile "
+    "(agg_percentiles). Error bound asserted against the exact values "
+    "in tests/test_relational.py.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+            F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+        )
+    )

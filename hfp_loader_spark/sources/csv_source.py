@@ -43,13 +43,23 @@ def hfp_blob_glob(storage_root: str, event_group: str, date: str) -> str:
     return f"{storage_root.rstrip('/')}/{prefix}{date}*"
 
 
-def read_hfp_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+def read_hfp_csv(
+    spark: SparkSession, paths: str | list[str], multi_line: bool = False
+) -> DataFrame:
     """Raw scan: 44 string columns in hfpColumns order.
 
     All parse options map 1:1 to utils/parseCsv.ts:1-11.  Spark's text-line
     reader already drops fully empty lines; the ``skip_lines_with_empty_
     values`` semantic (a line like ``,,,…,``) needs the explicit all-empty
     filter below.
+
+    ``multi_line``: the reference's csv-parse is quote-aware across
+    newlines (a quoted field may contain ``\\n``).  Spark needs
+    ``multiLine=true`` for that, which disables input splitting (one task
+    per file) — a real throughput cost at scale.  HFP archives never quote
+    newlines (telemetry fields are machine-generated scalars), so the
+    default keeps splittable scans; pass ``multi_line=True`` for exact
+    parity on hypothetical embedded newlines.
     """
     reader = (
         spark.read.schema(RAW_SCHEMA)
@@ -60,13 +70,9 @@ def read_hfp_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         .option("ignoreLeadingWhiteSpace", "true")
         .option("ignoreTrailingWhiteSpace", "true")
         .option("mode", "PERMISSIVE")
-        # Documented divergence (like the F2 parseInt note in transform.py):
-        # the reference's csv-parse is quote-aware across newlines; Spark
-        # needs multiLine=true for that, which disables input splitting (one
-        # task per file).  HFP archives never quote newlines — telemetry
-        # fields are machine-generated scalars — so we keep splittable scans
-        # and accept the divergence on hypothetical embedded newlines.
     )
+    if multi_line:
+        reader = reader.option("multiLine", "true")
     df = reader.csv(paths)
 
     # skip_lines_with_empty_values: drop rows where every field is null/''.
@@ -78,7 +84,13 @@ def read_hfp_csv(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 
 def read_hfp_group(
-    spark: SparkSession, storage_root: str, event_group: str, date: str
+    spark: SparkSession,
+    storage_root: str,
+    event_group: str,
+    date: str,
+    multi_line: bool = False,
 ) -> DataFrame:
     """Scan all blobs of one event group for one date (S1 + S3)."""
-    return read_hfp_csv(spark, hfp_blob_glob(storage_root, event_group, date))
+    return read_hfp_csv(
+        spark, hfp_blob_glob(storage_root, event_group, date), multi_line
+    )

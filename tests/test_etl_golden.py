@@ -100,3 +100,26 @@ def test_vp_union_keyset_blocks_across_tables(spark, fixture_root, tmp_path):
     # Re-run the VP group: every uuid (in either table) is blocked.
     second = hfp_load(spark, str(root), DATE, sink, event_groups=["vehiclePosition"])
     assert second.total_inserted == 0
+
+
+def test_multiline_quoted_newline_parity(spark, tmp_path):
+    """Opt-in multiLine matches the reference's quote-aware-across-newlines
+    csv-parse; the default (splittable scan) documents the divergence."""
+    from hfp_loader_spark.schema import HFP_COLUMNS
+    from hfp_loader_spark.sources.csv_source import read_hfp_csv
+
+    n = len(HFP_COLUMNS)
+    # row 1: desi (col 1) holds a quoted embedded newline; row 2 is plain
+    row1 = ["u1", '"li\nne"'] + ["x"] * (n - 2)
+    row2 = ["u2", "plain"] + ["y"] * (n - 2)
+    p = tmp_path / "blob.csv"
+    p.write_text(",".join(row1) + "\n" + ",".join(row2) + "\n")
+
+    parity = read_hfp_csv(spark, str(p), multi_line=True)
+    assert parity.count() == 2
+    desi = {r["acc"]: r["desi"] for r in parity.select("acc", "desi").collect()}
+    assert desi["u1"] == "li\nne"  # newline survives inside the quoted field
+
+    default = read_hfp_csv(spark, str(p))
+    # splittable reader breaks the quoted row at the newline → 3 rows
+    assert default.count() == 3

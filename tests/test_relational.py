@@ -34,3 +34,29 @@ def test_sessionize_single_exchange(spark, sf_dir):
     out = sessionize(ev, "user_id", "ts", 1800)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    """The sketch quantile must land within 1% rank error of the exact
+    quantile (accuracy=10000 → ε = 1/10000, asserted with slack)."""
+    from hfp_loader_spark.plans.catalog import REGISTRY, load_table
+
+    approx = {
+        r["o_orderstatus"]: r.asDict()
+        for r in REGISTRY["agg_approx_percentile"].builder(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    for status, row in approx.items():
+        vals = sorted(
+            r["o_totalprice"]
+            for r in orders.where(F.col("o_orderstatus") == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            # rank of the sketch's answer in the exact sorted data
+            import bisect
+
+            rank = bisect.bisect_left(vals, row[col])
+            assert abs(rank / n - q) <= 0.01 + 2.0 / n, (status, col)
