@@ -207,3 +207,23 @@ def _register_transform_with_state() -> None:
 
 
 _register_transform_with_state()
+
+
+@defquery(
+    "streaming_watermark_dedup_within",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="GENUINE streaming execution: dropDuplicatesWithinWatermark — "
+    "state per key is EVICTED once the watermark passes it (bounded by "
+    "the 10-min horizon, vs dropDuplicates' forever-state), trading away "
+    "only beyond-horizon late duplicates. Ordered archive replay ⇒ equal "
+    "to batch DISTINCT, the oracle.",
+)
+def streaming_watermark_dedup_within(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hfp_loader_spark.streaming.jobs import watermark_dedup_within
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(watermark_dedup_within(stream, ["user_id", "event_type"]))

@@ -141,6 +141,27 @@ def watermark_dedup(
     ).dropDuplicates(keys).select(*keys)
 
 
+def watermark_dedup_within(
+    events: DataFrame, keys: list[str], delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: duplicates are
+    only guaranteed dropped when they arrive within the watermark delay of
+    the first sighting — in exchange, state for a key is EVICTED once the
+    watermark passes it, so state is bounded by the delay horizon alone
+    (plain ``dropDuplicates`` keeps every key forever unless the event-time
+    column itself is part of the key).
+
+    The right tool when the dedup key does NOT embed event time (e.g. a
+    uuid) and late duplicates beyond the horizon are acceptable — the HFP
+    re-load scenario, where the per-batch anti-join catches the stragglers.
+    With the archive replayed in order (availableNow), no duplicate arrives
+    later than the delay, so the result equals batch DISTINCT — the oracle.
+    """
+    return events.withWatermark("ts", delay).select(
+        "ts", *keys
+    ).dropDuplicatesWithinWatermark(keys).select(*keys)
+
+
 def followup_join(
     events: DataFrame,
     probe_mod: int = 97,
