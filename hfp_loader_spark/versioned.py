@@ -1,0 +1,200 @@
+"""Snapshot-versioned parquet tables: atomic commits, snapshot-isolated
+reads, O(1) append, and time travel — the minimal table-format layer that
+lifts plain-parquet's "concurrent writers must be fenced" caveat
+(maintenance.py's honest contract) the way Iceberg/Delta do, built from
+public Spark + Hadoop FS APIs only.
+
+Layout:
+
+    table_root/
+      _versions/v00000001.json   ← manifest: op + ordered data-dir list
+      _versions/v00000002.json
+      d-00000001-<token>/part-*.parquet
+      d-00000002-<token>/part-*.parquet
+
+A *version* is a manifest naming the data directories whose union is the
+table's content at that version.  ``append`` writes ONE new directory and
+a manifest listing ``parent dirs + new dir`` — no rewrite of existing
+data; ``overwrite`` starts a fresh dir list.  Readers resolve a manifest
+(latest or ``version=N``) and scan exactly its directories: a reader
+holding version N never sees version N+1's files — snapshot isolation
+without locks.
+
+Commit protocol (optimistic concurrency): data directories are written
+FIRST (invisible until referenced), then the manifest is created with
+Hadoop's ``FileSystem.create(path, overwrite=false)`` — an atomic
+create-if-absent on HDFS/ABFS/local.  Two racing writers targeting the
+same next version: exactly one create succeeds; the loser re-reads the
+log and retries against the new head (bounded attempts).  Orphaned data
+dirs from failed commits are invisible and reaped by ``vacuum``.
+
+Scale notes: manifests are O(#dirs) driver-side JSON — data never moves
+through the driver; reads pass the dir list to one ``spark.read.parquet``
+so Catalyst still sees a single multi-path scan (splits, pushdown,
+pruning all intact); append cost is independent of table size.  Long
+append chains fragment into many dirs — ``maintenance.compact_table`` on
+a snapshot then ``overwrite``-commit the compacted result.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSIONS_DIR = "_versions"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (after retries)."""
+
+
+@dataclass(frozen=True)
+class SnapshotInfo:
+    version: int
+    op: str  # "overwrite" | "append"
+    data_dirs: tuple[str, ...]
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    return (
+        jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(path), conf
+        ),
+        jvm.org.apache.hadoop.fs.Path,
+    )
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return f"{root.rstrip('/')}/{_VERSIONS_DIR}/v{version:08d}.json"
+
+
+def _read_manifest(spark: SparkSession, root: str, version: int) -> SnapshotInfo:
+    fs, P = _fs(spark, root)
+    stream = fs.open(P(_manifest_path(root, version)))
+    try:
+        # py4j can't fill a Python buffer in place — use the JVM-side
+        # reader to materialize the (tiny) manifest as a string
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    doc = json.loads(text)
+    return SnapshotInfo(
+        version=doc["version"], op=doc["op"], data_dirs=tuple(doc["data_dirs"])
+    )
+
+
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    """Highest committed version, or None for an uninitialized table."""
+    fs, P = _fs(spark, root)
+    vdir = P(f"{root.rstrip('/')}/{_VERSIONS_DIR}")
+    if not fs.exists(vdir):
+        return None
+    best = None
+    for status in fs.listStatus(vdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            best = v if best is None or v > best else best
+    return best
+
+
+def table_history(spark: SparkSession, root: str) -> list[SnapshotInfo]:
+    head = latest_version(spark, root)
+    if head is None:
+        return []
+    return [_read_manifest(spark, root, v) for v in range(1, head + 1)]
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    max_retries: int = 5,
+) -> int:
+    """Write ``df`` as a new table version; returns the committed version.
+
+    ``mode='append'``: new version = parent's dirs + one new dir.
+    ``mode='overwrite'``: new version = the new dir alone.
+    Retries the manifest create against a moving head up to
+    ``max_retries`` times, then raises ``CommitConflict``.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    root = root.rstrip("/")
+    fs, P = _fs(spark, root)
+
+    # 1. data first — invisible until a manifest references it
+    token = uuid.uuid4().hex[:12]
+    data_dir = f"d-{token}"
+    df.write.mode("overwrite").parquet(f"{root}/{data_dir}")
+
+    # 2. optimistic manifest create against the current head
+    for _ in range(max_retries):
+        head = latest_version(spark, root)
+        version = (head or 0) + 1
+        if mode == "append" and head is not None:
+            parents = _read_manifest(spark, root, head).data_dirs
+        else:
+            parents = ()
+        doc = {
+            "version": version,
+            "op": mode,
+            "data_dirs": list(parents) + [data_dir],
+        }
+        target = P(_manifest_path(root, version))
+        fs.mkdirs(target.getParent())
+        try:
+            out = fs.create(target, False)  # atomic create-if-absent
+        except Exception:  # noqa: BLE001 — racing writer won this version
+            continue
+        try:
+            out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        finally:
+            out.close()
+        return version
+    raise CommitConflict(
+        f"lost the commit race {max_retries} times at {root} — "
+        "another writer is committing faster than we can retry"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Scan one committed version (default: latest). Time travel =
+    ``version=N``. The returned plan is a single multi-path parquet scan —
+    pushdown/pruning/splits behave exactly as on an unversioned table."""
+    root = root.rstrip("/")
+    head = latest_version(spark, root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    v = head if version is None else version
+    info = _read_manifest(spark, root, v)
+    return spark.read.parquet(*[f"{root}/{d}" for d in info.data_dirs])
+
+
+def vacuum(spark: SparkSession, root: str) -> list[str]:
+    """Delete data dirs referenced by NO manifest (failed/raced commits).
+
+    Safe because unreferenced dirs are unreadable by construction; dirs
+    referenced by ANY version are kept (time travel stays intact)."""
+    root = root.rstrip("/")
+    fs, P = _fs(spark, root)
+    live: set[str] = set()
+    for info in table_history(spark, root):
+        live.update(info.data_dirs)
+    removed = []
+    for status in fs.listStatus(P(root)):
+        name = status.getPath().getName()
+        if name.startswith("d-") and name not in live:
+            fs.delete(status.getPath(), True)
+            removed.append(name)
+    return removed

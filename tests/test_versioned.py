@@ -1,0 +1,105 @@
+"""Snapshot-versioned tables: atomic commit, isolation, time travel,
+conflict handling, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from hfp_loader_spark.versioned import (
+    CommitConflict,
+    commit_snapshot,
+    latest_version,
+    read_snapshot,
+    table_history,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_overwrite_append_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = commit_snapshot(spark, _df(spark, [(1, "a")]), root, mode="overwrite")
+    v2 = commit_snapshot(spark, _df(spark, [(2, "b")]), root, mode="append")
+    v3 = commit_snapshot(spark, _df(spark, [(9, "z")]), root, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    def keys(version=None):
+        return sorted(
+            r["k"] for r in read_snapshot(spark, root, version).collect()
+        )
+
+    assert keys() == [9]            # latest = the overwrite
+    assert keys(1) == [1]           # time travel
+    assert keys(2) == [1, 2]        # append unioned with parent
+    assert latest_version(spark, root) == 3
+    ops = [s.op for s in table_history(spark, root)]
+    assert ops == ["overwrite", "append", "overwrite"]
+
+
+def test_append_is_o1_no_rewrite(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_snapshot(spark, _df(spark, [(1, "a")]), root, mode="overwrite")
+    commit_snapshot(spark, _df(spark, [(2, "b")]), root, mode="append")
+    hist = table_history(spark, root)
+    # v2 reuses v1's data dir untouched and adds exactly one new dir
+    assert hist[1].data_dirs[: len(hist[0].data_dirs)] == hist[0].data_dirs
+    assert len(hist[1].data_dirs) == len(hist[0].data_dirs) + 1
+
+
+def test_reader_snapshot_isolation(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_snapshot(spark, _df(spark, [(1, "a")]), root, mode="overwrite")
+    snapshot = read_snapshot(spark, root)  # plan resolved at version 1
+    commit_snapshot(spark, _df(spark, [(2, "b")]), root, mode="append")
+    # the pre-commit reader still sees only version 1's rows
+    assert sorted(r["k"] for r in snapshot.collect()) == [1]
+
+
+def test_commit_conflict_retries_onto_next_version(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_snapshot(spark, _df(spark, [(1, "a")]), root, mode="overwrite")
+    # simulate a racing writer owning version 2: pre-create its manifest
+    vdir = tmp_path / "tbl" / "_versions"
+    (vdir / "v00000002.json").write_text(
+        '{"version": 2, "op": "overwrite", "data_dirs": []}'
+    )
+    v = commit_snapshot(spark, _df(spark, [(3, "c")]), root, mode="overwrite")
+    assert v == 3  # lost v2, retried, won v3
+
+
+def test_commit_conflict_exhausts_retries(spark, tmp_path, monkeypatch):
+    """A writer whose view of the head never advances (simulating a peer
+    that wins every race) must give up with CommitConflict, not spin."""
+    import hfp_loader_spark.versioned as V
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(spark, _df(spark, [(1, "a")]), root, mode="overwrite")
+    (tmp_path / "tbl" / "_versions" / "v00000002.json").write_text(
+        '{"version": 2, "op": "overwrite", "data_dirs": []}'
+    )
+    monkeypatch.setattr(V, "latest_version", lambda *_: 1)  # stale head
+    with pytest.raises(CommitConflict):
+        V.commit_snapshot(
+            spark, _df(spark, [(9, "x")]), root, mode="append", max_retries=3
+        )
+
+
+def test_vacuum_reaps_only_orphans(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    commit_snapshot(spark, _df(spark, [(1, "a")]), root, mode="overwrite")
+    commit_snapshot(spark, _df(spark, [(2, "b")]), root, mode="append")
+    # orphan: a data dir no manifest references (failed commit debris)
+    _df(spark, [(99, "junk")]).write.parquet(str(tmp_path / "tbl" / "d-orphan99"))
+    removed = vacuum(spark, root)
+    assert removed == ["d-orphan99"]
+    # every committed version still reads
+    assert sorted(r["k"] for r in read_snapshot(spark, root, 1).collect()) == [1]
+    assert sorted(r["k"] for r in read_snapshot(spark, root, 2).collect()) == [1, 2]
+
+
+def test_read_uninitialized_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nope"))
