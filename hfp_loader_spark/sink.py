@@ -109,3 +109,50 @@ class JdbcSink:
         date = datetime.date.fromisoformat(date).isoformat()
         query = f"(SELECT uuid FROM public.{table} WHERE oday = DATE '{date}') q"
         return spark.read.jdbc(self.url, query, properties=self.properties)
+
+
+class VersionedParquetSink:
+    """Staging sink on the snapshot-versioned table layer (versioned.py).
+
+    Same contract as ParquetSink, plus table-format guarantees the plain
+    layout can't give:
+
+    - every load commits ATOMICALLY — a crash mid-write leaves an
+      unreferenced data dir (reaped by ``versioned.vacuum``), never a
+      half-visible day;
+    - concurrent loaders of different days serialize through the
+      manifest CAS instead of interleaving files in one directory;
+    - a bad load is undone by reading the previous version (time
+      travel), not by manual file surgery.
+
+    ``existing_keys`` reads the LATEST snapshot with the same
+    oday-pruned, uuid-only projection — the scan is a multi-path parquet
+    read, so partition-style pruning happens via parquet row-group stats
+    on the oday column within each committed dir.
+    """
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def table_path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+    def write(self, df: DataFrame, table: str) -> None:
+        from hfp_loader_spark.versioned import commit_snapshot
+
+        commit_snapshot(
+            df.sparkSession,
+            with_id_column(df),
+            self.table_path(table),
+            mode="append",
+        )
+
+    def existing_keys(
+        self, spark: SparkSession, table: str, date: str
+    ) -> DataFrame:
+        from hfp_loader_spark.versioned import latest_version, read_snapshot
+
+        if latest_version(spark, self.table_path(table)) is None:
+            return spark.createDataFrame([], "uuid string")
+        df = read_snapshot(spark, self.table_path(table))
+        return df.where(F.col("oday") == F.to_date(F.lit(date))).select("uuid")
