@@ -24,6 +24,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "merge_upsert_orders",
+    "scd2_user_state_intervals",
     "window_lag_lead_running",
     "hfp_typed_coercion_net",
     "dedup_minhash_lsh",
