@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--sink",
         default=os.environ.get("HFP_SINK", "parquet:./stage"),
-        help="'parquet:<dir>' staging sink or a 'jdbc:…' URL "
+        help="'parquet:<dir>' staging sink, 'versioned:<dir>' snapshot-versioned sink, or a 'jdbc:…' URL "
         "(default: $HFP_SINK or parquet:./stage)",
     )
     p.add_argument(
@@ -49,10 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_sink(spec: str):
-    from hfp_loader_spark.sink import JdbcSink, ParquetSink
+    from hfp_loader_spark.sink import (
+        JdbcSink,
+        ParquetSink,
+        VersionedParquetSink,
+    )
 
     if spec.startswith("jdbc:"):
         return JdbcSink(spec)
+    if spec.startswith("versioned:"):
+        return VersionedParquetSink(spec.split(":", 1)[1])
     if spec.startswith("parquet:"):
         return ParquetSink(spec.split(":", 1)[1])
     return ParquetSink(spec)

@@ -331,3 +331,61 @@ def simhash_near_pairs(
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame, id_col: str, text_col: str, max_subs: int = 1
+) -> DataFrame:
+    """Edit-distance pairs via pigeonhole blocking — never all-pairs.
+
+    Finds (id_a, id_b) with EQUAL-length values and levenshtein ≤
+    ``max_subs`` (equal length ⇒ the distance is pure substitutions).
+    Pigeonhole: split each value into ``max_subs + 1`` contiguous chunks;
+    ≤ max_subs substitutions leave at least one chunk IDENTICAL, so an
+    equality join per chunk index finds every true pair — exact recall
+    with candidate sets ~|block|² instead of |corpus|².  (The PartEnum /
+    PassJoin family; the same pigeonhole SimHash uses on bit-bytes.)
+
+    Shape at scale: k+1 equality shuffle joins on (chunk_idx, chunk,
+    length) unioned then distinct; levenshtein runs JVM-side only on
+    candidates. Block key includes length, so skew = count of same-length
+    same-chunk values — salt or lengthen chunks if a block melts."""
+    n_chunks = max_subs + 1
+    length = F.length(F.col(text_col))
+    sides = []
+    for i in range(n_chunks):
+        # chunk i of n: [floor(i·len/n)+1, floor((i+1)·len/n)], 1-based
+        chunk = F.expr(
+            f"substring({text_col}, cast(length({text_col})*{i}/{n_chunks} as int)+1, "
+            f"cast(length({text_col})*{i + 1}/{n_chunks} as int)"
+            f" - cast(length({text_col})*{i}/{n_chunks} as int))"
+        )
+        sides.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(text_col).alias("_txt"),
+                F.lit(i).alias("_chunk_idx"),
+                chunk.alias("_chunk"),
+                length.alias("_len"),
+            )
+        )
+    blocked = sides[0]
+    for s in sides[1:]:
+        blocked = blocked.unionByName(s)
+    a = blocked.select(
+        F.col("_id").alias("id_a"), F.col("_txt").alias("txt_a"),
+        "_chunk_idx", "_chunk", "_len",
+    )
+    b = blocked.select(
+        F.col("_id").alias("id_b"), F.col("_txt").alias("txt_b"),
+        "_chunk_idx", "_chunk", "_len",
+    )
+    cand = (
+        a.join(b, ["_chunk_idx", "_chunk", "_len"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "txt_a", "txt_b")
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("txt_a", "txt_b") <= max_subs
+    ).select("id_a", "id_b")

@@ -175,3 +175,29 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("component").cast("long").alias("component_id"),
     )
+
+
+@defquery(
+    "dedup_fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND length(a.c_name) = length(b.c_name)
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Fuzzy entity matching (operators.neardup.fuzzy_pairs_blocked): "
+    "equal-length name pairs within levenshtein 1, found via pigeonhole "
+    "chunk blocking (2 chunks for 1 substitution — one chunk must match "
+    "exactly, so equality joins give exact recall with no all-pairs). "
+    "Oracle is the brute-force quadratic join — affordable for DuckDB at "
+    "oracle SF, and the point: same answer, scalable plan.",
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import fuzzy_pairs_blocked
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs_blocked(cust, "c_custkey", "c_name", max_subs=1).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )

@@ -82,3 +82,39 @@ def test_simhash_locality(docs, exact_pairs):
     # weaker signal than MinHash; allow some misses but not a no-op)
     hit = sum(1 for p in exact_pairs if p in near)
     assert hit / len(exact_pairs) >= 0.5
+
+
+def test_fuzzy_pairs_blocked_exact_recall(spark):
+    """Pigeonhole blocking must find every ≤1-substitution pair that
+    brute force finds — and nothing else (insert/delete pairs have
+    different lengths and are out of contract)."""
+    from hfp_loader_spark.operators.neardup import fuzzy_pairs_blocked
+
+    rows = [
+        (1, "abcdef"),
+        (2, "abcdeX"),   # sub in 2nd half of 1
+        (3, "Xbcdef"),   # sub in 1st half of 1
+        (4, "abcdXX"),   # 2 subs from 1 → excluded
+        (5, "abcde"),    # deletion of 1 → different length, excluded
+        (6, "zzzzzz"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_blocked(df, "id", "name", max_subs=1).collect()
+    )
+    # (2,4) also matches: "abcdeX"/"abcdXX" differ only at position 5
+    assert got == [(1, 2), (1, 3), (2, 4)]
+
+
+def test_fuzzy_pairs_blocked_two_subs(spark):
+    from hfp_loader_spark.operators.neardup import fuzzy_pairs_blocked
+
+    rows = [(1, "abcdefghi"), (2, "abXdefgXi"), (3, "XbXdefgXi")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_blocked(df, "id", "name", max_subs=2).collect()
+    )
+    # 1↔2: 2 subs ✓; 2↔3: 1 sub ✓; 1↔3: 3 subs ✗
+    assert got == [(1, 2), (2, 3)]
