@@ -118,3 +118,77 @@ def colocated_join(
     tests/test_layout.py) — the join reads co-located buckets directly.
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_value(bucket_cols: list, bits: int = 8):
+    """Interleave the bits of per-column bucket ids into one Z-value.
+
+    ``bucket_cols``: integer Columns already in [0, 2^bits).  Bit i of
+    column j lands at position i·n_cols + j — the Morton order that makes
+    points close in EVERY dimension close in the linear order.  Pure
+    shift/and/or Catalyst expressions, evaluated once per row.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(bucket_cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` Z-ordered on ``cols`` for multi-dimensional data
+    skipping.
+
+    A sort on (a, b) gives perfect min/max pruning on ``a`` and none on
+    ``b``; Z-ordering interleaves rank-bucket bits of every column so the
+    per-file min/max ranges stay tight in ALL of them — a box predicate
+    on any subset of ``cols`` skips most files via plain parquet
+    row-group stats, no index structure needed (the same layout trick
+    Delta OPTIMIZE ZORDER applies).
+
+    Mechanics: uniform-width bucket ids via ``width_bucket`` over the
+    column's [min, max] (one tiny driver-side agg for the bounds —
+    swap in approxQuantile boundaries for heavily skewed columns), bit
+    interleave, ``repartitionByRange`` on the Z-value (range partitioner
+    ⇒ files own contiguous Z-ranges), sort within partitions, write.
+    Cost at scale: one extra full shuffle at WRITE time, amortized over
+    every subsequent pruned read — the standard layout-maintenance
+    trade, same as bucketing above.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in cols],
+        *[F.max(c).alias(f"_max_{c}") for c in cols],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    bucket_ids = []
+    for c in cols:
+        lo, hi = float(bounds[f"_min_{c}"]), float(bounds[f"_max_{c}"])
+        if hi <= lo:  # constant column: single bucket
+            bucket_ids.append(F.lit(0))
+            continue
+        bucket_ids.append(
+            F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)) - 1
+        )
+    z = zorder_value(bucket_ids, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
