@@ -1,0 +1,95 @@
+"""Declarative data-quality constraint checking (dbt-test / Deequ shape).
+
+A constraint suite compiles to ONE pass over the checked table (conditional
+aggregates — no per-constraint scans) plus one aggregate per referential
+constraint (an anti-join on the parent key).  Output is a tall
+(check_name, n_violations) report — the thing a 100 TB pipeline gates a
+publish on.
+
+Scale notes: the single-pass design matters — N unique/non-null/range
+checks cost one scan, not N; each FK check is a key-only anti-join
+(broadcast when the parent's key set is small); uniqueness runs as a
+groupBy on the key with a HAVING count>1, counting VIOLATING ROWS (every
+row beyond the first occurrence), so the number is actionable ("how many
+rows to drop"), not just a flag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    name: str
+    child_key: str
+    parent: DataFrame
+    parent_key: str
+
+
+@dataclass(frozen=True)
+class ConstraintSuite:
+    not_null: dict[str, str] = field(default_factory=dict)  # name → col
+    unique: dict[str, list[str]] = field(default_factory=dict)  # name → key cols
+    checks: dict[str, Column] = field(default_factory=dict)  # name → must-hold predicate
+    foreign_keys: list[ForeignKey] = field(default_factory=list)
+
+
+def run_constraints(df: DataFrame, suite: ConstraintSuite) -> DataFrame:
+    """Evaluate the suite; returns (check_name: string, n_violations: long)."""
+    aggs, names = [], []
+    for name, col in suite.not_null.items():
+        aggs.append(F.count_if(F.col(col).isNull()).alias(name))
+        names.append(name)
+    for name, pred in suite.checks.items():
+        # violations = rows where the predicate does NOT hold (null counts
+        # as a violation: an unevaluable constraint is not a passing one)
+        aggs.append(F.count_if(~F.coalesce(pred, F.lit(False))).alias(name))
+        names.append(name)
+    reports = []
+    if aggs:
+        row = df.agg(*aggs)
+        stacked = row.selectExpr(
+            "stack({n}, {pairs}) as (check_name, n_violations)".format(
+                n=len(names),
+                pairs=", ".join(
+                    f"'{a}', cast(`{a}` as long)" for a in names
+                ),
+            )
+        )
+        reports.append(stacked)
+    for name, keys in suite.unique.items():
+        dup_rows = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+        reports.append(dup_rows)
+    for fk in suite.foreign_keys:
+        orphans = (
+            df.select(F.col(fk.child_key))
+            .where(F.col(fk.child_key).isNotNull())
+            .join(
+                fk.parent.select(
+                    F.col(fk.parent_key).alias(fk.child_key)
+                ).distinct(),
+                fk.child_key,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n_violations"))
+            .select(F.lit(fk.name).alias("check_name"), "n_violations")
+        )
+        reports.append(orphans)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

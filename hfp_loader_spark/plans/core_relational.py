@@ -22,7 +22,7 @@ timestamps/dates stringified on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfp_loader_spark.operators.relational import (
@@ -840,4 +840,105 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
             F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
         )
+    )
+
+
+@defquery(
+    "dq_constraint_report",
+    """
+    SELECT 'o_custkey_not_null' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0.0,
+                                                    FALSE)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range',
+           CAST(count(*) FILTER (WHERE NOT coalesce(
+             o_orderdate >= TIMESTAMP '1990-01-01'
+             AND o_orderdate < TIMESTAMP '2010-01-01', FALSE)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+    doc="Declarative data-quality gate (operators.quality.run_constraints): "
+    "not-null, range, and positivity checks compile into ONE conditional-"
+    "aggregate pass over orders (stack()-pivoted to a tall report); "
+    "uniqueness counts excess rows per duplicated key; the FK check is a "
+    "key-only broadcast anti-join against customer. The publish gate a "
+    "100 TB pipeline runs before promoting a snapshot.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.quality import (
+        ConstraintSuite,
+        ForeignKey,
+        run_constraints,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    suite = ConstraintSuite(
+        not_null={"o_custkey_not_null": "o_custkey"},
+        unique={"o_orderkey_unique": ["o_orderkey"]},
+        checks={
+            "o_totalprice_positive": F.col("o_totalprice") > 0.0,
+            "o_orderdate_in_range": (
+                F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp")
+            )
+            & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp")),
+        },
+        foreign_keys=[
+            ForeignKey(
+                "orders_custkey_fk",
+                "o_custkey",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            )
+        ],
+    )
+    return run_constraints(orders, suite)
+
+
+@defquery(
+    "window_first_last_nth",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(first_value(o_totalprice) OVER w, 2)  AS first_price,
+           round(last_value(o_totalprice)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING), 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2)  AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="first_value / last_value / nth_value per customer order history "
+    "(tiebroken on the unique key). last_value gets the full-partition "
+    "frame explicitly — the default running frame is the classic "
+    "gotcha on both engines, pinned identically here. One shuffle + one "
+    "sort serves all three.",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
     )

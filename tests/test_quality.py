@@ -1,0 +1,55 @@
+"""run_constraints: each constraint type catches planted violations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.quality import (
+    ConstraintSuite,
+    ForeignKey,
+    run_constraints,
+)
+
+
+def test_constraints_catch_planted_violations(spark):
+    child = spark.createDataFrame(
+        [
+            (1, 100, 5.0),
+            (1, 100, 6.0),   # dup key 1 (x2 → 1 excess row)
+            (1, 101, 7.0),   # dup key 1 (x3 → 2 excess rows total)
+            (2, None, -1.0), # null fk + negative amount
+            (3, 999, 2.0),   # fk orphan (999 not in parent)
+        ],
+        ["k", "fk", "amount"],
+    )
+    parent = spark.createDataFrame([(100,), (101,)], ["pk"])
+    suite = ConstraintSuite(
+        not_null={"fk_not_null": "fk"},
+        unique={"k_unique": ["k"]},
+        checks={"amount_positive": F.col("amount") > 0},
+        foreign_keys=[ForeignKey("fk_valid", "fk", parent, "pk")],
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in run_constraints(child, suite).collect()
+    }
+    assert got == {
+        "fk_not_null": 1,
+        "k_unique": 2,        # excess rows beyond first occurrence
+        "amount_positive": 1,
+        "fk_valid": 1,        # NULL fk is not an orphan — not-null's job
+    }
+
+
+def test_constraints_all_green_on_clean_data(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    suite = ConstraintSuite(
+        not_null={"k_not_null": "k"},
+        unique={"k_unique": ["k"]},
+        checks={"v_positive": F.col("v") > 0},
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in run_constraints(df, suite).collect()
+    }
+    assert set(got.values()) == {0}
