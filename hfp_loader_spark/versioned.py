@@ -56,6 +56,7 @@ class SnapshotInfo:
     version: int
     op: str  # "overwrite" | "append"
     data_dirs: tuple[str, ...]
+    meta: dict = None  # caller metadata (e.g. incremental-refresh cursors)
 
 
 def _fs(spark: SparkSession, path: str):
@@ -86,7 +87,10 @@ def _read_manifest(spark: SparkSession, root: str, version: int) -> SnapshotInfo
         stream.close()
     doc = json.loads(text)
     return SnapshotInfo(
-        version=doc["version"], op=doc["op"], data_dirs=tuple(doc["data_dirs"])
+        version=doc["version"],
+        op=doc["op"],
+        data_dirs=tuple(doc["data_dirs"]),
+        meta=doc.get("meta") or {},
     )
 
 
@@ -118,6 +122,7 @@ def commit_snapshot(
     root: str,
     mode: str = "append",
     max_retries: int = 5,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the committed version.
 
@@ -148,6 +153,7 @@ def commit_snapshot(
             "version": version,
             "op": mode,
             "data_dirs": list(parents) + [data_dir],
+            "meta": meta or {},
         }
         target = P(_manifest_path(root, version))
         fs.mkdirs(target.getParent())
