@@ -942,3 +942,23 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
     )
+
+
+@defquery(
+    "agg_heavy_hitters",
+    None,  # Misra-Gries support sets are engine-specific → rows-only;
+    # the guarantee (every item above the threshold is present) is
+    # asserted against exact counts in tests/test_relational.py.
+    doc="Heavy hitters via DataFrame.stat.freqItems (Misra-Gries, "
+    "support 5%): single-pass, fixed memory, mergeable across "
+    "partitions — the 100 TB path for 'which keys dominate' (skew "
+    "diagnosis, hot-key salting decisions). Returns the support set as "
+    "an exploded, sorted column.",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    freq = ev.select("event_type").stat.freqItems(["event_type"], support=0.05)
+    return (
+        freq.select(F.explode("event_type_freqItems").alias("event_type"))
+        .orderBy("event_type")
+    )

@@ -92,3 +92,56 @@ def test_view_readers_see_atomic_refreshes(spark, tmp_path):
 def test_non_mergeable_measure_rejected():
     with pytest.raises(ValueError, match="not mergeable"):
         AggView(keys=["k"], measures={"a": ("v", "avg")})
+
+
+def test_stream_to_versioned_lake_to_incremental_view(spark, sf_dir, tmp_path):
+    """The lakehouse composition end-to-end: a stream lands micro-batches
+    as atomic versioned commits (foreachBatch), each commit triggers an
+    incremental view refresh, and the final materialized aggregate equals
+    the batch groupBy over the whole source — streaming ingest, table
+    format, and IVM working as one pipeline."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.plans.catalog import load_table
+    from hfp_loader_spark.streaming.jobs import read_events_stream
+
+    lake, viw = str(tmp_path / "lake"), str(tmp_path / "view")
+    view = AggView(
+        keys=["event_type"],
+        measures={"n": ("value", "count"), "total": ("value", "sum")},
+    )
+    modes = []
+
+    def land(batch_df, _bid):
+        commit_snapshot(
+            spark,
+            batch_df.select("event_type", "value"),
+            lake,
+            mode="append",
+        )
+        modes.append(refresh_view(spark, lake, viw, view)["mode"])
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert modes and modes[0] == "initial"
+    assert all(m in ("initial", "incremental") for m in modes)  # never full
+
+    got = {
+        (r["event_type"]): (r["n"], round(r["total"], 4))
+        for r in read_snapshot(spark, viw).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (r["n"], round(r["total"], 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want

@@ -60,3 +60,24 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
 
             rank = bisect.bisect_left(vals, row[col])
             assert abs(rank / n - q) <= 0.01 + 2.0 / n, (status, col)
+
+
+def test_heavy_hitters_contains_all_truly_frequent(spark, sf_dir):
+    """Misra-Gries guarantee: any value with frequency > support MUST be
+    in the returned set (false positives allowed, false negatives not)."""
+    from hfp_loader_spark.plans.catalog import REGISTRY, load_table
+
+    got = {
+        r["event_type"]
+        for r in REGISTRY["agg_heavy_hitters"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    truly = {
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .count()
+        .where(F.col("count") > 0.05 * total)
+        .collect()
+    }
+    assert truly <= got, (truly, got)
