@@ -105,3 +105,133 @@ def test_no_python_row_udfs_in_catalog_plans(spark, sf_dir):
         df = spec.builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
+
+
+# --- r2 operator invariants: merge_upsert / scd2 / connected_components ---
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.text("ab", min_size=1, max_size=3)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=_kv_rows, source=_kv_rows)
+def test_merge_upsert_invariants(spark, target, source):
+    """Keys(result) = keys(target) ∪ keys(source); every source key holds
+    the source's value; target-only keys are untouched."""
+    from hfp_loader_spark.operators.relational import merge_upsert
+
+    # merge contract: source key-unique (last writer wins for the build)
+    src_map = dict(source)
+    tgt_map = dict(target)
+    t = spark.createDataFrame(
+        list(tgt_map.items()) or [(99999, "z")], ["k", "v"]
+    )
+    s_items = list(src_map.items())
+    s = (
+        spark.createDataFrame(s_items, ["k", "v"])
+        if s_items
+        else spark.createDataFrame([], t.schema)
+    )
+    if not tgt_map:
+        tgt_map = {99999: "z"}
+    got = {r["k"]: r["v"] for r in merge_upsert(t, s, ["k"]).collect()}
+    want = {**tgt_map, **src_map}
+    assert got == want
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),           # key
+        st.sampled_from(["a", "b", "c"]),  # state
+        st.integers(0, 50),          # ts (seconds offset)
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda e: (e[0], e[2]),  # one event per (key, ts)
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_scd2_intervals_partition_the_timeline(spark, events):
+    """Per key: intervals are ordered, non-overlapping, chain exactly
+    (valid_to = next valid_from), exactly one open interval, and states
+    never repeat consecutively."""
+    import datetime
+
+    from hfp_loader_spark.operators.relational import scd2_intervals
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, s, base + datetime.timedelta(seconds=ts)) for k, s, ts in events
+    ]
+    df = spark.createDataFrame(rows, ["k", "state", "ts"])
+    out = scd2_intervals(df, "k", "state", "ts").collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1 and opens[0] is ivs[-1]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # chained, no gaps
+            assert a["state"] != b["state"]          # compressed
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_connected_components_match_union_find(spark, edges):
+    from hfp_loader_spark.operators.graph import connected_components
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for v in parent:
+        want.setdefault(find(v), set()).add(v)
+    want_sets = sorted(tuple(sorted(s)) for s in want.values())
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got_rows = connected_components(df).collect()
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r["component"], set()).add(r["id"])
+    got_sets = sorted(tuple(sorted(s)) for s in got.values())
+    assert got_sets == want_sets
+    # canonical label = min member of its component
+    for comp, members in got.items():
+        assert comp == min(members)
