@@ -271,3 +271,50 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential funnel conversion: users completing step i must have an
+    event of ``steps[i]`` STRICTLY AFTER their earliest completion of
+    step i-1 (the standard product-analytics semantics — re-ordered
+    events don't count).
+
+    Returns (step, step_idx, n_users), one row per step.
+
+    Shape at scale: per step, the events side is filtered to ONE type
+    before its groupBy/join — each round shuffles only that step's
+    events plus the surviving-user set, all keyed on ``id_col`` so AQE
+    can reuse the partitioning; no window over the full event stream, no
+    per-user event arrays in memory (a collect_list-based funnel dies on
+    power users; this never materializes a user's history)."""
+    step0 = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    reached = [step0]
+    for s in steps[1:]:
+        prev = reached[-1]
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .join(prev.select(id_col, F.col("_t").alias("_prev_t")), id_col)
+            .where(F.col(ts_col) > F.col("_prev_t"))
+            .groupBy(id_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        reached.append(nxt)
+    out = None
+    for i, (s, df) in enumerate(zip(steps, reached), start=1):
+        row = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(s).alias("step"),
+            F.lit(i).alias("step_idx"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -361,3 +361,38 @@ def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@defquery(
+    "funnel_view_click_purchase",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t
+           GROUP BY e.user_id)
+    SELECT 'view' AS step, 1 AS step_idx,
+           CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click', 2, CAST((SELECT count(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase', 3, CAST((SELECT count(*) FROM s2) AS BIGINT)
+    """,
+    doc="Sequential funnel view→click→purchase "
+    "(operators.relational.funnel_counts): step i counts users with an "
+    "event strictly after their earliest step-i-1 completion. Per step "
+    "one type-filtered aggregate + one user-keyed join — never a "
+    "collect_list of a user's history, so power users can't blow "
+    "executor memory at 100 TB.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )

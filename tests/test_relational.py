@@ -81,3 +81,33 @@ def test_heavy_hitters_contains_all_truly_frequent(spark, sf_dir):
         .collect()
     }
     assert truly <= got, (truly, got)
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """A user whose purchase precedes their click must NOT count as
+    converting step 3; earliest-completion times anchor each step."""
+    import datetime
+
+    from hfp_loader_spark.operators.relational import funnel_counts
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # u1: clean view→click→purchase
+        (1, "view", at(0)), (1, "click", at(10)), (1, "purchase", at(20)),
+        # u2: purchase BEFORE click → stops at click
+        (2, "view", at(0)), (2, "purchase", at(5)), (2, "click", at(10)),
+        # u3: click before view → stops at view (click must follow view)
+        (3, "click", at(0)), (3, "view", at(5)),
+        # u4: never viewed → not even step 1
+        (4, "click", at(0)), (4, "purchase", at(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
