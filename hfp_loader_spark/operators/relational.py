@@ -318,3 +318,52 @@ def funnel_counts(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity period
+    (their cohort), counted by how many distinct periods-after-cohort
+    they came back in.
+
+    Returns (cohort, period_offset, n_users): for offset 0 this is the
+    cohort's size; for offset k, how many of them were active k periods
+    later — the numerator of every retention-curve percentage.
+
+    Shape at scale: one aggregate to pin each user's cohort (min over
+    the user key), one broadcast-or-shuffle join back (keyed on the same
+    ``id_col`` — AQE reuses the partitioning), then a distinct-compacted
+    aggregate on (cohort, offset, user) before the final count — the
+    distinct happens as a two-phase aggregate, never a count(distinct)
+    expansion over the raw event stream."""
+    if bucket not in ("week", "day"):
+        raise ValueError("bucket must be 'week' or 'day'")
+    days_per = 7 if bucket == "week" else 1
+    period = F.date_trunc(bucket, F.col(ts_col))
+    firsts = events.groupBy(id_col).agg(
+        F.min(period).alias("_cohort")
+    )
+    joined = events.select(id_col, period.alias("_p")).join(firsts, id_col)
+    per_user_period = (
+        joined.select(
+            id_col,
+            F.col("_cohort"),
+            # both sides are bucket-starts, so the day delta is an exact
+            # multiple of days_per — integer division is lossless
+            (F.datediff(F.col("_p"), F.col("_cohort")) / days_per)
+            .cast("long")
+            .alias("_offset"),
+        )
+        .distinct()
+    )
+    return (
+        per_user_period.groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort"),
+            F.col("_offset").cast("long").alias("period_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

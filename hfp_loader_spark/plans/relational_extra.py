@@ -396,3 +396,29 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+@defquery(
+    "cohort_weekly_retention",
+    """
+    WITH p AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+    f AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY user_id),
+    u AS (SELECT DISTINCT p.user_id, f.cohort,
+                 date_diff('day', f.cohort, p.w) // 7 AS woff
+          FROM p JOIN f ON p.user_id = f.user_id)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(woff AS BIGINT) AS period_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention triangle "
+    "(operators.relational.cohort_retention): users cohorted by first-"
+    "active week, counted per whole-week offset they returned in. "
+    "Offset 0 = cohort size, offset k = week-k retention numerator. "
+    "Per-user periods distinct-compact BEFORE the final count — no "
+    "count(distinct) expansion over the raw stream.",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))

@@ -111,3 +111,43 @@ def test_funnel_strict_ordering_semantics(spark):
         for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
     }
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_hand_checked(spark):
+    import datetime
+
+    from hfp_loader_spark.operators.relational import cohort_retention
+
+    mon1 = datetime.datetime(2024, 1, 1)   # a Monday
+    mon2 = mon1 + datetime.timedelta(days=7)
+    mon3 = mon1 + datetime.timedelta(days=14)
+    rows = [
+        # u1: active wk1, wk2, wk3
+        (1, mon1), (1, mon2 + datetime.timedelta(hours=5)), (1, mon3),
+        # u2: wk1 only (two events, one distinct period)
+        (2, mon1), (2, mon1 + datetime.timedelta(days=2)),
+        # u3: first seen wk2, returns wk3
+        (3, mon2), (3, mon3),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1, u2
+        ("2024-01-01", 1): 1,  # u1
+        ("2024-01-01", 2): 1,  # u1
+        ("2024-01-08", 0): 1,  # u3
+        ("2024-01-08", 1): 1,  # u3
+    }
+
+
+def test_cohort_retention_rejects_unknown_bucket(spark):
+    import pytest as _pytest
+
+    from hfp_loader_spark.operators.relational import cohort_retention
+
+    df = spark.createDataFrame([(1,)], ["user_id"])
+    with _pytest.raises(ValueError, match="bucket"):
+        cohort_retention(df, bucket="month")
