@@ -422,3 +422,93 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.relational import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@defquery(
+    "attribution_last_touch",
+    """
+    WITH touches AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, ts
+    ),
+    purchases AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT t.touch_type, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM purchases p
+      ASOF JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+    GROUP BY t.touch_type
+    """,
+    doc="Last-touch attribution: each purchase credits the LATEST "
+    "view/click at-or-before it — the as-of join application "
+    "(operators.relational.asof_join: one union + shuffle-sort + "
+    "running last(), no inequality-join pair blowup). Same-instant "
+    "touches dedupe to the max-event_id one on both engines "
+    "(max_by/arg_max) so the carry is deterministic. Oracle: DuckDB "
+    "native ASOF JOIN.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    attributed = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        event_cols=["touch_type"],
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").alias("n_purchases")
+    )
+
+
+@defquery(
+    "hist_order_totalprice",
+    """
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 10)),
+                      9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders, b
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram of order totals: bounds from a 1-row scalar "
+    "subquery (broadcast cross join, no driver collect), bucket id as "
+    "identical floor arithmetic on both engines (top edge clamped into "
+    "the last bucket). The profiling primitive behind range-partition "
+    "sizing decisions.",
+)
+def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 10)
+        ),
+        F.lit(9),
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
