@@ -201,3 +201,38 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
     )
+
+
+@defquery(
+    "dedup_graph_triangles",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT da, db FROM pairs
+          WHERE round(i * 1.0 / (na + nb - i), 4) >= 0.8)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.db = e2.da
+              JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db
+    """,
+    doc="Triangle count of the near-dup graph "
+    "(operators.graph.triangle_count): id-oriented edges, two self-joins "
+    "— each triangle counted exactly once as a<b<c. Triangle density is "
+    "the standard diagnostic for whether near-dup clusters are cliques "
+    "(true dup groups) or chains (threshold too loose). Degree-ordered "
+    "orientation documented as the hub-graph upgrade.",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import triangle_count
+
+    shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    edges = jaccard_pairs(shingled, threshold=0.8)
+    return triangle_count(edges, src="doc_a", dst="doc_b")

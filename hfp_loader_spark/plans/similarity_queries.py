@@ -244,3 +244,36 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrow_top_k(emb, queries, k=5).select(
         "query_id", "vec_id", "cos", F.col("rn").cast("long").alias("rn")
     )
+
+
+@defquery(
+    "sim_label_centroids",
+    """
+    SELECT label,
+           CAST(dim AS INT) AS dim,
+           round(avg(val), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM (SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    doc="Per-label centroid, one row per (label, dimension): posexplode "
+    "the vector once, two-phase avg per (label, dim). The class-"
+    "prototype primitive (nearest-centroid classification, cluster "
+    "drift monitoring); the explode's dim× row blowup collapses in "
+    "map-side partial aggregation before the one shuffle. 1-based dim "
+    "to match SQL generate_subscripts.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("_pos", "val")
+        )
+        .groupBy("label", (F.col("_pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

@@ -38,3 +38,19 @@ def test_unconverged_diameter_raises(spark):
     )
     with pytest.raises(RuntimeError, match="no fixed point"):
         connected_components(df, max_iter=1)
+
+
+def test_triangle_count_hand_checked(spark):
+    from hfp_loader_spark.operators.graph import triangle_count
+
+    # K4 minus one edge = 2 triangles; edge directions/duplicates ignored
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 2
+
+
+def test_triangle_count_none(spark):
+    from hfp_loader_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 0
