@@ -962,3 +962,41 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.select(F.explode("event_type_freqItems").alias("event_type"))
         .orderBy("event_type")
     )
+
+
+@defquery(
+    "set_ops_all_variants",
+    """
+    SELECT CAST(c AS BIGINT) AS n_rows, label FROM (
+      SELECT count(*) AS c, 'intersect_all' AS label FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      UNION ALL
+      SELECT count(*) AS c, 'except_all' AS label FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    )
+    """,
+    doc="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity "
+    "min / saturating difference per key. Spark plans both as a single "
+    "count-per-key aggregate pair + join — multiplicities travel as "
+    "counts, never replicated rows, so a key duplicated a million times "
+    "costs one row in the shuffle.",
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o_keys = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_keys = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    ia = (
+        o_keys.intersectAll(f_keys)
+        .agg(F.count("*").alias("n_rows"))
+        .select("n_rows", F.lit("intersect_all").alias("label"))
+    )
+    ea = (
+        o_keys.exceptAll(f_keys)
+        .agg(F.count("*").alias("n_rows"))
+        .select("n_rows", F.lit("except_all").alias("label"))
+    )
+    return ia.unionByName(ea)

@@ -373,3 +373,42 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+@defquery(
+    "text_unigram_surprisal",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+    tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT sum(c) AS n FROM tf)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c * 1.0 / n)), 6) AS avg_neg_logp
+    FROM toks JOIN tf USING (t), tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model surprisal per document: corpus term "
+    "probabilities (one aggregate), then avg(-ln p(t)) over each doc's "
+    "tokens — the perplexity-style quality signal LM pipelines filter "
+    "on (high = atypical text). The term-prob table is vocabulary-"
+    "sized → broadcast onto the exploded tokens; partial aggregation "
+    "collapses the explode before the doc-key shuffle.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    tf = toks.groupBy("t").agg(F.count("*").alias("_c"))
+    total = tf.agg(F.sum("_c").alias("_n"))
+    probs = tf.crossJoin(F.broadcast(total)).select(
+        "t", (F.col("_c") / F.col("_n")).alias("_p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log("_p")), 6).alias("avg_neg_logp"),
+        )
+    )
