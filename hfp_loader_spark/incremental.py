@@ -157,3 +157,33 @@ def refresh_view(
         "source_version": head,
         "new_dirs": len(new_dirs),
     }
+
+
+def idempotent_batch_commit(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    batch_id: int,
+) -> int | None:
+    """Exactly-once micro-batch landing for ``foreachBatch`` sinks.
+
+    Structured Streaming's contract is at-least-once per batch: after a
+    crash between the sink action and the checkpoint commit, the SAME
+    (batch_id, data) is replayed.  A plain ``commit_snapshot`` would
+    append it twice.  This wrapper records the batch id in the manifest
+    ``meta`` and skips ids already present in the table history — replay
+    becomes a no-op, upgrading the pipeline to effective exactly-once
+    (the same scheme Delta's idempotent ``txnAppId``/``txnVersion``
+    writes use).
+
+    Returns the committed version, or None if the batch was already
+    landed.  The scan of history metas is driver-side manifest JSON —
+    O(#versions), no data read."""
+    from hfp_loader_spark.versioned import table_history
+
+    for info in table_history(spark, root):
+        if info.meta.get("batch_id") == batch_id:
+            return None
+    return commit_snapshot(
+        spark, df, root, mode="append", meta={"batch_id": batch_id}
+    )

@@ -145,3 +145,19 @@ def test_stream_to_versioned_lake_to_incremental_view(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_idempotent_batch_commit_skips_replays(spark, tmp_path):
+    from hfp_loader_spark.incremental import idempotent_batch_commit
+
+    root = str(tmp_path / "lake")
+    df1 = _rows(spark, [(1, 1.0)])
+    assert idempotent_batch_commit(spark, df1, root, batch_id=0) == 1
+    # crash-replay of batch 0 → skipped, table unchanged
+    assert idempotent_batch_commit(spark, df1, root, batch_id=0) is None
+    assert read_snapshot(spark, root).count() == 1
+    # next batch lands normally
+    assert idempotent_batch_commit(
+        spark, _rows(spark, [(2, 2.0)]), root, batch_id=1
+    ) == 2
+    assert read_snapshot(spark, root).count() == 2
