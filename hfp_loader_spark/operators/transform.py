@@ -63,6 +63,17 @@ def _temporal_expr(col: Column, spark_type: str) -> Column:
     iso = col.try_cast("timestamp")
     epoch_ms = F.timestamp_millis(col.try_cast("long"))
     ts = F.when(col.contains("-"), iso).otherwise(epoch_ms)
+    # Documented divergence: JS Date accepts ±273k-year epochs, but no
+    # real HFP timestamp leaves [0001, 9999] — values outside the
+    # proleptic-Gregorian window Python/Arrow/Postgres-sane tooling can
+    # represent are garbage input, coerced to NULL like any other parse
+    # failure (a driver-side collect of year −1857 would otherwise throw
+    # in pyspark's DateType.fromInternal).
+    ts = F.when(
+        ts.between(F.lit("0001-01-01").cast("timestamp"),
+                   F.lit("9999-12-31 23:59:59").cast("timestamp")),
+        ts,
+    )
     out = ts.cast("date") if spark_type == "date" else ts
     return F.when(_nonempty(col), out)
 
