@@ -54,6 +54,27 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make the catalog readable/comparable from ANY SparkSession.
+
+    Round 2 lost every driver correctness check because these lived only in
+    our own session factory (session.py) and the driver constructs its own
+    plain session.  Both confs are runtime-settable, so set them at the read
+    site — on whatever session we are handed:
+
+    - ``nanosAsLong``: the driver's parquet stores TIMESTAMP(NANOS) columns;
+      a plain PySpark 4.x session refuses them (PARQUET_TYPE_ILLEGAL).  With
+      the conf the column arrives as a raw epoch-nanos bigint and the
+      ``_NANOS_TS_COLS`` branch in ``load_table`` converts it.
+    - ``session.timeZone=UTC``: converted timestamps are session-tz-rendered
+      on collect; the DuckDB oracle yields UTC-naive values, so a non-UTC
+      driver session would hash-mismatch every timestamp column.
+
+    Idempotent and cheap (conf map puts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _micros(iso_ts: str) -> int:
     import datetime
 
@@ -80,6 +101,7 @@ def load_table(
     table).  Boundaries replicate the ns→µs truncation exactly:
     ``ts_µs <= t`` ⟺ ``ts_ns < (t+1µs)·1000``.
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for col, op, iso_ts in ts_pushdown or ():
@@ -124,8 +146,25 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
         and spark.catalog.tableExists(TABLES[0])
     ):
         return
+    # Tolerate a single unreadable table: a poisoned events.parquet must not
+    # take q1_pricing_summary down with it (round-2 lost all 50 driver checks
+    # to exactly that blast radius).  Queries over a failed table still raise
+    # — TABLE_OR_VIEW_NOT_FOUND at their own read site, with the load error
+    # logged here once.
+    failures: list[str] = []
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except Exception as exc:  # noqa: BLE001 — isolate per-table faults
+            failures.append(name)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "register_views: table %r failed to load from %s: %s",
+                name,
+                sf_dir,
+                exc,
+            )
     _VIEWS_REGISTERED[key] = sf_dir
 
 

@@ -1,0 +1,115 @@
+"""Driver-simulation tests: the catalog must work from a PLAIN SparkSession.
+
+Round 2 post-mortem: every driver correctness check failed because the
+``nanosAsLong`` conf lived only in our session factory, and the driver
+builds its own session.  These tests reproduce that exact environment —
+a session *without* our confs — and assert the catalog self-configures.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def plain_spark(spark):
+    """A fresh session sharing the JVM but with the catalog-critical confs
+    explicitly UNSET — the closest local[N] replica of the driver's plain
+    ``SparkSession.builder.getOrCreate()``."""
+    s = spark.newSession()
+    for key in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+    ):
+        try:
+            s.conf.unset(key)
+        except Exception:  # noqa: BLE001 — already at default
+            pass
+    return s
+
+
+def test_plain_session_cannot_read_events_raw(plain_spark, sf_dir):
+    """Baseline: proves the fixture really replicates the driver failure —
+    a bare read of events.parquet (TIMESTAMP NANOS) raises without the conf."""
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|Illegal Parquet type"):
+        plain_spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def test_load_table_self_configures(plain_spark, sf_dir):
+    """load_table must set nanosAsLong itself (VERDICT r2 fix #1)."""
+    from hfp_loader_spark.plans.catalog import load_table
+
+    df = load_table(plain_spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    assert df.count() > 0
+
+
+def test_catalog_queries_from_plain_session(plain_spark, sf_dir):
+    """A representative slice of the catalog end-to-end on the plain session,
+    including one query that reads the NANOS-timestamp events table."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "q1_pricing_summary",
+        "agg_monthly_orders",
+        "sessionize_islands",  # reads events.ts
+        "hfp_typed_coercion_net",
+    ):
+        assert qs[name](plain_spark, sf_dir).count() >= 0, name
+
+
+def test_nanos_parquet_fixture_roundtrip(plain_spark, tmp_path):
+    """Write a TIMESTAMP(NANOS) parquet with pyarrow and read it through
+    load_table: the ns→µs integer-division conversion must hold exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = [1_700_000_000_123_456_789, 1_700_000_000_000_000_000]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"), store_schema=False)
+
+    from hfp_loader_spark.plans.catalog import load_table
+
+    df = load_table(plain_spark, str(tmp_path), "events")
+    got = {r["event_id"]: r["ts"] for r in df.collect()}
+    import datetime
+
+    utc = datetime.timezone.utc
+    assert got[1] == datetime.datetime.fromtimestamp(
+        1_700_000_000.123456, tz=utc
+    ).replace(tzinfo=None)
+    assert got[2] == datetime.datetime.fromtimestamp(1_700_000_000, tz=utc).replace(
+        tzinfo=None
+    )
+
+
+def test_register_views_blast_radius(plain_spark, sf_dir, tmp_path):
+    """One poisoned table file must fail ONLY queries that read it
+    (VERDICT r2 fix #2): register_views survives, lineitem queries run,
+    nation queries raise at their own read site."""
+    from hfp_loader_spark.plans.catalog import TABLES, register_views
+
+    bad_dir = tmp_path / "sf_bad"
+    bad_dir.mkdir()
+    for t in TABLES:
+        if t == "nation":
+            (bad_dir / "nation.parquet").write_bytes(b"this is not parquet")
+        else:
+            os.symlink(f"{sf_dir}/{t}.parquet", bad_dir / f"{t}.parquet")
+
+    s = plain_spark.newSession()  # isolate temp views from other tests
+    register_views(s, str(bad_dir), force=True)  # must NOT raise
+
+    assert (
+        s.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
+    )
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|nation"):
+        s.sql("SELECT count(*) FROM nation").collect()

@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm_cell(v):
@@ -56,12 +59,22 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
     from hfp_loader_spark.plans.catalog import TABLES
-    from hfp_loader_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(shuffle_partitions=8)
+    # Deliberately a PLAIN session — no hfp_loader_spark.session factory —
+    # to faithfully replicate the driver's t2 gate (round 2 failure mode:
+    # confs that exist only in our factory).  The catalog must self-configure.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
