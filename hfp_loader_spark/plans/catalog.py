@@ -39,15 +39,19 @@ TABLES = [
 ]
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver's parquet.  Reading them
-# requires ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py);
-# without it the scan raises PARQUET_TYPE_ILLEGAL.  Spark 4.1 then surfaces
-# the column as timestamp_ntz truncated to µs — the same truncation DuckDB
-# applies, so the engines agree.  The bigint branch below is the fallback
-# for Spark versions that surface the raw epoch-nanos LONG instead: the
-# conversion uses *integer* division (``div 1000`` — a double-rounded FLOOR
-# would lose precision at 1e18).
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+# Event-time columns in the driver's parquet.  The physical encoding has
+# varied across driver versions — TIMESTAMP(NANOS) (readable only as an
+# epoch-nanos LONG via ``nanosAsLong``) in one round, TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (→ ``timestamp_ntz``) in another — so ``load_table``
+# normalizes whatever arrives to plain TimestampType, which every catalog
+# query was written against:
+#   bigint        → ``timestamp_micros(c div 1000)`` (*integer* division —
+#                   a double-rounded FLOOR loses precision at 1e18)
+#   timestamp_ntz → cast to timestamp (session tz is pinned UTC, so the
+#                   wall-clock is reinterpreted as the same UTC instant and
+#                   matches DuckDB's UTC-naive values on collect)
+#   timestamp     → untouched
+_EVENT_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
@@ -62,10 +66,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     plain session.  Both confs are runtime-settable, so set them at the read
     site — on whatever session we are handed:
 
-    - ``nanosAsLong``: the driver's parquet stores TIMESTAMP(NANOS) columns;
+    - ``nanosAsLong``: some driver rounds store TIMESTAMP(NANOS) columns;
       a plain PySpark 4.x session refuses them (PARQUET_TYPE_ILLEGAL).  With
       the conf the column arrives as a raw epoch-nanos bigint and the
-      ``_NANOS_TS_COLS`` branch in ``load_table`` converts it.
+      ``_EVENT_TS_COLS`` branch in ``load_table`` converts it.  Harmless
+      when the data is MICROS (the conf only affects NANOS columns).
     - ``session.timeZone=UTC``: converted timestamps are session-tz-rendered
       on collect; the DuckDB oracle yields UTC-naive values, so a non-UTC
       driver session would hash-mismatch every timestamp column.
