@@ -118,6 +118,17 @@ def load_table(
                 ">=": F.col(col) >= us * 1000,
                 ">": F.col(col) >= (us + 1) * 1000,
             }
+        elif (dtypes.get(col) or "").startswith("timestamp_ntz"):
+            # Compare in the raw ntz domain so the predicate stays a plain
+            # column-vs-literal comparison the parquet scan can push down
+            # (session tz is UTC, so the ntz wall-clock IS the UTC instant).
+            ts = F.expr(f"cast(timestamp_micros({us}) as timestamp_ntz)")
+            bounds = {
+                "<=": F.col(col) <= ts,
+                "<": F.col(col) < ts,
+                ">=": F.col(col) >= ts,
+                ">": F.col(col) > ts,
+            }
         else:  # already a real timestamp column
             ts = F.timestamp_micros(F.lit(us))
             bounds = {
@@ -127,9 +138,15 @@ def load_table(
                 ">": F.col(col) > ts,
             }
         df = df.where(bounds[op])
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if dtypes.get(c) == "bigint":
+    for c in _EVENT_TS_COLS.get(name, ()):
+        dt = dtypes.get(c) or ""
+        if dt == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt.startswith("timestamp_ntz"):
+            # Session tz is pinned UTC (_ensure_session_confs), so this cast
+            # reinterprets the naive wall-clock as the same UTC instant —
+            # the exact identity the module docstring promises.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -161,6 +178,11 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
         try:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         except Exception as exc:  # noqa: BLE001 — isolate per-table faults
+            if isinstance(exc, (NameError, TypeError, AttributeError, KeyError)):
+                # A Python-side programming error is not "one bad table" —
+                # it would hit every table and masquerade as data corruption
+                # (round 3 lost the whole gate to exactly that). Fail loudly.
+                raise
             failures.append(name)
             import logging
 
@@ -170,7 +192,12 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
                 sf_dir,
                 exc,
             )
-    _VIEWS_REGISTERED[key] = sf_dir
+    if not failures:
+        # Memoize only full success: a transiently unreadable table must be
+        # retried on the next query, not cached as absent for the session.
+        _VIEWS_REGISTERED[key] = sf_dir
+    else:
+        _VIEWS_REGISTERED.pop(key, None)
 
 
 @dataclass(frozen=True)

@@ -62,13 +62,24 @@ def read_events_stream(
     """File-source stream of the events table (schema from a batch probe;
     nanos-long ``ts`` normalized to TimestampType like plans.catalog)."""
     path = _as_source_dir(f"{sf_dir.rstrip('/')}/events.parquet")
+    # Self-sufficient conf setup (don't rely on a prior load_table call):
+    # nanosAsLong for the NANOS-encoded variant of the driver data, UTC
+    # session tz so the ntz→timestamp cast below is the identity.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_dt = dict(df.dtypes).get("ts") or ""
+    if ts_dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dt.startswith("timestamp_ntz"):
+        # Same normalization as plans.catalog.load_table: session tz is UTC,
+        # so the cast reinterprets the naive wall-clock as the UTC instant.
+        # withWatermark requires TimestampType — ntz is rejected outright.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
