@@ -58,18 +58,48 @@ def shingle_docs(
 
 
 def jaccard_pairs(
-    shingled: DataFrame, threshold: float, round_to: int = 4
+    shingled: DataFrame,
+    threshold: float,
+    round_to: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
 
     Posting-list self-join on the shingle (doc_a < doc_b), then
     |∩| / (|A|+|B|-|∩|).  Output: (doc_a, doc_b, jaccard).
+
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    documents BEFORE the self-join, and recompute per-doc set sizes over
+    the retained shingles (so J stays an exact Jaccard — over the
+    filtered shingle space).  The join's cost is Σ df² per shingle: one
+    stop-shingle shared by 1M docs alone costs 10¹² candidate rows, so an
+    uncapped run is quadratic at corpus scale while a capped run is
+    linear-ish.  Semantics note: a stop-shingle present in >cap docs
+    carries ~zero dedup signal (it cannot distinguish near-dups from the
+    background), so dropping it is the standard IDF-style approximation.
     """
-    posting = shingled.select(
-        "doc_id",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
-    )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+        # Shingles are distinct per doc (shingle_docs), so count per
+        # shingle IS document frequency.  Both windows re-use the join's
+        # own shuffle domains (shingle, then doc) — no extra pass over
+        # the corpus beyond one added exchange.
+        ex = (
+            ex.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+        posting = ex.withColumn(
+            "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    else:
+        posting = shingled.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode("shingles").alias("shingle"),
+        )
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (

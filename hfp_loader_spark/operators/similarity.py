@@ -421,6 +421,7 @@ def arrow_top_k(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int = 4,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
 
@@ -431,11 +432,28 @@ def arrow_top_k(
     per-row fold expressions when dims are wide.  Per-batch local top-k
     bounds the shuffle to (batches × queries × k) rows before the exact
     global top-k window.
+
+    ``max_queries`` guards the driver-side collect of the query matrix:
+    the design premise is a SMALL query side shipped in the task closure
+    (10k × 768 float64 ≈ 60 MB — near the practical closure-broadcast
+    ceiling already).  A million-query "query side" would OOM the driver
+    silently; raise loudly instead and point at the join formulation.
     """
     import numpy as np
 
     from hfp_loader_spark.operators.relational import top_k_per_group
 
+    # limit+1 probe instead of count(): one extra row tells us the cap is
+    # breached without a full pass over an unboundedly large query table.
+    probe = queries.select(query_id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"arrow_top_k query side exceeds max_queries={max_queries}: "
+            "the query matrix is collected to the driver and shipped in "
+            "every task closure, which only works for a small query set. "
+            "For large query sides use brute_force_top_k (a distributed "
+            "join) or raise max_queries explicitly if you know the size."
+        )
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)

@@ -235,12 +235,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN part p     ON l.l_partkey = p.p_partkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%bolt%'
     GROUP BY n.n_name, year(l.l_shipdate)
     """,
     doc="TPC-H Q9-like product profit (schema has no partsupp, so profit = "
     "revenue without ps_supplycost — adaptation documented): LIKE "
-    "'%green%' prunes part before its broadcast (a contains filter can't "
+    "'%bolt%' (the spec's '%green%' matches zero synthetic part names — a "
+    "0-row comparison proves nothing, VERDICT r3 #6) prunes part before "
+    "its broadcast (a contains filter can't "
     "reach parquet stats but runs codegen-side on the tiny dim), supplier→"
     "nation chain broadcast, grouped by (nation, ship year).",
 )
@@ -250,7 +252,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = (
         _t(spark, sf_dir, "part")
-        .where(F.col("p_name").contains("green"))
+        .where(F.col("p_name").contains("bolt"))
         .select("p_partkey")
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

@@ -118,3 +118,43 @@ def test_fuzzy_pairs_blocked_two_subs(spark):
     )
     # 1↔2: 2 subs ✓; 2↔3: 1 sub ✓; 1↔3: 3 subs ✗
     assert got == [(1, 2), (2, 3)]
+
+
+def test_jaccard_doc_freq_cap_bounds_stop_shingle_blowup(spark):
+    """VERDICT r3 #7: a stop-shingle shared by every doc must NOT produce
+    an all-pairs candidate set when ``max_doc_freq`` is set.  Synthetic
+    corpus: 40 docs all sharing one boilerplate sentence (the stop
+    shingles) plus unique content; two planted near-dup pairs."""
+    boiler = "subscribe to our newsletter for updates today"
+    rows = []
+    for i in range(40):
+        uniq = " ".join(f"w{i}x{j} tok{i * 7 + j} z{i}" for j in range(6))
+        rows.append((i, f"{boiler} {uniq}"))
+    # planted near-dups: docs 100/101 and 102/103 share all content
+    rows += [
+        (100, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+        (101, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+        (102, f"{boiler} one two three four five six seven eight nine"),
+        (103, f"{boiler} one two three four five six seven eight nine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = shingle_docs(docs, "doc_id", "text")
+
+    # Cap at 8: the boilerplate shingles (df=44) are dropped, the unique
+    # content shingles (df<=2) survive — the planted pairs must still be
+    # found, at J=1.0 over the retained shingle space.
+    capped = jaccard_pairs(shingled, threshold=0.8, max_doc_freq=8)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(100, 101): 1.0, (102, 103): 1.0}
+
+    # And the candidate join itself is bounded: count pairs sharing ANY
+    # retained shingle (pre-threshold) — without the cap every one of the
+    # C(44,2)=946 pairs is a candidate via the boilerplate.
+    uncapped_candidates = (
+        jaccard_pairs(shingled, threshold=0.0).count()
+    )
+    capped_candidates = (
+        jaccard_pairs(shingled, threshold=0.0, max_doc_freq=8).count()
+    )
+    assert uncapped_candidates == 946  # all-pairs blowup, the failure mode
+    assert capped_candidates == 2  # only genuinely similar pairs remain

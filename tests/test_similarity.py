@@ -153,3 +153,21 @@ def test_ivf_recall_beats_candidate_budget(emb, queries):
     # every approx hit must be a genuine corpus row with a valid rank
     assert all(qid < N_QUERIES for qid, _ in approx)
     assert len(approx) == len(exact)  # k rows per query on both sides
+
+
+def test_arrow_top_k_query_cap_raises(spark, emb):
+    """VERDICT r3 #8: the driver-side collect of the query matrix must be
+    guarded — an oversized query side raises a clear error instead of
+    silently OOMing the driver."""
+    import pytest
+
+    from hfp_loader_spark.operators.similarity import arrow_top_k
+
+    queries = emb.select(
+        emb.vec_id.alias("query_id"), "embedding"
+    ).limit(10)
+    with pytest.raises(ValueError, match="max_queries"):
+        arrow_top_k(emb, queries, k=3, max_queries=5)
+    # at/below the cap the operator runs normally
+    out = arrow_top_k(emb, queries, k=3, max_queries=10)
+    assert out.count() == 30
