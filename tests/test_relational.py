@@ -38,14 +38,28 @@ def test_sessionize_single_exchange(spark, sf_dir):
 
 def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
     """The sketch quantile must land within 1% rank error of the exact
-    quantile (accuracy=10000 → ε = 1/10000, asserted with slack)."""
+    quantile (accuracy=10000 → ε = 1/10000, asserted with slack).
+
+    Runs the sketch directly (the catalog query now emits tolerance-band
+    booleans instead of raw sketch values) and also asserts every
+    catalog-side within-band boolean is True."""
     from hfp_loader_spark.plans.catalog import REGISTRY, load_table
 
+    for row in REGISTRY["agg_approx_percentile"].builder(spark, sf_dir).collect():
+        for t in ("50", "90", "99"):
+            assert row[f"p{t}_within_5pct"] is True, row
+
+    orders = load_table(spark, sf_dir, "orders")
     approx = {
         r["o_orderstatus"]: r.asDict()
-        for r in REGISTRY["agg_approx_percentile"].builder(spark, sf_dir).collect()
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+            F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+        )
+        .collect()
     }
-    orders = load_table(spark, sf_dir, "orders")
     for status, row in approx.items():
         vals = sorted(
             r["o_totalprice"]
