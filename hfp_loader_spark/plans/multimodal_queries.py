@@ -46,12 +46,44 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "multimodal_decode_frames",
-    None,  # nested meta struct + stub codec → rows-only; determinism and
-    # stub gating asserted in tests/test_multimodal.py.
+    # The fake decoder is md5-digest-driven, so every output column is
+    # restatable in SQL: width/height/n_frames come from digest bytes 0/1/3
+    # (hex-pair → int arithmetic below), n_sampled = min(n_frames, 4), and
+    # the first frame digest is md5 over the payload's first
+    # max(n_bytes // n_frames, 1) bytes.  documents.text is ASCII (asserted
+    # in tests/test_multimodal.py), so VARCHAR slicing/md5 in DuckDB equals
+    # the byte-level operations Spark's pandas worker performs.
+    """
+    WITH parsed AS (
+      SELECT doc_id, text, length(text) AS nb, md5(text) AS h
+      FROM documents
+    ),
+    geom AS (
+      SELECT doc_id, text, nb,
+             (strpos('0123456789abcdef', h[1])-1)*16
+               + strpos('0123456789abcdef', h[2])-1 AS d0,
+             (strpos('0123456789abcdef', h[3])-1)*16
+               + strpos('0123456789abcdef', h[4])-1 AS d1,
+             (strpos('0123456789abcdef', h[7])-1)*16
+               + strpos('0123456789abcdef', h[8])-1 AS d3
+      FROM parsed
+    )
+    SELECT doc_id,
+           'video' AS media_type,
+           CAST(16 + d0 % 64 AS INTEGER)        AS width,
+           CAST(16 + d1 % 64 AS INTEGER)        AS height,
+           CAST(1 + d3 % 8 AS INTEGER)          AS n_frames,
+           CAST(least(1 + d3 % 8, 4) AS INTEGER) AS n_sampled,
+           substr(md5(substring(text, 1, greatest(nb // (1 + d3 % 8), 1))),
+                  1, 16)                        AS first_frame_digest
+    FROM geom
+    """,
     doc="Stubbed media decode + uniform frame sampling over mapInPandas: "
     "typed metadata struct, frame offsets and digests — the real Spark "
     "plumbing around a codec that is NotImplementedError-gated in this "
-    "environment (fake deterministic decoder in tests).",
+    "environment (deterministic digest-driven fake in its place, which "
+    "makes every emitted column SQL-restatable — the oracle recomputes "
+    "the decode from the payload).",
 )
 def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(_t(spark, sf_dir, "documents"))

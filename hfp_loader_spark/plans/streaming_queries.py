@@ -112,13 +112,32 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "streaming_tumbling_availablenow",
-    None,  # append-mode watermark truncation depends on micro-batch
-    # boundaries at the data's tail → rows-only; the emitted prefix is
-    # asserted equal to the batch result in tests/test_streaming.py.
+    # Append mode emits exactly the windows the FINAL watermark closed, and
+    # with availableNow the final watermark is deterministic: max(ts) − the
+    # 10-min delay (Spark tracks it at millisecond precision, hence the
+    # date_trunc; the trailing no-data micro-batch — on by default — flushes
+    # every window that watermark passed, independent of micro-batch
+    # boundaries).  So the emitted set IS SQL-stateable: tumbling windows
+    # with window_end ≤ final watermark.
+    """
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+      FROM events
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
+    GROUP BY 1, 2
+    """,
     doc="GENUINE streaming execution of the tumbling-window aggregate: "
     "readStream → withWatermark 10 min → window counts → availableNow, "
     "append mode. Emits exactly the windows closed by the final "
-    "watermark — the bounded-state 100 TB ingest path.",
+    "watermark (= max event time − 10 min, stated in the oracle's WHERE) "
+    "— the bounded-state 100 TB ingest path.",
 )
 def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")

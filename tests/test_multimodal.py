@@ -101,3 +101,23 @@ def test_frame_sampling_shape(docs):
         assert len(r["frame_digests"]) == n
         assert r["meta"]["n_frames"] >= n
         assert sorted(r["frame_offsets"]) == list(r["frame_offsets"])
+
+
+def test_documents_text_is_ascii(spark, sf_dir):
+    """Precondition of the multimodal_decode_frames oracle: DuckDB's
+    VARCHAR md5/substring equal byte-level ops only while the corpus is
+    pure ASCII.  If the driver's generator ever emits multibyte text,
+    fail HERE with a clear message instead of as an opaque hash mismatch
+    in the gate."""
+    from pyspark.sql import functions as F
+
+    n_multibyte = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert n_multibyte == 0, (
+        "documents.text contains multibyte characters; the "
+        "multimodal_decode_frames oracle (and any VARCHAR-slicing oracle) "
+        "must be rewritten byte-wise"
+    )
