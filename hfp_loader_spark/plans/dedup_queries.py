@@ -121,6 +121,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "dedup_minhash_recall",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_ge_90,
+           TRUE AS no_false_positives
+    FROM pairs WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8
+    """,
+    doc="Oracle-checked accuracy CONTRACT for the MinHash+LSH path (the "
+    "pair list itself is rows-only — engine-specific hashes): Spark "
+    "computes exact-Jaccard pairs AND the LSH-discovered pairs, then "
+    "emits the exact-pair count plus two booleans — recall ≥ 0.9 "
+    "(banding theory predicts ≈1 at J≥0.8 with 8 bands × 4 rows) and "
+    "zero false positives (a THEOREM here: candidates are verified with "
+    "the same exact-Jaccard before emission). The oracle recomputes the "
+    "exact pair count in SQL with literal TRUEs — a hash match certifies "
+    "the sketch pipeline's accuracy on real data, the tolerance-band "
+    "pattern of agg_approx_distinct applied to LSH.",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shingled = shingle_docs(docs, "doc_id", "text")
+    exact = jaccard_pairs(shingled, threshold=0.8).select("doc_a", "doc_b")
+    found = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    hits = exact.join(found, ["doc_a", "doc_b"], "left_semi")
+    false_pos = found.join(exact, ["doc_a", "doc_b"], "left_anti")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+        .crossJoin(false_pos.agg(F.count("*").alias("_n_fp")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_hit") >= F.ceil(F.col("n_exact_pairs") * 0.9)).alias(
+                "recall_ge_90"
+            ),
+            (F.col("_n_fp") == F.lit(0)).alias("no_false_positives"),
+        )
+    )
+
+
+@defquery(
     "dedup_simhash",
     None,  # Spark xxhash64 token hashes → rows-only check (tests assert
     # near-dup pairs land within the Hamming radius).

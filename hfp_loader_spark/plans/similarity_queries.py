@@ -162,6 +162,70 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4, centroids=cents)
 
 
+_ANN_ORACLE = f"""
+    SELECT CAST(c * q AS BIGINT) AS n_exact_hits,
+           TRUE AS recall_ge_{{floor_pct}}
+    FROM (SELECT least(5, count(*)) AS c,
+                 count(*) FILTER (vec_id < {_N_QUERIES}) AS q
+          FROM embeddings)
+"""
+
+
+def _ann_recall_contract(
+    exact: DataFrame, approx: DataFrame, floor: float, flag: str
+) -> DataFrame:
+    """Recall@k of an ANN result vs the exact top-k, as an oracle-matchable
+    single row: the exact hit count (SQL-restatable) + a recall-floor
+    boolean — the tolerance-band pattern applied to ANN search."""
+    keys = ["query_id", "vec_id"]
+    hits = exact.select(*keys).join(approx.select(*keys), keys, "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_hits"))
+        .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+        .select(
+            "n_exact_hits",
+            (F.col("_n_hit") >= F.col("n_exact_hits") * floor).alias(flag),
+        )
+    )
+
+
+@defquery(
+    "sim_ann_ivf_recall",
+    _ANN_ORACLE.format(floor_pct=60),
+    doc="Oracle-checked recall CONTRACT for the IVF index (the neighbor "
+    "list itself is rows-only): recall@5 of sim_ann_ivf vs the exact "
+    "top-5, asserted ≥ 0.6 — the candidate budget is nprobe/nlist = 1/2 "
+    "of the corpus, so beating 0.6 shows the cells adapt to the data "
+    "(random pruning would land at ≈0.5). Deterministic: seeded sample, "
+    "seeded k-means init, fixed tiebreaks.",
+)
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_contract(
+        sim_cosine_topk(spark, sf_dir),
+        sim_ann_ivf(spark, sf_dir),
+        floor=0.6,
+        flag="recall_ge_60",
+    )
+
+
+@defquery(
+    "sim_ann_signlsh_recall",
+    _ANN_ORACLE.format(floor_pct=40),
+    doc="Oracle-checked recall CONTRACT for sign-LSH ANN: recall@5 of "
+    "sim_ann_signlsh (5 planes, 5 probes) vs the exact top-5, asserted "
+    "≥ 0.4 — meaningfully above the (1+probes)/2^planes ≈ 0.19 budget a "
+    "random bucketing would recover. Deterministic hyperplanes → stable "
+    "across runs.",
+)
+def sim_ann_signlsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_contract(
+        sim_cosine_topk(spark, sf_dir),
+        sim_ann_signlsh(spark, sf_dir),
+        floor=0.4,
+        flag="recall_ge_40",
+    )
+
+
 @defquery(
     "sim_quantize_int8",
     """
