@@ -240,6 +240,66 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "dedup_cluster_keepers",
+    f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM dup_edges
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM dup_edges
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id
+    ),
+    comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+    SELECT CAST(component AS BIGINT)     AS keeper_doc_id,
+           CAST(count(*) AS BIGINT)      AS n_members,
+           CAST(count(*) - 1 AS BIGINT)  AS n_removed,
+           CAST(max(id) AS BIGINT)       AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+    doc="The dedup KEEP-LIST — what a near-dup pipeline actually "
+    "materializes before writing the cleaned corpus: per duplicate "
+    "cluster (transitive closure of Jaccard≥0.8 pairs), the canonical "
+    "keeper (min doc_id = the component label, so it falls out of the "
+    "label propagation for free), member and removed counts, and a "
+    "max-id checksum pinning exact membership. One aggregate over the "
+    "connected-components output; at 100 TB the removed side becomes "
+    "the anti-join filter producing the deduplicated corpus.",
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import connected_components
+
+    shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    edges = jaccard_pairs(shingled, threshold=0.8)
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    return comp.groupBy(
+        F.col("component").cast("long").alias("keeper_doc_id")
+    ).agg(
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_removed"),
+        F.max("id").cast("long").alias("max_doc_id"),
+    )
+
+
+@defquery(
     "dedup_fuzzy_name_pairs",
     """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

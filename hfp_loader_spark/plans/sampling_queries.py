@@ -100,6 +100,50 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "sample_weighted_reservoir",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             list_sum(list_transform(generate_series(1, 12),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * 16.0 ** (12 - i))) / 16.0 ** 12 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(u ** (1.0 / n_chars), 8) AS w_key
+    FROM s
+    ORDER BY w_key DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Weighted reservoir sample (Efraimidis-Spirakis A-ES): key = "
+    "u^(1/weight) with u a DETERMINISTIC uniform draw — the first 12 hex "
+    "digits of md5(doc_id) as an integer / 16^12, exactly representable "
+    "in a double so both engines hold the identical u — and weight = "
+    "n_chars; the global top-k by key IS a weighted-without-replacement "
+    "sample. Engine-portable and re-run-stable (vs rand(), which re-deals "
+    "per task attempt); the top-k is TakeOrderedAndProject — per-task "
+    "heaps, no global sort, one narrow projection over the corpus. Keys "
+    "rounded to 8 decimals before ranking so both engines rank identical "
+    "values (libm pow may differ in the last ulp).",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import global_top_k
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("double") / F.lit(float(16**12))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 8).alias("w_key"),
+    )
+    return global_top_k(keyed, [F.desc("w_key"), F.asc("doc_id")], 20)
+
+
+@defquery(
     "pivot_priority_by_status",
     """
     SELECT o_orderpriority,

@@ -412,3 +412,62 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log("_p")), 6).alias("avg_neg_logp"),
         )
     )
+
+
+@defquery(
+    "text_bigram_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS a,
+             unnest(toks[2:len(toks)])   AS b
+      FROM t WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+    c1 AS (SELECT a, sum(c) AS n FROM c2 GROUP BY a)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(c * 1.0 / n)), 6) AS avg_neg_logp2
+    FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+    GROUP BY doc_id
+    """,
+    doc="Bigram conditional surprisal per document: p(b|a) = c(a,b) / "
+    "c(a,·) over the corpus bigram multiset, then avg(-ln p) per doc — "
+    "the next step up from text_unigram_surprisal in LM-quality "
+    "filtering (catches locally-plausible-but-incoherent token streams "
+    "that unigram stats miss). Bigrams come from zipping the token array "
+    "with its own shifted slice (top-level zip_with — NOT an index "
+    "lambda, which would re-run the tokenizer per position, the "
+    "word_shingles lesson); the conditional-prob table is "
+    "bigram-vocabulary-sized and broadcasts onto the exploded stream; "
+    "partial aggregation collapses the explode before the doc-key "
+    "shuffle.",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n1),
+                F.slice(toks, 2, n1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("_c"))
+    c1 = c2.groupBy("a").agg(F.sum("_c").alias("_n"))
+    probs = c2.join(c1, "a").select(
+        "a", "b", (F.col("_c") / F.col("_n")).alias("_p")
+    )
+    return (
+        bg.join(F.broadcast(probs), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("_p")), 6).alias("avg_neg_logp2"),
+        )
+    )
