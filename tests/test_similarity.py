@@ -171,3 +171,83 @@ def test_arrow_top_k_query_cap_raises(spark, emb):
     # at/below the cap the operator runs normally
     out = arrow_top_k(emb, queries, k=3, max_queries=10)
     assert out.count() == 30
+
+
+# --- Product quantization -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from hfp_loader_spark.operators.similarity import train_pq_codebooks
+
+    return train_pq_codebooks(emb, m=8, ksub=16, fraction=1.0)
+
+
+def test_pq_training_is_deterministic_and_shaped(emb, pq_books):
+    from hfp_loader_spark.operators.similarity import train_pq_codebooks
+
+    again = train_pq_codebooks(emb, m=8, ksub=16, fraction=1.0)
+    assert again == pq_books  # seeded sample + seeded init
+    assert len(pq_books) == 8
+    assert all(len(book) == 16 for book in pq_books)
+    assert all(len(c) == DIM // 8 for book in pq_books for c in book)
+
+
+def test_pq_encode_matches_numpy_argmin(emb, pq_books):
+    """The in-plan encode (rearranged ‖v/n−c‖² argmin) must agree with a
+    straightforward numpy nearest-code-word assignment."""
+    import numpy as np
+
+    from hfp_loader_spark.operators.similarity import pq_encode
+
+    rows = (
+        emb.limit(20)
+        .select("vec_id", "embedding", pq_encode(F.col("embedding"), pq_books).alias("codes"))
+        .collect()
+    )
+    books = np.array(pq_books)  # (m, ksub, dsub)
+    m, _, dsub = books.shape
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        vhat = v / n if n > 0 else v
+        for j in range(m):
+            sub = vhat[j * dsub : (j + 1) * dsub]
+            want = int(np.argmin(((books[j] - sub) ** 2).sum(axis=1)))
+            assert r["codes"][j] == want, (r["vec_id"], j)
+
+
+def test_pq_rerank_recall_beats_raw_adc(emb, queries, pq_books):
+    from hfp_loader_spark.operators.similarity import pq_top_k, pq_top_k_rerank
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, queries, K).collect()
+    }
+    raw = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_top_k(emb, queries, K, pq_books).collect()
+    }
+    rer = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_top_k_rerank(emb, queries, K, pq_books).collect()
+    }
+    recall_raw = len(exact & raw) / len(exact)
+    recall_rer = len(exact & rer) / len(exact)
+    assert recall_rer >= 0.6
+    assert recall_rer >= recall_raw  # rerank can only help
+    assert len(rer) == len(exact)  # k rows per query
+
+
+def test_pq_distortion_is_bounded(emb, pq_books):
+    from hfp_loader_spark.operators.similarity import pq_reconstruction_mse
+
+    row = (
+        pq_reconstruction_mse(emb, pq_books)
+        .agg(F.avg("mse").alias("avg"), F.max("mse").alias("mx"))
+        .collect()[0]
+    )
+    # normalized vectors have per-dim energy 1/dim ≈ 0.0156; the PQ decode
+    # must capture most of it
+    assert row["avg"] < 0.02
+    assert row["mx"] < 0.05
