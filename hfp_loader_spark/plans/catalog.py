@@ -142,10 +142,14 @@ def load_table(
         dt = dtypes.get(c) or ""
         if dt == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-        elif dt.startswith("timestamp_ntz"):
+        elif dt.startswith("timestamp_ntz") or dt == "date":
             # Session tz is pinned UTC (_ensure_session_confs), so this cast
             # reinterprets the naive wall-clock as the same UTC instant —
-            # the exact identity the module docstring promises.
+            # the exact identity the module docstring promises.  (The
+            # ``date`` branch is drift insurance: two rounds of driver data
+            # have already switched physical encodings — NANOS→MICROS-ntz —
+            # and a DATE32 o_orderdate would otherwise break every
+            # timestamp-typed consumer the same way.)
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 

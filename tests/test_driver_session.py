@@ -181,3 +181,27 @@ def test_register_views_blast_radius(plain_spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|nation"):
         s.sql("SELECT count(*) FROM nation").collect()
+
+
+def test_date32_parquet_fixture_normalizes_to_timestamp(plain_spark, tmp_path):
+    """Encoding-drift insurance: if a future driver round writes
+    o_orderdate/l_shipdate as DATE32, load_table must still yield plain
+    TimestampType (midnight UTC), like the NANOS and MICROS-ntz cases."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_orderdate": pa.array([datetime.date(2024, 1, 30)], pa.date32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"), store_schema=False)
+
+    from hfp_loader_spark.plans.catalog import load_table
+
+    df = load_table(plain_spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    assert df.collect()[0]["o_orderdate"] == datetime.datetime(2024, 1, 30)
