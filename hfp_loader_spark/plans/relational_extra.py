@@ -512,3 +512,61 @@ def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+@defquery(
+    "agg_winsorized_stats",
+    """
+    WITH bounds AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (o.o_totalprice < b.lo) AS BIGINT)
+             AS n_clipped_low,
+           CAST(count(*) FILTER (o.o_totalprice > b.hi) AS BIGINT)
+             AS n_clipped_high,
+           round(sum(least(greatest(o.o_totalprice, b.lo), b.hi)), 2)
+             AS winsorized_sum,
+           round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4)
+             AS winsorized_avg
+    FROM orders o JOIN bounds b USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+    doc="Winsorized statistics (clip at p05/p95 per group) — the standard "
+    "outlier-trim before aggregating a heavy-tailed measure, and the "
+    "robust-mean primitive training-data pipelines apply to document "
+    "lengths / per-user totals. Per-group interpolated percentiles "
+    "(Spark percentile ≡ DuckDB quantile_cont, same doubles) computed in "
+    "one group-cardinality aggregate, broadcast back onto the fact rows, "
+    "clip + conditional counts in a single second pass. At 100 TB the "
+    "approx_percentile t-digest swaps in for the exact bounds the same "
+    "way as everywhere else in this catalog.",
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.05).alias("_lo"),
+        F.percentile("o_totalprice", 0.95).alias("_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("_lo")), F.col("_hi")
+    )
+    return (
+        orders.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_totalprice") < F.col("_lo"), 1)).alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(F.col("o_totalprice") > F.col("_hi"), 1)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.sum(clipped), 2).alias("winsorized_sum"),
+            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+        )
+    )
