@@ -188,6 +188,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fps, max_hamming=3)
 
 
+_SIMHASH_SELF_OFFSET = 10_000_000
+
+
+@defquery(
+    "dedup_simhash_selfmatch",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS all_self_pairs_found
+    FROM documents
+    """,
+    doc="Oracle-checked completeness CONTRACT for the SimHash path (the "
+    "pair list itself is rows-only — engine-specific hashes): append an "
+    "id-shifted exact copy of every document, fingerprint the union, run "
+    "the pigeonhole-banded Hamming≤3 pair search, and assert every "
+    "(doc, copy) pair was found. Identical token streams produce "
+    "identical fingerprints and the (h+1)-band split GUARANTEES a "
+    "Hamming-0 pair shares a band — so a miss can only mean broken "
+    "plumbing (fingerprint nondeterminism, banding arithmetic, join "
+    "keys), which is exactly what the contract pins. The oracle states "
+    "the forced-pair count (= corpus size) with a literal TRUE.",
+)
+def dedup_simhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + _SIMHASH_SELF_OFFSET).alias("doc_id"), "text"
+    )
+    fps = simhash_fingerprints(docs.unionByName(shifted), "doc_id", "text")
+    pairs = simhash_near_pairs(fps, max_hamming=3)
+    forced_found = pairs.where(
+        F.col("doc_b") == F.col("doc_a") + _SIMHASH_SELF_OFFSET
+    )
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(forced_found.agg(F.count("*").alias("_n_found")))
+        .select(
+            "n_docs",
+            (F.col("_n_found") == F.col("n_docs")).alias(
+                "all_self_pairs_found"
+            ),
+        )
+    )
+
+
 @defquery(
     "dedup_duplicate_clusters",
     f"""
