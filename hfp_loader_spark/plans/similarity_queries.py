@@ -187,7 +187,7 @@ def _pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     "code words, driver-trained L2 k-means per subspace shipped as one "
     "folded struct literal with ‖c‖² precomputed): corpus encoded to "
     "8-byte codes in one narrow pass (32× less index I/O than raw "
-    "64-float vectors), ADC shortlist of 4k candidates, exact cosine "
+    "64-float vectors), ADC shortlist of 100 candidates, exact cosine "
     "rerank of the shortlist only — the memory-bandwidth-bound ANN path "
     "for 10^9-vector corpora, where the codes fit in RAM and full "
     "vectors are read back per-candidate, not per-scan.",
@@ -199,7 +199,9 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_top_k_rerank(emb, queries, k=5, codebooks=_pq_books(spark, sf_dir))
+    return pq_top_k_rerank(
+        emb, queries, k=5, codebooks=_pq_books(spark, sf_dir), shortlist=100
+    )
 
 
 _ANN_ORACLE = f"""
@@ -270,9 +272,9 @@ def sim_ann_signlsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_pq_recall",
     _ANN_ORACLE.format(floor_pct=60),
     doc="Oracle-checked recall CONTRACT for PQ+rerank: recall@5 of "
-    "sim_ann_pq vs the exact top-5, asserted ≥ 0.6 (measured 0.76 at "
-    "m=8 × ksub=16 with a 4k shortlist; raw ADC without rerank measures "
-    "0.48). Deterministic: seeded sample + seeded per-subspace k-means.",
+    "sim_ann_pq vs the exact top-5, asserted ≥ 0.6 (measured 0.96 at sf0.01 / 0.80 at sf0.1 with "
+    "m=8 × ksub=16 and a 100-candidate shortlist; raw ADC without rerank "
+    "measures 0.48). Deterministic: seeded sample + seeded per-subspace k-means.",
 )
 def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(
