@@ -17,9 +17,11 @@ Scale design:
   grows by two joins per round melts the optimizer after ~15 rounds);
 - rounds needed = graph diameter.  Near-dup graphs are short chains, so
   this converges in 2-4 rounds.  For adversarial diameters (long chains)
-  the known upgrade is large-star/small-star (Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SoCC'14) at O(log n) rounds — same
-  per-round primitives, documented here as the scale path.
+  :func:`connected_components_alternating` implements the
+  large-star/small-star algorithm (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) at O(log n) rounds with the same
+  per-round primitives — the catalog's clustering queries run on it;
+  both produce identical labels (property-tested).
 """
 
 from __future__ import annotations
@@ -168,3 +170,96 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     paths = e1.join(e2, "y")
     closed = paths.join(e3, ["x", "z"])
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds instead of O(diameter), the upgrade the
+    min-label propagation docstring promises for adversarial chain
+    graphs.
+
+    Per round (both phases are one aggregate + one join, same primitives
+    as a propagation round):
+
+    - **large-star**: per center u with m = min(N(u) ∪ {u}), re-hang
+      every LARGER neighbor v > u onto m (halves long chains);
+    - **small-star**: orient every edge (larger → smaller), per center u
+      hang u and all its (smaller) neighbors onto the minimum.
+
+    Fixed point = edge set stable = a star per component centered at its
+    minimum id.  Returns (id, component) like
+    :func:`connected_components` — byte-identical labels, different
+    round complexity.  ``localCheckpoint`` truncates lineage per phase.
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not cur.take(1):
+        return cur.select(
+            F.col("a").alias("id"), F.col("b").alias("component")
+        )
+
+    def edge_sig(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive and overflow-free under ANSI mode
+            # (a SUM of xxhash64 longs overflows); edges are distinct, so
+            # xor-cancellation of repeated rows cannot occur
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # -- large-star: symmetrize, center on a, re-hang larger neighbors
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mb"))
+        m = F.least(F.col("a"), F.col("_mb"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            # v > u ≥ m ⇒ never a self-loop
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star: orient larger→smaller, hang center + neighbors on min
+        ori = large.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
+        ).where(F.col("u") != F.col("v"))
+        mins2 = ori.groupBy("u").agg(F.min("v").alias("_mv"))
+        hang_nbrs = (
+            ori.join(mins2, "u")
+            .where(F.col("v") != F.col("_mv"))
+            .select(F.col("v").alias("a"), F.col("_mv").alias("b"))
+        )
+        hang_center = mins2.select(
+            F.col("u").alias("a"), F.col("_mv").alias("b")
+        )
+        cur = hang_nbrs.unionByName(hang_center).distinct().localCheckpoint()
+
+        sig = edge_sig(cur)
+        if prev_sig is not None and sig == prev_sig:
+            stars = cur  # (non-min vertex, component min) star edges
+            roots = stars.select(F.col("b").alias("a"), F.col("b"))
+            return (
+                stars.unionByName(roots)
+                .distinct()
+                .select(F.col("a").alias("id"), F.col("b").alias("component"))
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components_alternating: not converged after {max_iter} "
+        "rounds"
+    )

@@ -264,18 +264,21 @@ def dedup_simhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM walk GROUP BY id
     """,
     doc="Duplicate CLUSTERS (the step near-dup pipelines actually need): "
-    "Jaccard>=0.8 pairs as edges, transitive closure via iterative "
-    "min-label propagation (operators.graph.connected_components — one "
-    "distributed join+agg per round, localCheckpoint lineage truncation, "
-    "rounds = diameter). component_id = min doc_id reachable, i.e. the "
+    "Jaccard>=0.8 pairs as edges, transitive closure via alternating "
+    "large-star/small-star (operators.graph.connected_components_alternating "
+    "— Kiveris et al. SoCC'14, one aggregate+join per phase, O(log n) "
+    "rounds vs O(diameter) for plain propagation). component_id = min "
+    "doc_id reachable, i.e. the "
     "canonical keeper. Oracle: DuckDB recursive-CTE reachability.",
 )
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.graph import connected_components
+    from hfp_loader_spark.operators.graph import (
+        connected_components_alternating,
+    )
 
     shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
     edges = jaccard_pairs(shingled, threshold=0.8)
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    comp = connected_components_alternating(edges, src="doc_a", dst="doc_b")
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").cast("long").alias("component_id"),
@@ -328,11 +331,13 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the anti-join filter producing the deduplicated corpus.",
 )
 def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.graph import connected_components
+    from hfp_loader_spark.operators.graph import (
+        connected_components_alternating,
+    )
 
     shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
     edges = jaccard_pairs(shingled, threshold=0.8)
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    comp = connected_components_alternating(edges, src="doc_a", dst="doc_b")
     return comp.groupBy(
         F.col("component").cast("long").alias("keeper_doc_id")
     ).agg(

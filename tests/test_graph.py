@@ -54,3 +54,44 @@ def test_triangle_count_none(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert triangle_count(df).collect()[0]["n_triangles"] == 0
+
+
+def test_alternating_cc_matches_propagation(spark):
+    """Large-star/small-star must produce byte-identical labels to
+    min-label propagation on random graphs."""
+    import random
+
+    from hfp_loader_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    random.seed(11)
+    edges = [
+        (random.randrange(120), random.randrange(120)) for _ in range(90)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_alternating(df).collect()
+    }
+    assert a == b
+
+
+def test_alternating_cc_handles_long_chain(spark):
+    """A chain of diameter 80 converges in O(log n) rounds — min-label
+    propagation would need 80 rounds (> its max_iter) for the same graph."""
+    from hfp_loader_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], ["src", "dst"]
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_alternating(chain, max_iter=15).collect()
+    }
+    assert got == {(i, 0) for i in range(81)}
