@@ -570,3 +570,112 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("winsorized_avg"),
         )
     )
+
+
+@defquery(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total,
+           round(avg(value), 6)     AS mean
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+    doc="UNPIVOT / melt (wide → long, the inverse of pivot): four measure "
+    "columns become (measure, value) rows via DataFrame.unpivot — Spark "
+    "plans ONE Expand over a single scan (each input row fans out to 4 "
+    "in-row), where the naive UNION ALL the oracle states would scan the "
+    "fact table four times. The long layout then aggregates per "
+    "(flag, measure) in one pass — the profile-every-column primitive.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        # align the measure labels with the oracle's names
+        "measure",
+        F.expr("substring(measure, 3)"),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+
+
+@defquery(
+    "timeseries_gapfill_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT)  AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 day'))::DATE AS d
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.d, y.n_orders, y.total FROM spine s LEFT JOIN daily y USING (d)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           coalesce(n_orders, 0)   AS n_orders,
+           CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END AS was_gap,
+           coalesce(total,
+                    last_value(total IGNORE NULLS)
+                      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+                    0.0)           AS total_ffill
+    FROM joined
+    """,
+    doc="Time-series gap-fill: a complete date spine from sequence() "
+    "(one row per day between the observed min and max — generated "
+    "in-plan, no driver loop), LEFT JOIN of the daily aggregate onto it, "
+    "zero-fill for counts and FORWARD-FILL for the level metric via "
+    "last_value(ignorenulls) over an unbounded-preceding frame. The "
+    "resample primitive every metrics/feature pipeline needs before "
+    "windowed training aggregates; the spine is date-cardinality, so "
+    "the join is trivially broadcastable at any fact scale.",
+)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    joined = spine.join(daily, "d", "left")
+    ffill = F.last("total", ignorenulls=True).over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), 1).otherwise(0).alias("was_gap"),
+        F.coalesce("total", ffill, F.lit(0.0)).alias("total_ffill"),
+    )
