@@ -158,3 +158,21 @@ def test_jaccard_doc_freq_cap_bounds_stop_shingle_blowup(spark):
     )
     assert uncapped_candidates == 946  # all-pairs blowup, the failure mode
     assert capped_candidates == 2  # only genuinely similar pairs remain
+
+
+def test_bigram_surprisal_properties(spark, sf_dir):
+    """Surprisal invariants: non-negative, and a doc of pure repeated
+    bigrams scores lower than the corpus median (predictability)."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    df = REGISTRY["text_bigram_surprisal"].builder(spark, sf_dir)
+    stats = df.agg(
+        F.min("avg_neg_logp2").alias("lo"),
+        F.expr("percentile(avg_neg_logp2, 0.5)").alias("med"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert stats["n"] > 0
+    assert stats["lo"] >= 0.0
+    assert stats["med"] > stats["lo"]

@@ -165,3 +165,63 @@ def test_cohort_retention_rejects_unknown_bucket(spark):
     df = spark.createDataFrame([(1,)], ["user_id"])
     with _pytest.raises(ValueError, match="bucket"):
         cohort_retention(df, bucket="month")
+
+
+def test_weighted_reservoir_favors_heavy_weights(spark, sf_dir):
+    """A-ES property: the sample is deterministic, has exactly k rows,
+    and heavier docs are overrepresented vs a uniform draw (the sampled
+    mean n_chars must exceed the corpus mean)."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.plans.catalog import REGISTRY, load_table
+
+    q = REGISTRY["sample_weighted_reservoir"].builder
+    s1 = [tuple(r) for r in q(spark, sf_dir).collect()]
+    s2 = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert s1 == s2  # content-hash draw → rerun-stable
+    assert len(s1) == 20
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r[1] for r in s1) / len(s1)
+    assert sample_mean > corpus_mean
+
+
+def test_winsorized_stats_bounds(spark, sf_dir):
+    """Clipping invariants: winsorized avg lies within the clip bounds,
+    and ~10% of rows are clipped (5% per tail) per group."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    rows = REGISTRY["agg_winsorized_stats"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        frac = (r["n_clipped_low"] + r["n_clipped_high"]) / r["n_orders"]
+        assert 0.02 < frac < 0.2, r
+        assert r["winsorized_avg"] <= r["winsorized_sum"]
+
+
+def test_gapfill_spine_is_dense_and_ffilled(spark, sf_dir):
+    """Every calendar day between min and max appears exactly once; gap
+    rows carry zero counts and the previous day's level value."""
+    import datetime
+
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    rows = sorted(
+        REGISTRY["timeseries_gapfill_daily"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    days = [datetime.date.fromisoformat(r["day"]) for r in rows]
+    assert days == [
+        days[0] + datetime.timedelta(days=i) for i in range(len(days))
+    ]
+    prev_level = None
+    for r in rows:
+        if r["was_gap"]:
+            assert r["n_orders"] == 0
+            if prev_level is not None:
+                assert r["total_ffill"] == prev_level
+        prev_level = r["total_ffill"]
