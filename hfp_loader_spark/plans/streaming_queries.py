@@ -145,6 +145,80 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @defquery(
+    "streaming_sliding_availablenow",
+    """
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+      FROM events
+    ),
+    offsets AS (SELECT unnest([0, 1]) AS k),
+    expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' AS ws
+      FROM events CROSS JOIN offsets
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM expanded, wm
+    WHERE ws + INTERVAL '1 hour' <= wm.w
+    GROUP BY 1
+    """,
+    doc="GENUINE streaming execution of the sliding-window aggregate "
+    "(1 h width, 30 min slide): readStream → withWatermark 10 min → "
+    "availableNow, append mode. Each event expands to width/slide = 2 "
+    "windows IN-ROW before the stateful aggregate; the final watermark "
+    "(max event time − 10 min) closes exactly the windows the oracle's "
+    "WHERE states — verified equal before wiring.",
+)
+def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return run_available_now(sliding_window_counts(stream))
+
+
+@defquery(
+    "streaming_session_availablenow",
+    """
+    WITH wm AS (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER win IS NULL
+                       OR ts >= lag(ts) OVER win + INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM islands, wm
+    GROUP BY user_id, session_no, wm.w
+    HAVING max(ts) + INTERVAL '10 minutes' <= wm.w
+    """,
+    doc="GENUINE streaming execution of session windows (10 min gap) with "
+    "MERGING state: readStream → withWatermark → session_window → "
+    "availableNow, append mode. A session closes when the watermark "
+    "passes its end (last event + gap — no earlier event can extend it), "
+    "so the emitted set is the islands sessions whose max(ts) + gap ≤ "
+    "final watermark, exactly the oracle's HAVING — verified equal "
+    "before wiring. The hardest streaming state shape (windows that "
+    "MERGE), driver-verified against batch SQL.",
+)
+def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return run_available_now(session_window_counts(stream))
+
+
+@defquery(
     "streaming_stateful_counters",
     """
     SELECT user_id,
