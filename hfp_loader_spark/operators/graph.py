@@ -197,16 +197,27 @@ def connected_components_alternating(
     :func:`connected_components` — byte-identical labels, different
     round complexity.  ``localCheckpoint`` truncates lineage per phase.
     """
+    all_edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     cur = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col(src) != F.col(dst))
+        all_edges.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    )
+    # vertices whose ONLY edges are self-loops still belong in the output
+    # (as their own singleton component) — connected_components includes
+    # them via its endpoint-derived vertex set, and the two functions
+    # promise identical labels; unioned in at the end.
+    loop_only = (
+        all_edges.where(F.col("a") == F.col("b"))
+        .select("a")
         .distinct()
-        .localCheckpoint()
+        .join(
+            cur.select("a").unionByName(cur.select(F.col("b").alias("a"))),
+            "a",
+            "left_anti",
+        )
+        .select(F.col("a").alias("id"), F.col("a").alias("component"))
     )
     if not cur.take(1):
-        return cur.select(
-            F.col("a").alias("id"), F.col("b").alias("component")
-        )
+        return loop_only
 
     def edge_sig(df: DataFrame):
         return df.agg(
@@ -257,6 +268,7 @@ def connected_components_alternating(
                 stars.unionByName(roots)
                 .distinct()
                 .select(F.col("a").alias("id"), F.col("b").alias("component"))
+                .unionByName(loop_only)
             )
         prev_sig = sig
     raise RuntimeError(

@@ -443,10 +443,14 @@ def arrow_top_k(
 
     from hfp_loader_spark.operators.relational import top_k_per_group
 
-    # limit+1 probe instead of count(): one extra row tells us the cap is
-    # breached without a full pass over an unboundedly large query table.
-    probe = queries.select(query_id_col).limit(max_queries + 1).count()
-    if probe > max_queries:
+    # limit+1 collect: ONE job both enforces the cap (one extra row tells
+    # us it is breached without a full pass over an unboundedly large
+    # query table) and yields the rows — a separate count() probe would
+    # re-execute the whole query-side plan before the real collect.
+    q_rows = (
+        queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
         raise ValueError(
             f"arrow_top_k query side exceeds max_queries={max_queries}: "
             "the query matrix is collected to the driver and shipped in "
@@ -454,7 +458,6 @@ def arrow_top_k(
             "For large query sides use brute_force_top_k (a distributed "
             "join) or raise max_queries explicitly if you know the size."
         )
-    q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -610,22 +613,36 @@ def pq_encode(
     re-evaluates it per ELEMENT per consumer — O(dim²·m·ksub) per row.
     Instead the argmin is algebraically rearranged so normalization never
     touches the array: ``‖v/n − c‖² = const + (c2 − 2·dot(v_sub,c)/n)``,
-    with ``c2`` a plan-time literal — the fold evaluates one dot per code
-    word plus a scalar norm, the same order of work as the dots
-    themselves."""
+    with ``c2`` a plan-time literal — and the scalar norm is LET-BOUND
+    via a one-element ``transform`` so the fold under it references a
+    lambda variable (evaluated once per row), not the norm subtree
+    (which interpreted higher-order functions would otherwise re-run per
+    code word)."""
     dsub = len(codebooks[0][0])
     v = as_double_array(vec)
-    n = norm(v) if normalize else F.lit(1.0)
-    nn = F.when(n > 0, n).otherwise(F.lit(1.0)) if normalize else n
 
-    def code_for(book: Column, j: Column) -> Column:
-        sub = F.slice(v, j * dsub + 1, dsub)
-        d2 = F.transform(
-            book, lambda s: s["c2"] - F.lit(2.0) * dot(sub, s["cw"]) / nn
-        )
-        return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+    def codes_given(nn: Column) -> Column:
+        def code_for(book: Column, j: Column) -> Column:
+            sub = F.slice(v, j * dsub + 1, dsub)
+            d2 = F.transform(
+                book, lambda s: s["c2"] - F.lit(2.0) * dot(sub, s["cw"]) / nn
+            )
+            return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
 
-    return F.transform(_pq_books_aug_lit(codebooks), code_for)
+        return F.transform(_pq_books_aug_lit(codebooks), code_for)
+
+    if not normalize:
+        return codes_given(F.lit(1.0))
+    n = norm(v)
+    # let-binding: array(n) → transform binds the evaluated norm to the
+    # lambda variable; every inner reference is a variable read
+    return F.element_at(
+        F.transform(
+            F.array(F.when(n > 0, n).otherwise(F.lit(1.0))),
+            lambda nn: codes_given(nn),
+        ),
+        1,
+    )
 
 
 def pq_adc_score(
@@ -707,33 +724,54 @@ def pq_reconstruction_mse(
 ) -> DataFrame:
     """(vec_id, mse): squared reconstruction error of each NORMALIZED
     vector vs its PQ decode — the distortion diagnostic that decides
-    m/ksub sizing before a corpus is committed to a compressed index."""
+    m/ksub sizing before a corpus is committed to a compressed index.
+
+    Uses the same algebra as :func:`pq_encode` so the normalized vector
+    is never materialized in-plan: ``Σ_j ‖v_sub/n − c_j‖² = ‖v/n‖² +
+    Σ_j c2_j − 2·Σ_j dot(v_sub,c_j)/n`` with ``c2`` plan-time literals
+    and the scalar norm let-bound (one norm fold per row, not one per
+    element or per subspace)."""
     dsub = len(codebooks[0][0])
-    v = as_double_array(F.col(vec_col))
-    n = norm(v)
-    vhat = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
-    codes = pq_encode(F.col(vec_col), codebooks)
-    sq = F.transform(
-        codes,
-        lambda code, j: F.aggregate(
-            F.zip_with(
-                F.slice(vhat, j * dsub + 1, dsub),
-                F.element_at(
-                    F.element_at(_pq_books_lit(codebooks), j + 1), code + 1
-                ),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
-        ),
-    )
     dim = len(codebooks) * dsub
-    return corpus.select(
-        F.col(id_col),
-        (F.aggregate(sq, F.lit(0.0), lambda a, s: a + s) / F.lit(dim)).alias(
-            "mse"
+    v = as_double_array(F.col(vec_col))
+    codes = pq_encode(F.col(vec_col), codebooks)
+    n = norm(v)
+
+    def mse_given(nn: Column, unit: Column) -> Column:
+        contrib = F.transform(
+            codes,
+            lambda code, j: F.element_at(
+                F.element_at(_pq_books_aug_lit(codebooks), j + 1), code + 1
+            )["c2"]
+            - F.lit(2.0)
+            * dot(
+                F.slice(v, j * dsub + 1, dsub),
+                F.element_at(
+                    F.element_at(_pq_books_aug_lit(codebooks), j + 1),
+                    code + 1,
+                )["cw"],
+            )
+            / nn,
+        )
+        return (
+            unit + F.aggregate(contrib, F.lit(0.0), lambda a, s: a + s)
+        ) / F.lit(dim)
+
+    mse = F.element_at(
+        F.transform(
+            F.array(
+                F.struct(
+                    F.when(n > 0, n).otherwise(F.lit(1.0)).alias("nn"),
+                    F.when(n > 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+                        "unit"
+                    ),
+                )
+            ),
+            lambda s: mse_given(s["nn"], s["unit"]),
         ),
+        1,
     )
+    return corpus.select(F.col(id_col), mse.alias("mse"))
 
 
 def pq_top_k_rerank(

@@ -336,8 +336,9 @@ def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts plus booleans asserting |approx-exact| ≤ 5%·exact; the "
     "oracle emits the same exact counts with TRUE — a hash match PROVES "
     "the sketch landed inside the band. The exact countDistincts exist "
-    "for verification only; production callers use the approx column "
-    "alone.",
+    "for verification only; a production caller would project the "
+    "approx_count_distinct aggregates directly (they are computed here "
+    "and consumed by the band check).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact: (  # noqa: E731

@@ -188,7 +188,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fps, max_hamming=3)
 
 
-_SIMHASH_SELF_OFFSET = 10_000_000
+def _simhash_self_offset(docs) -> int:
+    """Collision-free id offset for the self-copy contract: one bounded
+    scalar aggregate (max id) instead of a fixed constant a large corpus
+    could silently collide with."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    return int(mx) + 1
 
 
 @defquery(
@@ -211,13 +218,14 @@ _SIMHASH_SELF_OFFSET = 10_000_000
 )
 def dedup_simhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    offset = _simhash_self_offset(docs)
     shifted = docs.select(
-        (F.col("doc_id") + _SIMHASH_SELF_OFFSET).alias("doc_id"), "text"
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
     )
     fps = simhash_fingerprints(docs.unionByName(shifted), "doc_id", "text")
     pairs = simhash_near_pairs(fps, max_hamming=3)
     forced_found = pairs.where(
-        F.col("doc_b") == F.col("doc_a") + _SIMHASH_SELF_OFFSET
+        F.col("doc_b") == F.col("doc_a") + offset
     )
     return (
         docs.agg(F.count("*").alias("n_docs"))
@@ -229,6 +237,39 @@ def dedup_simhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CLUSTER_COMPONENTS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized duplicate-cluster labels per (session, corpus).
+
+    The shingle → jaccard-join → iterative large-star/small-star pipeline
+    is the most expensive computation in the dedup tier, and BOTH
+    clustering entries (clusters + keep-list) consume the same labels —
+    same rationale as _PQ_BOOKS/_IVF_CENTROIDS in similarity_queries.
+    The labels DataFrame is localCheckpoint-backed (materialized by the
+    CC loop itself), so reuse costs nothing beyond the dict lookup."""
+    from hfp_loader_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    key = (
+        id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark),
+        sf_dir,
+    )
+    comp = _CLUSTER_COMPONENTS.get(key)
+    if comp is None:
+        shingled = shingle_docs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+        edges = jaccard_pairs(shingled, threshold=0.8)
+        comp = connected_components_alternating(
+            edges, src="doc_a", dst="doc_b"
+        )
+        _CLUSTER_COMPONENTS[key] = comp
+    return comp
 
 
 @defquery(
@@ -272,13 +313,7 @@ def dedup_simhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "canonical keeper. Oracle: DuckDB recursive-CTE reachability.",
 )
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.graph import (
-        connected_components_alternating,
-    )
-
-    shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    edges = jaccard_pairs(shingled, threshold=0.8)
-    comp = connected_components_alternating(edges, src="doc_a", dst="doc_b")
+    comp = _components(spark, sf_dir)
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").cast("long").alias("component_id"),
@@ -331,13 +366,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the anti-join filter producing the deduplicated corpus.",
 )
 def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.graph import (
-        connected_components_alternating,
-    )
-
-    shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    edges = jaccard_pairs(shingled, threshold=0.8)
-    comp = connected_components_alternating(edges, src="doc_a", dst="doc_b")
+    comp = _components(spark, sf_dir)
     return comp.groupBy(
         F.col("component").cast("long").alias("keeper_doc_id")
     ).agg(

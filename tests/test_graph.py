@@ -95,3 +95,21 @@ def test_alternating_cc_handles_long_chain(spark):
         for r in connected_components_alternating(chain, max_iter=15).collect()
     }
     assert got == {(i, 0) for i in range(81)}
+
+
+def test_alternating_cc_keeps_self_loop_only_vertices(spark):
+    """A vertex whose only edge is a self-loop must appear as its own
+    singleton component — identical to connected_components' endpoint-
+    derived vertex set (code-review finding, round 4)."""
+    from hfp_loader_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    df = spark.createDataFrame([(1, 2), (5, 5), (2, 2)], ["src", "dst"])
+    a = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_alternating(df).collect()
+    }
+    assert a == b == {(1, 1), (2, 1), (5, 5)}
