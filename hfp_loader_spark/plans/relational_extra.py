@@ -679,3 +679,42 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_orders").isNull(), 1).otherwise(0).alias("was_gap"),
         F.coalesce("total", ffill, F.lit(0.0)).alias("total_ffill"),
     )
+
+
+@defquery(
+    "sketch_mergeable_distinct",
+    """
+    SELECT CAST(count(DISTINCT strftime(date_trunc('month', o_orderdate),
+                                        '%Y-%m')) AS BIGINT) AS n_sketches,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_within_5pct
+    FROM orders
+    """,
+    doc="MERGEABLE distinct-count sketches (Apache DataSketches HLL via "
+    "hll_sketch_agg / hll_union_agg): one sketch per month partition, "
+    "then a union-merge to the global estimate — the warehouse pattern "
+    "where per-partition sketches are PERSISTED once and every later "
+    "rollup (any grouping of partitions) is a cheap merge instead of a "
+    "rescan; approx_count_distinct cannot do this because its sketch "
+    "never leaves the aggregate. Oracle: the tolerance-band contract — "
+    "sketch count (= month count), exact distinct customers, and a "
+    "boolean pinning |merged-estimate − exact| ≤ 5%.",
+)
+def sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    merged = monthly.agg(
+        F.count("*").alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est"),
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return merged.crossJoin(exact).select(
+        "n_sketches",
+        "exact_distinct",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("merged_within_5pct"),
+    )
