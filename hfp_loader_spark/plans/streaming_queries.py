@@ -242,6 +242,32 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "streaming_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="GENUINE streaming stream-STATIC join: readStream events enriched "
+    "against the static customer dimension (broadcast), availableNow, "
+    "append mode. The stateless join family — no watermark, no buffered "
+    "state; the static side is re-planned per micro-batch (how "
+    "slowly-changing dims refresh mid-stream at deployment). Exactly one "
+    "output per matching input row regardless of micro-batching, so the "
+    "batch join is the exact oracle.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.plans.catalog import load_table
+    from hfp_loader_spark.streaming.jobs import static_enrich
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return run_available_now(static_enrich(stream, dim, "c_custkey"))
+
+
+@defquery(
     "streaming_followup_join",
     """
     WITH p AS (

@@ -241,3 +241,23 @@ def run_available_now(streaming_df: DataFrame, timeout_sec: int = 300) -> DataFr
         if q.isActive:  # pragma: no cover — safety on timeout
             q.stop()
     return streaming_df.sparkSession.table(name)
+
+
+def static_enrich(events: DataFrame, dim: DataFrame, dim_key: str) -> DataFrame:
+    """Stream-static equi-join: enrich streaming events with a static
+    dimension (broadcast-able; no state, no watermark needed — the
+    static side is re-planned per micro-batch, which is also how slowly-
+    changing dims get picked up between batches at deployment time).
+
+    The stateless streaming join family: rows flow through enriched,
+    exactly one output per matching input row regardless of
+    micro-batching — which is why plain batch execution of the same join
+    is the exact oracle."""
+    return events.join(F.broadcast(dim), events.user_id == dim[dim_key]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c_mktsegment",
+        "c_nationkey",
+    )
