@@ -718,3 +718,39 @@ def sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("merged_within_5pct"),
     )
+
+
+@defquery(
+    "agg_regression_stats",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                          AS n,
+           round(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(stddev_samp(l_discount), 6)                 AS discount_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr / regr_slope / regr_intercept / "
+    "stddev_samp): the per-group least-squares fit and correlation of "
+    "price vs quantity — single-pass mergeable moment accumulators on "
+    "both engines (partial aggregation shuffles 6 moments per group, "
+    "never the rows), the profile-and-drift-check primitive feature "
+    "pipelines run per training snapshot.",
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+    )
