@@ -448,3 +448,242 @@ def q20_qualifying_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
     )
+
+
+@defquery(
+    "q12_priority_by_mode",
+    """
+    SELECT l.l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shipping modes / order priority (schema has no "
+    "l_shipmode or commit/receipt dates, so l_returnflag IN ('R','A') "
+    "stands in for the two-mode filter and 'late receipt' becomes a "
+    ">60-day ship lag vs the order date — adaptation documented): the "
+    "two-way sum(CASE) pivot on priority class. Year + mode predicates "
+    "prune lineitem at the scan; the lag predicate needs o_orderdate so "
+    "it runs right after the one fact-fact join; the final agg is 2 "
+    "groups × 2 longs.",
+)
+def q12_priority_by_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ts_pushdown=[
+            ("l_shipdate", ">=", "1996-01-01"),
+            ("l_shipdate", "<", "1997-01-01"),
+        ],
+    ).where(F.col("l_returnflag").isin("R", "A")).select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@defquery(
+    "q21_waiting_suppliers",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting — the multi-EXISTS "
+    "decorrelation stress test (no commit/receipt dates in this schema, "
+    "so 'late' = shipped >90 days after the order date — adaptation "
+    "documented). The EXISTS (another supplier on the order) becomes a "
+    "LEFT SEMI against multi-supplier orderkeys; the NOT EXISTS (another "
+    "LATE supplier on the order) becomes a LEFT ANTI on orderkey equality "
+    "plus a suppkey inequality — both decorrelated to single hash joins, "
+    "no per-row re-execution, no cartesian (plan-asserted in "
+    "tests/test_plans.py). The li CTE is computed once and persisted for "
+    "its three roles; LIMIT tiebreaks on unique s_name.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lio = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+            ).alias("late"),
+        )
+        .persist()
+    )
+    # EXISTS other-supplier  ⟺  order has ≥2 distinct suppliers.
+    multi_supp = (
+        lio.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_ns"))
+        .where(F.col("_ns") >= 2)
+        .select(F.col("l_orderkey").alias("_mk"))
+    )
+    # NOT EXISTS other-LATE-supplier: anti-join the late rows against the
+    # distinct late (orderkey, suppkey) pairs of OTHER suppliers.
+    late_pairs = (
+        lio.where(F.col("late"))
+        .select(
+            F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+        )
+        .distinct()
+    )
+    l1 = lio.where(F.col("late"))
+    kept = l1.join(
+        multi_supp, l1.l_orderkey == F.col("_mk"), "left_semi"
+    ).join(
+        late_pairs,
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        kept.join(F.broadcast(supp), kept.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@defquery(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro_supp AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT es.s_acctbal, es.s_name, es.n_name, p.p_partkey, p.p_name,
+           round(o.unit_cost, 4) AS unit_cost
+    FROM part p
+      JOIN offers o ON o.l_partkey = p.p_partkey
+      JOIN euro_supp es ON o.l_suppkey = es.s_suppkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+      AND o.unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                         JOIN euro_supp es2 ON o2.l_suppkey = es2.s_suppkey
+                         WHERE o2.l_partkey = p.p_partkey)
+    ORDER BY es.s_acctbal DESC, es.n_name, es.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier — the correlated-min-subquery "
+    "shape (no partsupp in this schema, so the 'supply offer' relation is "
+    "derived: per observed (l_partkey, l_suppkey) pair, unit cost = "
+    "min(l_extendedprice / l_quantity) — adaptation documented like Q9). "
+    "The correlated `cost = (SELECT min ... WHERE partkey = p.partkey)` "
+    "decorrelates into a groupBy(partkey).min over the region-filtered "
+    "offers joined back on (partkey, min_cost) equality — min returns an "
+    "actual element of a deterministic IEEE double division, so the "
+    "equality is exact in both engines. Offers computed once, persisted "
+    "for both roles; region→nation→supplier reduces to a broadcast "
+    "keep-list before the offers aggregate. LIMIT tiebreaks to a unique "
+    "(acctbal desc, nation, name, partkey) total order.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(region, nat.n_regionkey == region.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # Offers restricted to European suppliers up front: one aggregate feeds
+    # both the candidate rows and the per-part min (the decorrelated subquery).
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(euro_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+        .persist()
+    )
+    min_cost = offers.groupBy(F.col("l_partkey").alias("_mpk")).agg(
+        F.min("unit_cost").alias("_min_cost")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("_mpk"))
+            & (F.col("unit_cost") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

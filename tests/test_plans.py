@@ -165,3 +165,34 @@ def test_q20_nested_in_becomes_semi_joins(spark, sf_dir):
         REGISTRY["q20_qualifying_suppliers"].builder(spark, sf_dir)
     )
     assert plan.count("LeftSemi") >= 2  # both IN levels, no re-execution
+
+
+def test_q21_exists_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """The multi-EXISTS shape must become ONE semi + ONE anti hash join —
+    never a correlated re-execution or a cartesian expansion."""
+    plan = _executed_plan(REGISTRY["q21_waiting_suppliers"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the suppkey<>suppkey inequality rides the orderkey EQUI join as a
+    # residual condition, not a nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_is_single_aggregate_join(spark, sf_dir):
+    """The correlated min-subquery must decorrelate: one extra aggregate
+    joined back on (partkey, min) — no per-part re-execution, no cartesian."""
+    plan = _executed_plan(REGISTRY["q2_min_cost_supplier"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # region keep-list applied before the aggregate
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never global-sorts
+
+
+def test_q12_predicates_reach_lineitem_scan(spark, sf_dir):
+    plan = _optimized_plan(REGISTRY["q12_priority_by_mode"].builder(spark, sf_dir))
+    pushed_segments = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("l_shipdate" in seg for seg in pushed_segments), pushed_segments
+    assert any("l_returnflag" in seg for seg in pushed_segments), pushed_segments
