@@ -274,6 +274,60 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_heldout: bool = True,
+) -> DataFrame:
+    """Train/benchmark contamination report: corpus documents sharing at
+    least one word ``n``-gram with any held-out / benchmark document.
+
+    The standard LLM-pipeline decontamination primitive (the GPT-3 /
+    benchmark-overlap recipe): shingle both sides into word n-grams, then
+    flag every training document whose shingle set intersects the
+    benchmark's.  Output: ``(doc_id, n_matched_spans, n_bench_docs)`` —
+    distinct contaminated spans and distinct benchmark documents
+    implicated, one row per flagged corpus doc (clean docs are absent).
+
+    Scale design: the benchmark side is orders of magnitude smaller than
+    the training corpus (thousands of eval docs vs billions of training
+    docs), so its distinct shingle set is hashed to 8-byte longs
+    (``xxhash64`` — join keys only, never returned) and **broadcast**;
+    the corpus streams through one map-side hash join with no shuffle of
+    corpus shingles at all.  Set ``broadcast_heldout=False`` when the
+    held-out side is genuinely large: the join falls back to a shuffle
+    on the shingle hash, still linear.  A 2⁻⁶⁴ hash collision could
+    overcount a span; acceptable for a flagging report (the span COUNT
+    is advisory, the flag needs any true match).
+    """
+    c = shingle_docs(ensure_parallelism(corpus, id_col), id_col, text_col, n)
+    h = shingle_docs(heldout, id_col, text_col, n)
+    bench = (
+        h.select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .select("bench_id", F.xxhash64("shingle").alias("_sh"))
+        .distinct()
+    )
+    if broadcast_heldout:
+        bench = F.broadcast(bench)
+    ex = c.select("doc_id", F.explode("shingles").alias("_s")).select(
+        "doc_id", F.xxhash64("_s").alias("_sh")
+    )
+    return (
+        ex.join(bench, "_sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("_sh").alias("n_matched_spans"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:

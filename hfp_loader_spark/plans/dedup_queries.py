@@ -435,3 +435,56 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
     edges = jaccard_pairs(shingled, threshold=0.8)
     return triangle_count(edges, src="doc_a", dst="doc_b")
+
+
+def _shingles_sql(n: int) -> str:
+    """Distinct word n-gram shingles as DuckDB SQL (lockstep with
+    operators.text.word_shingles(n))."""
+    parts = " || ' ' || ".join(f"({_TOKS_SQL})[i+{k}]" for k in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len({_TOKS_SQL}) - {n - 1}, 0)), "
+        f"i -> {parts}))"
+    )
+
+
+@defquery(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(8)} AS shingles FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s, doc_id AS bench_id
+      FROM sh WHERE doc_id % 17 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 17 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.s) AS BIGINT)        AS n_matched_spans,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+    doc="Train/benchmark decontamination (operators.neardup.decontaminate): "
+    "flag training documents sharing any word 8-gram with a held-out "
+    "benchmark slice (doc_id % 17 — a deterministic stand-in for a real "
+    "eval set). The benchmark's distinct shingles are hashed to 8-byte "
+    "longs and BROADCAST, so the corpus flag pass is one map-side join "
+    "with zero corpus-side shuffle — the eval set stays thousands of "
+    "docs while the corpus grows to billions. Reports matched-span and "
+    "implicated-benchmark-doc counts per flagged doc; the oracle joins "
+    "the raw shingle strings (hashing is engine-side only).",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        "doc_id",
+        "text",
+        n=8,
+    )

@@ -176,3 +176,45 @@ def test_bigram_surprisal_properties(spark, sf_dir):
     assert stats["n"] > 0
     assert stats["lo"] >= 0.0
     assert stats["med"] > stats["lo"]
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from hfp_loader_spark.operators.neardup import decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    corpus = spark.createDataFrame(
+        [
+            # shares the full 8-gram prefix with the benchmark doc
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel zulu"),
+            # no shared 8-gram (one word differs inside every window)
+            (2, "alpha bravo charlie delta echo foxtrot golf kilo india"),
+            (3, "totally unrelated text with nothing in common at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    heldout = spark.createDataFrame([(100, bench_text)], "doc_id int, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, heldout, "doc_id", "text", n=8).collect()
+    }
+    assert set(rows) == {1}
+    assert rows[1]["n_matched_spans"] == 1  # exactly the shared prefix 8-gram
+    assert rows[1]["n_bench_docs"] == 1
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """The corpus-side flag pass must be a broadcast hash join — a shuffled
+    corpus-shingle exchange is the at-scale failure mode."""
+    from hfp_loader_spark.operators.neardup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = decontaminate(
+        docs.where("doc_id % 17 != 0"),
+        docs.where("doc_id % 17 = 0"),
+        "doc_id",
+        "text",
+        n=8,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
