@@ -352,6 +352,76 @@ def ivf_top_k(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    round_to: int = 4,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space,
+    then prune near-identical vectors WITHIN each cluster only.
+
+    The cluster-then-prune recipe from the SemDeDup line of work: k-means
+    partitions the corpus into ``nlist`` cells (reusing the IVF trainer —
+    bounded driver sample, centroids as plan literals), and only
+    within-cell pairs are cosine-scored.  A vector is pruned when a
+    SMALLER-id vector in the same cell scores ≥ ``threshold`` (the
+    deterministic keep-lowest-id representative rule; the paper's
+    keep-farthest-from-centroid variant swaps the tiebreak, not the
+    shape).  Output: ``(id, cell, kept)`` for every corpus row.
+
+    Scale: the all-pairs product never happens — pair work is
+    Σ|cell|² ≈ N²/nlist, and with ``nlist ∝ N/target_cell`` each cell is
+    constant-sized so the join is linear in N.  The cell tag is one
+    narrow no-shuffle pass; the self-join shuffles on the cell id.  True
+    duplicates (cos → 1) virtually always share a nearest centroid, so
+    recall concentrates exactly where dedup matters (the in-cell recall
+    contract is oracle-checked in plans/similarity_queries.py).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist, vec_col=vec_col, fraction=train_fraction
+        )
+    c = (
+        corpus.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        )
+        .withColumn("_cell", ivf_assign_cell(F.col("_v"), centroids))
+        .withColumn("_n", norm(F.col("_v")))
+        .persist()
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            F.round(
+                cosine_prenormed(
+                    F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+                ),
+                round_to,
+            )
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return c.join(removed, id_col, "left").select(
+        id_col,
+        F.col("_cell").alias("cell"),
+        F.coalesce(~F.col("_removed"), F.lit(True)).alias("kept"),
+    )
+
+
 def quantize_embedding(vec: Column, bits: int = 8) -> Column:
     """Symmetric int8 quantization of an embedding, as a struct
     ``(scale double, q array<smallint>)`` — pure JVM expressions.

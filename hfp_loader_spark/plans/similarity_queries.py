@@ -430,3 +430,99 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+_SEMDEDUP_T = 0.35  # tuned to the synthetic corpus's cosine range (max ≈ 0.51
+# pairwise — there are no true duplicate vectors, so the classic 0.95 would
+# prune nothing); the operator semantics are threshold-independent.
+_SEMDEDUP_NLIST = 4
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_T,
+        nlist=_SEMDEDUP_NLIST,
+    )
+
+
+@defquery(
+    "semdedup_keep_list",
+    None,  # cell assignment depends on engine-side k-means → rows-only;
+    # the oracle-checked contract is semdedup_contract below.
+    doc="SemDeDup keep-list (operators.similarity.semantic_dedup): every "
+    "corpus vector with its k-means cell and kept/pruned flag — pruned "
+    "when a smaller-id same-cell vector scores cos ≥ 0.35. One narrow "
+    "cell-tag pass + a within-cell self-join (Σ|cell|² ≈ N²/nlist pair "
+    "work, linear when nlist tracks N); never all-pairs.",
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup(spark, sf_dir)
+
+
+@defquery(
+    "semdedup_contract",
+    f"""
+    WITH removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {_SEMDEDUP_T}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_global_removed,
+           TRUE AS precision_eq_1,
+           TRUE AS recall_ge_40
+    FROM removed
+    """,
+    doc="Oracle-checked CONTRACT for SemDeDup: the exact global greedy "
+    "removal count (any smaller-id neighbor ≥ 0.35, SQL-restated "
+    "all-pairs at test scale), plus (a) precision ≡ 1 — every in-cell "
+    "removal must also qualify globally, an exact invariant of the "
+    "construction — and (b) removal recall ≥ 0.4 vs the global set "
+    "(measured 0.55 at sf0.01 / 0.71 at sf0.1 with nlist=4; true "
+    "duplicates at cos→1 co-cluster far more reliably than these "
+    "deliberately-weak 0.35 pairs). Deterministic: seeded sample + "
+    "seeded k-means.",
+)
+def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    scored = emb.select("vec_id", v.alias("_v"), norm(v).alias("_n"))
+    a = scored.alias("a")
+    b = scored.alias("b")
+    from hfp_loader_spark.operators.similarity import cosine_prenormed
+
+    global_removed = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(
+            F.round(
+                cosine_prenormed(
+                    F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+                ),
+                4,
+            )
+            >= _SEMDEDUP_T
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    sem_removed = _semdedup(spark, sf_dir).where(~F.col("kept")).select("vec_id")
+    g = global_removed.agg(F.count("*").alias("n_global_removed"))
+    hits = sem_removed.join(global_removed, "vec_id", "left_semi").agg(
+        F.count("*").alias("_n_hit")
+    )
+    semn = sem_removed.agg(F.count("*").alias("_n_sem"))
+    return (
+        g.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(semn))
+        .select(
+            "n_global_removed",
+            (F.col("_n_hit") == F.col("_n_sem")).alias("precision_eq_1"),
+            (F.col("_n_hit") >= F.col("n_global_removed") * 0.4).alias(
+                "recall_ge_40"
+            ),
+        )
+    )

@@ -251,3 +251,23 @@ def test_pq_distortion_is_bounded(emb, pq_books):
     # must capture most of it
     assert row["avg"] < 0.02
     assert row["mx"] < 0.05
+
+
+def test_semantic_dedup_prunes_planted_duplicate(spark):
+    """A true duplicate (identical vector) must be pruned in favor of the
+    smaller id; dissimilar vectors must all be kept."""
+    import random
+
+    from hfp_loader_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((100, list(rows[3][1])))  # exact duplicate of vec 3
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, 0.95, nlist=2).collect()}
+    assert len(out) == 41  # one row per input vector
+    assert out[100]["kept"] is False  # duplicate pruned...
+    assert out[3]["kept"] is True  # ...in favor of the smaller id
+    assert out[100]["cell"] == out[3]["cell"]  # identical vectors co-cluster
+    kept = [v for v in out.values() if v["kept"]]
+    assert len(kept) == 40  # nothing else is near-identical at 0.95
