@@ -639,6 +639,62 @@ def train_pq_codebooks(
     return books
 
 
+def save_pq_codebooks(
+    spark,
+    codebooks: list[list[list[float]]],
+    root: str,
+    meta: dict | None = None,
+) -> int:
+    """Persist trained PQ codebooks as a versioned-table snapshot
+    (versioned.commit_snapshot) — returns the committed version.
+
+    A production index trains Lloyd ONCE when the index is built and
+    serves every subsequent search from the stored books; retraining per
+    query session wastes a corpus sample + driver k-means and, worse,
+    silently re-randomizes code assignments between sessions.  Layout:
+    one row per (subspace, code) with the centroid as array<double> —
+    a few KB, time-travelable, and vacuumable like any versioned table."""
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    rows = [
+        (j, i, [float(v) for v in c])
+        for j, book in enumerate(codebooks)
+        for i, c in enumerate(book)
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+    return commit_snapshot(
+        spark,
+        df,
+        root,
+        mode="overwrite",
+        meta={"m": len(codebooks), "ksub": len(codebooks[0]), **(meta or {})},
+    )
+
+
+def load_pq_codebooks(
+    spark, root: str, version: int | None = None
+) -> list[list[list[float]]]:
+    """Load PQ codebooks stored by :func:`save_pq_codebooks` (latest
+    version by default; pass ``version`` to time-travel to an older
+    index build).  The collect is m·ksub rows of dim/m doubles — KBs."""
+    from hfp_loader_spark.versioned import read_snapshot
+
+    rows = read_snapshot(spark, root, version).collect()
+    m = max(r["subspace"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    books: list[list[list[float] | None]] = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    missing = [
+        (j, i) for j in range(m) for i in range(ksub) if books[j][i] is None
+    ]
+    if missing:
+        raise ValueError(f"stored codebooks incomplete: missing {missing[:4]}")
+    return books  # type: ignore[return-value]
+
+
 def _pq_books_lit(codebooks: list[list[list[float]]]) -> Column:
     """Codebooks as ONE folded array<array<array<double>>> literal — the
     same compile-time shape rationale as :func:`_centroids_lit`."""
@@ -765,14 +821,19 @@ def pq_top_k(
         F.col(query_id_col),
         as_double_array(F.col(vec_col)).alias("_qvec"),
     )
+    # let-bind the query norm via the one-element transform (the pq_encode
+    # pattern): a norm embedded in the division lambda would re-run the
+    # O(dim) fold per ELEMENT — O(dim²) per query row
+    _qn = norm(F.col("_qvec"))
     qn = q.select(
         query_id_col,
-        F.when(
-            norm(F.col("_qvec")) > 0,
-            F.transform(F.col("_qvec"), lambda x: x / norm(F.col("_qvec"))),
-        )
-        .otherwise(F.col("_qvec"))
-        .alias("_qhat"),
+        F.element_at(
+            F.transform(
+                F.array(F.when(_qn > 0, _qn).otherwise(F.lit(1.0))),
+                lambda nn: F.transform(F.col("_qvec"), lambda x: x / nn),
+            ),
+            1,
+        ).alias("_qhat"),
     )
     scored = c.crossJoin(F.broadcast(qn)).select(
         query_id_col,

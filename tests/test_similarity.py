@@ -271,3 +271,29 @@ def test_semantic_dedup_prunes_planted_duplicate(spark):
     assert out[100]["cell"] == out[3]["cell"]  # identical vectors co-cluster
     kept = [v for v in out.values() if v["kept"]]
     assert len(kept) == 40  # nothing else is near-identical at 0.95
+
+
+def test_pq_codebooks_save_load_round_trip(spark, sf_dir, tmp_path):
+    """Stored codebooks must reload exactly and reproduce the retrained
+    search result (train-once / serve-forever contract)."""
+    from hfp_loader_spark.operators.similarity import (
+        load_pq_codebooks,
+        pq_top_k_rerank,
+        save_pq_codebooks,
+        train_pq_codebooks,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = train_pq_codebooks(emb, m=8, ksub=16, fraction=1.0)
+    root = str(tmp_path / "pq_index")
+    version = save_pq_codebooks(spark, trained, root, meta={"corpus": "embeddings"})
+    loaded = load_pq_codebooks(spark, root, version)
+    assert loaded == trained  # float64 exact — parquet stores the same doubles
+
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    a = pq_top_k_rerank(emb, queries, k=5, codebooks=trained, shortlist=50)
+    b = pq_top_k_rerank(emb, queries, k=5, codebooks=loaded, shortlist=50)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
