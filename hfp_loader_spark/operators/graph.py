@@ -229,6 +229,7 @@ def connected_components_alternating(
         ).collect()[0]
 
     prev_sig = None
+    prev_edges: DataFrame | None = None
     for _ in range(max_iter):
         # -- large-star: symmetrize, center on a, re-hang larger neighbors
         sym = cur.unionByName(
@@ -261,7 +262,16 @@ def connected_components_alternating(
         cur = hang_nbrs.unionByName(hang_center).distinct().localCheckpoint()
 
         sig = edge_sig(cur)
-        if prev_sig is not None and sig == prev_sig:
+        # Signature equality is 2⁻⁶⁴-collision-probable, and a collision
+        # would SILENTLY return wrong labels — so confirm the fixed point
+        # with one exact set comparison, paid only at the terminal round
+        # (both sides are localCheckpoint-backed; counts already agree via
+        # the signature, so one-directional exceptAll suffices).
+        if (
+            prev_sig is not None
+            and sig == prev_sig
+            and not prev_edges.exceptAll(cur).take(1)
+        ):
             stars = cur  # (non-min vertex, component min) star edges
             roots = stars.select(F.col("b").alias("a"), F.col("b"))
             return (
@@ -271,6 +281,7 @@ def connected_components_alternating(
                 .unionByName(loop_only)
             )
         prev_sig = sig
+        prev_edges = cur
     raise RuntimeError(
         f"connected_components_alternating: not converged after {max_iter} "
         "rounds"

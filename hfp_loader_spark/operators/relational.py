@@ -367,3 +367,58 @@ def cohort_retention(
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def gapfill_daily(
+    df: DataFrame,
+    date_col: str,
+    key_cols: list[str],
+    zero_cols: list[str] | None = None,
+    ffill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key daily gap-fill (resample): for each key, a complete date
+    spine between that key's min and max observed date, LEFT JOIN of the
+    observed rows onto it, zero-fill for ``zero_cols`` (counts) and
+    forward-fill for ``ffill_cols`` (levels), plus a ``was_gap`` flag.
+
+    The forward-fill window is ``partitionBy(key_cols)`` — the safe
+    default: per-key series keep their fills inside the key, and Spark
+    distributes the window by key instead of collapsing everything into
+    one unpartitioned task.  An empty ``key_cols`` degenerates to the
+    single global spine (bounded: date-cardinality rows), which is the
+    only shape where the WindowExec single-partition warning is
+    acceptable.
+
+    Scale: the spine is generated in-plan from per-key bounds (no driver
+    loop); its cardinality is Σ per-key day-spans — the OUTPUT size, so
+    nothing is amplified.  The join and window share the key hash
+    domain; one shuffle each."""
+    zero_cols = list(zero_cols or ())
+    ffill_cols = list(ffill_cols or ())
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(date_col).alias("_lo"), F.max(date_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+    joined = spine.join(df, [*key_cols, date_col], "left")
+    probe = zero_cols[0] if zero_cols else (ffill_cols or df.columns)[0]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = [
+        *key_cols,
+        date_col,
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in zero_cols],
+        *[
+            F.coalesce(F.col(c), F.last(c, ignorenulls=True).over(w), F.lit(0.0)).alias(c)
+            for c in ffill_cols
+        ],
+        F.when(F.col(probe).isNull(), 1).otherwise(0).alias("was_gap"),
+    ]
+    return joined.select(*out)

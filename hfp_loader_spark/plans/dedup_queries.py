@@ -255,10 +255,10 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_alternating,
     )
 
-    key = (
-        id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark),
-        sf_dir,
-    )
+    # applicationId is stable for the session's lifetime and never reused
+    # by a successor (id(...) values can be — a GC'd session could alias a
+    # fresh one onto a cache entry bound to a dead SparkContext)
+    key = (spark.sparkContext.applicationId, sf_dir)
     comp = _CLUSTER_COMPONENTS.get(key)
     if comp is None:
         shingled = shingle_docs(

@@ -754,3 +754,74 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
     )
+
+
+@defquery(
+    "timeseries_gapfill_per_key",
+    """
+    WITH daily AS (
+      SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT o_orderstatus, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT o_orderstatus,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.o_orderstatus, s.d, dd.n_orders, dd.total
+      FROM spine s LEFT JOIN daily dd
+        ON s.o_orderstatus = dd.o_orderstatus AND s.d = dd.d
+    )
+    SELECT o_orderstatus,
+           strftime(d, '%Y-%m-%d') AS day,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap,
+           coalesce(total,
+                    last_value(total IGNORE NULLS)
+                      OVER (PARTITION BY o_orderstatus ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0.0) AS total_ffill
+    FROM joined
+    """,
+    doc="PER-KEY time-series gap-fill (operators.relational.gapfill_daily): "
+    "each order status gets its own complete daily spine between its min "
+    "and max date, with zero-filled counts and a PARTITIONED forward-fill "
+    "window — the safe default the global-spine query "
+    "(timeseries_gapfill_daily) is the bounded special case of. The "
+    "window partitions by key, so at scale fills distribute across "
+    "executors instead of collapsing into one unpartitioned task; spine "
+    "cardinality = Σ per-key day spans = output size, nothing amplified.",
+)
+def timeseries_gapfill_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import gapfill_daily
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderstatus", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    filled = gapfill_daily(
+        daily,
+        "d",
+        ["o_orderstatus"],
+        zero_cols=["n_orders"],
+        ffill_cols=["total"],
+    )
+    return filled.select(
+        "o_orderstatus",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_orders",
+        "was_gap",
+        F.col("total").alias("total_ffill"),
+    )

@@ -260,7 +260,9 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.plans.catalog import load_table
     from hfp_loader_spark.streaming.jobs import static_enrich
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )

@@ -243,21 +243,27 @@ def run_available_now(streaming_df: DataFrame, timeout_sec: int = 300) -> DataFr
     return streaming_df.sparkSession.table(name)
 
 
-def static_enrich(events: DataFrame, dim: DataFrame, dim_key: str) -> DataFrame:
+def static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str,
+    event_key: str = "user_id",
+) -> DataFrame:
     """Stream-static equi-join: enrich streaming events with a static
     dimension (broadcast-able; no state, no watermark needed — the
     static side is re-planned per micro-batch, which is also how slowly-
     changing dims get picked up between batches at deployment time).
 
+    Generic over BOTH join keys: ``events[event_key] == dim[dim_key]``.
+    Output = every event column plus every dim column except ``dim_key``
+    (its value duplicates the event key) — project the inputs before
+    calling to shape the output.
+
     The stateless streaming join family: rows flow through enriched,
     exactly one output per matching input row regardless of
     micro-batching — which is why plain batch execution of the same join
     is the exact oracle."""
-    return events.join(F.broadcast(dim), events.user_id == dim[dim_key]).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "value",
-        "c_mktsegment",
-        "c_nationkey",
-    )
+    enrich_cols = [c for c in dim.columns if c != dim_key]
+    return events.join(
+        F.broadcast(dim), events[event_key] == dim[dim_key]
+    ).select(events["*"], *[dim[c] for c in enrich_cols])

@@ -225,3 +225,30 @@ def test_gapfill_spine_is_dense_and_ffilled(spark, sf_dir):
             if prev_level is not None:
                 assert r["total_ffill"] == prev_level
         prev_level = r["total_ffill"]
+
+
+def test_gapfill_daily_per_key_fills_inside_key_only(spark):
+    import datetime as dt
+
+    from hfp_loader_spark.operators.relational import gapfill_daily
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 2, 10.0),
+        ("a", dt.date(2024, 1, 4), 1, 40.0),  # gap: Jan 2, 3
+        ("b", dt.date(2024, 1, 2), 5, 99.0),  # single day — no spine gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, n long, total double")
+    out = gapfill_daily(df, "d", ["k"], zero_cols=["n"], ffill_cols=["total"])
+    got = {(r["k"], str(r["d"])): r for r in out.collect()}
+    assert len(got) == 5  # a: 4 days, b: 1 day — spines never cross keys
+    assert got[("a", "2024-01-02")]["n"] == 0
+    assert got[("a", "2024-01-02")]["was_gap"] == 1
+    assert got[("a", "2024-01-02")]["total"] == 10.0  # ffill from Jan 1
+    assert got[("a", "2024-01-04")]["total"] == 40.0  # observed wins
+    assert got[("b", "2024-01-02")]["total"] == 99.0
+    # the fill window must be partitioned by key (the at-scale contract):
+    # the Window node's partition spec (first bracket group after the
+    # window expressions) lists k
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    win_lines = [ln for ln in opt.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines and "windowspecdefinition(k#" in win_lines[0], win_lines
