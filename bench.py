@@ -35,8 +35,13 @@ HEADLINE = [
     "sim_cosine_topk_arrow",
     "sim_ann_signlsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
+    "dedup_duplicate_clusters",
+    "semdedup_keep_list",
+    "decontaminate_ngram_overlap",
     "stream_session_counts",
     "streaming_watermark_dedup",
+    "streaming_sliding_availablenow",
 ]
 
 

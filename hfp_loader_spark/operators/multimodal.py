@@ -280,8 +280,15 @@ def decode_and_sample_frames(
                 step = max(n_frames // n_samples, 1)
                 idxs = list(range(0, n_frames, step))[:n_samples]
                 offsets = [i * frame_len for i in idxs]
+                # digest of the frame slice's UPPERCASE-HEX (not raw bytes):
+                # deterministic either way, but hex keeps the fake codec
+                # SQL-restatable for ANY payload encoding — an oracle can
+                # md5 a substring of hex(payload) while md5-over-BLOB-slice
+                # has no SQL twin (and a VARCHAR slice breaks on multibyte)
                 digests = [
-                    hashlib.md5(b[o : o + frame_len]).hexdigest()[:16]
+                    hashlib.md5(
+                        b[o : o + frame_len].hex().upper().encode()
+                    ).hexdigest()[:16]
                     for o in offsets
                 ]
                 out["doc_id"].append(int(doc_id))

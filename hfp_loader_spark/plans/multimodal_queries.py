@@ -22,21 +22,44 @@ from hfp_loader_spark.operators.multimodal import (
 from hfp_loader_spark.plans.catalog import _t, defquery
 
 
+def _byte_at(i: str, hx: str = "hx") -> str:
+    """DuckDB SQL for the ``i``-th (1-based) PAYLOAD BYTE, read out of the
+    uppercase hex encoding of the UTF-8 bytes (``hx = hex(encode(text))``).
+
+    ``ascii(text[i])`` would return the i-th CODEPOINT — equal to the byte
+    only for pure-ASCII text; rounds 2–3 were lost to exactly this class
+    of encoding assumption, so every byte-level oracle goes through hex."""
+    return (
+        f"(strpos('0123456789ABCDEF', {hx}[2*({i})-1]) - 1) * 16"
+        f" + strpos('0123456789ABCDEF', {hx}[2*({i})]) - 1"
+    )
+
+
 @defquery(
     "multimodal_byte_features",
-    """
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text)                                  AS md5_hex,
-           ascii(text[1])                             AS first_byte,
-           CAST(floor(list_avg(list_transform(
-                generate_series(1, length(text)), i -> ascii(text[i]))))
-                AS BIGINT)                            AS mean_byte
-    FROM documents
+           CAST(nb AS BIGINT) AS n_bytes,
+           md5(text)          AS md5_hex,
+           CAST(CASE WHEN nb > 0 THEN {_byte_at("1")} ELSE -1 END
+                AS INTEGER)   AS first_byte,
+           CAST(CASE WHEN nb > 0 THEN
+                  list_sum(list_transform(generate_series(1, nb),
+                                          i -> {_byte_at("i")})) // nb
+                ELSE -1 END AS BIGINT) AS mean_byte
+    FROM b
     """,
     doc="Binary-payload feature extraction via Arrow-batched mapInPandas "
     "(size, md5, first/mean byte) — the Pandas-UDF plumbing itself is "
     "oracle-checked because the payload is derivable on both engines. "
+    "Byte values are restated from hex(payload), so the oracle holds for "
+    "non-ASCII text (md5(VARCHAR) already hashes the UTF-8 bytes). "
     "No shuffle; output partitioning inherits the scan.",
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,17 +72,17 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fake decoder is md5-digest-driven, so every output column is
     # restatable in SQL: width/height/n_frames come from digest bytes 0/1/3
     # (hex-pair → int arithmetic below), n_sampled = min(n_frames, 4), and
-    # the first frame digest is md5 over the payload's first
-    # max(n_bytes // n_frames, 1) bytes.  documents.text is ASCII (asserted
-    # in tests/test_multimodal.py), so VARCHAR slicing/md5 in DuckDB equals
-    # the byte-level operations Spark's pandas worker performs.
+    # the first frame digest is md5 over the UPPERCASE HEX of the payload's
+    # first max(n_bytes // n_frames, 1) BYTES — a hex substring both engines
+    # can slice for any encoding (nb is octet_length, never a char count).
     """
     WITH parsed AS (
-      SELECT doc_id, text, length(text) AS nb, md5(text) AS h
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb, md5(text) AS h
       FROM documents
     ),
     geom AS (
-      SELECT doc_id, text, nb,
+      SELECT doc_id, hx, nb,
              (strpos('0123456789abcdef', h[1])-1)*16
                + strpos('0123456789abcdef', h[2])-1 AS d0,
              (strpos('0123456789abcdef', h[3])-1)*16
@@ -74,7 +97,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + d1 % 64 AS INTEGER)        AS height,
            CAST(1 + d3 % 8 AS INTEGER)          AS n_frames,
            CAST(least(1 + d3 % 8, 4) AS INTEGER) AS n_sampled,
-           substr(md5(substring(text, 1, greatest(nb // (1 + d3 % 8), 1))),
+           substr(md5(substring(hx, 1, 2 * greatest(nb // (1 + d3 % 8), 1))),
                   1, 16)                        AS first_frame_digest
     FROM geom
     """,
@@ -101,12 +124,17 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "multimodal_audio_features",
-    """
-    WITH b AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, length(text)),
-                            i -> ascii(text[i]) - 128) AS xs
+    f"""
+    WITH raw AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
       FROM documents WHERE length(text) > 0
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, nb),
+                            i -> {_byte_at("i")} - 128) AS xs
+      FROM raw
     )
     SELECT doc_id,
            CAST(len(xs) AS BIGINT)                        AS n_samples,
@@ -115,16 +143,17 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i -> (xs[i] >= 0) <> (xs[i-1] >= 0))) AS BIGINT)
                                                           AS zero_crossings,
            CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak,
-           format('{:.4f}', sqrt(list_avg(list_transform(xs, x -> x * x))))
+           format('{{:.4f}}', sqrt(list_avg(list_transform(xs, x -> x * x))))
                                                           AS rms
     FROM b
     """,
     doc="Audio feature extraction (payload as unsigned 8-bit PCM): sample/"
     "window counts, midline zero-crossings, peak, RMS — numpy-vectorized "
-    "per Arrow batch. Oracle recomputes every feature from the text-"
-    "derived bytes, so the mapInPandas plumbing itself is hash-checked "
-    "(RMS as fixed-point text: both engines sum exactly-representable "
-    "integer squares, so the doubles agree bit-for-bit).",
+    "per Arrow batch. Oracle recomputes every feature from the payload "
+    "BYTES (hex-restated, so non-ASCII text works), and the mapInPandas "
+    "plumbing itself is hash-checked (RMS as fixed-point text: both "
+    "engines sum exactly-representable integer squares, so the doubles "
+    "agree bit-for-bit).",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.multimodal import audio_features
@@ -137,19 +166,23 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "multimodal_resize",
-    """
+    f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx
+      FROM documents WHERE length(text) > 0
+    )
     SELECT doc_id,
            8 AS target_width,
            8 AS target_height,
            64 AS n_resized_bytes,
-           ascii(text[1]) AS first_resized_byte
-    FROM documents WHERE length(text) > 0
+           CAST({_byte_at("1")} AS INTEGER) AS first_resized_byte
+    FROM b
     """,
     doc="Decode→resize→re-emit binary over mapInPandas (stub codec, "
     "nearest-neighbor byte sampling as the deterministic fake). The "
     "oracle pins the output CONTRACT both engines can state: one row per "
     "non-empty payload, 8×8 target, 64-byte resized payload whose first "
-    "byte is the first input byte (grid index 0 samples offset 0).",
+    "byte is the first input BYTE (hex-restated — holds for non-ASCII).",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(

@@ -103,21 +103,57 @@ def test_frame_sampling_shape(docs):
         assert sorted(r["frame_offsets"]) == list(r["frame_offsets"])
 
 
-def test_documents_text_is_ascii(spark, sf_dir):
-    """Precondition of the multimodal_decode_frames oracle: DuckDB's
-    VARCHAR md5/substring equal byte-level ops only while the corpus is
-    pure ASCII.  If the driver's generator ever emits multibyte text,
-    fail HERE with a clear message instead of as an opaque hash mismatch
-    in the gate."""
-    from pyspark.sql import functions as F
+def test_multimodal_oracles_hold_for_non_ascii_text(spark, tmp_path):
+    """The multimodal oracles are byte-restated via hex(encode(text)), so
+    they must keep hash-matching when the corpus contains multibyte text.
+    Earlier rounds asserted the corpus was ASCII instead — this replays
+    the driver's Spark-vs-DuckDB comparison on a deliberately non-ASCII
+    fixture so a future driver regeneration can't silently break the
+    encoding contract."""
+    import duckdb
+    import pandas as pd
 
-    n_multibyte = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.octet_length("text") != F.length("text"))
-        .count()
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "héllo wörld — naïve façade",  # latin multibyte
+                "данные и ещё данные",  # cyrillic
+                "日本語のテキスト 🚀",  # CJK + astral emoji
+                "plain ascii stays supported",
+            ],
+            "lang": ["fr", "ru", "ja", "en"],
+            "source": ["t"] * 4,
+            "n_chars": [26, 19, 10, 27],
+        }
     )
-    assert n_multibyte == 0, (
-        "documents.text contains multibyte characters; the "
-        "multimodal_decode_frames oracle (and any VARCHAR-slicing oracle) "
-        "must be rewritten byte-wise"
+    sf = tmp_path / "nonascii_sf"
+    sf.mkdir()
+    rows.to_parquet(sf / "documents.parquet", index=False)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf / 'documents.parquet'}')"
     )
+    for name in (
+        "multimodal_byte_features",
+        "multimodal_decode_frames",
+        "multimodal_audio_features",
+        "multimodal_resize",
+    ):
+        spec = REGISTRY[name]
+        spark_rows = spec.builder(spark, str(sf)).collect()
+        cols = spark_rows[0].asDict().keys()
+        got = sorted(
+            tuple(str(r[c]) for c in sorted(cols)) for r in spark_rows
+        )
+        odf = con.execute(spec.oracle).fetchdf()
+        want = sorted(
+            tuple(str(v) for v in row)
+            for row in odf[sorted(odf.columns)].itertuples(index=False)
+        )
+        assert sorted(odf.columns) == sorted(cols), name
+        assert got == want, f"{name} diverged on non-ASCII text"
