@@ -48,13 +48,23 @@ def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
 def shingle_docs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles array) with distinct word n-gram shingles."""
+    """(id, shingles array) with distinct word n-gram shingles.
+
+    Documents shorter than ``n`` tokens yield an EMPTY array (not a
+    dropped row): every consumer here explodes or intersects the array,
+    so empties contribute nothing either way — and an explicit
+    ``where(size(shingles) > 0)`` is actively harmful, because Catalyst
+    pushes the filter (with the whole tokenize+shingle expression
+    substituted into it) below the ``ensure_parallelism`` repartition,
+    re-running the most expensive projection in the pipeline
+    single-threaded on the unsplit input (measured 6× the projection
+    cost at sf0.1)."""
     from hfp_loader_spark.operators.text import tokens, word_shingles
 
     return df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    )
 
 
 def jaccard_pairs(
@@ -342,23 +352,34 @@ def simhash_fingerprints(
     from hfp_loader_spark.operators.text import tokens
 
     toks = tokens(F.col(text_col))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_vote(b: int):
-        return F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    def fp_given(th):
+        # th is a LET-BOUND lambda variable: the 64 per-bit votes each
+        # reference the token-hash array, and interpreted expression
+        # trees re-evaluate every reference — unbound, the tokenizer +
+        # hash pass would re-run per BIT per row (64×)
+        def bit_vote(b: int):
+            return F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+
+        return reduce(
+            lambda acc, b: acc
+            + F.when(
+                bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+            range(bits),
+            F.lit(0).cast("long"),
         )
 
-    fingerprint = reduce(
-        lambda acc, b: acc
-        + F.when(
-            bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long")),
-        range(bits),
-        F.lit(0).cast("long"),
+    th_expr = F.transform(toks, lambda t: F.xxhash64(t))
+    fingerprint = F.element_at(
+        F.transform(F.array(th_expr), lambda th: fp_given(th)), 1
     )
     return df.select(
         F.col(id_col).alias("doc_id"), fingerprint.alias("simhash")

@@ -253,12 +253,15 @@ def train_ivf_centroids(
 def _centroids_lit(centroids: list[list[float]]) -> Column:
     """The centroid matrix as ONE array<array<double>> literal constant.
 
-    Shape matters for compile time: per-centroid unrolled expressions
-    generate O(nlist · dim) Java source and measured ~8s of one-time
-    Janino/JIT compilation; a single folded constant traversed by
-    higher-order-function loops compiles in milliseconds and evaluates
-    identically."""
-    return F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    Shape matters twice: per-centroid unrolled expressions generate
+    O(nlist · dim) Java source (measured ~8s of one-time Janino/JIT
+    compilation), and even a CreateArray-of-literals tree carries
+    O(nlist · dim) expression NODES that every optimizer pass — and
+    every AQE re-optimization at every stage boundary — re-walks.
+    ``F.lit`` on the nested list produces a single Literal node holding
+    the materialized ArrayData: milliseconds to plan, identical to
+    evaluate."""
+    return F.lit([[float(v) for v in c] for c in centroids])
 
 
 def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
@@ -361,6 +364,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     round_to: int = 4,
     train_fraction: float | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space,
     then prune near-identical vectors WITHIN each cluster only.
@@ -381,6 +385,18 @@ def semantic_dedup(
     duplicates (cos → 1) virtually always share a nearest centroid, so
     recall concentrates exactly where dedup matters (the in-cell recall
     contract is oracle-checked in plans/similarity_queries.py).
+
+    ``use_arrow`` (default): the in-cell scoring runs as ONE
+    ``applyInPandas`` per cell — a blocked numpy/BLAS matmul over the
+    cell's matrix, which is how the SemDeDup recipe actually executes at
+    scale (per-cluster matrix similarity).  Measured ~10× the
+    expression-fold path at 500k in-cell pairs (interpreted higher-order
+    folds pay ~dim interpreted ops per pair; BLAS pays a fused multiply).
+    Each cell must fit a worker: size ``nlist ∝ N / target_cell`` with
+    target_cell ~10-100k vectors; the similarity matrix is computed in
+    ≤~256 MB row blocks, never |cell|² at once.  ``use_arrow=False``
+    keeps the pure-expression join (no Python workers; bit-identical
+    rounding with the SQL oracles).
     """
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -394,6 +410,56 @@ def semantic_dedup(
         .withColumn("_n", norm(F.col("_v")))
         .persist()
     )
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            [
+                StructField(id_col, LongType()),
+                StructField("cell", IntegerType()),
+                StructField("kept", BooleanType()),
+            ]
+        )
+        thr = float(threshold)
+        nd = int(round_to)
+
+        def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ido = ids[order]
+            x = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+            nrm = np.linalg.norm(x, axis=1)
+            nrm[nrm == 0] = 1.0
+            xn = x / nrm[:, None]
+            nloc = len(ido)
+            removed = np.zeros(nloc, dtype=bool)
+            # row-blocked S = Xn @ Xn.T: bound block memory ~256 MB of
+            # doubles regardless of cell size
+            blk = max(1, (1 << 25) // max(nloc, 1))
+            for s in range(0, nloc, blk):
+                e = min(s + blk, nloc)
+                sb = np.round(xn[s:e] @ xn.T, nd) >= thr
+                gi = np.arange(s, e)[:, None]
+                gj = np.arange(nloc)[None, :]
+                sb &= gi < gj  # only smaller-id rows remove j
+                removed |= sb.any(axis=0)
+            return pd.DataFrame(
+                {
+                    id_col: ido.astype("int64"),
+                    "cell": np.full(nloc, int(pdf["_cell"].iloc[0]), "int32"),
+                    "kept": ~removed,
+                }
+            )
+
+        return c.groupBy("_cell").applyInPandas(prune, out_schema)
     a = c.alias("a")
     b = c.alias("b")
     removed = (
@@ -696,34 +762,22 @@ def load_pq_codebooks(
 
 
 def _pq_books_lit(codebooks: list[list[list[float]]]) -> Column:
-    """Codebooks as ONE folded array<array<array<double>>> literal — the
-    same compile-time shape rationale as :func:`_centroids_lit`."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
-            for book in codebooks
-        ]
+    """Codebooks as ONE array<array<array<double>>> Literal node — the
+    same plan-size rationale as :func:`_centroids_lit`."""
+    return F.lit(
+        [[[float(v) for v in c] for c in book] for book in codebooks]
     )
 
 
-def _pq_books_aug_lit(codebooks: list[list[list[float]]]) -> Column:
-    """Codebooks as a folded literal of struct(cw array<double>, c2
-    double) with ``c2 = ‖cw‖²`` precomputed at PLAN time (Python), so the
-    in-plan distance never materializes a normalized vector or recomputes
-    code-word norms."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.array(*[F.lit(v) for v in c]).alias("cw"),
-                        F.lit(float(sum(v * v for v in c))).alias("c2"),
-                    )
-                    for c in book
-                ]
-            )
-            for book in codebooks
-        ]
+def _pq_c2_lit(codebooks: list[list[list[float]]]) -> Column:
+    """Per-code-word squared norms ``c2[j][i] = ‖book_j[i]‖²`` as one
+    2-D Literal, precomputed at PLAN time (Python) so the in-plan
+    distance never materializes a normalized vector or recomputes
+    code-word norms (kept as a PARALLEL literal to :func:`_pq_books_lit`
+    rather than a struct array: ``F.lit`` folds plain nested lists to a
+    single node, struct trees it cannot)."""
+    return F.lit(
+        [[float(sum(v * v for v in c)) for c in book] for book in codebooks]
     )
 
 
@@ -747,15 +801,20 @@ def pq_encode(
     dsub = len(codebooks[0][0])
     v = as_double_array(vec)
 
+    c2 = _pq_c2_lit(codebooks)
+
     def codes_given(nn: Column) -> Column:
         def code_for(book: Column, j: Column) -> Column:
             sub = F.slice(v, j * dsub + 1, dsub)
+            c2row = F.element_at(c2, j + 1)
             d2 = F.transform(
-                book, lambda s: s["c2"] - F.lit(2.0) * dot(sub, s["cw"]) / nn
+                book,
+                lambda cw, i: F.element_at(c2row, i + 1)
+                - F.lit(2.0) * dot(sub, cw) / nn,
             )
             return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
 
-        return F.transform(_pq_books_aug_lit(codebooks), code_for)
+        return F.transform(_pq_books_lit(codebooks), code_for)
 
     if not normalize:
         return codes_given(F.lit(1.0))
@@ -797,6 +856,32 @@ def pq_adc_score(
     return F.aggregate(contrib, F.lit(0.0), lambda acc, s: acc + s)
 
 
+def pq_query_lut(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table: ``lut[j][c] = dot(q_sub_j, book_j[c])``
+    as an ``array<array<double>>`` column — the classic PQ scan trick.
+
+    Computed ONCE per query row (m·ksub small dots); every corpus
+    candidate is then scored with m array LOOKUPS instead of m sub-dots,
+    turning the per-pair cost from O(dim) interpreted fold work into
+    O(m) reads.  The LUT rides the query broadcast (m·ksub doubles per
+    query — 1 KB at 8×16)."""
+    dsub = len(codebooks[0][0])
+    return F.transform(
+        _pq_books_lit(codebooks),
+        lambda book, j: F.transform(
+            book, lambda cw: dot(F.slice(qvec, j * dsub + 1, dsub), cw)
+        ),
+    )
+
+
+def pq_adc_score_lut(lut: Column, codes: Column) -> Column:
+    """ADC score from a precomputed :func:`pq_query_lut`: Σ_j lut[j][code_j]."""
+    contrib = F.transform(
+        codes, lambda code, j: F.element_at(F.element_at(lut, j + 1), code + 1)
+    )
+    return F.aggregate(contrib, F.lit(0.0), lambda acc, s: acc + s)
+
+
 def pq_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -806,17 +891,29 @@ def pq_top_k(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int = 4,
+    persist_codes: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes (ADC): encode the corpus in
     one narrow pass (at scale the codes are written once as a 32×-smaller
-    index column), broadcast the exact queries, rank on the rounded ADC
-    score with id tiebreak."""
+    index column), broadcast the exact queries WITH their precomputed
+    ADC lookup tables (:func:`pq_query_lut` — so every candidate costs m
+    array reads, not m sub-vector dots), rank on the rounded ADC score
+    with id tiebreak.
+
+    ``persist_codes`` caches the encoded corpus — the in-session analog
+    of the written-once code index: repeated searches (and the
+    shortlist+rerank pipeline's own stages) read m-byte codes from cache
+    instead of re-running the encode expression, and Spark's cache
+    manager dedups by canonicalized plan so every same-corpus search in
+    the session shares one entry."""
     from hfp_loader_spark.operators.relational import top_k_per_group
 
     c = corpus.select(
         F.col(id_col),
         pq_encode(F.col(vec_col), codebooks).alias("_codes"),
     )
+    if persist_codes:
+        c = c.persist()
     q = queries.select(
         F.col(query_id_col),
         as_double_array(F.col(vec_col)).alias("_qvec"),
@@ -834,12 +931,15 @@ def pq_top_k(
             ),
             1,
         ).alias("_qhat"),
+    ).select(
+        query_id_col,
+        pq_query_lut(F.col("_qhat"), codebooks).alias("_lut"),
     )
     scored = c.crossJoin(F.broadcast(qn)).select(
         query_id_col,
         id_col,
         F.round(
-            pq_adc_score(F.col("_qhat"), F.col("_codes"), codebooks), round_to
+            pq_adc_score_lut(F.col("_lut"), F.col("_codes")), round_to
         ).alias("cos"),
     )
     return top_k_per_group(
@@ -872,15 +972,15 @@ def pq_reconstruction_mse(
         contrib = F.transform(
             codes,
             lambda code, j: F.element_at(
-                F.element_at(_pq_books_aug_lit(codebooks), j + 1), code + 1
-            )["c2"]
+                F.element_at(_pq_c2_lit(codebooks), j + 1), code + 1
+            )
             - F.lit(2.0)
             * dot(
                 F.slice(v, j * dsub + 1, dsub),
                 F.element_at(
-                    F.element_at(_pq_books_aug_lit(codebooks), j + 1),
+                    F.element_at(_pq_books_lit(codebooks), j + 1),
                     code + 1,
-                )["cw"],
+                ),
             )
             / nn,
         )

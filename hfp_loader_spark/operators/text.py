@@ -44,24 +44,32 @@ def tokens(text: Column) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a token array (MinHash/Jaccard input).
 
-    Built by zipping the token array with its own shifted slices — all
-    top-level expressions, evaluated once per row.  (An index-based
-    ``transform(sequence(...), i -> element_at(toks, i+k))`` would embed
-    ``toks`` in the lambda body, and Spark does not hoist loop-invariant
-    subexpressions out of higher-order lambdas — the tokenizer would
-    re-run per shingle per offset, ~3 orders of magnitude more work.)
+    Built by zipping the token array with its own shifted slices, with
+    the token array LET-BOUND once via the one-element ``transform``
+    trick: the zip chain references the array 3(n-1)+1 times (each level
+    slices it and takes its size), and Spark evaluates interpreted
+    expression trees without common-subexpression elimination — unbound,
+    the TOKENIZER re-runs per reference, ~22× per row at n=8 (measured
+    ~8× wall on the shingle stage).  Bound, every reference is a lambda
+    variable read and the regex split happens exactly once per row.
+    (An index-based ``transform(sequence(...), i -> element_at(toks,
+    i+k))`` has the same inlining problem per ELEMENT — far worse.)
 
     ``zip_with`` pads the shorter side with NULL and ``concat`` propagates
     it, so the padded tail drops in the NULL filter; documents shorter
     than ``n`` tokens yield an empty array.
     """
-    out = toks
-    for k in range(1, n):
-        shifted = F.slice(
-            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
-        )
-        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+
+    def build(t: Column) -> Column:
+        out = t
+        for k in range(1, n):
+            shifted = F.slice(t, k + 1, F.greatest(F.size(t) - k, F.lit(0)))
+            out = F.zip_with(
+                out, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def token_count(text: Column) -> Column:

@@ -297,3 +297,19 @@ def test_pq_codebooks_save_load_round_trip(spark, sf_dir, tmp_path):
     a = pq_top_k_rerank(emb, queries, k=5, codebooks=trained, shortlist=50)
     b = pq_top_k_rerank(emb, queries, k=5, codebooks=loaded, shortlist=50)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semantic_dedup_arrow_matches_expression(spark, sf_dir):
+    """The BLAS per-cell path and the pure-expression join must agree on
+    every keep/prune decision (same centroids → same cells → same pairs)."""
+    from hfp_loader_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, 4, fraction=1.0)
+    a = semantic_dedup(emb, 0.35, nlist=4, centroids=cents, use_arrow=True)
+    b = semantic_dedup(emb, 0.35, nlist=4, centroids=cents, use_arrow=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
