@@ -454,7 +454,45 @@ def fuzzy_pairs_blocked(
     Shape at scale: k+1 equality shuffle joins on (chunk_idx, chunk,
     length) unioned then distinct; levenshtein runs JVM-side only on
     candidates. Block key includes length, so skew = count of same-length
-    same-chunk values — salt or lengthen chunks if a block melts."""
+    same-chunk values — salt or lengthen chunks if a block melts.
+
+    ``max_subs=1`` uses wildcard-position blocking instead (FastSS
+    family): each value explodes into ``len`` variants with position i
+    replaced by a sentinel; two equal-length values within one
+    substitution share EXACTLY the variant wildcarded at their differing
+    position (or every variant, when equal).  Chunk blocking degenerates
+    quadratically on shared-prefix corpora — ``Customer#0000…`` names
+    all share chunk 1, making one block the whole table (measured: the
+    chunked join at 15k such names is ~112M candidate pairs and minutes
+    of levenshtein; wildcard blocks hold only the ~10 values differing
+    at that position).  Cost: len× row blowup into the join, linear in
+    corpus size; recall stays exact."""
+    if max_subs == 1:
+        v = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(text_col).alias("_txt"),
+                F.explode(
+                    F.sequence(F.lit(1), F.length(text_col))
+                ).alias("_i"),
+            )
+            # wildcard position _i with a sentinel no real key contains
+            .select(
+                "_id",
+                F.expr(
+                    "concat(substring(_txt, 1, _i - 1), '\\u0000', "
+                    "substring(_txt, _i + 1))"
+                ).alias("_variant"),
+            )
+        )
+        a = v.select(F.col("_id").alias("id_a"), "_variant")
+        b = v.select(F.col("_id").alias("id_b"), "_variant")
+        return (
+            a.join(b, "_variant")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     n_chunks = max_subs + 1
     length = F.length(F.col(text_col))
     sides = []

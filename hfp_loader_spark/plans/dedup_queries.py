@@ -386,11 +386,15 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND levenshtein(a.c_name, b.c_name) <= 1
     """,
     doc="Fuzzy entity matching (operators.neardup.fuzzy_pairs_blocked): "
-    "equal-length name pairs within levenshtein 1, found via pigeonhole "
-    "chunk blocking (2 chunks for 1 substitution — one chunk must match "
-    "exactly, so equality joins give exact recall with no all-pairs). "
-    "Oracle is the brute-force quadratic join — affordable for DuckDB at "
-    "oracle SF, and the point: same answer, scalable plan.",
+    "equal-length name pairs within levenshtein 1, found via FastSS-style "
+    "wildcard-position blocking — every value explodes into len variants "
+    "with one position wildcarded; a 1-substitution pair shares exactly "
+    "the variant at the differing position, so one equality join gives "
+    "exact recall with block sizes immune to shared prefixes (chunk "
+    "blocking degenerates to one quadratic block on Customer#0000… "
+    "names: minutes at sf0.1 vs 2s). Oracle is the brute-force quadratic "
+    "join — affordable for DuckDB at oracle SF, and the point: same "
+    "answer, scalable plan.",
 )
 def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.neardup import fuzzy_pairs_blocked
