@@ -1,0 +1,108 @@
+"""Deterministic corpus-shaping operators for training-data pipelines:
+source-mixture sampling and token-budget sequence packing.
+
+Both follow the engine-portable determinism rule of plans/sampling_queries:
+membership comes from md5 content hashes compared lexicographically, never
+from ``rand()`` — identical in Spark, DuckDB, and any downstream loader,
+stable under corpus growth and re-runs, and expressible as a pure
+projection (pushable into scans, no state, no shuffle for the sampling
+itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: lexicographic threshold on 4 leading md5 hex chars ⟺ keep-rate ≈
+#: int(threshold, 16) / 65536; "zzzz" sorts above every hex digit → keep all
+KEEP_ALL = "zzzz"
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Uniform [0,1) draw as 4 hex chars: md5 of (salt || key).  The salt
+    decorrelates this draw from every OTHER hash-based decision on the
+    same key (splits, shuffles) — without it, 'sampled at 50%' and
+    'train split' would select the same rows."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    thresholds: dict[str, str],
+    key_col: str,
+    salt: str = "mix:",
+    default_threshold: str = KEEP_ALL,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each row with a per-SOURCE
+    rate — the standard LLM-pretraining rebalancing step (upsample rare
+    high-quality sources is a union of this with replicated salts;
+    downsample dominant crawls is exactly this).
+
+    ``thresholds`` maps source → 4-hex-char lexicographic threshold
+    (rate ≈ int(t,16)/65536); unmapped sources use ``default_threshold``
+    (keep-all by default).  Membership is a pure projection on
+    md5(salt‖key): no shuffle, no RNG state, identical row set in every
+    engine and on every re-run, and rows never migrate when the corpus
+    grows — the properties a 100 TB mixture re-weighting needs to be
+    auditable."""
+    lit_map = F.create_map(
+        *[x for k, v in thresholds.items() for x in (F.lit(k), F.lit(v))]
+    )
+    thr = F.coalesce(
+        F.element_at(lit_map, F.col(source_col)), F.lit(default_threshold)
+    )
+    return df.where(_bucket(F.col(key_col), salt) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 32,
+    salt: str = "pack:",
+) -> DataFrame:
+    """Contiguous token-budget packing: order documents deterministically,
+    lay them out as a stream, and cut the stream into ``budget``-token
+    bins — the sequence-packing step that turns a document corpus into
+    fixed-length training examples.
+
+    Documents are first sharded by content hash (``n_shards`` ways) and
+    each shard packs INDEPENDENTLY: the prefix-sum window partitions by
+    shard, so at 100 TB the packing distributes instead of collapsing
+    into one unpartitioned window task (the per-key gap-fill lesson).
+    Within a shard, order is (md5 hash, key) — a deterministic shuffle —
+    and a document is assigned to the bin where its stream position
+    starts (loaders split the straddling document at the boundary; the
+    assignment records ``stream_pos`` so that cut is reproducible).
+
+    Output: ``(key, shard, bin_id, stream_pos, <size_col>)`` — one row
+    per document, exactly restatable in SQL (window prefix-sum over the
+    same hash order)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = (
+        (
+            (F.conv(F.substring(h, 1, 2), 16, 10)).cast("int") % n_shards
+        ).alias("shard")
+    )
+    base = df.select(
+        F.col(key_col),
+        F.col(size_col),
+        h.alias("_h"),
+        shard,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return base.select(
+        key_col,
+        "shard",
+        F.floor(prefix / budget).cast("long").alias("bin_id"),
+        prefix.alias("stream_pos"),
+        size_col,
+    )

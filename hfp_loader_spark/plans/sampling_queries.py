@@ -178,3 +178,112 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).alias("n_pending"),
         F.col("O_total").alias("open_total"),
     )
+
+
+# Per-source keep-rates for the mixture entry: a 4-tier downsampling
+# ladder (keep-all / 50% / 25% / 10%) over the driver's 20 uniform
+# sources — the shape of a crawl-vs-curated rebalance.
+_MIX_THRESHOLDS = {
+    **{f"src{i}": "zzzz" for i in range(5)},
+    **{f"src{i}": "8000" for i in range(5, 10)},
+    **{f"src{i}": "4000" for i in range(10, 15)},
+    **{f"src{i}": "199a" for i in range(15, 20)},
+}
+
+
+@defquery(
+    "sample_source_mixture",
+    f"""
+    WITH kept AS (
+      SELECT source, doc_id, n_chars
+      FROM documents
+      WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE {" ".join(f"WHEN source = 'src{i}' THEN '{_MIX_THRESHOLDS[f'src{i}']}'" for i in range(20))}
+                 ELSE 'zzzz' END
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)     AS n_kept,
+           CAST(sum(doc_id) AS BIGINT)  AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM kept GROUP BY source
+    """,
+    doc="Per-source mixture sampling (operators.sampling.mixture_sample): "
+    "the LLM-pretraining rebalance — each source keeps a configured "
+    "fraction (here a keep-all/50%/25%/10% ladder) chosen by salted "
+    "content hash, so membership is engine-portable, re-run-stable, and "
+    "a pure projection with no shuffle or RNG state. The id_checksum "
+    "pins EXACT membership per source, not just proportions.",
+)
+def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import mixture_sample
+
+    kept = mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        _MIX_THRESHOLDS,
+        key_col="doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+_PACK_TOKS = (
+    "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "t -> len(t) > 0))"
+)
+
+
+@defquery(
+    "pack_token_budget_bins",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST({_PACK_TOKS} AS BIGINT) AS n_tokens,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens, h,
+             CAST(((strpos('0123456789abcdef', h[1]) - 1) * 16
+                   + strpos('0123456789abcdef', h[2]) - 1) % {_PACK_SHARDS}
+                  AS INTEGER) AS shard
+      FROM sized
+    )
+    SELECT doc_id, shard,
+           CAST(floor(pos / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+           CAST(pos AS BIGINT) AS stream_pos,
+           n_tokens
+    FROM (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard
+                      ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pos
+      FROM sharded
+    )
+    """,
+    doc="Sequence packing into fixed token budgets "
+    "(operators.sampling.pack_sequences): documents are hash-sharded "
+    f"({_PACK_SHARDS} ways), each shard lays its documents out as a "
+    "deterministic hash-ordered stream, and the stream is cut into "
+    f"{_PACK_BUDGET}-token bins — the packing step that turns a corpus "
+    "into fixed-length training examples. The prefix-sum window "
+    "partitions by shard, so packing distributes instead of collapsing "
+    "into one global window; every (shard, bin, stream position) is "
+    "SQL-restatable and re-run-stable.",
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import pack_sequences
+    from hfp_loader_spark.operators.text import token_count
+
+    sized = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        sized, "doc_id", "n_tokens", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )

@@ -1,0 +1,53 @@
+"""Property tests for mixture sampling and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.sampling import mixture_sample, pack_sequences
+from hfp_loader_spark.plans.catalog import load_table
+
+
+def test_mixture_sample_is_deterministic_and_rate_shaped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    thr = {"src0": "zzzz", "src1": "8000", "src2": "0000"}
+    kept = mixture_sample(docs, "source", thr, key_col="doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    src_totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["src0"] == src_totals["src0"]  # keep-all tier
+    assert "src2" not in counts  # zero-rate tier drops everything
+    assert 0 < counts.get("src1", 0) < src_totals["src1"]  # ~50% tier
+    # unmapped sources default to keep-all
+    assert counts["src3"] == src_totals["src3"]
+    # deterministic: a second evaluation selects the identical rows
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert a == b
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("sz")
+    )
+    budget = 1000
+    out = pack_sequences(docs, "doc_id", "sz", budget=budget, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every document is placed
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["stream_pos"])
+        pos = 0
+        for r in shard_rows:
+            # stream positions are the exact prefix sums: contiguous, no gaps
+            assert r["stream_pos"] == pos
+            assert r["bin_id"] == pos // budget
+            pos += r["sz"]
