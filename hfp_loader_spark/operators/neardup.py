@@ -394,7 +394,18 @@ def simhash_near_pairs(
     Split the fingerprint into (max_hamming+1) byte-bands: any pair with
     ≤ max_hamming differing bits agrees on at least one band, so a
     band-equality join finds all of them without an all-pairs product.
+
+    The fingerprints are persisted eagerly before banding: the banded
+    projection references ``simhash`` once per band (plus the carried
+    column), and BOTH sides of the bucket self-join consume it — with an
+    unmaterialized input, Catalyst collapses the 64-bit-vote expression
+    into every reference and the fingerprint pass re-runs ~8× (measured
+    21.6s → 2.8s at sf0.1).  Tiny: one long per doc.
     """
+    from pyspark import StorageLevel
+
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    fingerprints.count()
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
