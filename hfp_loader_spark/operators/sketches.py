@@ -1,0 +1,107 @@
+"""Mergeable frequency sketches: count-min as first-class DataFrames.
+
+The warehouse sketch pattern (same rationale as the HLL entry in
+plans/relational_extra): build one small sketch per partition of the data,
+PERSIST the sketches, and answer later rollups — any grouping of
+partitions — by MERGING sketches instead of rescanning the corpus.
+Count-min merges by per-cell addition, so a sketch is just a
+``(depth, bucket, count)`` DataFrame and merging is a groupBy-sum.
+
+Estimates carry the classic guarantees: ``est ≥ true`` always (hash
+collisions only ADD), and ``est ≤ true + (e/width)·N`` with probability
+``1 − e^(−depth)`` — both stated as oracle-checkable booleans in the
+catalog entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, depth_idx: Column | int, width: int) -> Column:
+    """Row ``depth_idx``'s bucket for ``key``: xxhash64 seeded by the row
+    index, folded into [0, width).  ``pmod`` keeps negative hashes in
+    range."""
+    return F.pmod(F.xxhash64(key.cast("string"), F.lit(depth_idx)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    part_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch(es) of ``key_col`` frequencies, one per value of
+    ``part_cols`` (no partitioning → a single global sketch).
+
+    Output: ``(*part_cols, depth_idx, bucket, cnt)`` — at most
+    ``depth·width`` rows per partition, whatever the input cardinality.
+    One explode (depth×) + one aggregate; map-side partial sums compact
+    the blowup before the shuffle, and the shuffle key space is the
+    sketch's own (partition, depth, bucket) domain."""
+    part_cols = list(part_cols or ())
+    rows = df.select(
+        *part_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_idx"),
+                        _bucket(F.col(key_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_db"),
+    ).select(*part_cols, "_db.depth_idx", "_db.bucket")
+    return rows.groupBy(*part_cols, "depth_idx", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(sketches: DataFrame, part_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketches by cell-wise addition — the operation that makes a
+    persisted per-partition sketch table answer ANY coarser grouping
+    without rescanning the data.  ``part_cols``: the grouping to KEEP
+    (empty → one global sketch)."""
+    part_cols = list(part_cols or ())
+    return sketches.groupBy(*part_cols, "depth_idx", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates for ``keys[key_col]`` from a (merged, global)
+    sketch: min over depth rows of the key's bucket counts.
+
+    The keys frame is expected to be small (a watch-list); it explodes
+    depth× and BROADCASTS into a join against the sketch cells — the
+    sketch side is ``depth·width`` rows, so this is a lookup, not a
+    scan of anything data-sized."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth_idx"),
+                        _bucket(F.col(key_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_db"),
+    ).select(key_col, "_db.depth_idx", "_db.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["depth_idx", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

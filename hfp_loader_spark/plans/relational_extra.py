@@ -825,3 +825,70 @@ def timeseries_gapfill_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_gap",
         F.col("total").alias("total_ffill"),
     )
+
+
+@defquery(
+    "sketch_cms_frequencies",
+    """
+    WITH exact AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM orders WHERE o_custkey < 8 GROUP BY o_custkey
+    )
+    SELECT o_custkey, exact_cnt,
+           TRUE AS never_underestimates,
+           TRUE AS within_eps_bound
+    FROM exact
+    """,
+    doc="Count-min sketch CONTRACT (operators.sketches): per-month CMS "
+    "sketches of order counts per customer (depth 4 × width 256 — at "
+    "most 1024 cells per month regardless of input size), merged to a "
+    "global sketch by cell-wise addition — the persisted-sketch rollup "
+    "pattern (any coarser grouping = a merge, never a rescan; the HLL "
+    "entry's algebra applied to FREQUENCIES). Estimates for a key "
+    "watch-list are checked against Spark-computed exact counts: "
+    "est ≥ exact always (collisions only add — a hard invariant), and "
+    "est ≤ exact + (e/width)·N (the classic ε-bound; deterministic "
+    "hashes make it a fixed fact of this corpus, measured true at "
+    "sf0.01 and sf0.1). The oracle restates the exact counts and pins "
+    "both booleans.",
+)
+def sketch_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from hfp_loader_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    monthly = cms_build(orders, "o_custkey", part_cols=["month"])
+    merged = cms_merge(monthly, part_cols=[])
+    keys = _t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 8
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    est = cms_estimate(merged, keys, "o_custkey")
+    exact = (
+        orders.where(F.col("o_custkey") < 8)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    n_total = orders.agg(F.count("*").alias("_n"))
+    eps = math.e / 256
+    return (
+        exact.join(est, "o_custkey")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "o_custkey",
+            "exact_cnt",
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+                "never_underestimates"
+            ),
+            (
+                F.col("cms_estimate")
+                <= F.col("exact_cnt") + F.ceil(F.lit(eps) * F.col("_n"))
+            ).alias("within_eps_bound"),
+        )
+    )

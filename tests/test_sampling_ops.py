@@ -51,3 +51,36 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert r["stream_pos"] == pos
             assert r["bin_id"] == pos // budget
             pos += r["sz"]
+
+
+def test_cms_merge_equals_direct_build_and_never_underestimates(spark):
+    """Cell-wise merge of per-partition sketches must equal the sketch
+    built directly on the union (the mergeability contract), and point
+    estimates must never undercount."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(i % 7, "p1" if i % 2 else "p2") for i in range(500)]
+    rows += [(99, "p1")] * 40  # a heavy hitter concentrated in one part
+    df = spark.createDataFrame(rows, "k long, part string")
+
+    per_part = cms_build(df, "k", part_cols=["part"])
+    merged = cms_merge(per_part).select("depth_idx", "bucket", "cnt")
+    direct = cms_build(df, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    keys = spark.createDataFrame([(99,), (0,), (3,)], "k long")
+    est = {r["k"]: r["cms_estimate"] for r in cms_estimate(merged, keys, "k").collect()}
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    for k in (99, 0, 3):
+        assert est[k] >= exact[k]
