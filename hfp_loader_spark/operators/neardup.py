@@ -284,6 +284,80 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def save_signature_index(
+    spark,
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    mode: str = "append",
+) -> int:
+    """Persist MinHash signatures as a versioned-table snapshot — the
+    corpus-history side of incremental dedup.
+
+    At 100 TB you never re-shingle the whole history to dedup a daily
+    delta: each ingest APPENDS its batch's ``(doc_id, sig)`` rows
+    (``mode='append'`` = O(1) manifest commit on top of the stored
+    parquet), and the delta join reads signatures — 32 longs per doc —
+    instead of documents.  Returns the committed version."""
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    sigs = minhash_signatures(
+        shingle_docs(ensure_parallelism(docs, id_col), id_col, text_col, shingle_n),
+        num_hashes,
+    )
+    return commit_snapshot(spark, sigs, root, mode=mode)
+
+
+def dedup_delta_against_index(
+    spark,
+    delta: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    version: int | None = None,
+) -> DataFrame:
+    """LSH candidates of a NEW batch against the persisted signature
+    index (plus within-batch pairs): ``(doc_a, doc_b)`` with doc_a from
+    the history∪delta side, doc_b from the delta.
+
+    The incremental shape: only the delta is shingled and hashed; the
+    history contributes stored signatures.  Candidates still need exact
+    verification against the source texts (signatures alone cannot
+    compute Jaccard) — callers join the pair list back to their
+    document store, exactly like :func:`minhash_lsh_pairs`' verify
+    stage.  Cost per ingest: O(|delta|) hashing + a bucket join whose
+    history side is the banded index, never a history re-scan of text."""
+    from hfp_loader_spark.versioned import read_snapshot
+
+    hist = read_snapshot(spark, root, version)
+    delta_sigs = minhash_signatures(
+        shingle_docs(ensure_parallelism(delta, id_col), id_col, text_col, shingle_n),
+        num_hashes,
+    )
+    both = hist.unionByName(delta_sigs)
+    pairs = lsh_candidate_pairs(both, num_hashes, num_bands)
+    delta_ids = delta.select(F.col(id_col).alias("doc_b")).distinct()
+    # keep pairs touching the delta (history×history pairs were reported
+    # by earlier ingests); doc_a < doc_b ordering comes from the LSH join
+    touch_b = pairs.join(F.broadcast(delta_ids), "doc_b", "left_semi")
+    touch_a = pairs.join(
+        F.broadcast(delta_ids.select(F.col("doc_b").alias("doc_a"))),
+        "doc_a",
+        "left_semi",
+    )
+    return (
+        touch_b.select("doc_a", "doc_b")
+        .unionByName(touch_a.select("doc_a", "doc_b"))
+        .distinct()
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     heldout: DataFrame,

@@ -218,3 +218,56 @@ def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_signature_index_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Index 80% of the corpus, then dedup the 20% delta against the
+    stored signatures: candidate pairs touching the delta must equal the
+    delta-touching subset of a full-corpus LSH run (same hashes, same
+    bands — the index changes WHERE signatures come from, not what they
+    are)."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.neardup import (
+        dedup_delta_against_index,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        save_signature_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where("doc_id % 5 != 0")
+    delta = docs.where("doc_id % 5 = 0")
+    root = str(tmp_path / "sig_index")
+    save_signature_index(spark, hist, root)
+
+    got = sorted(
+        map(tuple, dedup_delta_against_index(spark, delta, root).collect())
+    )
+
+    full = lsh_candidate_pairs(minhash_signatures(shingle_docs(docs, "doc_id", "text")))
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] in delta_ids or r["doc_b"] in delta_ids
+    )
+    assert got == want
+    assert len(got) > 0  # the synthetic corpus plants near-dups across the split
+
+
+def test_signature_index_append_is_incremental(spark, sf_dir, tmp_path):
+    """A second ingest appends its signatures (O(1) commit): the index
+    then serves both batches' signatures without re-shingling batch 1."""
+    from hfp_loader_spark.operators.neardup import save_signature_index
+    from hfp_loader_spark.versioned import read_snapshot
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+    root = str(tmp_path / "sig_index2")
+    v1 = save_signature_index(spark, b1, root)
+    v2 = save_signature_index(spark, b2, root)
+    assert v2 == v1 + 1
+    assert read_snapshot(spark, root, v1).count() == b1.count()
+    assert read_snapshot(spark, root, v2).count() == docs.count()
