@@ -250,6 +250,45 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
+def save_ivf_centroids(
+    spark, centroids: list[list[float]], root: str, meta: dict | None = None
+) -> int:
+    """Persist trained IVF centroids as a versioned-table snapshot (one
+    row per cell: ``(cell, centroid array<double>)``) — same
+    train-once/serve-forever contract as :func:`save_pq_codebooks`; an
+    index's cell geometry must stay FIXED once corpus vectors are tagged
+    with cell ids, or every stored tag silently dangles."""
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    return commit_snapshot(
+        spark, df, root, mode="overwrite",
+        meta={"nlist": len(centroids), **(meta or {})},
+    )
+
+
+def load_ivf_centroids(
+    spark, root: str, version: int | None = None
+) -> list[list[float]]:
+    """Load centroids stored by :func:`save_ivf_centroids` (latest by
+    default; ``version`` time-travels to an older index build)."""
+    from hfp_loader_spark.versioned import read_snapshot
+
+    rows = read_snapshot(spark, root, version).collect()
+    out: list[list[float] | None] = [None] * (
+        max(r["cell"] for r in rows) + 1
+    )
+    for r in rows:
+        out[r["cell"]] = list(r["centroid"])
+    missing = [i for i, c in enumerate(out) if c is None]
+    if missing:
+        raise ValueError(f"stored centroids incomplete: missing cells {missing[:4]}")
+    return out  # type: ignore[return-value]
+
+
 def _centroids_lit(centroids: list[list[float]]) -> Column:
     """The centroid matrix as ONE array<array<double>> literal constant.
 

@@ -313,3 +313,25 @@ def test_semantic_dedup_arrow_matches_expression(spark, sf_dir):
     a = semantic_dedup(emb, 0.35, nlist=4, centroids=cents, use_arrow=True)
     b = semantic_dedup(emb, 0.35, nlist=4, centroids=cents, use_arrow=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_centroids_save_load_round_trip(spark, sf_dir, tmp_path):
+    from hfp_loader_spark.operators.similarity import (
+        ivf_top_k,
+        load_ivf_centroids,
+        save_ivf_centroids,
+        train_ivf_centroids,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = train_ivf_centroids(emb, 8, fraction=1.0)
+    root = str(tmp_path / "ivf_index")
+    v = save_ivf_centroids(spark, trained, root)
+    loaded = load_ivf_centroids(spark, root, v)
+    assert loaded == trained
+
+    q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    a = ivf_top_k(emb, q, 5, nlist=8, nprobe=4, centroids=trained)
+    b = ivf_top_k(emb, q, 5, nlist=8, nprobe=4, centroids=loaded)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
