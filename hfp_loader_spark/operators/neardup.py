@@ -323,8 +323,12 @@ def dedup_delta_against_index(
     version: int | None = None,
 ) -> DataFrame:
     """LSH candidates of a NEW batch against the persisted signature
-    index (plus within-batch pairs): ``(doc_a, doc_b)`` with doc_a from
-    the history∪delta side, doc_b from the delta.
+    index (plus within-batch pairs): every ``(doc_a, doc_b)`` candidate
+    pair — ordered ``doc_a < doc_b`` by id, so either side may be the
+    delta document — where AT LEAST ONE side belongs to the delta
+    (history×history pairs were reported by earlier ingests).  Callers
+    pruning the delta should keep whichever element of each pair is in
+    their batch, not a fixed column.
 
     The incremental shape: only the delta is shingled and hashed; the
     history contributes stored signatures.  Candidates still need exact
@@ -553,27 +557,37 @@ def fuzzy_pairs_blocked(
     at that position).  Cost: len× row blowup into the join, linear in
     corpus size; recall stays exact."""
     if max_subs == 1:
+        # sequence(1, greatest(len, 1)): an empty string still emits ONE
+        # (degenerate) variant — F.sequence(1, 0) would yield the
+        # DESCENDING [1, 0] and fabricate variants — and the length in
+        # the join key keeps equal-length semantics exact (without it,
+        # the empty string's variant NUL would collide with every
+        # 1-character value's variant).
         v = (
             df.select(
                 F.col(id_col).alias("_id"),
                 F.col(text_col).alias("_txt"),
+                F.length(text_col).alias("_len"),
                 F.explode(
-                    F.sequence(F.lit(1), F.length(text_col))
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(text_col), F.lit(1))
+                    )
                 ).alias("_i"),
             )
             # wildcard position _i with a sentinel no real key contains
             .select(
                 "_id",
+                "_len",
                 F.expr(
                     "concat(substring(_txt, 1, _i - 1), '\\u0000', "
                     "substring(_txt, _i + 1))"
                 ).alias("_variant"),
             )
         )
-        a = v.select(F.col("_id").alias("id_a"), "_variant")
-        b = v.select(F.col("_id").alias("id_b"), "_variant")
+        a = v.select(F.col("_id").alias("id_a"), "_len", "_variant")
+        b = v.select(F.col("_id").alias("id_b"), "_len", "_variant")
         return (
-            a.join(b, "_variant")
+            a.join(b, ["_len", "_variant"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()

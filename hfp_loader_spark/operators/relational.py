@@ -404,8 +404,12 @@ def gapfill_daily(
             F.sequence("_lo", "_hi", F.expr("interval 1 day"))
         ).alias(date_col),
     )
-    joined = spine.join(df, [*key_cols, date_col], "left")
-    probe = zero_cols[0] if zero_cols else (ffill_cols or df.columns)[0]
+    # explicit observation marker: probing a value column for NULL would
+    # silently mis-flag when no zero/ffill columns are passed (the
+    # fallback would probe a join KEY, which is never NULL on gap rows)
+    joined = spine.join(
+        df.withColumn("_observed", F.lit(1)), [*key_cols, date_col], "left"
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(date_col)
@@ -419,6 +423,6 @@ def gapfill_daily(
             F.coalesce(F.col(c), F.last(c, ignorenulls=True).over(w), F.lit(0.0)).alias(c)
             for c in ffill_cols
         ],
-        F.when(F.col(probe).isNull(), 1).otherwise(0).alias("was_gap"),
+        F.when(F.col("_observed").isNull(), 1).otherwise(0).alias("was_gap"),
     ]
     return joined.select(*out)

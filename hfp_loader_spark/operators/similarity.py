@@ -441,14 +441,15 @@ def semantic_dedup(
         centroids = train_ivf_centroids(
             corpus, nlist, vec_col=vec_col, fraction=train_fraction
         )
-    c = (
-        corpus.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
-        )
-        .withColumn("_cell", ivf_assign_cell(F.col("_v"), centroids))
-        .withColumn("_n", norm(F.col("_v")))
-        .persist()
-    )
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    ).withColumn("_cell", ivf_assign_cell(F.col("_v"), centroids))
+    if not use_arrow:
+        # the expression join consumes c on BOTH sides and per-pair
+        # scoring wants prenormed folds — neither applies to the arrow
+        # path, which reads the frame exactly once and normalizes in
+        # numpy, so the norm column and the persist would be pure waste
+        c = c.withColumn("_n", norm(F.col("_v"))).persist()
     if use_arrow:
         import numpy as np
         import pandas as pd
@@ -869,41 +870,20 @@ def pq_encode(
     )
 
 
-def pq_adc_score(
-    qvec: Column, codes: Column, codebooks: list[list[list[float]]]
-) -> Column:
-    """Asymmetric-distance (ADC) cosine approximation: the query stays
-    exact, the corpus side is its reconstructed code words —
-    ``sum_j dot(q_sub_j, book_j[code_j])``.
-
-    In-plan this evaluates the same FLOPs as a full dot (the codebook
-    lookup replaces the corpus vector); the scale win is I/O and memory:
-    the scan reads m bytes of codes per vector instead of dim·4 — at
-    10^9 × 64-float vectors that is 8 GB of codes vs 256 GB of floats,
-    which is the difference between an in-memory rescan per query batch
-    and a disk-bound one.  (The classic per-query LUT precompute is a
-    further constant-factor step that needs the query list driver-side;
-    arrow_top_k shows that pattern.)"""
-    dsub = len(codebooks[0][0])
-    contrib = F.transform(
-        codes,
-        lambda code, j: dot(
-            F.slice(qvec, j * dsub + 1, dsub),
-            F.element_at(F.element_at(_pq_books_lit(codebooks), j + 1), code + 1),
-        ),
-    )
-    return F.aggregate(contrib, F.lit(0.0), lambda acc, s: acc + s)
-
-
 def pq_query_lut(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
     """Per-query ADC lookup table: ``lut[j][c] = dot(q_sub_j, book_j[c])``
     as an ``array<array<double>>`` column — the classic PQ scan trick.
 
-    Computed ONCE per query row (m·ksub small dots); every corpus
-    candidate is then scored with m array LOOKUPS instead of m sub-dots,
-    turning the per-pair cost from O(dim) interpreted fold work into
-    O(m) reads.  The LUT rides the query broadcast (m·ksub doubles per
-    query — 1 KB at 8×16)."""
+    ADC (asymmetric distance) keeps the query exact and scores the
+    corpus by its reconstructed code words, ``Σ_j dot(q_sub_j,
+    book_j[code_j])``; the scale win is I/O — the scan reads m bytes of
+    codes per vector instead of dim·4 (8 GB vs 256 GB at 10⁹ 64-float
+    vectors), the difference between an in-RAM rescan per query batch
+    and a disk-bound one.  The LUT is computed ONCE per query row
+    (m·ksub small dots) so every corpus candidate costs m array LOOKUPS
+    instead of m sub-vector dots — O(m) reads per pair, not O(dim)
+    interpreted fold work.  It rides the query broadcast (m·ksub
+    doubles per query — 1 KB at 8×16)."""
     dsub = len(codebooks[0][0])
     return F.transform(
         _pq_books_lit(codebooks),

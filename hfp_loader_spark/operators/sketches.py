@@ -83,9 +83,8 @@ def cms_estimate(
     sketch: min over depth rows of the key's bucket counts.
 
     The keys frame is expected to be small (a watch-list); it explodes
-    depth× and BROADCASTS into a join against the sketch cells — the
-    sketch side is ``depth·width`` rows, so this is a lookup, not a
-    scan of anything data-sized."""
+    depth× and joins the BROADCAST sketch (``depth·width`` rows, bounded
+    by construction) — a lookup, not a scan of anything data-sized."""
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -100,8 +99,12 @@ def cms_estimate(
             )
         ).alias("_db"),
     ).select(key_col, "_db.depth_idx", "_db.bucket")
+    # LEFT join from the probes: an EMPTY sketch cell has no stored row,
+    # but count-min's minimum must see it as 0 — an inner join would
+    # take the min over only the colliding non-empty cells (breaking the
+    # ε-bound) and drop absent keys from the output entirely.
     return (
-        sketch.join(F.broadcast(probes), ["depth_idx", "bucket"])
+        probes.join(F.broadcast(sketch), ["depth_idx", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )

@@ -438,13 +438,28 @@ _SEMDEDUP_T = 0.35  # tuned to the synthetic corpus's cosine range (max ≈ 0.51
 _SEMDEDUP_NLIST = 4
 
 
-def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.similarity import semantic_dedup
+_SEMDEDUP_CENTROIDS: dict[str, list[list[float]]] = {}
 
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    # train once per corpus (the _IVF_CENTROIDS/_PQ_BOOKS pattern): both
+    # catalog entries (keep-list + contract) share the driver k-means
+    cents = _SEMDEDUP_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = train_ivf_centroids(
+            _t(spark, sf_dir, "embeddings"), _SEMDEDUP_NLIST, fraction=1.0
+        )
+        _SEMDEDUP_CENTROIDS[sf_dir] = cents
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         threshold=_SEMDEDUP_T,
         nlist=_SEMDEDUP_NLIST,
+        centroids=cents,
     )
 
 

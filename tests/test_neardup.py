@@ -271,3 +271,22 @@ def test_signature_index_append_is_incremental(spark, sf_dir, tmp_path):
     assert v2 == v1 + 1
     assert read_snapshot(spark, root, v1).count() == b1.count()
     assert read_snapshot(spark, root, v2).count() == docs.count()
+
+
+def test_fuzzy_pairs_wildcard_handles_empty_and_short_keys(spark):
+    """Equal-length contract must hold at the degenerate lengths: empty
+    strings pair only with empty strings, 1-char values only with
+    1-char values (regression: sequence(1,0) is DESCENDING [1,0] and
+    fabricated variants for empty strings)."""
+    from hfp_loader_spark.operators.neardup import fuzzy_pairs_blocked
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "x"), (4, "y"), (5, "xy")],
+        "id int, v string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_blocked(df, "id", "v", max_subs=1).collect()
+    )
+    # ('','') lev 0; ('x','y') lev 1; nothing crosses lengths
+    assert got == [(1, 2), (3, 4)]

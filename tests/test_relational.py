@@ -252,3 +252,17 @@ def test_gapfill_daily_per_key_fills_inside_key_only(spark):
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     win_lines = [ln for ln in opt.splitlines() if "windowspecdefinition" in ln]
     assert win_lines and "windowspecdefinition(k#" in win_lines[0], win_lines
+
+
+def test_gapfill_daily_flags_gaps_without_fill_columns(spark):
+    """was_gap must come from an observation marker, not a probed value
+    column (regression: with no zero/ffill columns the probe fell back
+    to a join key, which is never NULL on gap rows)."""
+    import datetime as dt
+
+    from hfp_loader_spark.operators.relational import gapfill_daily
+
+    rows = [("a", dt.date(2024, 1, 1)), ("a", dt.date(2024, 1, 3))]
+    df = spark.createDataFrame(rows, "k string, d date")
+    out = {str(r["d"]): r["was_gap"] for r in gapfill_daily(df, "d", ["k"]).collect()}
+    assert out == {"2024-01-01": 0, "2024-01-02": 1, "2024-01-03": 0}

@@ -84,3 +84,17 @@ def test_cms_merge_equals_direct_build_and_never_underestimates(spark):
     }
     for k in (99, 0, 3):
         assert est[k] >= exact[k]
+
+
+def test_cms_estimate_absent_key_is_zero(spark):
+    """A key whose cells are all empty must be reported with estimate 0,
+    not dropped (regression: inner join removed empty cells, breaking
+    the min and the ε-bound)."""
+    from hfp_loader_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(1,)] * 10, "k long")
+    sketch = cms_build(df, "k", width=1024)
+    keys = spark.createDataFrame([(1,), (123456789,)], "k long")
+    est = {r["k"]: r["cms_estimate"] for r in cms_estimate(sketch, keys, "k", width=1024).collect()}
+    assert est[1] >= 10
+    assert est.get(123456789) == 0  # width 1024, 1 occupied bucket/row: no collision
