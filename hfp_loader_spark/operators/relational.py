@@ -320,6 +320,73 @@ def funnel_counts(
     return out
 
 
+def funnel_counts_windowed(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """``funnel_counts`` with the alternate physical strategy: ONE
+    exchange instead of k join rounds.
+
+    Same semantics (step i counts users with a ``steps[i]`` event
+    STRICTLY AFTER their earliest step-i-1 completion; ties at the exact
+    anchor timestamp do not count) and the same (step, step_idx, n_users)
+    output — ``tests/test_analytics.py`` asserts the two agree row-for-row
+    on driver data.
+
+    Strategy: per step a running-min window ``min(CASE step THEN ts)``,
+    every window over the SAME ``partitionBy(id_col).orderBy(ts,
+    order_col)`` spec, each referencing the previous step's running
+    anchor.  Catalyst plans one Exchange+Sort and chains the k windows in
+    a single ``WindowExec`` stack, and the per-user terminal aggregate
+    reuses the partitioning — the whole funnel shuffles the events table
+    once, vs once per step for the join-chain form.  Row state is k
+    running timestamps (no per-user history arrays), so power users cost
+    nothing extra.  The join-chain twin wins when steps are rare (its
+    per-round inputs are type-filtered first); this form wins when the
+    funnel is deep or steps are dense — the planner-level trade both
+    docstrings exist to record.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = events
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        out = out.withColumn(
+            f"_step_{i}_ts", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = F.col(f"_step_{i}_ts")
+    per_user = out.groupBy(id_col).agg(
+        *[
+            F.min(f"_step_{i}_ts").alias(f"_step_{i}_ts")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"_step_{i}_ts").cast("long").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{step}', {i}, n{i}" for i, step in enumerate(steps, start=1)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"
+    ).select("step", F.col("step_idx").cast("int").alias("step_idx"), "n_users")
+
+
 def cohort_retention(
     events: DataFrame,
     id_col: str = "user_id",

@@ -255,3 +255,103 @@ def scrub_pii(text: Column) -> Column:
     for _, pattern, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, repl)
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The pre-training chunking step: each document becomes
+    ``ceil(max(n_tokens,1) / stride)``-ish chunks of ``window`` tokens
+    starting every ``stride`` tokens (the final chunk may be shorter; a
+    document shorter than ``window`` yields one chunk).  Output columns:
+    ``(id_col, chunk_id, n_tokens, chunk_md5)`` — the md5 is over the
+    space-joined chunk tokens, so downstream chunk-level dedup shuffles a
+    16-byte key instead of chunk bodies.
+
+    Zero-UDF: tokens are materialized ONCE per document in a projection
+    (so the tokenizer does not re-run per chunk), starts come from
+    ``posexplode(sequence(0, n-1, stride))``, and each chunk is a
+    ``slice`` of the bound token array.  Narrow until the explode; the
+    explode multiplies rows only ~n_tokens/stride ×, and each output row
+    carries the hash, not the tokens.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toked = docs.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = toked.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, window)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def boilerplate_fractions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df_frac: float = 0.10,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document boilerplate fraction via corpus-frequent n-grams.
+
+    An n-gram is "boilerplate" when it appears in at least
+    ``ceil(min_df_frac * n_docs)`` DISTINCT documents (the C4/RefinedWeb
+    style corpus-level repetition signal — per-document repetition is
+    ``repetition_metrics``; this measures cross-document repetition).
+    Output: one row per document with >= 1 n-gram:
+    ``(id_col, *extra_cols, n_grams, n_boiler, boiler_frac)``.
+
+    Scale shape: the distinct (doc, gram) explode is aggregated into
+    document frequencies with map-side partials; the gram→df join is an
+    equi-join on the gram string whose build side is the aggregated
+    document-frequency table (already reduced to the vocabulary size, not
+    the corpus size); the total-doc count is a 1-row aggregate broadcast
+    (scalar-subquery pattern).  Nothing is quadratic in documents.
+    """
+    doc_grams = docs.select(
+        id_col,
+        *extra_cols,
+        F.explode(word_shingles(tokens(F.col(text_col)), n=n)).alias("gram"),
+    )
+    dfreq = doc_grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = docs.select(F.count("*").alias("_nd"))
+    flagged = (
+        doc_grams.join(dfreq, "gram")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col, *extra_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("df") >= F.ceil(F.lit(min_df_frac) * F.col("_nd")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return flagged.withColumn(
+        "boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 4)
+    )

@@ -1,0 +1,192 @@
+"""Corpus/embedding analytics catalog entries (SURVEY §2.11 extension tier).
+
+Corpus-level boilerplate detection and pre-training chunking over
+``documents``, per-dimension statistics over ``embeddings``, and the
+single-shuffle windowed twin of the sequential funnel.  The reference
+(HSLdevcom/hfp-loader) has no analytics queries at all — it is a loader
+(SURVEY §0); this module is "north star" surface built on the driver's
+synthetic tables, every entry with an exact DuckDB oracle.
+
+Scale shapes (100 TB):
+- the windowed funnel is ONE exchange of events on ``user_id`` — all k
+  step windows share a single partitioning+sort and the per-user
+  aggregate reuses it (vs one shuffle per step for the join-chain form in
+  ``funnel_view_click_purchase``; both exist deliberately, see
+  ``operators.relational.funnel_counts_windowed``);
+- boilerplate joins the exploded grams against an already-aggregated
+  document-frequency table (vocabulary-sized build side), with the corpus
+  doc count as a 1-row broadcast — nothing quadratic in documents;
+- chunking is narrow until a ~n_tokens/stride × explode whose output rows
+  carry 16-byte md5s, not token arrays;
+- embedding stats explode 64× but partial (map-side) aggregation folds
+  them to 64 rows per partition before the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.relational import funnel_counts_windowed
+from hfp_loader_spark.operators.text import boilerplate_fractions, chunk_documents
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+
+@defquery(
+    "events_funnel_windowed",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type, event_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1
+      FROM events
+    ), s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t3
+      FROM s2
+    ), per_user AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM s3 GROUP BY user_id
+    ), c AS (
+      SELECT CAST(count(t1) AS BIGINT) AS n1,
+             CAST(count(t2) AS BIGINT) AS n2,
+             CAST(count(t3) AS BIGINT) AS n3
+      FROM per_user
+    )
+    SELECT 'view' AS step, CAST(1 AS INT) AS step_idx, n1 AS n_users FROM c
+    UNION ALL
+    SELECT 'click', CAST(2 AS INT), n2 FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS INT), n3 FROM c
+    """,
+    doc="The sequential funnel re-planned as chained running-min windows "
+    "sharing ONE exchange on user_id "
+    "(operators.relational.funnel_counts_windowed) — the single-shuffle "
+    "physical twin of funnel_view_click_purchase (join-chain, one "
+    "shuffle per step); identical semantics, cross-checked row-for-row "
+    "in tests/test_analytics.py. Oracle states the same chained windows "
+    "in SQL.",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return funnel_counts_windowed(ev, ["view", "click", "purchase"])
+
+
+@defquery(
+    "text_boilerplate_by_source",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      WHERE len(t) >= 2
+    ), dfreq AS (
+      SELECT g, count(*) AS df FROM grams GROUP BY g
+    ), nd AS (
+      SELECT count(*) AS nd FROM documents
+    ), per_doc AS (
+      SELECT doc_id, source, count(*) AS n_grams,
+             sum(CASE WHEN df >= ceil(0.10 * (SELECT nd FROM nd))
+                      THEN 1 ELSE 0 END) AS n_boiler
+      FROM grams JOIN dfreq USING (g)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_boiler AS DOUBLE) / n_grams), 4) AS avg_boiler_frac,
+           round(max(CAST(n_boiler AS DOUBLE) / n_grams), 4) AS max_boiler_frac
+    FROM per_doc GROUP BY source
+    """,
+    doc="Corpus-frequent bigram boilerplate signal "
+    "(operators.text.boilerplate_fractions, min_df 10% of docs): distinct "
+    "per-doc bigrams → document frequencies → flag fraction per doc → "
+    "per-source rollup. Cross-document repetition — the corpus-level "
+    "complement of the per-document repetition_metrics gates.",
+)
+def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = boilerplate_fractions(
+        docs, n=2, min_df_frac=0.10, extra_cols=("source",)
+    )
+    frac = F.col("n_boiler") / F.col("n_grams")
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg(frac), 4).alias("avg_boiler_frac"),
+        F.round(F.max(frac), 4).alias("max_boiler_frac"),
+    )
+
+
+@defquery(
+    "text_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT),
+                                    24)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / 24 AS INT) AS chunk_id,
+           CAST(len(t[s + 1 : s + 32]) AS INT) AS n_tokens,
+           md5(array_to_string(t[s + 1 : s + 32], ' ')) AS chunk_md5
+    FROM starts
+    """,
+    doc="Pre-training token-window chunking "
+    "(operators.text.chunk_documents, window 32 / stride 24): tokens "
+    "bound once per doc, starts via posexplode(sequence), chunks carry "
+    "md5 fingerprints so chunk-level dedup shuffles 16-byte keys.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=32, stride=24)
+
+
+@defquery(
+    "emb_dim_stats",
+    """
+    WITH idx AS (
+      SELECT embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )
+    SELECT CAST(i - 1 AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
+           round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) AS std,
+           round(min(CAST(embedding[i] AS DOUBLE)), 4) AS vmin,
+           round(max(CAST(embedding[i] AS DOUBLE)), 4) AS vmax
+    FROM idx GROUP BY dim
+    """,
+    doc="Per-dimension embedding statistics (mean/std/min/max via "
+    "posexplode → groupBy pos): the feature-scaling prerequisite for "
+    "standardized ANN; the 64× explode is folded back to 64 rows per "
+    "partition by partial aggregation before the only shuffle.",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(x), 4).alias("mean"),
+            F.round(F.stddev_pop(x), 4).alias("std"),
+            F.round(F.min(x), 4).alias("vmin"),
+            F.round(F.max(x), 4).alias("vmax"),
+        )
+    )

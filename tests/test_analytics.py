@@ -1,0 +1,172 @@
+"""Tests for the windowed-funnel twin, boilerplate, chunking, emb stats."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.relational import (
+    funnel_counts,
+    funnel_counts_windowed,
+)
+from hfp_loader_spark.operators.text import boilerplate_fractions, chunk_documents
+from hfp_loader_spark.plans.catalog import load_table
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, _ts(ts), user, typ) for i, (user, ts, typ) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_windowed_funnel_requires_strict_ordering(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes all three steps in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:05:00", "click"),
+            (1, "2024-01-01 10:10:00", "purchase"),
+            # u2 clicks BEFORE viewing → click must not count
+            (2, "2024-01-01 09:00:00", "click"),
+            (2, "2024-01-01 09:30:00", "view"),
+            # u3 views only
+            (3, "2024-01-01 08:00:00", "view"),
+            # u4 purchase happens before the click → stops at click
+            (4, "2024-01-01 07:00:00", "view"),
+            (4, "2024-01-01 07:01:00", "purchase"),
+            (4, "2024-01-01 07:02:00", "click"),
+        ],
+    )
+    report = {
+        r["step"]: r
+        for r in funnel_counts_windowed(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert report["view"]["n_users"] == 4
+    assert report["click"]["n_users"] == 2
+    assert report["purchase"]["n_users"] == 1
+    assert [report[s]["step_idx"] for s in ("view", "click", "purchase")] == [
+        1,
+        2,
+        3,
+    ]
+
+
+def test_windowed_funnel_same_timestamp_step_does_not_count(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:00:00", "click"),  # ts == anchor → strict > fails
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 10:00:01", "click"),
+        ],
+    )
+    report = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(ev, ["view", "click"]).collect()
+    }
+    assert report == {"view": 2, "click": 1}
+
+
+def test_windowed_funnel_empty_input(spark):
+    ev = _events(spark, []).limit(0)
+    rows = funnel_counts_windowed(ev, ["view", "click"]).collect()
+    assert [r["n_users"] for r in rows] == [0, 0]
+
+
+def test_windowed_funnel_matches_join_chain_twin(spark, sf_dir):
+    """The two physical strategies implement ONE semantics — assert it."""
+    ev = load_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    windowed = {
+        (r["step"], r["step_idx"]): r["n_users"]
+        for r in funnel_counts_windowed(ev, steps).collect()
+    }
+    chained = {
+        (r["step"], r["step_idx"]): r["n_users"]
+        for r in funnel_counts(ev, steps).collect()
+    }
+    assert windowed == chained
+    # funnel monotonicity: user counts can only shrink down the funnel
+    users = [windowed[(s, i)] for i, s in enumerate(steps, start=1)]
+    assert users == sorted(users, reverse=True)
+
+
+def test_chunk_documents_spans_and_hashes(spark):
+    toks = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, window=32, stride=24).collect()
+    }
+    # doc 1: 40 tokens → starts 0 and 24
+    assert out[(1, 0)]["n_tokens"] == 32
+    assert out[(1, 1)]["n_tokens"] == 16  # tail chunk truncates
+    expect = hashlib.md5(" ".join(toks[:32]).encode()).hexdigest()
+    assert out[(1, 0)]["chunk_md5"] == expect
+    expect_tail = hashlib.md5(" ".join(toks[24:40]).encode()).hexdigest()
+    assert out[(1, 1)]["chunk_md5"] == expect_tail
+    # short doc → exactly one chunk
+    assert out[(2, 0)]["n_tokens"] == 1
+    assert (2, 1) not in out
+    # empty doc → one empty chunk (md5 of the empty string)
+    assert out[(3, 0)]["n_tokens"] == 0
+    assert out[(3, 0)]["chunk_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_boilerplate_fractions_flags_shared_bigrams(spark):
+    # "common gram" appears in 3/4 docs (df >= ceil(0.5*4)=2 → boilerplate);
+    # every other bigram is unique to its document.
+    docs = spark.createDataFrame(
+        [
+            (1, "common gram alpha beta"),
+            (2, "common gram gamma delta"),
+            (3, "common gram epsilon zeta"),
+            (4, "eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_fractions(docs, n=2, min_df_frac=0.5).collect()
+    }
+    # doc 1 distinct bigrams: common-gram, gram-alpha, alpha-beta → 1/3 flagged
+    assert out[1]["n_grams"] == 3
+    assert out[1]["n_boiler"] == 1
+    assert out[1]["boiler_frac"] == 0.3333
+    assert out[4]["n_boiler"] == 0
+
+
+def test_analytics_catalog_entries_run_on_driver_data(spark, sf_dir):
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    for name in (
+        "events_funnel_windowed",
+        "text_boilerplate_by_source",
+        "text_chunk_windows",
+        "emb_dim_stats",
+    ):
+        df = REGISTRY[name].builder(spark, sf_dir)
+        assert df.count() >= 0
+
+    # emb stats cover every dimension exactly once
+    dims = [
+        r["dim"]
+        for r in REGISTRY["emb_dim_stats"].builder(spark, sf_dir).collect()
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    assert sorted(dims) == list(range(dim))
