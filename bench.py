@@ -36,6 +36,7 @@ HEADLINE = [
     "sim_ann_signlsh",
     "sim_ann_ivf",
     "sim_ann_pq",
+    "events_funnel_windowed",
     "dedup_duplicate_clusters",
     "semdedup_keep_list",
     "decontaminate_ngram_overlap",

@@ -286,3 +286,61 @@ def connected_components_alternating(
         f"connected_components_alternating: not converged after {max_iter} "
         "rounds"
     )
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Min-hop BFS distance from a seed set, bounded at ``k`` hops.
+
+    The bounded-traversal primitive (blast-radius / neighborhood
+    queries): returns ``(node, hops)`` for every vertex reachable from
+    any seed within ``k`` undirected hops, ``hops`` = the MINIMUM
+    distance.  Seeds themselves appear with hops 0 whether or not they
+    touch an edge.
+
+    Frontier BFS, not closure: each round joins only the NEW frontier
+    against the edge table (shuffle keyed on the vertex id), anti-joins
+    out already-reached vertices (so a vertex is expanded exactly once —
+    the first time it is seen, which is also its min distance), and
+    ``localCheckpoint``s the round result to truncate lineage.  The
+    driver does one ``take(1)`` per round purely to early-exit when the
+    frontier drains before ``k`` — a 1-row action, the same bounded
+    convergence probe the CC loops use.  Rounds are bounded by ``k``
+    regardless of graph size, and per-round state is (node, hops) rows —
+    never neighbor lists.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    reached = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = reached
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):  # frontier drained before k hops
+            break
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return reached

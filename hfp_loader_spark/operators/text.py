@@ -320,24 +320,28 @@ def boilerplate_fractions(
     Output: one row per document with >= 1 n-gram:
     ``(id_col, *extra_cols, n_grams, n_boiler, boiler_frac)``.
 
-    Scale shape: the distinct (doc, gram) explode is aggregated into
-    document frequencies with map-side partials; the gram→df join is an
-    equi-join on the gram string whose build side is the aggregated
-    document-frequency table (already reduced to the vocabulary size, not
-    the corpus size); the total-doc count is a 1-row aggregate broadcast
-    (scalar-subquery pattern).  Nothing is quadratic in documents.
+    Scale shape: document frequencies come from a ``count() OVER
+    (PARTITION BY gram)`` window on the exploded (doc, gram) rows — NOT a
+    groupBy + self-join, which would tokenize and explode the corpus
+    TWICE (the plan audit caught exactly that in the first cut: two
+    parquet scans, 6 exchanges).  The window form scans once and
+    shuffles the explode once (on the gram key); per-gram state is a
+    single running count, never a posting list, so stop-gram skew costs
+    sort time, not memory.  The total-doc count is a 1-row aggregate
+    broadcast (scalar-subquery pattern).  Nothing is quadratic in
+    documents.
     """
+    from pyspark.sql import Window
+
     doc_grams = docs.select(
         id_col,
         *extra_cols,
         F.explode(word_shingles(tokens(F.col(text_col)), n=n)).alias("gram"),
     )
-    dfreq = doc_grams.groupBy("gram").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    df_count = F.count("*").over(Window.partitionBy("gram"))
     n_docs = docs.select(F.count("*").alias("_nd"))
     flagged = (
-        doc_grams.join(dfreq, "gram")
+        doc_grams.withColumn("df", df_count)
         .crossJoin(F.broadcast(n_docs))
         .groupBy(id_col, *extra_cols)
         .agg(

@@ -13,9 +13,10 @@ Scale shapes (100 TB):
   aggregate reuses it (vs one shuffle per step for the join-chain form in
   ``funnel_view_click_purchase``; both exist deliberately, see
   ``operators.relational.funnel_counts_windowed``);
-- boilerplate joins the exploded grams against an already-aggregated
-  document-frequency table (vocabulary-sized build side), with the corpus
-  doc count as a 1-row broadcast — nothing quadratic in documents;
+- boilerplate computes document frequencies as a count window over the
+  gram partition of the exploded (doc, gram) rows — one corpus scan, one
+  gram-keyed shuffle, no groupBy+self-join re-scan — with the corpus doc
+  count as a 1-row broadcast; nothing quadratic in documents;
 - chunking is narrow until a ~n_tokens/stride × explode whose output rows
   carry 16-byte md5s, not token arrays;
 - embedding stats explode 64× but partial (map-side) aggregation folds
@@ -111,7 +112,8 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Corpus-frequent bigram boilerplate signal "
     "(operators.text.boilerplate_fractions, min_df 10% of docs): distinct "
-    "per-doc bigrams → document frequencies → flag fraction per doc → "
+    "per-doc bigrams → document frequencies via a count window on the "
+    "gram partition (single corpus scan) → flag fraction per doc → "
     "per-source rollup. Cross-document repetition — the corpus-level "
     "complement of the per-document repetition_metrics gates.",
 )
@@ -189,4 +191,49 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(x), 4).alias("vmin"),
             F.round(F.max(x), 4).alias("vmax"),
         )
+    )
+
+
+@defquery(
+    "text_chunk_dedup_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT),
+                                    24)) AS s
+      FROM toks
+    ), chunks AS (
+      SELECT md5(array_to_string(t[s + 1 : s + 32], ' ')) AS chunk_md5
+      FROM starts
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_chunks,
+           CAST(count(DISTINCT chunk_md5) AS BIGINT)         AS n_distinct,
+           CAST(count(*) - count(DISTINCT chunk_md5) AS BIGINT) AS n_dup,
+           round((count(*) - count(DISTINCT chunk_md5))
+                 / CAST(count(*) AS DOUBLE), 4)              AS dup_frac
+    FROM chunks
+    """,
+    doc="Chunk-level exact-dedup rate: chunk_documents feeding a "
+    "count/count-distinct aggregate over the 16-byte chunk md5s — the "
+    "granularity training pipelines actually dedup at (a doc repeated "
+    "inside another doc dedups here but not at whole-doc fingerprint "
+    "level). The distinct runs as a two-phase aggregate on fixed-width "
+    "keys; no chunk text is ever shuffled.",
+)
+def text_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=32, stride=24)
+    return chunks.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_md5").cast("long").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("chunk_md5"))
+        .cast("long")
+        .alias("n_dup"),
+        F.round(
+            (F.count("*") - F.countDistinct("chunk_md5"))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("dup_frac"),
     )

@@ -492,3 +492,59 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=8,
     )
+
+
+@defquery(
+    "graph_khop_reachability",
+    f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM dup_edges
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM dup_edges
+    ),
+    walk(node, hops) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+      UNION
+      SELECT e.d, w.hops + 1 FROM edges e JOIN walk w ON e.s = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node AS doc_id, CAST(min(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+    doc="Bounded BFS (operators.graph.khop_reachability): min-hop "
+    "distance <= 3 from the doc_id%50 seed set over the Jaccard>=0.8 "
+    "near-dup graph — the blast-radius primitive (\"what else gets "
+    "removed if these docs go\"). Frontier-only joins, anti-join "
+    "dedup so each vertex expands exactly once at its min distance, "
+    "driver touches one probe row per round. Oracle: depth-bounded "
+    "recursive CTE.",
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import khop_reachability
+
+    docs = _t(spark, sf_dir, "documents")
+    shingled = shingle_docs(docs, "doc_id", "text")
+    edges = jaccard_pairs(shingled, threshold=0.8)
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    out = khop_reachability(
+        edges, seeds, k=3, src="doc_a", dst="doc_b", seed_col="doc_id"
+    )
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("hops").cast("int").alias("hops")
+    )

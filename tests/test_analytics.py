@@ -170,3 +170,40 @@ def test_analytics_catalog_entries_run_on_driver_data(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding").alias("d")).first()["d"]
     assert sorted(dims) == list(range(dim))
+
+
+def test_khop_reachability_min_distances(spark):
+    from hfp_loader_spark.operators.graph import khop_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (2, 1)],  # dup/reverse edges ok
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (5,), (9,)], "id long")
+    out = {
+        r["node"]: r["hops"]
+        for r in khop_reachability(edges, seeds, k=2).collect()
+    }
+    # 9 is isolated but still reported at distance 0
+    assert out == {1: 0, 5: 0, 9: 0, 2: 1, 6: 1, 3: 2}
+    # k=0 → seeds only
+    out0 = {
+        r["node"]: r["hops"]
+        for r in khop_reachability(edges, seeds, k=0).collect()
+    }
+    assert out0 == {1: 0, 5: 0, 9: 0}
+    # a triangle must not re-expand visited nodes into longer distances
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    s1 = spark.createDataFrame([(1,)], "id long")
+    outt = {
+        r["node"]: r["hops"] for r in khop_reachability(tri, s1, k=3).collect()
+    }
+    assert outt == {1: 0, 2: 1, 3: 1}
+
+
+def test_chunk_dedup_stats_counts_duplicate_chunks(spark, sf_dir):
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    row = REGISTRY["text_chunk_dedup_stats"].builder(spark, sf_dir).first()
+    assert row["n_chunks"] == row["n_distinct"] + row["n_dup"]
+    assert 0.0 <= row["dup_frac"] <= 1.0
