@@ -237,3 +237,97 @@ def text_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_frac"),
     )
+
+
+@defquery(
+    "events_type_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users_both,
+           round(count(*) / CAST((SELECT n_users FROM n) AS DOUBLE), 4)
+             AS support
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+    doc="Pairwise event-type co-occurrence (market-basket support over "
+    "users): distinct (user, type) compaction FIRST — so the per-user "
+    "self-join is over at most |event-type-vocabulary| rows per user, "
+    "never the raw stream — then a count per unordered type pair and "
+    "support against the 1-row distinct-user broadcast. The classic "
+    "co-occurrence mining shape: compact, self-join within key, "
+    "aggregate.",
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_users_both"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            F.round(
+                F.col("n_users_both") / F.col("n_users").cast("double"), 4
+            ).alias("support"),
+        )
+    )
+
+
+@defquery(
+    "events_value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs((e.value - s.mu) / nullif(s.sigma, 0)) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs((e.value - s.mu) / nullif(s.sigma, 0))), 4)
+             AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Z-score anomaly gate per event type: one aggregate pass pins "
+    "(mean, stddev_pop) per type — a |types|-row table BROADCAST back "
+    "onto the stream — then a second scan flags |z| > 3 and reports "
+    "outlier counts and the max |z|. The data-monitoring primitive; "
+    "two scans, one tiny broadcast, no window over the raw stream.",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.abs(
+        (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(z > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )

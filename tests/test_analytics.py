@@ -207,3 +207,28 @@ def test_chunk_dedup_stats_counts_duplicate_chunks(spark, sf_dir):
     row = REGISTRY["text_chunk_dedup_stats"].builder(spark, sf_dir).first()
     assert row["n_chunks"] == row["n_distinct"] + row["n_dup"]
     assert 0.0 <= row["dup_frac"] <= 1.0
+
+
+def test_cooccurrence_and_outlier_invariants(spark, sf_dir):
+    from hfp_loader_spark.plans.catalog import REGISTRY, load_table
+
+    co = REGISTRY["events_type_cooccurrence"].builder(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in co:
+        assert r["type_a"] < r["type_b"]  # unordered pairs, no mirrors
+        assert 0 < r["n_users_both"] <= n_users
+        assert 0.0 < r["support"] <= 1.0
+
+    out = REGISTRY["events_value_outliers"].builder(spark, sf_dir).collect()
+    for r in out:
+        assert r["n_outliers"] <= r["n_events"]
+        # |z|>3 outliers require max|z|>3; otherwise max|z| <= 3
+        if r["n_outliers"] > 0:
+            assert r["max_abs_z"] > 3
+        else:
+            assert r["max_abs_z"] <= 3
