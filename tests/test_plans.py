@@ -196,3 +196,55 @@ def test_q12_predicates_reach_lineitem_scan(spark, sf_dir):
     ]
     assert any("l_shipdate" in seg for seg in pushed_segments), pushed_segments
     assert any("l_returnflag" in seg for seg in pushed_segments), pushed_segments
+
+
+def _final_plan_section(plan: str) -> str:
+    """AQE's executedPlan string carries BOTH '== Final Plan ==' and
+    '== Initial Plan ==' renderings — counting markers over the whole
+    string double-counts every operator."""
+    return plan.split("== Initial Plan ==", 1)[0]
+
+
+def test_windowed_funnel_single_data_exchange(spark, sf_dir):
+    """The funnel's selling point IS its plan: one hashpartitioning
+    exchange (user_id) feeding all three Window operators + the per-user
+    aggregate; the only other exchange is the terminal 1-row
+    SinglePartition count."""
+    plan = _final_plan_section(
+        _executed_plan(REGISTRY["events_funnel_windowed"].builder(spark, sf_dir))
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 3  # the three chained step windows
+
+
+def test_chunk_windows_is_narrow(spark, sf_dir):
+    """Chunking must stay a projection pipeline: no shuffle, no Python."""
+    plan = _executed_plan(REGISTRY["text_chunk_windows"].builder(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_scans_corpus_once(spark, sf_dir):
+    """The document-frequency window form reads documents' text ONCE;
+    the only other scan is the zero-column count-star for the doc-count
+    broadcast (the groupBy+join form regressed to two full text scans)."""
+    plan = _final_plan_section(
+        _executed_plan(
+            REGISTRY["text_boilerplate_by_source"].builder(spark, sf_dir)
+        )
+    )
+    text_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "text" in ln
+    ]
+    assert len(text_scans) == 1, plan
+
+
+def test_emb_dim_stats_partial_aggregates_before_exchange(spark, sf_dir):
+    plan = _final_plan_section(
+        _executed_plan(REGISTRY["emb_dim_stats"].builder(spark, sf_dir))
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial_* functions prove the map-side fold precedes the shuffle
+    assert "partial_avg" in plan or "partial_count" in plan

@@ -235,3 +235,120 @@ def test_connected_components_match_union_find(spark, edges):
     # canonical label = min member of its component
     for comp, members in got.items():
         assert comp == min(members)
+
+
+# Random small event streams for the funnel property: few users and a
+# coarse timestamp grid force collisions (same user, same second) so the
+# strict-ordering tie rule is actually exercised.
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user_id
+        st.integers(min_value=0, max_value=30),  # seconds offset
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _funnel_model(rows, steps):
+    """Brute-force reference: per user, scan events in (ts, event_id)
+    order keeping the running min anchor per step with strict-after."""
+    import datetime
+
+    per_user: dict = {}
+    for eid, (u, sec, typ) in enumerate(rows):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+        per_user.setdefault(u, []).append((ts, eid, typ))
+    counts = [0] * len(steps)
+    for evs in per_user.values():
+        evs.sort()
+        anchors = [None] * len(steps)
+        for ts, _eid, typ in evs:
+            for i, s in enumerate(steps):
+                if typ != s:
+                    continue
+                if i > 0 and (anchors[i - 1] is None or ts <= anchors[i - 1]):
+                    continue
+                if anchors[i] is None or ts < anchors[i]:
+                    anchors[i] = ts
+        for i in range(len(steps)):
+            if anchors[i] is not None:
+                counts[i] += 1
+    return counts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_funnel_events)
+def test_funnel_twins_match_reference_model(spark, rows):
+    """Both funnel strategies == the brute-force per-user scan model."""
+    import datetime
+
+    from hfp_loader_spark.operators.relational import (
+        funnel_counts,
+        funnel_counts_windowed,
+    )
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [
+            (
+                eid,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec),
+                u,
+                typ,
+            )
+            for eid, (u, sec, typ) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    want = _funnel_model(rows, steps)
+    got_w = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts_windowed(df, steps).collect()
+    }
+    got_j = {
+        r["step_idx"]: r["n_users"] for r in funnel_counts(df, steps).collect()
+    }
+    assert [got_w[i] for i in (1, 2, 3)] == want
+    assert [got_j[i] for i in (1, 2, 3)] == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges, data=st.data())
+def test_khop_matches_python_bfs(spark, edges, data):
+    from hfp_loader_spark.operators.graph import khop_reachability
+
+    nodes = sorted({v for e in edges for v in e})
+    seeds = data.draw(
+        st.lists(st.sampled_from(nodes), min_size=1, max_size=3, unique=True)
+    )
+    k = data.draw(st.integers(min_value=0, max_value=3))
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, k + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in want
+        }
+        for n in frontier:
+            want[n] = h
+    df_edges = spark.createDataFrame(edges, ["src", "dst"])
+    df_seeds = spark.createDataFrame([(s,) for s in seeds], ["id"])
+    got = {
+        r["node"]: r["hops"]
+        for r in khop_reachability(df_edges, df_seeds, k=k).collect()
+    }
+    assert got == want
