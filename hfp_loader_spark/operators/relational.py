@@ -327,6 +327,7 @@ def funnel_counts_windowed(
     type_col: str = "event_type",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """``funnel_counts`` with the alternate physical strategy: ONE
     exchange instead of k join rounds.
@@ -336,6 +337,13 @@ def funnel_counts_windowed(
     anchor timestamp do not count) and the same (step, step_idx, n_users)
     output — ``tests/test_analytics.py`` asserts the two agree row-for-row
     on driver data.
+
+    ``max_gap_seconds`` adds the conversion-window variant every funnel
+    tool offers: step i must also land WITHIN that many seconds of the
+    step-i-1 anchor (``anchor < ts <= anchor + gap``).  Note the anchor
+    stays the earliest in-window completion — a later in-gap repeat does
+    not re-open an expired window, matching the strict earliest-anchor
+    semantics of the unbounded form.
 
     Strategy: per step a running-min window ``min(CASE step THEN ts)``,
     every window over the SAME ``partitionBy(id_col).orderBy(ts,
@@ -363,6 +371,11 @@ def funnel_counts_windowed(
         cond = F.col(type_col) == F.lit(step)
         if prev is not None:
             cond = cond & (F.col(ts_col) > prev)
+            if max_gap_seconds is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= prev + F.expr(f"INTERVAL {int(max_gap_seconds)} SECOND")
+                )
         out = out.withColumn(
             f"_step_{i}_ts", F.min(F.when(cond, F.col(ts_col))).over(w)
         )

@@ -331,3 +331,105 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
+
+
+@defquery(
+    "events_funnel_time_bounded",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type, event_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1
+      FROM events
+    ), s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                          AND ts <= t1 + INTERVAL '48' HOUR THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                          AND ts <= t2 + INTERVAL '48' HOUR THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t3
+      FROM s2
+    ), per_user AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM s3 GROUP BY user_id
+    ), c AS (
+      SELECT CAST(count(t1) AS BIGINT) AS n1,
+             CAST(count(t2) AS BIGINT) AS n2,
+             CAST(count(t3) AS BIGINT) AS n3
+      FROM per_user
+    )
+    SELECT 'view' AS step, CAST(1 AS INT) AS step_idx, n1 AS n_users FROM c
+    UNION ALL
+    SELECT 'click', CAST(2 AS INT), n2 FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS INT), n3 FROM c
+    """,
+    doc="The conversion-window funnel (each step must land within 48h of "
+    "the previous anchor) — the variant every funnel product offers, on "
+    "the same single-exchange chained-window plan as "
+    "events_funnel_windowed; the gap predicate rides inside the running-"
+    "min CASE, costing nothing extra.",
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return funnel_counts_windowed(
+        ev, ["view", "click", "purchase"], max_gap_seconds=48 * 3600
+    )
+
+
+@defquery(
+    "events_transition_matrix",
+    """
+    WITH nxt AS (
+      SELECT event_type AS type_from,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS type_to
+      FROM events
+    ), trans AS (
+      SELECT type_from, type_to, count(*) AS n_trans
+      FROM nxt WHERE type_to IS NOT NULL
+      GROUP BY type_from, type_to
+    )
+    SELECT type_from, type_to,
+           CAST(n_trans AS BIGINT) AS n_trans,
+           round(n_trans / CAST(sum(n_trans) OVER (PARTITION BY type_from)
+                                AS DOUBLE), 4) AS prob
+    FROM trans
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() on the user_id exchange pairs each event with its "
+    "successor, counts aggregate per (from, to), and row-normalized "
+    "probabilities come from a window over the |types|^2-row RESULT — "
+    "the clickstream path-analysis primitive; the raw stream is "
+    "shuffled once.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("type_from"),
+            F.lead("event_type").over(w).alias("type_to"),
+        )
+        .where(F.col("type_to").isNotNull())
+        .groupBy("type_from", "type_to")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    total = Window.partitionBy("type_from")
+    return trans.select(
+        "type_from",
+        "type_to",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(total).cast("double"), 4
+        ).alias("prob"),
+    )

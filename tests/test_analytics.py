@@ -232,3 +232,59 @@ def test_cooccurrence_and_outlier_invariants(spark, sf_dir):
             assert r["max_abs_z"] > 3
         else:
             assert r["max_abs_z"] <= 3
+
+
+def test_funnel_max_gap_expires_conversions(spark):
+    from hfp_loader_spark.operators.relational import funnel_counts_windowed
+
+    ev = _events(
+        spark,
+        [
+            # u1 clicks 30s after viewing → inside a 60s window
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:00:30", "click"),
+            # u2 clicks 2 minutes after viewing → expired
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 10:02:00", "click"),
+            # u3: a second view re-anchors nothing (earliest anchor rule),
+            # so the late click stays expired
+            (3, "2024-01-01 10:00:00", "view"),
+            (3, "2024-01-01 10:01:30", "view"),
+            (3, "2024-01-01 10:02:00", "click"),
+        ],
+    )
+    report = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(
+            ev, ["view", "click"], max_gap_seconds=60
+        ).collect()
+    }
+    assert report == {"view": 3, "click": 1}
+    # boundary: exactly at the gap still counts (<=)
+    ev2 = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:01:00", "click"),
+        ],
+    )
+    report2 = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_windowed(
+            ev2, ["view", "click"], max_gap_seconds=60
+        ).collect()
+    }
+    assert report2["click"] == 1
+
+
+def test_transition_matrix_rows_are_probability_distributions(spark, sf_dir):
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    rows = REGISTRY["events_transition_matrix"].builder(spark, sf_dir).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["type_from"], []).append(r)
+    for outs in by_from.values():
+        total = sum(r["prob"] for r in outs)
+        assert abs(total - 1.0) < 0.01  # rounding slack of 25 4dp terms
+        assert all(r["n_trans"] > 0 for r in outs)
