@@ -298,3 +298,63 @@ def decode_and_sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(compute, DECODED_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def blockhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit blockhash perceptual fingerprint of a binary payload.
+
+    Blockhash-family pHash (Yang et al.'s block mean value hash, applied
+    1-D): split the payload into 64 byte-ranges (byte i lands in bucket
+    ``i*64 // n``), sum each, set bit j iff ``sum_j * 64 >= total`` —
+    ALL-INTEGER arithmetic, so the fingerprint is bit-identical across
+    engines and the DuckDB oracle can restate it exactly from
+    ``hex(payload)`` (no float mean, no engine-specific hash — unlike
+    token-simhash, which is oracle-checkable only by contract).  Similar
+    payloads → similar byte-distributions → small Hamming distance, so
+    the pigeonhole-banded join (``simhash_near_pairs``) applies as-is.
+
+    Arrow-batched ``mapInPandas`` (numpy bincount per payload), matching
+    the multimodal tier's decode plumbing; empty payloads are dropped
+    (no bytes → no signal; the same rule the oracle states with
+    ``WHERE nb > 0``).  Output: (doc_id, phash) — 8 bytes per document,
+    so the downstream near-dup join shuffles fingerprints, never media.
+    """
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                buckets = (np.arange(n, dtype=np.int64) * 64) // n
+                sums = np.bincount(
+                    buckets, weights=b.astype(np.int64), minlength=64
+                ).astype(np.int64)
+                total = int(sums.sum())
+                fp = 0
+                for j in range(64):
+                    if int(sums[j]) * 64 >= total:
+                        fp |= 1 << j
+                if fp >= 1 << 63:  # wrap to signed int64 (two's complement)
+                    fp -= 1 << 64
+                ids.append(int(doc_id))
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "phash": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, PHASH_SCHEMA)

@@ -198,3 +198,101 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("first_resized_byte"),
     )
+
+
+# Shared fingerprint CTE for the blockhash entries: the EXACT all-integer
+# restatement of operators.multimodal.blockhash_fingerprints — byte i
+# (0-based) lands in bucket i*64//n, bit j set iff bucket_sum*64 >= total,
+# 64-bit value assembled in HUGEINT then wrapped to signed BIGINT (DuckDB
+# refuses 1::BIGINT << 63; Spark longs wrap natively).
+_PHASH_FP_SQL = f"""
+    b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    bytes AS (
+      SELECT doc_id, nb, i, {_byte_at("i")} AS v
+      FROM b, LATERAL (SELECT unnest(generate_series(1, nb)) AS i)
+    ),
+    sums AS (
+      SELECT doc_id, ((i - 1) * 64) // nb AS bucket, sum(v) AS s
+      FROM bytes GROUP BY doc_id, bucket
+    ),
+    tot AS (SELECT doc_id, sum(s) AS total FROM sums GROUP BY doc_id),
+    grid AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS j FROM b
+    ),
+    bits AS (
+      SELECT g.doc_id,
+             CASE WHEN coalesce(s.s, 0) * 64 >= t.total
+                  THEN (1::HUGEINT << g.j) ELSE 0::HUGEINT END AS bitv
+      FROM grid g
+      LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.j
+      JOIN tot t ON t.doc_id = g.doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(CASE WHEN f >= (1::HUGEINT << 63)
+                       THEN f - (1::HUGEINT << 64) ELSE f END
+                  AS BIGINT) AS phash
+      FROM (SELECT doc_id, sum(bitv) AS f FROM bits GROUP BY doc_id)
+    )
+"""
+
+
+@defquery(
+    "multimodal_blockhash_fingerprints",
+    f"""
+    WITH {_PHASH_FP_SQL}
+    SELECT doc_id, phash FROM fp
+    """,
+    doc="64-bit blockhash perceptual fingerprint of each binary payload "
+    "(operators.multimodal.blockhash_fingerprints, Arrow-batched "
+    "mapInPandas): byte-range sums vs the integer global mean — ALL-"
+    "integer arithmetic, so unlike token-simhash the fingerprint itself "
+    "is exactly value-hash oracle-checked (the oracle rebuilds every "
+    "bit from hex(payload) in HUGEINT and wraps to signed BIGINT). "
+    "8 bytes per document leave the UDF; media bytes never shuffle.",
+)
+def multimodal_blockhash_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hfp_loader_spark.operators.multimodal import blockhash_fingerprints
+
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return blockhash_fingerprints(docs)
+
+
+@defquery(
+    "multimodal_phash_neardup",
+    f"""
+    WITH {_PHASH_FP_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    doc="Perceptual near-duplicate media pairs: blockhash fingerprints "
+    "fed through the SAME pigeonhole byte-band Hamming<=3 join as "
+    "token-simhash (operators.neardup.simhash_near_pairs — a Hamming-3 "
+    "pair must agree on one of 4 bands, so discovery is a band-equality "
+    "join, never all-pairs). Because blockhash is integer-exact on both "
+    "engines, the pair LIST gets a full value-hash oracle (brute-force "
+    "xor+bit_count at test SF) — strictly stronger than the simhash "
+    "tier's contract-only check. The scale path ships 8-byte hashes; "
+    "the brute oracle is the correctness instrument.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.multimodal import blockhash_fingerprints
+    from hfp_loader_spark.operators.neardup import simhash_near_pairs
+
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    fps = blockhash_fingerprints(docs).select(
+        "doc_id", F.col("phash").alias("simhash")
+    )
+    pairs = simhash_near_pairs(fps, max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )

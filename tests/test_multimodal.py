@@ -157,3 +157,43 @@ def test_multimodal_oracles_hold_for_non_ascii_text(spark, tmp_path):
         )
         assert sorted(odf.columns) == sorted(cols), name
         assert got == want, f"{name} diverged on non-ASCII text"
+
+
+def test_blockhash_locality_and_exactness(spark):
+    """Identical payloads → identical hashes; a small byte edit → small
+    Hamming distance; a very different payload → large distance."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.multimodal import (
+        blockhash_fingerprints,
+        with_binary_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base.replace("quick", "quack", 1)
+    different = "zzzz!!!!0000" * 40
+    docs = with_binary_payload(
+        spark.createDataFrame(
+            [(1, base), (2, base), (3, edited), (4, different), (5, "")],
+            "doc_id long, text string",
+        )
+    )
+    fp = {r["doc_id"]: r["phash"] for r in blockhash_fingerprints(docs).collect()}
+    assert 5 not in fp  # empty payload dropped
+    assert fp[1] == fp[2]
+    near = bin(fp[1] ^ fp[3]).count("1")
+    far = bin(fp[1] ^ fp[4]).count("1")
+    assert near <= 6
+    assert far > 15
+    # the banded pair join finds the exact-dup pair at hamming 0
+    from hfp_loader_spark.operators.neardup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(
+        blockhash_fingerprints(docs).select(
+            "doc_id", F.col("phash").alias("simhash")
+        ),
+        max_hamming=3,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs} >= {
+        (1, 2, 0)
+    }
