@@ -26,6 +26,8 @@ Scale design:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -317,30 +319,39 @@ def khop_reachability(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
-    reached = (
+    frontier = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0))
         .localCheckpoint()
     )
-    frontier = reached
-    for h in range(1, k + 1):
-        nxt = (
-            frontier.join(sym, frontier["node"] == sym["s"])
-            .select(F.col("d").alias("node"))
+    # ``reached`` accumulates as a FLAT union of per-round checkpointed
+    # legs — each leg is materialized exactly once (checkpointing the
+    # union again would rewrite all previously-reached rows every round,
+    # O(k·|reached|) instead of O(Σ|frontier_h|)), and a flat union's
+    # lineage grows by one leaf per round, not multiplicatively.
+    legs = [frontier]
+    if k > 0:  # symmetrized edges are only needed if we expand at all
+        sym = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .unionByName(
+                edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+            )
             .distinct()
-            .join(reached, "node", "left_anti")
-            .withColumn("hops", F.lit(h))
             .localCheckpoint()
         )
-        if not nxt.take(1):  # frontier drained before k hops
-            break
-        reached = reached.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    return reached
+        for h in range(1, k + 1):
+            reached = reduce(DataFrame.unionByName, legs)
+            nxt = (
+                frontier.join(sym, frontier["node"] == sym["s"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .join(reached, "node", "left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint()
+            )
+            if not nxt.take(1):  # frontier drained before k hops
+                break
+            legs.append(nxt)
+            frontier = nxt
+    return reduce(DataFrame.unionByName, legs)

@@ -335,6 +335,8 @@ def blockhash_fingerprints(
         for pdf in batches:
             ids, fps = [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL payload ≡ empty: no signal
+                    continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n = len(b)
                 if n == 0:

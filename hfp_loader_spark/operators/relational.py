@@ -392,12 +392,24 @@ def funnel_counts_windowed(
             for i in range(1, len(steps) + 1)
         ]
     )
-    stack_args = ", ".join(
-        f"'{step}', {i}, n{i}" for i, step in enumerate(steps, start=1)
+    # per-step fan-out via explode of struct literals — names go through
+    # F.lit (never interpolated into SQL text), so arbitrary step strings
+    # are safe, matching the join-chain twin
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(step).alias("step"),
+                    F.lit(i).cast("int").alias("step_idx"),
+                    F.col(f"n{i}").alias("n_users"),
+                )
+                for i, step in enumerate(steps, start=1)
+            ]
+        )
     )
-    return counts.selectExpr(
-        f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"
-    ).select("step", F.col("step_idx").cast("int").alias("step_idx"), "n_users")
+    return counts.select(report.alias("r")).select(
+        "r.step", "r.step_idx", "r.n_users"
+    )
 
 
 def cohort_retention(

@@ -283,7 +283,10 @@ def chunk_documents(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    toked = docs.select(
+    # NULL text is dropped (matching the oracle, whose generate_series
+    # over a NULL length emits nothing); empty text still yields its one
+    # empty chunk on both engines
+    toked = docs.where(F.col(text_col).isNotNull()).select(
         id_col, tokens(F.col(text_col)).alias("_toks")
     ).withColumn("_n", F.size("_toks"))
     starts = F.sequence(

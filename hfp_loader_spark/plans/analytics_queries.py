@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 
 from hfp_loader_spark.operators.relational import funnel_counts_windowed
 from hfp_loader_spark.operators.text import boilerplate_fractions, chunk_documents
-from hfp_loader_spark.plans.catalog import _t, defquery
+from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+_TOKS_SQL = TOKS_SQL  # the shared oracle tokenizer (plans.catalog)
 
 
 @defquery(

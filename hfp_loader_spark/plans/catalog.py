@@ -239,6 +239,16 @@ def oracle_map() -> dict[str, str]:
     }
 
 
+# DuckDB-side mirror of operators.text.TOKEN_RE tokenization — the ONE
+# definition every oracle imports (a tokenizer change must not be synced
+# by hand across plan modules; a missed site would silently break that
+# module's Spark-vs-DuckDB agreement).
+TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "t -> len(t) > 0)"
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 

@@ -20,9 +20,9 @@ from hfp_loader_spark.operators.neardup import (
     simhash_near_pairs,
 )
 from hfp_loader_spark.operators.text import fingerprint
-from hfp_loader_spark.plans.catalog import _t, defquery
+from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+_TOKS_SQL = TOKS_SQL  # the shared oracle tokenizer (plans.catalog)
 # Word-trigram shingles, distinct, as DuckDB SQL (lockstep with
 # operators.text.word_shingles(n=3)).
 _SHINGLES_SQL = f"""

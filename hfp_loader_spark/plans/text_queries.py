@@ -25,9 +25,9 @@ from hfp_loader_spark.operators.text import (
     quality_score,
     tokens,
 )
-from hfp_loader_spark.plans.catalog import _t, defquery
+from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+_TOKS_SQL = TOKS_SQL  # the shared oracle tokenizer (plans.catalog)
 
 
 @defquery(
