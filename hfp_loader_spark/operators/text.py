@@ -313,6 +313,7 @@ def boilerplate_fractions(
     n: int = 2,
     min_df_frac: float = 0.10,
     extra_cols: tuple[str, ...] = (),
+    min_df: int | None = None,
 ) -> DataFrame:
     """Per-document boilerplate fraction via corpus-frequent n-grams.
 
@@ -320,6 +321,9 @@ def boilerplate_fractions(
     ``ceil(min_df_frac * n_docs)`` DISTINCT documents (the C4/RefinedWeb
     style corpus-level repetition signal — per-document repetition is
     ``repetition_metrics``; this measures cross-document repetition).
+    ``min_df`` overrides the fraction with an ABSOLUTE document count —
+    ``min_df=2`` with a long ``n`` is the duplicated-substring signal
+    (any span shared with at least one other document).
     Output: one row per document with >= 1 n-gram:
     ``(id_col, *extra_cols, n_grams, n_boiler, boiler_frac)``.
 
@@ -351,7 +355,12 @@ def boilerplate_fractions(
             F.count("*").cast("long").alias("n_grams"),
             F.sum(
                 F.when(
-                    F.col("df") >= F.ceil(F.lit(min_df_frac) * F.col("_nd")),
+                    F.col("df")
+                    >= (
+                        F.lit(int(min_df))
+                        if min_df is not None
+                        else F.ceil(F.lit(min_df_frac) * F.col("_nd"))
+                    ),
                     1,
                 ).otherwise(0)
             )

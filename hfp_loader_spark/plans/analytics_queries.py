@@ -433,3 +433,50 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans") / F.sum("n_trans").over(total).cast("double"), 4
         ).alias("prob"),
     )
+
+
+@defquery(
+    "text_duplicate_ngram_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {{TOKS}} AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i : i + 7], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+      WHERE len(t) >= 8
+    ), dfreq AS (
+      SELECT g, count(*) AS df FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT doc_id, source, count(*) AS n_grams,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM grams JOIN dfreq USING (g)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_dup_spans,
+           CAST(sum(n_dup) AS BIGINT) AS dup_spans
+    FROM per_doc GROUP BY source
+    """.replace("{TOKS}", _TOKS_SQL),
+    doc="Duplicated-substring signal (the exact-substring dedup metric of "
+    "Lee et al., 'Deduplicating Training Data Makes Language Models "
+    "Better', at 8-gram granularity): per doc, distinct word 8-grams "
+    "shared with AT LEAST ONE other document (document frequency >= 2 "
+    "via the count-window on the gram partition — single corpus scan, "
+    "same plan as the boilerplate entry with an absolute min_df), "
+    "rolled up per source. Chunk-level md5 dedup catches whole-window "
+    "repeats; this catches arbitrary-alignment span sharing.",
+)
+def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = boilerplate_fractions(
+        docs, n=8, min_df=2, extra_cols=("source",)
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_boiler") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_dup_spans"),
+        F.sum("n_boiler").cast("long").alias("dup_spans"),
+    )

@@ -288,3 +288,23 @@ def test_transition_matrix_rows_are_probability_distributions(spark, sf_dir):
         total = sum(r["prob"] for r in outs)
         assert abs(total - 1.0) < 0.01  # rounding slack of 25 4dp terms
         assert all(r["n_trans"] > 0 for r in outs)
+
+
+def test_duplicate_ngram_spans_detects_planted_dup(spark):
+    base = " ".join(f"tok{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " alpha beta gamma delta"),  # shares 12-token prefix
+            (2, base + " epsilon zeta eta theta"),
+            (3, " ".join(f"uniq{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_fractions(docs, n=8, min_df=2).collect()
+    }
+    # docs 1 and 2 share the 5 eight-grams fully inside the 12-token prefix
+    assert out[1]["n_boiler"] == 5
+    assert out[2]["n_boiler"] == 5
+    assert out[3]["n_boiler"] == 0
