@@ -1,0 +1,152 @@
+"""Differential fuzzing: catalog entries vs their DuckDB oracles on
+MUTATED data — NULLs, empty strings, non-ASCII text, empty arrays,
+duplicated fact rows.
+
+The driver's gate (and tools/check_correctness.py) compare the two
+engines only on the driver's clean synthetic data; rounds 2-3 were lost
+to data-shape drift the catalog had never seen.  This module is the
+drift insurance: it rewrites a copy of sf0.001 with the mutations a
+future driver regeneration could plausibly introduce and asserts the
+Spark/oracle agreement SURVIVES them for a broad entry subset.  An
+entry that agrees on clean data but diverges on NULLs fails here first,
+not in a lost round.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+from check_correctness import _norm_rows  # noqa: E402
+
+# Entries chosen to cover every tier that could see mutated columns:
+# relational aggs/windows/joins over duplicated facts, event analytics
+# over NULL props/values, the text tier over NULL/empty/non-ASCII text,
+# multimodal byte plumbing, embeddings with NULL/empty vectors.
+FUZZ_ENTRIES = [
+    "q1_pricing_summary",
+    "agg_monthly_orders",
+    "anti_join_customers_no_orders",
+    "sessionize_islands",
+    "json_extract_stats",
+    "events_funnel_windowed",
+    "events_funnel_time_bounded",
+    "events_transition_matrix",
+    "events_value_outliers",
+    "events_type_cooccurrence",
+    "text_token_counts_top20",
+    "text_chunk_windows",
+    "text_chunk_dedup_stats",
+    "text_boilerplate_by_source",
+    "text_duplicate_ngram_spans",
+    "text_fingerprint_groups",
+    "dedup_exact_by_fingerprint",
+    "multimodal_byte_features",
+    "multimodal_decode_frames",
+    "multimodal_resize",
+    "multimodal_audio_features",
+    "multimodal_blockhash_fingerprints",
+    "multimodal_phash_neardup",
+    "emb_dim_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory, sf_dir):
+    """A mutated copy of the smallest driver SF."""
+    out = tmp_path_factory.mktemp("fuzz_sf")
+    con = duckdb.connect()
+    mutations = {
+        # NULL text, empty text, and appended non-ASCII (multi-byte UTF-8)
+        "documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 17 = 0 THEN ''
+                        WHEN doc_id % 19 = 0 THEN text || ' café αβ δοκός'
+                        ELSE text END AS text,
+                   lang, source, n_chars
+            FROM t
+        """,
+        # NULL json props and NULL measure values
+        "events": """
+            SELECT event_id, ts, user_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                     AS value,
+                   CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END
+                     AS props
+            FROM t
+        """,
+        # NULL and empty embedding arrays
+        "embeddings": """
+            SELECT vec_id,
+                   CASE WHEN vec_id % 31 = 0 THEN NULL
+                        WHEN vec_id % 37 = 0 THEN []::FLOAT[]
+                        ELSE embedding END AS embedding,
+                   label
+            FROM t
+        """,
+        # exact duplicate fact rows (aggregates must count them twice)
+        "lineitem": """
+            SELECT * FROM t
+            UNION ALL
+            SELECT * FROM t WHERE l_orderkey % 50 = 0
+        """,
+    }
+    for name in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+        sel = mutations.get(name, "SELECT * FROM t")
+        con.execute(f"COPY ({sel}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+    return str(out)
+
+
+def test_catalog_agrees_with_oracle_on_mutated_data(spark, fuzz_dir):
+    import __spark_entry__ as entry_mod
+    from hfp_loader_spark.plans.catalog import TABLES, register_views
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{fuzz_dir}/{t}.parquet'"
+        )
+    # the session may have memoized views for another sf_dir
+    register_views(spark, fuzz_dir, force=True)
+
+    failures = []
+    for name in FUZZ_ENTRIES:
+        sdf = queries[name](spark, fuzz_dir)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        sc, sr = _norm_rows(scols, srows)
+        oc, orr = _norm_rows(ocols, orows)
+        if sc != oc:
+            failures.append(f"{name}: schema {sc} vs {oc}")
+        elif sr != orr:
+            diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:2]
+            failures.append(
+                f"{name}: {len(sr)} vs {len(orr)} rows; first diffs {diffs}"
+            )
+    assert not failures, "\n".join(failures)
