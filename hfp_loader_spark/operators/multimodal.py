@@ -113,20 +113,29 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads keep their row with empty-ish defaults (n_bytes 0,
+        # NULL md5, -1 bytes) — the oracle states the same via
+        # coalesce(nb, 0); a crash here takes the whole stage down
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
                     "md5_hex": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "first_byte": payloads.map(
-                        lambda b: int(b[0]) if len(b) else -1
+                        lambda b: int(b[0]) if b is not None and len(b) else -1
                     ).astype("int32"),
                     "mean_byte": payloads.map(
-                        lambda b: int(sum(b) // len(b)) if len(b) else -1
+                        lambda b: int(sum(b) // len(b))
+                        if b is not None and len(b)
+                        else -1
                     ).astype("int64"),
                 }
             )
@@ -173,6 +182,8 @@ def audio_features(
                 "rms": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to decode
+                    continue
                 x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
                     np.int64
                 ) - 128
@@ -236,6 +247,8 @@ def resize_images(
                 "resized": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to decode
+                    continue
                 b = bytes(payload)
                 meta = decode_payload(b, "image", fake=fake_decode)
                 n = max(len(b), 1)
@@ -273,6 +286,8 @@ def decode_and_sample_frames(
         for pdf in batches:
             out = {"doc_id": [], "meta": [], "frame_offsets": [], "frame_digests": []}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to decode
+                    continue
                 b = bytes(payload)
                 meta = decode_payload(b, media_type, fake=fake_decode)
                 n_frames = meta["n_frames"]

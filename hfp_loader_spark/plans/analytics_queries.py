@@ -135,6 +135,7 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE text IS NOT NULL
     ), starts AS (
       SELECT doc_id, t,
              unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT),
@@ -144,7 +145,7 @@ def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(s / 24 AS INT) AS chunk_id,
            CAST(len(t[s + 1 : s + 32]) AS INT) AS n_tokens,
-           md5(array_to_string(t[s + 1 : s + 32], ' ')) AS chunk_md5
+           md5(coalesce(array_to_string(t[s + 1 : s + 32], ' '), '')) AS chunk_md5
     FROM starts
     """,
     doc="Pre-training token-window chunking "
@@ -199,13 +200,14 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE text IS NOT NULL
     ), starts AS (
       SELECT doc_id, t,
              unnest(generate_series(0, CAST(greatest(len(t) - 1, 0) AS BIGINT),
                                     24)) AS s
       FROM toks
     ), chunks AS (
-      SELECT md5(array_to_string(t[s + 1 : s + 32], ' ')) AS chunk_md5
+      SELECT md5(coalesce(array_to_string(t[s + 1 : s + 32], ' '), '')) AS chunk_md5
       FROM starts
     )
     SELECT CAST(count(*) AS BIGINT)                          AS n_chunks,

@@ -37,7 +37,7 @@ _SHINGLES_SQL = f"""
     f"""
     WITH fp AS (
       SELECT doc_id, lang,
-             lang || ':' || md5(array_to_string(({_TOKS_SQL})[1:5], ' ')) AS dup_key
+             lang || ':' || md5(coalesce(array_to_string(({_TOKS_SQL})[1:5], ' '), '')) AS dup_key
       FROM documents
     )
     SELECT lang,

@@ -45,7 +45,7 @@ def _byte_at(i: str, hx: str = "hx") -> str:
       FROM documents
     )
     SELECT doc_id,
-           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bytes,
            md5(text)          AS md5_hex,
            CAST(CASE WHEN nb > 0 THEN {_byte_at("1")} ELSE -1 END
                 AS INTEGER)   AS first_byte,
@@ -79,7 +79,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH parsed AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS nb, md5(text) AS h
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     geom AS (
       SELECT doc_id, hx, nb,

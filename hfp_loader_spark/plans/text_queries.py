@@ -211,7 +211,7 @@ def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH fp AS (
       SELECT doc_id,
-             md5(array_to_string(({_TOKS_SQL})[1:5], ' ')) AS fingerprint
+             md5(coalesce(array_to_string(({_TOKS_SQL})[1:5], ' '), '')) AS fingerprint
       FROM documents
     )
     SELECT fingerprint,
