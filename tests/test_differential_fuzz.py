@@ -41,12 +41,23 @@ FUZZ_ENTRIES = [
     "events_value_outliers",
     "events_type_cooccurrence",
     "text_token_counts_top20",
+    "text_doc_token_stats",
+    "text_tfidf_top_terms",
+    "text_quality_top20",
+    "text_langid_agreement",
+    "text_bpe_token_counts",
+    "text_repetition_flags",
+    "text_bigram_surprisal",
     "text_chunk_windows",
     "text_chunk_dedup_stats",
     "text_boilerplate_by_source",
     "text_duplicate_ngram_spans",
     "text_fingerprint_groups",
     "dedup_exact_by_fingerprint",
+    "dedup_jaccard_pairs",
+    "decontaminate_ngram_overlap",
+    "sample_train_test_split",
+    "sample_stratified_per_lang",
     "multimodal_byte_features",
     "multimodal_decode_frames",
     "multimodal_resize",
