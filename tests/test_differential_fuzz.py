@@ -161,3 +161,88 @@ def test_catalog_agrees_with_oracle_on_mutated_data(spark, fuzz_dir):
                 f"{name}: {len(sr)} vs {len(orr)} rows; first diffs {diffs}"
             )
     assert not failures, "\n".join(failures)
+
+
+NANOS_ENTRIES = [
+    # every entry here touches at least one of the ts-bearing tables
+    "q1_pricing_summary",
+    "agg_monthly_orders",
+    "sessionize_islands",
+    "json_extract_stats",
+    "events_funnel_windowed",
+    "events_transition_matrix",
+    "events_value_outliers",
+    "asof_join_latest_event",
+]
+
+
+@pytest.fixture(scope="module")
+def nanos_dir(tmp_path_factory, sf_dir):
+    """sf0.001 rewritten with TIMESTAMP(NANOS) event-time columns — the
+    exact physical encoding one driver round shipped (SURVEY: rounds 2-3
+    were lost to it).  Spark reads these as epoch-nanos BIGINT under
+    ``nanosAsLong`` and load_table converts; DuckDB reads TIMESTAMP_NS
+    natively — so the oracle comparison exercises the real drift path
+    end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_cols = {
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+        "events": ["ts"],
+    }
+    out = tmp_path_factory.mktemp("nanos_sf")
+    for name in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        t = pq.read_table(f"{sf_dir}/{name}.parquet")
+        for c in ns_cols.get(name, []):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(
+                i, c, t.column(c).cast(pa.timestamp("ns"))
+            )
+        pq.write_table(t, f"{out}/{name}.parquet")
+    return str(out)
+
+
+def test_catalog_agrees_with_oracle_on_nanos_timestamps(spark, nanos_dir):
+    import __spark_entry__ as entry_mod
+    from hfp_loader_spark.plans.catalog import TABLES, register_views
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{nanos_dir}/{t}.parquet'"
+        )
+    register_views(spark, nanos_dir, force=True)
+
+    failures = []
+    for name in NANOS_ENTRIES:
+        sdf = queries[name](spark, nanos_dir)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        sc, sr = _norm_rows(scols, srows)
+        oc, orr = _norm_rows(ocols, orows)
+        if sc != oc:
+            failures.append(f"{name}: schema {sc} vs {oc}")
+        elif sr != orr:
+            diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:2]
+            failures.append(
+                f"{name}: {len(sr)} vs {len(orr)} rows; first diffs {diffs}"
+            )
+    assert not failures, "\n".join(failures)
