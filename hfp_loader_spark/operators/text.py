@@ -346,27 +346,20 @@ def boilerplate_fractions(
         F.explode(word_shingles(tokens(F.col(text_col)), n=n)).alias("gram"),
     )
     df_count = F.count("*").over(Window.partitionBy("gram"))
-    n_docs = docs.select(F.count("*").alias("_nd"))
-    flagged = (
-        doc_grams.withColumn("df", df_count)
-        .crossJoin(F.broadcast(n_docs))
-        .groupBy(id_col, *extra_cols)
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(
-                F.when(
-                    F.col("df")
-                    >= (
-                        F.lit(int(min_df))
-                        if min_df is not None
-                        else F.ceil(F.lit(min_df_frac) * F.col("_nd"))
-                    ),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_boiler"),
-        )
+    flagged = doc_grams.withColumn("df", df_count)
+    if min_df is not None:
+        # absolute threshold: no corpus count needed — skip the extra
+        # count aggregate + 1-row broadcast entirely
+        threshold = F.lit(int(min_df))
+    else:
+        n_docs = docs.select(F.count("*").alias("_nd"))
+        flagged = flagged.crossJoin(F.broadcast(n_docs))
+        threshold = F.ceil(F.lit(min_df_frac) * F.col("_nd"))
+    flagged = flagged.groupBy(id_col, *extra_cols).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("df") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler"),
     )
     return flagged.withColumn(
         "boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 4)

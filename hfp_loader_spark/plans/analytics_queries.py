@@ -441,7 +441,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_duplicate_ngram_spans",
     f"""
     WITH toks AS (
-      SELECT doc_id, source, {{TOKS}} AS t FROM documents
+      SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
     ), grams AS (
       SELECT DISTINCT doc_id, source, array_to_string(t[i : i + 7], ' ') AS g
       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
@@ -460,7 +460,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS docs_with_dup_spans,
            CAST(sum(n_dup) AS BIGINT) AS dup_spans
     FROM per_doc GROUP BY source
-    """.replace("{TOKS}", _TOKS_SQL),
+    """,
     doc="Duplicated-substring signal (the exact-substring dedup metric of "
     "Lee et al., 'Deduplicating Training Data Makes Language Models "
     "Better', at 8-gram granularity): per doc, distinct word 8-grams "

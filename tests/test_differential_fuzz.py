@@ -170,6 +170,7 @@ NANOS_ENTRIES = [
     "sessionize_islands",
     "json_extract_stats",
     "events_funnel_windowed",
+    "events_funnel_time_bounded",  # gap arithmetic on ts — the most exposed
     "events_transition_matrix",
     "events_value_outliers",
     "asof_join_latest_event",
