@@ -482,3 +482,69 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("docs_with_dup_spans"),
         F.sum("n_boiler").cast("long").alias("dup_spans"),
     )
+
+
+@defquery(
+    "dq_skew_report",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_keys,
+           CAST(max(cnt) AS BIGINT)            AS max_rows_per_key,
+           round(avg(cnt), 4)                  AS avg_rows_per_key,
+           round(max(cnt) / avg(cnt), 4)       AS skew_ratio,
+           CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_rows_per_key
+    FROM per_key
+    """,
+    doc="Join-key skew diagnosis for events.user_id: per-key cardinality "
+    "profile (max / avg / discrete p99 / max-to-mean skew ratio) — the "
+    "report that decides whether a 100 TB join on this key needs "
+    "salting or AQE skew handling BEFORE it runs. One aggregate over "
+    "the key, one over the (small) per-key counts; the raw stream is "
+    "shuffled once. Spark percentile(..., exact) ≡ DuckDB "
+    "quantile_disc on the discrete counts.",
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_rows_per_key"),
+        F.round(F.avg("cnt"), 4).alias("avg_rows_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.expr("percentile_approx(cnt, 0.99, 2147483647)")
+        .cast("long")
+        .alias("p99_rows_per_key"),
+    )
+
+
+@defquery(
+    "profile_documents_table",
+    """
+    SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(count(*) - count(text) AS BIGINT)         AS text_nulls,
+           CAST(count(DISTINCT lang) AS BIGINT)           AS lang_distinct,
+           CAST(count(DISTINCT source) AS BIGINT)         AS source_distinct,
+           round(avg(n_chars), 4)                         AS avg_n_chars,
+           CAST(min(n_chars) AS BIGINT)                   AS min_n_chars,
+           CAST(max(n_chars) AS BIGINT)                   AS max_n_chars
+    FROM documents
+    """,
+    doc="Table profiling (the ANALYZE-style summary a pipeline emits per "
+    "snapshot): row count, null counts, distinct cardinalities of the "
+    "partition-candidate columns, numeric column envelope — one pass, "
+    "all mergeable aggregates, the input to layout decisions "
+    "(partition-by-source? bucket count?) at 100 TB.",
+)
+def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.count("text")).cast("long").alias("text_nulls"),
+        F.countDistinct("lang").cast("long").alias("lang_distinct"),
+        F.countDistinct("source").cast("long").alias("source_distinct"),
+        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+        F.min("n_chars").cast("long").alias("min_n_chars"),
+        F.max("n_chars").cast("long").alias("max_n_chars"),
+    )

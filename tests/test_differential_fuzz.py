@@ -65,6 +65,8 @@ FUZZ_ENTRIES = [
     "multimodal_blockhash_fingerprints",
     "multimodal_phash_neardup",
     "emb_dim_stats",
+    "dq_skew_report",
+    "profile_documents_table",
 ]
 
 
