@@ -1,0 +1,158 @@
+"""End-to-end corpus-preparation pipeline: the operators composed.
+
+Every stage of the standard LLM pre-training data pipeline, chained from
+this repo's operator tier into one declarative flow:
+
+    profile → quality gates (score + Gopher repetition + PII scrub)
+            → exact dedup (content fingerprint)
+            → near-dup clustering (MinHash-LSH pairs → connected
+              components → keep the min-id doc per cluster)
+            → decontamination (n-gram overlap vs a held-out slice)
+            → mixture sampling (per-source rates)
+            → chunking (token windows) or sequence packing
+
+Each stage is the SAME operator the catalog oracle-checks individually
+(`plans/*`); this module only composes them, so pipeline correctness
+reduces to stage correctness + the composition invariants tested in
+``tests/test_pipeline.py`` (monotone shrinkage, determinism, stage
+accounting).
+
+Scale shape: the chain is a single lazy DataFrame program — Catalyst
+sees all stages at once, pushes the cheap row-local gates (quality,
+repetition flags) below the expensive shuffling stages, and the
+expensive discovery paths (LSH banding, CC rounds) run on the already-
+reduced survivor set.  Stage counts in the report are collected from
+one action per stage boundary (a count over an id-projected frame), not
+from caching the full corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.graph import connected_components_alternating
+from hfp_loader_spark.operators.neardup import decontaminate, minhash_lsh_pairs
+from hfp_loader_spark.operators.sampling import mixture_sample
+from hfp_loader_spark.operators.text import (
+    chunk_documents,
+    fingerprint,
+    quality_score,
+    repetition_metrics,
+    scrub_pii,
+)
+
+
+@dataclass
+class PipelineConfig:
+    """Knobs for :func:`prepare_corpus` — defaults mirror the catalog
+    entries so the composed pipeline stays on oracle-checked settings."""
+
+    min_quality: float = 0.3
+    jaccard_threshold: float = 0.8
+    decontaminate_n: int = 8
+    # per-source keep thresholds (4-hex lexicographic, see mixture_sample);
+    # empty → keep every source in full
+    mixture_thresholds: dict[str, str] = field(default_factory=dict)
+    chunk_window: int = 32
+    chunk_stride: int = 24
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    heldout: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full corpus-prep chain; returns (clean_docs, stage_counts).
+
+    ``clean_docs`` carries the surviving documents with ``text`` PII-
+    scrubbed; ``stage_counts`` maps stage name → surviving row count (the
+    audit trail a production pipeline persists next to the output).
+    Stages that need a second input (decontamination) or configuration
+    (mixture) are skipped when not provided — the report records only the
+    stages that ran.
+    """
+    cfg = config or PipelineConfig()
+    counts: dict[str, int] = {}
+
+    def _count(stage: str, frame: DataFrame) -> None:
+        counts[stage] = frame.select(id_col).count()
+
+    _count("input", docs)
+
+    # 1. row-local quality gates: score threshold + Gopher repetition
+    scored = docs.where(
+        F.col(text_col).isNotNull()
+        & (quality_score(F.col(text_col)) >= cfg.min_quality)
+    )
+    rep = repetition_metrics(scored, id_col=id_col, text_col=text_col)
+    survivors = scored.join(
+        rep.where(~F.col("flagged")).select(id_col), id_col, "left_semi"
+    )
+    _count("quality", survivors)
+
+    # 2. exact dedup on the content fingerprint (keep min id per key)
+    fp = survivors.withColumn("_fp", fingerprint(F.col(text_col)))
+    keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    survivors = fp.join(
+        keep_exact, [id_col], "left_semi"
+    ).drop("_fp")
+    _count("exact_dedup", survivors)
+
+    # 3. near-dup clustering: LSH pairs → components → keep min-id doc
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col, threshold=cfg.jaccard_threshold
+    )
+    if pairs.take(1):
+        comp = connected_components_alternating(
+            pairs, src="doc_a", dst="doc_b"
+        )
+        drop = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        survivors = survivors.join(drop, id_col, "left_anti")
+    _count("near_dedup", survivors)
+
+    # 4. decontamination vs the held-out slice
+    if heldout is not None:
+        contaminated = decontaminate(
+            survivors, heldout, id_col, text_col, n=cfg.decontaminate_n
+        ).select(id_col)
+        survivors = survivors.join(contaminated, id_col, "left_anti")
+        _count("decontaminate", survivors)
+
+    # 5. per-source mixture rebalancing
+    if cfg.mixture_thresholds:
+        survivors = mixture_sample(
+            survivors, source_col, cfg.mixture_thresholds, key_col=id_col
+        )
+        _count("mixture", survivors)
+
+    clean = survivors.withColumn(text_col, scrub_pii(F.col(text_col)))
+    _count("output", clean)
+    return clean, counts
+
+
+def chunk_corpus(
+    docs: DataFrame,
+    config: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Final packaging: overlapping token-window chunks of the cleaned
+    corpus (see ``operators.text.chunk_documents``) — the step that
+    turns surviving documents into training-sequence rows."""
+    cfg = config or PipelineConfig()
+    return chunk_documents(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        window=cfg.chunk_window,
+        stride=cfg.chunk_stride,
+    )

@@ -1,0 +1,83 @@
+"""Composition invariants for the end-to-end corpus-prep pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.pipeline import PipelineConfig, chunk_corpus, prepare_corpus
+from hfp_loader_spark.plans.catalog import load_table
+
+
+def test_pipeline_stages_shrink_and_account(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    heldout = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    clean, counts = prepare_corpus(
+        spark,
+        corpus,
+        heldout=heldout,
+        config=PipelineConfig(mixture_thresholds={"src0": "8000"}),
+    )
+    # every stage ran and is recorded in order
+    assert list(counts) == [
+        "input",
+        "quality",
+        "exact_dedup",
+        "near_dedup",
+        "decontaminate",
+        "mixture",
+        "output",
+    ]
+    # monotone shrinkage: each gate can only remove documents
+    vals = list(counts.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    assert counts["input"] == corpus.count()
+    assert counts["output"] == clean.count()
+    assert counts["output"] > 0
+    # the mixture stage actually dropped part of src0 (threshold ~50%)
+    assert counts["mixture"] < counts["decontaminate"]
+    # survivors are a subset of the input ids
+    ids_in = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    ids_out = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert ids_out <= ids_in
+
+
+def test_pipeline_removes_planted_duplicates_and_contamination(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    bench_text = " ".join(f"bench{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "src0"),
+            (2, base, "src0"),  # exact duplicate of 1 → dropped
+            (3, base + " tail", "src0"),  # near-dup of 1 → clustered out
+            (4, bench_text + " extra words here", "src0"),  # contaminated
+            (5, " ".join(f"u{i}" for i in range(30)), "src1"),  # clean
+        ],
+        "doc_id long, text string, source string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    clean, counts = prepare_corpus(spark, docs, heldout=heldout)
+    kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert 2 not in kept  # exact dup removed, min id kept
+    assert 1 in kept
+    assert 4 not in kept  # contaminated doc removed
+    assert 5 in kept
+    assert counts["output"] == len(kept)
+
+
+def test_pipeline_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    _, c1 = prepare_corpus(spark, docs)
+    _, c2 = prepare_corpus(spark, docs)
+    assert c1 == c2
+
+
+def test_chunk_corpus_covers_every_survivor(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    clean, _ = prepare_corpus(spark, docs)
+    chunks = chunk_corpus(clean)
+    n_docs = clean.count()
+    chunk_docs = chunks.select("doc_id").distinct().count()
+    assert chunk_docs == n_docs  # every surviving doc yields >= 1 chunk
