@@ -156,3 +156,62 @@ def chunk_corpus(
         window=cfg.chunk_window,
         stride=cfg.chunk_stride,
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: run the corpus-prep chain over a driver-layout table dir.
+
+    Usage::
+
+        python -m hfp_loader_spark.pipeline /root/testdata/sf0.01 /tmp/out \
+            [--heldout-mod 17] [--min-quality 0.3]
+
+    Writes ``<out>/corpus.parquet`` (cleaned documents),
+    ``<out>/chunks.parquet`` (token-window rows), and
+    ``<out>/report.json`` (per-stage audit counts).
+    """
+    import argparse
+    import json
+    import os
+
+    p = argparse.ArgumentParser(
+        prog="hfp_loader_spark.pipeline",
+        description="End-to-end corpus preparation over a documents table.",
+    )
+    p.add_argument("sf_dir", help="dir containing documents.parquet")
+    p.add_argument("out_dir", help="output dir (parquet + report.json)")
+    p.add_argument(
+        "--heldout-mod",
+        type=int,
+        default=0,
+        help="treat doc_id %% N == 0 as the held-out slice (0 = no "
+        "decontamination stage)",
+    )
+    p.add_argument("--min-quality", type=float, default=0.3)
+    args = p.parse_args(argv)
+
+    from hfp_loader_spark.plans.catalog import load_table
+    from hfp_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus_pipeline")
+    docs = load_table(spark, args.sf_dir, "documents")
+    heldout = None
+    if args.heldout_mod:
+        heldout = docs.where(F.col("doc_id") % args.heldout_mod == 0)
+        docs = docs.where(F.col("doc_id") % args.heldout_mod != 0)
+    cfg = PipelineConfig(min_quality=args.min_quality)
+    clean, counts = prepare_corpus(spark, docs, heldout=heldout, config=cfg)
+    clean.write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "corpus.parquet")
+    )
+    chunk_corpus(clean, cfg).write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "chunks.parquet")
+    )
+    with open(os.path.join(args.out_dir, "report.json"), "w") as fh:
+        json.dump(counts, fh, indent=2)
+    print(json.dumps(counts))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
