@@ -215,3 +215,70 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def ingest_delta(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_root: str,
+    config: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Incremental ingest: clean a NEW batch against the corpus history.
+
+    The production shape of :func:`prepare_corpus` — a daily delta is
+    gated, exact-deduped within itself, near-deduped against the
+    PERSISTED MinHash signature index (``operators.neardup``:
+    O(|delta|) hashing + a bucket join on stored 32-long signatures;
+    the history's text is never re-read), and the survivors' signatures
+    are appended to the index (O(1) versioned-table commit) so the next
+    ingest sees them.  Returns (clean_delta, stage_counts).
+
+    A delta doc that collides with EITHER a history doc or a
+    lower-id delta doc is dropped; history docs always win (they are
+    already part of the corpus).
+    """
+    from hfp_loader_spark.operators.neardup import (
+        dedup_delta_against_index,
+        save_signature_index,
+    )
+
+    cfg = config or PipelineConfig()
+    counts: dict[str, int] = {}
+    counts["input"] = new_docs.select(id_col).count()
+
+    gated = new_docs.where(
+        F.col(text_col).isNotNull()
+        & (quality_score(F.col(text_col)) >= cfg.min_quality)
+    )
+    counts["quality"] = gated.select(id_col).count()
+
+    fp = gated.withColumn("_fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    gated = fp.join(keep, [id_col], "left_semi").drop("_fp")
+    counts["exact_dedup"] = gated.select(id_col).count()
+
+    pairs = dedup_delta_against_index(
+        spark, gated, index_root, id_col=id_col, text_col=text_col
+    )
+    delta_ids = gated.select(F.col(id_col).alias("_did"))
+    # drop the delta-side member of every candidate pair: doc_b when the
+    # pair is (history|lower-delta, delta), plus doc_a for delta×delta
+    # pairs where doc_a is also new but outranked... doc_a < doc_b, so
+    # dropping the delta doc_b keeps history docs and the lowest-id new
+    # doc of each collision group
+    drop = pairs.join(
+        F.broadcast(delta_ids),
+        pairs["doc_b"] == F.col("_did"),
+        "left_semi",
+    ).select(F.col("doc_b").alias(id_col)).distinct()
+    clean = gated.join(drop, id_col, "left_anti")
+    counts["near_dedup_vs_index"] = clean.select(id_col).count()
+
+    save_signature_index(
+        spark, clean, index_root, id_col=id_col, text_col=text_col,
+        mode="append",
+    )
+    counts["output"] = counts["near_dedup_vs_index"]
+    return clean, counts

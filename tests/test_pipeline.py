@@ -81,3 +81,42 @@ def test_chunk_corpus_covers_every_survivor(spark, sf_dir):
     n_docs = clean.count()
     chunk_docs = chunks.select("doc_id").distinct().count()
     assert chunk_docs == n_docs  # every surviving doc yields >= 1 chunk
+
+
+def test_ingest_delta_dedups_against_history(spark, tmp_path):
+    from hfp_loader_spark.operators.neardup import save_signature_index
+    from hfp_loader_spark.pipeline import ingest_delta
+
+    root = str(tmp_path / "sig_index")
+    hist_text = " ".join(f"h{i}" for i in range(30))
+    history = spark.createDataFrame(
+        [(1, hist_text), (2, " ".join(f"g{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    save_signature_index(spark, history, root, mode="overwrite")
+
+    delta = spark.createDataFrame(
+        [
+            (10, hist_text),  # near/exact dup of history doc 1 → dropped
+            (11, " ".join(f"n{i}" for i in range(30))),  # genuinely new
+            (12, " ".join(f"n{i}" for i in range(30))),  # exact dup of 11
+            (13, " ".join(f"m{i}" for i in range(30))),  # new
+        ],
+        "doc_id long, text string",
+    )
+    clean, counts = ingest_delta(spark, delta, root)
+    kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert kept == [11, 13]
+    assert counts["input"] == 4
+    assert counts["exact_dedup"] == 3  # 12 removed within the batch
+    assert counts["output"] == 2  # 10 removed against history
+
+    # a SECOND ingest of the same new content dedups against the now-
+    # appended index — exactly-once corpus growth
+    delta2 = spark.createDataFrame(
+        [(20, " ".join(f"n{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    clean2, counts2 = ingest_delta(spark, delta2, root)
+    assert clean2.count() == 0
+    assert counts2["output"] == 0
