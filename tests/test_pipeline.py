@@ -120,3 +120,54 @@ def test_ingest_delta_dedups_against_history(spark, tmp_path):
     clean2, counts2 = ingest_delta(spark, delta2, root)
     assert clean2.count() == 0
     assert counts2["output"] == 0
+
+
+def test_stream_ingest_corpus_dedups_across_batches(spark, tmp_path):
+    from hfp_loader_spark.operators.neardup import save_signature_index
+    from hfp_loader_spark.streaming.jobs import stream_ingest_corpus
+    from hfp_loader_spark.versioned import read_snapshot
+
+    # seed the index with one history doc
+    root = str(tmp_path / "sig_index")
+    hist_text = " ".join(f"h{i}" for i in range(30))
+    save_signature_index(
+        spark,
+        spark.createDataFrame([(1, hist_text)], "doc_id long, text string"),
+        root,
+        mode="overwrite",
+    )
+
+    # two source files → two micro-batches (maxFilesPerTrigger=1)
+    src = tmp_path / "incoming"
+    batch_a = spark.createDataFrame(
+        [
+            (10, " ".join(f"a{i}" for i in range(30))),  # new
+            (11, hist_text),  # dup of pre-seeded history → dropped
+        ],
+        "doc_id long, text string",
+    )
+    batch_b = spark.createDataFrame(
+        # dup of batch A's doc 10 → must be caught via the index
+        [(20, " ".join(f"a{i}" for i in range(30))),
+         (21, " ".join(f"b{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    # the file stream source reads FILES in a directory (no recursion):
+    # stage each batch's single part file as src/fN.parquet
+    import glob
+    import os
+    import shutil
+
+    src.mkdir()
+    for name, frame in (("f1", batch_a), ("f2", batch_b)):
+        stage = tmp_path / f"_stage_{name}"
+        frame.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    reports = stream_ingest_corpus(spark, str(src), root)
+    assert len(reports) == 2
+    total_out = sum(r["output"] for r in reports.values())
+    assert total_out == 2  # docs 10 and 21 only
+    # the index now holds history + the two survivors
+    assert read_snapshot(spark, root).select("doc_id").distinct().count() == 3
