@@ -321,6 +321,7 @@ def dedup_delta_against_index(
     num_hashes: int = 32,
     num_bands: int = 8,
     version: int | None = None,
+    estimate_threshold: float | None = None,
 ) -> DataFrame:
     """LSH candidates of a NEW batch against the persisted signature
     index (plus within-batch pairs): every ``(doc_a, doc_b)`` candidate
@@ -331,12 +332,17 @@ def dedup_delta_against_index(
     their batch, not a fixed column.
 
     The incremental shape: only the delta is shingled and hashed; the
-    history contributes stored signatures.  Candidates still need exact
-    verification against the source texts (signatures alone cannot
-    compute Jaccard) — callers join the pair list back to their
-    document store, exactly like :func:`minhash_lsh_pairs`' verify
-    stage.  Cost per ingest: O(|delta|) hashing + a bucket join whose
-    history side is the banded index, never a history re-scan of text."""
+    history contributes stored signatures.  Raw LSH candidates include
+    band collisions between genuinely dissimilar documents, so with
+    ``estimate_threshold`` set each pair is scored by the SIGNATURE-
+    estimated Jaccard (fraction of matching minhash components —
+    unbiased, std ≈ sqrt(J(1-J)/k)) and only pairs at or above the
+    threshold return, with the score in an ``est_jaccard`` column.
+    This is the right verifier for the incremental path, where the
+    history's text cannot be re-read; callers holding BOTH texts can
+    instead exact-verify like :func:`minhash_lsh_pairs`' stage.  Cost
+    per ingest: O(|delta|) hashing + a bucket join whose history side
+    is the banded index, never a history re-scan of text."""
     from hfp_loader_spark.versioned import read_snapshot
 
     hist = read_snapshot(spark, root, version)
@@ -344,7 +350,12 @@ def dedup_delta_against_index(
         shingle_docs(ensure_parallelism(delta, id_col), id_col, text_col, shingle_n),
         num_hashes,
     )
-    both = hist.unionByName(delta_sigs)
+    from pyspark import StorageLevel
+
+    # both sides of the bucket join AND the verify re-join consume the
+    # signatures — persist once (32 longs/doc, same rationale as
+    # simhash_near_pairs)
+    both = hist.unionByName(delta_sigs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(both, num_hashes, num_bands)
     delta_ids = delta.select(F.col(id_col).alias("doc_b")).distinct()
     # keep pairs touching the delta (history×history pairs were reported
@@ -355,10 +366,33 @@ def dedup_delta_against_index(
         "doc_a",
         "left_semi",
     )
-    return (
+    out = (
         touch_b.select("doc_a", "doc_b")
         .unionByName(touch_a.select("doc_a", "doc_b"))
         .distinct()
+    )
+    if estimate_threshold is None:
+        return out
+    sig_a = both.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sig_b = both.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_sa"),
+                F.col("_sb"),
+                lambda a, b: F.when(a == b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        out.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= estimate_threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 
 

@@ -4,7 +4,7 @@ Every stage of the standard LLM pre-training data pipeline, chained from
 this repo's operator tier into one declarative flow:
 
     profile → quality gates (score + Gopher repetition + PII scrub)
-            → exact dedup (content fingerprint)
+            → exact dedup (full-content fingerprint)
             → near-dup clustering (MinHash-LSH pairs → connected
               components → keep the min-id doc per cluster)
             → decontamination (n-gram overlap vs a held-out slice)
@@ -15,7 +15,7 @@ Each stage is the SAME operator the catalog oracle-checks individually
 (`plans/*`); this module only composes them, so pipeline correctness
 reduces to stage correctness + the composition invariants tested in
 ``tests/test_pipeline.py`` (monotone shrinkage, determinism, stage
-accounting).
+accounting, history-wins incremental semantics).
 
 Scale shape: the chain is a single lazy DataFrame program — Catalyst
 sees all stages at once, pushes the cheap row-local gates (quality,
@@ -38,17 +38,18 @@ from hfp_loader_spark.operators.neardup import decontaminate, minhash_lsh_pairs
 from hfp_loader_spark.operators.sampling import mixture_sample
 from hfp_loader_spark.operators.text import (
     chunk_documents,
-    fingerprint,
     quality_score,
     repetition_metrics,
     scrub_pii,
+    tokens,
 )
 
 
 @dataclass
 class PipelineConfig:
-    """Knobs for :func:`prepare_corpus` — defaults mirror the catalog
-    entries so the composed pipeline stays on oracle-checked settings."""
+    """Knobs for :func:`prepare_corpus` / :func:`ingest_delta` — defaults
+    mirror the catalog entries so the composed pipeline stays on
+    oracle-checked settings."""
 
     min_quality: float = 0.3
     jaccard_threshold: float = 0.8
@@ -58,6 +59,42 @@ class PipelineConfig:
     mixture_thresholds: dict[str, str] = field(default_factory=dict)
     chunk_window: int = 32
     chunk_stride: int = 24
+
+
+def _content_fingerprint(text_col: str):
+    """md5 over the FULL whitespace-normalized token stream — a true
+    exact-dedup key.  (``operators.text.fingerprint`` hashes only a
+    5-token prefix; using it here would collapse distinct documents
+    sharing a boilerplate opening — a silent-data-loss bug a review
+    pass caught.)"""
+    return F.md5(F.concat_ws(" ", tokens(F.col(text_col))))
+
+
+def _gate_and_exact_dedup(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str,
+    text_col: str,
+    counts: dict[str, int],
+) -> DataFrame:
+    """Shared head of both pipeline shapes: quality gates (score +
+    Gopher repetition) then full-content exact dedup keeping the min id
+    per key.  Records the 'quality' and 'exact_dedup' stage counts."""
+    scored = docs.where(
+        F.col(text_col).isNotNull()
+        & (quality_score(F.col(text_col)) >= cfg.min_quality)
+    )
+    rep = repetition_metrics(scored, id_col=id_col, text_col=text_col)
+    survivors = scored.join(
+        rep.where(~F.col("flagged")).select(id_col), id_col, "left_semi"
+    )
+    counts["quality"] = survivors.select(id_col).count()
+
+    fp = survivors.withColumn("_fp", _content_fingerprint(text_col))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    survivors = fp.join(keep, [id_col], "left_semi").drop("_fp")
+    counts["exact_dedup"] = survivors.select(id_col).count()
+    return survivors
 
 
 def prepare_corpus(
@@ -80,62 +117,112 @@ def prepare_corpus(
     """
     cfg = config or PipelineConfig()
     counts: dict[str, int] = {}
+    counts["input"] = docs.select(id_col).count()
 
-    def _count(stage: str, frame: DataFrame) -> None:
-        counts[stage] = frame.select(id_col).count()
+    survivors = _gate_and_exact_dedup(docs, cfg, id_col, text_col, counts)
 
-    _count("input", docs)
-
-    # 1. row-local quality gates: score threshold + Gopher repetition
-    scored = docs.where(
-        F.col(text_col).isNotNull()
-        & (quality_score(F.col(text_col)) >= cfg.min_quality)
-    )
-    rep = repetition_metrics(scored, id_col=id_col, text_col=text_col)
-    survivors = scored.join(
-        rep.where(~F.col("flagged")).select(id_col), id_col, "left_semi"
-    )
-    _count("quality", survivors)
-
-    # 2. exact dedup on the content fingerprint (keep min id per key)
-    fp = survivors.withColumn("_fp", fingerprint(F.col(text_col)))
-    keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    survivors = fp.join(
-        keep_exact, [id_col], "left_semi"
-    ).drop("_fp")
-    _count("exact_dedup", survivors)
-
-    # 3. near-dup clustering: LSH pairs → components → keep min-id doc
+    # near-dup clustering: LSH pairs → components → keep min-id doc.
+    # No emptiness pre-check: connected_components handles an empty edge
+    # list, and a take(1) probe would materialize the whole LSH+verify
+    # chain a second time.
     pairs = minhash_lsh_pairs(
         survivors, id_col, text_col, threshold=cfg.jaccard_threshold
     )
-    if pairs.take(1):
-        comp = connected_components_alternating(
-            pairs, src="doc_a", dst="doc_b"
-        )
-        drop = comp.where(F.col("id") != F.col("component")).select(
-            F.col("id").alias(id_col)
-        )
-        survivors = survivors.join(drop, id_col, "left_anti")
-    _count("near_dedup", survivors)
+    comp = connected_components_alternating(pairs, src="doc_a", dst="doc_b")
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = survivors.join(drop, id_col, "left_anti")
+    counts["near_dedup"] = survivors.select(id_col).count()
 
-    # 4. decontamination vs the held-out slice
     if heldout is not None:
         contaminated = decontaminate(
             survivors, heldout, id_col, text_col, n=cfg.decontaminate_n
         ).select(id_col)
         survivors = survivors.join(contaminated, id_col, "left_anti")
-        _count("decontaminate", survivors)
+        counts["decontaminate"] = survivors.select(id_col).count()
 
-    # 5. per-source mixture rebalancing
     if cfg.mixture_thresholds:
         survivors = mixture_sample(
             survivors, source_col, cfg.mixture_thresholds, key_col=id_col
         )
-        _count("mixture", survivors)
+        counts["mixture"] = survivors.select(id_col).count()
 
     clean = survivors.withColumn(text_col, scrub_pii(F.col(text_col)))
-    _count("output", clean)
+    counts["output"] = clean.select(id_col).count()
+    return clean, counts
+
+
+def ingest_delta(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_root: str,
+    config: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Incremental ingest: clean a NEW batch against the corpus history.
+
+    The production shape of :func:`prepare_corpus` — a daily delta is
+    gated and repetition-filtered, exact-deduped within itself,
+    near-deduped against the PERSISTED MinHash signature index
+    (``operators.neardup``: O(|delta|) hashing + a bucket join on stored
+    32-long signatures, verified by SIGNATURE-estimated Jaccard at the
+    configured threshold; the history's text is never re-read), PII-
+    scrubbed, and the survivors' signatures are appended to the index
+    (O(1) versioned-table commit) so the next ingest sees them.
+    Returns (clean_delta, stage_counts).
+
+    History always wins: for every verified collision pair, the DELTA
+    member is dropped — whichever side of the (doc_a < doc_b) ordering
+    it is.  Between two colliding delta docs the lower id survives.
+    """
+    from hfp_loader_spark.operators.neardup import (
+        dedup_delta_against_index,
+        save_signature_index,
+    )
+
+    cfg = config or PipelineConfig()
+    counts: dict[str, int] = {}
+    counts["input"] = new_docs.select(id_col).count()
+
+    gated = _gate_and_exact_dedup(new_docs, cfg, id_col, text_col, counts)
+
+    pairs = dedup_delta_against_index(
+        spark,
+        gated,
+        index_root,
+        id_col=id_col,
+        text_col=text_col,
+        estimate_threshold=cfg.jaccard_threshold,
+    )
+    delta_ids = gated.select(F.col(id_col).alias("_did")).distinct()
+    # drop the DELTA member(s) of each verified pair: doc_b when it is a
+    # delta doc (its counterpart — history or a lower-id delta doc —
+    # wins), and doc_a when doc_a is a delta doc but doc_b is history
+    # (ids don't order history below delta in general, so a fixed-column
+    # prune would let a low-id delta dup of a high-id history doc slip
+    # through)
+    drop_b = pairs.join(
+        F.broadcast(delta_ids), pairs["doc_b"] == F.col("_did"), "left_semi"
+    ).select(F.col("doc_b").alias(id_col))
+    hist_b = pairs.join(
+        F.broadcast(delta_ids), pairs["doc_b"] == F.col("_did"), "left_anti"
+    )
+    drop_a = hist_b.join(
+        F.broadcast(delta_ids), hist_b["doc_a"] == F.col("_did"), "left_semi"
+    ).select(F.col("doc_a").alias(id_col))
+    survivors = gated.join(
+        drop_b.unionByName(drop_a).distinct(), id_col, "left_anti"
+    )
+    counts["near_dedup_vs_index"] = survivors.select(id_col).count()
+
+    clean = survivors.withColumn(text_col, scrub_pii(F.col(text_col)))
+    save_signature_index(
+        spark, clean, index_root, id_col=id_col, text_col=text_col,
+        mode="append",
+    )
+    counts["output"] = counts["near_dedup_vs_index"]
     return clean, counts
 
 
@@ -201,12 +288,13 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.where(F.col("doc_id") % args.heldout_mod != 0)
     cfg = PipelineConfig(min_quality=args.min_quality)
     clean, counts = prepare_corpus(spark, docs, heldout=heldout, config=cfg)
-    clean.write.mode("overwrite").parquet(
-        os.path.join(args.out_dir, "corpus.parquet")
-    )
-    chunk_corpus(clean, cfg).write.mode("overwrite").parquet(
-        os.path.join(args.out_dir, "chunks.parquet")
-    )
+    corpus_path = os.path.join(args.out_dir, "corpus.parquet")
+    clean.write.mode("overwrite").parquet(corpus_path)
+    # chunk from the materialized output, not the live lineage — re-running
+    # the whole gate/dedup chain for the second write would double the cost
+    chunk_corpus(spark.read.parquet(corpus_path), cfg).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.out_dir, "chunks.parquet"))
     with open(os.path.join(args.out_dir, "report.json"), "w") as fh:
         json.dump(counts, fh, indent=2)
     print(json.dumps(counts))
@@ -215,70 +303,3 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
-
-
-def ingest_delta(
-    spark: SparkSession,
-    new_docs: DataFrame,
-    index_root: str,
-    config: PipelineConfig | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> tuple[DataFrame, dict[str, int]]:
-    """Incremental ingest: clean a NEW batch against the corpus history.
-
-    The production shape of :func:`prepare_corpus` — a daily delta is
-    gated, exact-deduped within itself, near-deduped against the
-    PERSISTED MinHash signature index (``operators.neardup``:
-    O(|delta|) hashing + a bucket join on stored 32-long signatures;
-    the history's text is never re-read), and the survivors' signatures
-    are appended to the index (O(1) versioned-table commit) so the next
-    ingest sees them.  Returns (clean_delta, stage_counts).
-
-    A delta doc that collides with EITHER a history doc or a
-    lower-id delta doc is dropped; history docs always win (they are
-    already part of the corpus).
-    """
-    from hfp_loader_spark.operators.neardup import (
-        dedup_delta_against_index,
-        save_signature_index,
-    )
-
-    cfg = config or PipelineConfig()
-    counts: dict[str, int] = {}
-    counts["input"] = new_docs.select(id_col).count()
-
-    gated = new_docs.where(
-        F.col(text_col).isNotNull()
-        & (quality_score(F.col(text_col)) >= cfg.min_quality)
-    )
-    counts["quality"] = gated.select(id_col).count()
-
-    fp = gated.withColumn("_fp", fingerprint(F.col(text_col)))
-    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    gated = fp.join(keep, [id_col], "left_semi").drop("_fp")
-    counts["exact_dedup"] = gated.select(id_col).count()
-
-    pairs = dedup_delta_against_index(
-        spark, gated, index_root, id_col=id_col, text_col=text_col
-    )
-    delta_ids = gated.select(F.col(id_col).alias("_did"))
-    # drop the delta-side member of every candidate pair: doc_b when the
-    # pair is (history|lower-delta, delta), plus doc_a for delta×delta
-    # pairs where doc_a is also new but outranked... doc_a < doc_b, so
-    # dropping the delta doc_b keeps history docs and the lowest-id new
-    # doc of each collision group
-    drop = pairs.join(
-        F.broadcast(delta_ids),
-        pairs["doc_b"] == F.col("_did"),
-        "left_semi",
-    ).select(F.col("doc_b").alias(id_col)).distinct()
-    clean = gated.join(drop, id_col, "left_anti")
-    counts["near_dedup_vs_index"] = clean.select(id_col).count()
-
-    save_signature_index(
-        spark, clean, index_root, id_col=id_col, text_col=text_col,
-        mode="append",
-    )
-    counts["output"] = counts["near_dedup_vs_index"]
-    return clean, counts

@@ -502,8 +502,10 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report that decides whether a 100 TB join on this key needs "
     "salting or AQE skew handling BEFORE it runs. One aggregate over "
     "the key, one over the (small) per-key counts; the raw stream is "
-    "shuffled once. Spark percentile(..., exact) ≡ DuckDB "
-    "quantile_disc on the discrete counts.",
+    "shuffled once. percentile_approx at the catalog's standard "
+    "accuracy 10000 — exact at gate scale (≪10k distinct count values) "
+    "and GK-sketch-bounded at billions of keys, where an exact-retain "
+    "sketch would OOM the final merge; oracle = quantile_disc.",
 )
 def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -513,7 +515,7 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("long").alias("max_rows_per_key"),
         F.round(F.avg("cnt"), 4).alias("avg_rows_per_key"),
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
-        F.expr("percentile_approx(cnt, 0.99, 2147483647)")
+        F.expr("percentile_approx(cnt, 0.99, 10000)")
         .cast("long")
         .alias("p99_rows_per_key"),
     )

@@ -291,7 +291,18 @@ def stream_ingest_corpus(
     race-free by construction.
 
     Returns {batch_id: stage_counts} — the per-batch audit trail.
+
+    Restart-safe: the checkpoint lives next to the index
+    (``<index_root>/_stream_checkpoint``), so a later invocation resumes
+    from the last committed file instead of re-reading everything —
+    without it, a re-run would re-ingest batch 1's docs, and because the
+    LSH pair join excludes equal ids (``doc_a < doc_b``), a re-ingested
+    doc would NOT collide with its own stored signature and would be
+    double-appended.  A timeout raises instead of returning a silently
+    partial report.
     """
+    import os
+
     from hfp_loader_spark.pipeline import ingest_delta
 
     reports: dict[int, dict[str, int]] = {}
@@ -309,11 +320,22 @@ def stream_ingest_corpus(
     )
     q = (
         stream.writeStream.foreachBatch(handle_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(index_root, "_stream_checkpoint"),
+        )
         .trigger(availableNow=True)
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream_ingest_corpus did not drain {source_dir!r} within "
+                f"{timeout_sec}s; index {index_root!r} holds only the "
+                f"batches committed so far (resume by re-running — the "
+                f"checkpoint skips completed files)"
+            )
     finally:
         if q.isActive:  # pragma: no cover — safety on timeout
             q.stop()

@@ -171,3 +171,27 @@ def test_stream_ingest_corpus_dedups_across_batches(spark, tmp_path):
     assert total_out == 2  # docs 10 and 21 only
     # the index now holds history + the two survivors
     assert read_snapshot(spark, root).select("doc_id").distinct().count() == 3
+
+
+def test_ingest_delta_history_wins_even_with_lower_delta_id(spark, tmp_path):
+    """A delta doc whose id sorts BELOW the colliding history doc must
+    still lose — history is already part of the corpus (the fixed-column
+    prune a review pass caught would have kept it)."""
+    from hfp_loader_spark.operators.neardup import save_signature_index
+    from hfp_loader_spark.pipeline import ingest_delta
+
+    root = str(tmp_path / "sig_index")
+    shared = " ".join(f"h{i}" for i in range(30))
+    history = spark.createDataFrame(
+        [(100, shared)], "doc_id long, text string"
+    )
+    save_signature_index(spark, history, root, mode="overwrite")
+
+    delta = spark.createDataFrame(
+        [(10, shared), (11, " ".join(f"x{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    clean, counts = ingest_delta(spark, delta, root)
+    kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert kept == [11]
+    assert counts["output"] == 1
