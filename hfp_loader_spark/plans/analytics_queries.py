@@ -1,26 +1,32 @@
 """Corpus/embedding analytics catalog entries (SURVEY §2.11 extension tier).
 
-Corpus-level boilerplate detection and pre-training chunking over
-``documents``, per-dimension statistics over ``embeddings``, and the
-single-shuffle windowed twin of the sequential funnel.  The reference
-(HSLdevcom/hfp-loader) has no analytics queries at all — it is a loader
-(SURVEY §0); this module is "north star" surface built on the driver's
-synthetic tables, every entry with an exact DuckDB oracle.
+Corpus-level boilerplate/duplicated-span detection and pre-training
+chunking over ``documents``, per-dimension statistics over
+``embeddings``, the single-shuffle windowed funnel twins (unbounded +
+conversion-window), co-occurrence mining / anomaly gating / transition
+matrices over ``events``, and the skew-diagnosis + table-profiling
+operational reports.  The reference (HSLdevcom/hfp-loader) has no
+analytics queries at all — it is a loader (SURVEY §0); this module is
+"north star" surface built on the driver's synthetic tables, every
+entry with an exact DuckDB oracle.
 
 Scale shapes (100 TB):
-- the windowed funnel is ONE exchange of events on ``user_id`` — all k
+- the windowed funnels are ONE exchange of events on ``user_id`` — all k
   step windows share a single partitioning+sort and the per-user
   aggregate reuses it (vs one shuffle per step for the join-chain form in
   ``funnel_view_click_purchase``; both exist deliberately, see
-  ``operators.relational.funnel_counts_windowed``);
-- boilerplate computes document frequencies as a count window over the
-  gram partition of the exploded (doc, gram) rows — one corpus scan, one
-  gram-keyed shuffle, no groupBy+self-join re-scan — with the corpus doc
-  count as a 1-row broadcast; nothing quadratic in documents;
+  ``operators.relational.funnel_counts_windowed``); the transition
+  matrix rides the same exchange via lead();
+- boilerplate AND duplicated-span document frequencies come from a count
+  window over the gram partition of the exploded (doc, gram) rows — one
+  corpus scan, one gram-keyed shuffle, no groupBy+self-join re-scan;
 - chunking is narrow until a ~n_tokens/stride × explode whose output rows
   carry 16-byte md5s, not token arrays;
 - embedding stats explode 64× but partial (map-side) aggregation folds
-  them to 64 rows per partition before the only shuffle.
+  them to 64 rows per partition before the only shuffle;
+- co-occurrence distinct-compacts (user, type) BEFORE its self-join;
+  outliers broadcast a |types|-row stats table back over the stream;
+  skew/profile are single-pass mergeable aggregates.
 """
 
 from __future__ import annotations
