@@ -556,3 +556,63 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_n_chars"),
         F.max("n_chars").cast("long").alias("max_n_chars"),
     )
+
+
+@defquery(
+    "timeseries_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, v,
+             lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+             lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+             lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+             lag(v, 7) OVER w AS v7
+      FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT d, v,
+           round(
+             (v + coalesce(v1,0)*0.7 + coalesce(v2,0)*0.49
+                + coalesce(v3,0)*0.343 + coalesce(v4,0)*0.2401
+                + coalesce(v5,0)*0.16807 + coalesce(v6,0)*0.117649
+                + coalesce(v7,0)*0.0823543)
+             / (1 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.7 END
+                  + CASE WHEN v2 IS NULL THEN 0 ELSE 0.49 END
+                  + CASE WHEN v3 IS NULL THEN 0 ELSE 0.343 END
+                  + CASE WHEN v4 IS NULL THEN 0 ELSE 0.2401 END
+                  + CASE WHEN v5 IS NULL THEN 0 ELSE 0.16807 END
+                  + CASE WHEN v6 IS NULL THEN 0 ELSE 0.117649 END
+                  + CASE WHEN v7 IS NULL THEN 0 ELSE 0.0823543 END),
+             4) AS ewma
+    FROM lagged
+    """,
+    doc="Exponentially weighted moving average (alpha=0.3, trailing "
+    "8-day window) of daily event value totals: weights (1-alpha)^j "
+    "as plan-time literals over explicit lag() taps, normalized by the "
+    "weights actually present so the series head is unbiased — the "
+    "smoothing primitive dashboards and anomaly baselines run. The "
+    "daily rollup reduces the stream BEFORE the ordered window, so the "
+    "single-partition sort is over |days| rows, not events (bounded "
+    "special case, same argument as the gap-fill spine).",
+)
+def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    w = Window.orderBy("d")
+    decay = 0.7  # (1 - alpha), alpha = 0.3
+    num = F.col("v")
+    den = F.lit(1.0)
+    for j in range(1, 8):
+        tap = F.lag("v", j).over(w)
+        num = num + F.coalesce(tap, F.lit(0)) * (decay**j)
+        den = den + F.when(tap.isNull(), 0.0).otherwise(decay**j)
+    return daily.select(
+        "d", "v", F.round(num / den, 4).alias("ewma")
+    )

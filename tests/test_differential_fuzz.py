@@ -67,6 +67,7 @@ FUZZ_ENTRIES = [
     "emb_dim_stats",
     "dq_skew_report",
     "profile_documents_table",
+    "timeseries_ewma_daily",
 ]
 
 
