@@ -616,3 +616,77 @@ def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", "v", F.round(num / den, 4).alias("ewma")
     )
+
+
+@defquery(
+    "events_funnel_per_session",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             user_id || ':' ||
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS VARCHAR) AS sk
+      FROM marked
+    ),
+    s1 AS (
+      SELECT sk, ts, event_type, event_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY sk ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1
+      FROM sess
+    ), s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY sk ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2
+      FROM s1
+    ), per_sess AS (
+      SELECT sk, min(t1) AS t1, min(t2) AS t2 FROM s2 GROUP BY sk
+    ), c AS (
+      SELECT CAST(count(t1) AS BIGINT) AS n1,
+             CAST(count(t2) AS BIGINT) AS n2
+      FROM per_sess
+    )
+    SELECT 'view' AS step, CAST(1 AS INT) AS step_idx, n1 AS n_sessions FROM c
+    UNION ALL
+    SELECT 'click', CAST(2 AS INT), n2 FROM c
+    """,
+    doc="Within-session funnel (view → click inside ONE 30-min-gap "
+    "session): operator COMPOSITION — sessionize's lag+cumsum islands "
+    "assign the session key, then funnel_counts_windowed partitions its "
+    "chained running-min windows by (user, session) instead of user. "
+    "All three window passes AND the terminal aggregate share the one "
+    "user-keyed exchange (session keys are user-prefixed, so the "
+    "narrower partitioning is a free re-sort, not a re-shuffle at the "
+    "planner's discretion). Counts sessions, not users.",
+)
+def events_funnel_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    keyed = sess.withColumn(
+        "sk",
+        F.concat_ws(
+            ":", F.col("user_id"), F.col("session_id").cast("string")
+        ),
+    )
+    out = funnel_counts_windowed(
+        keyed, ["view", "click"], id_col="sk"
+    )
+    return out.select(
+        "step",
+        "step_idx",
+        F.col("n_users").alias("n_sessions"),
+    )

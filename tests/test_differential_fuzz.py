@@ -68,6 +68,7 @@ FUZZ_ENTRIES = [
     "dq_skew_report",
     "profile_documents_table",
     "timeseries_ewma_daily",
+    "events_funnel_per_session",
 ]
 
 
