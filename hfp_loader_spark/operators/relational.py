@@ -323,7 +323,7 @@ def funnel_counts(
 def funnel_counts_windowed(
     events: DataFrame,
     steps: list[str],
-    id_col: str = "user_id",
+    id_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
     order_col: str = "event_id",
@@ -357,11 +357,20 @@ def funnel_counts_windowed(
     per-round inputs are type-filtered first); this form wins when the
     funnel is deep or steps are dense — the planner-level trade both
     docstrings exist to record.
+
+    ``id_col`` may be a COLUMN LIST (e.g. ``["user_id", "session_id"]``
+    for a within-session funnel): keep the grouping as the column tuple,
+    not a concatenated string key — ``hashpartitioning(user_id)`` from an
+    upstream sessionize satisfies clustering on the (user, session) PAIR
+    (subset-of-keys rule), so the narrower partition is a re-sort on the
+    existing exchange, while a derived concat column would force a second
+    full shuffle (a plan audit caught exactly that).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     w = (
-        Window.partitionBy(id_col)
+        Window.partitionBy(*id_cols)
         .orderBy(ts_col, order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -380,7 +389,7 @@ def funnel_counts_windowed(
             f"_step_{i}_ts", F.min(F.when(cond, F.col(ts_col))).over(w)
         )
         prev = F.col(f"_step_{i}_ts")
-    per_user = out.groupBy(id_col).agg(
+    per_user = out.groupBy(*id_cols).agg(
         *[
             F.min(f"_step_{i}_ts").alias(f"_step_{i}_ts")
             for i in range(1, len(steps) + 1)

@@ -560,6 +560,10 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "timeseries_ewma_daily",
+    # the decay weights are emitted as repr(0.7**j) so both engines
+    # compute with BIT-IDENTICAL doubles — a hand-written 0.49 differs
+    # from Python's 0.7**2 (0.48999999999999994) in the last ulp, and
+    # the value-hash comparison has no tolerance
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
@@ -574,29 +578,21 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily WINDOW w AS (ORDER BY d)
     )
     SELECT d, v,
-           round(
-             (v + coalesce(v1,0)*0.7 + coalesce(v2,0)*0.49
-                + coalesce(v3,0)*0.343 + coalesce(v4,0)*0.2401
-                + coalesce(v5,0)*0.16807 + coalesce(v6,0)*0.117649
-                + coalesce(v7,0)*0.0823543)
-             / (1 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.7 END
-                  + CASE WHEN v2 IS NULL THEN 0 ELSE 0.49 END
-                  + CASE WHEN v3 IS NULL THEN 0 ELSE 0.343 END
-                  + CASE WHEN v4 IS NULL THEN 0 ELSE 0.2401 END
-                  + CASE WHEN v5 IS NULL THEN 0 ELSE 0.16807 END
-                  + CASE WHEN v6 IS NULL THEN 0 ELSE 0.117649 END
-                  + CASE WHEN v7 IS NULL THEN 0 ELSE 0.0823543 END),
-             4) AS ewma
+           round((v + coalesce(v1,0)*0.7::DOUBLE + coalesce(v2,0)*0.48999999999999994::DOUBLE + coalesce(v3,0)*0.3429999999999999::DOUBLE + coalesce(v4,0)*0.24009999999999995::DOUBLE + coalesce(v5,0)*0.16806999999999994::DOUBLE + coalesce(v6,0)*0.11764899999999996::DOUBLE + coalesce(v7,0)*0.08235429999999996::DOUBLE)
+                 / (1 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.7::DOUBLE END + CASE WHEN v2 IS NULL THEN 0 ELSE 0.48999999999999994::DOUBLE END + CASE WHEN v3 IS NULL THEN 0 ELSE 0.3429999999999999::DOUBLE END + CASE WHEN v4 IS NULL THEN 0 ELSE 0.24009999999999995::DOUBLE END + CASE WHEN v5 IS NULL THEN 0 ELSE 0.16806999999999994::DOUBLE END + CASE WHEN v6 IS NULL THEN 0 ELSE 0.11764899999999996::DOUBLE END + CASE WHEN v7 IS NULL THEN 0 ELSE 0.08235429999999996::DOUBLE END), 4) AS ewma
     FROM lagged
     """,
-    doc="Exponentially weighted moving average (alpha=0.3, trailing "
-    "8-day window) of daily event value totals: weights (1-alpha)^j "
-    "as plan-time literals over explicit lag() taps, normalized by the "
-    "weights actually present so the series head is unbiased — the "
-    "smoothing primitive dashboards and anomaly baselines run. The "
-    "daily rollup reduces the stream BEFORE the ordered window, so the "
-    "single-partition sort is over |days| rows, not events (bounded "
-    "special case, same argument as the gap-fill spine).",
+    doc="Exponentially weighted moving average (alpha=0.3, trailing 8 "
+    "OBSERVATIONS of the daily series — row offsets, so a gapped series "
+    "weights the previous observation as adjacent; compose with the "
+    "gap-fill spine first for calendar-faithful decay) of daily event "
+    "value totals: weights (1-alpha)^j as plan-time literals over "
+    "explicit lag() taps, normalized by the weights actually present so "
+    "the series head is unbiased — the smoothing primitive dashboards "
+    "and anomaly baselines run. The daily rollup reduces the stream "
+    "BEFORE the ordered window, so the single-partition sort is over "
+    "|days| rows, not events (bounded special case, same argument as "
+    "the gap-fill spine).",
 )
 def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -624,33 +620,33 @@ def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, event_id, ts, event_type,
-             user_id || ':' ||
-             CAST(sum(new_session) OVER (PARTITION BY user_id
+             sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS VARCHAR) AS sk
+               AS session_id
       FROM marked
     ),
     s1 AS (
-      SELECT sk, ts, event_type, event_id,
+      SELECT user_id, session_id, ts, event_type, event_id,
              min(CASE WHEN event_type = 'view' THEN ts END)
-               OVER (PARTITION BY sk ORDER BY ts, event_id
+               OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS t1
       FROM sess
     ), s2 AS (
       SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
-               OVER (PARTITION BY sk ORDER BY ts, event_id
+               OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS t2
       FROM s1
     ), per_sess AS (
-      SELECT sk, min(t1) AS t1, min(t2) AS t2 FROM s2 GROUP BY sk
+      SELECT user_id, session_id, min(t1) AS t1, min(t2) AS t2
+      FROM s2 GROUP BY user_id, session_id
     ), c AS (
       SELECT CAST(count(t1) AS BIGINT) AS n1,
              CAST(count(t2) AS BIGINT) AS n2
@@ -662,12 +658,16 @@ def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Within-session funnel (view → click inside ONE 30-min-gap "
     "session): operator COMPOSITION — sessionize's lag+cumsum islands "
-    "assign the session key, then funnel_counts_windowed partitions its "
-    "chained running-min windows by (user, session) instead of user. "
-    "All three window passes AND the terminal aggregate share the one "
-    "user-keyed exchange (session keys are user-prefixed, so the "
-    "narrower partitioning is a free re-sort, not a re-shuffle at the "
-    "planner's discretion). Counts sessions, not users.",
+    "assign the session number, then funnel_counts_windowed partitions "
+    "its chained running-min windows by the (user_id, session_id) "
+    "COLUMN PAIR. Keeping the pair (not a concatenated key) lets "
+    "hashpartitioning(user_id) from the sessionize exchange satisfy the "
+    "funnel's clustering (subset-of-keys rule), so the whole "
+    "composition is genuinely ONE shuffle — a derived concat column "
+    "forced a second full exchange in the first cut (plan-audited). "
+    "The oracle replicates sessionize's floor-second gap semantics "
+    "(date_diff('second') ≡ Spark's cast-to-long difference). Counts "
+    "sessions, not users.",
 )
 def events_funnel_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.relational import sessionize
@@ -676,14 +676,8 @@ def events_funnel_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
     sess = sessionize(ev, "user_id", "ts", gap_seconds=1800)
-    keyed = sess.withColumn(
-        "sk",
-        F.concat_ws(
-            ":", F.col("user_id"), F.col("session_id").cast("string")
-        ),
-    )
     out = funnel_counts_windowed(
-        keyed, ["view", "click"], id_col="sk"
+        sess, ["view", "click"], id_col=["user_id", "session_id"]
     )
     return out.select(
         "step",

@@ -678,7 +678,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -248,3 +248,17 @@ def test_emb_dim_stats_partial_aggregates_before_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # partial_* functions prove the map-side fold precedes the shuffle
     assert "partial_avg" in plan or "partial_count" in plan
+
+
+def test_session_funnel_reuses_the_sessionize_exchange(spark, sf_dir):
+    """Composition contract: partitioning the funnel windows by the
+    (user_id, session_id) PAIR lets hashpartitioning(user_id) from the
+    sessionize exchange satisfy the clustering (subset-of-keys rule) —
+    the whole sessionize→funnel chain shuffles events ONCE. (The first
+    cut used a concatenated string key and paid a second exchange.)"""
+    plan = _final_plan_section(
+        _executed_plan(
+            REGISTRY["events_funnel_per_session"].builder(spark, sf_dir)
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
