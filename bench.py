@@ -38,6 +38,11 @@ HEADLINE = [
     "sim_ann_pq",
     "events_funnel_windowed",
     "dedup_duplicate_clusters",
+    # iterative tier: fixed-round join+localCheckpoint loops (BFS frontier
+    # expansion; power-iteration pagerank) — regressions in the per-round
+    # shape were invisible to BENCH_r*.json before these two.
+    "graph_khop_reachability",
+    "graph_pagerank_cust_supp",
     "semdedup_keep_list",
     "decontaminate_ngram_overlap",
     "stream_session_counts",

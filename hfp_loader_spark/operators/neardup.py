@@ -342,20 +342,57 @@ def dedup_delta_against_index(
     history's text cannot be re-read; callers holding BOTH texts can
     instead exact-verify like :func:`minhash_lsh_pairs`' stage.  Cost
     per ingest: O(|delta|) hashing + a bucket join whose history side
-    is the banded index, never a history re-scan of text."""
-    from hfp_loader_spark.versioned import read_snapshot
+    is the banded index, never a history re-scan of text.
 
-    hist = read_snapshot(spark, root, version)
+    Bootstraps an EMPTY history: on a fresh ``root`` with no committed
+    version the history side is an empty frame (within-batch pairs only)
+    — the very first ingest must not fail just because nothing precedes
+    it.  Fails fast on a signature-width mismatch: a stored index built
+    with a different ``num_hashes`` would otherwise zip-pad with NULLs
+    and silently deflate every ``est_jaccard`` below threshold.
+
+    The returned pair list is persisted and eagerly materialized so the
+    (larger) signature-union cache can be released before returning —
+    a long-running ingest stream calls this per micro-batch, and leaked
+    MEMORY_AND_DISK entries would otherwise accrete per batch.  Callers
+    should ``unpersist()`` the result when done with it."""
+    from hfp_loader_spark.versioned import latest_version, read_snapshot
+
     delta_sigs = minhash_signatures(
         shingle_docs(ensure_parallelism(delta, id_col), id_col, text_col, shingle_n),
         num_hashes,
     )
+    if version is None and latest_version(spark, root) is None:
+        # fresh index: first batch dedups only within itself; its own
+        # signature append (the caller's job) creates version 0
+        hist = delta_sigs.limit(0)
+    else:
+        hist = read_snapshot(spark, root, version)
+        stored = hist.select(F.size("sig").alias("n")).limit(1).collect()
+        if stored and stored[0]["n"] != num_hashes:
+            raise ValueError(
+                f"signature index at {root!r} stores {stored[0]['n']}-hash "
+                f"signatures but num_hashes={num_hashes}; zip-comparing "
+                "mismatched widths would silently under-estimate Jaccard — "
+                "rebuild the index or pass the matching num_hashes"
+            )
     from pyspark import StorageLevel
 
-    # both sides of the bucket join AND the verify re-join consume the
+    # Both sides of the bucket join AND the verify re-join consume the
     # signatures — persist once (32 longs/doc, same rationale as
-    # simhash_near_pairs)
-    both = hist.unionByName(delta_sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    # simhash_near_pairs).  A doc_id present in BOTH history and delta
+    # (a re-run without the streaming checkpoint) would fan the sig-lookup
+    # joins out into duplicate pair rows with ambiguous signatures, so
+    # collapse to one row per doc preferring the HISTORY signature (the
+    # committed truth) via min_by on a source tag.
+    both = (
+        hist.select("doc_id", "sig")
+        .withColumn("_src", F.lit(0))
+        .unionByName(delta_sigs.withColumn("_src", F.lit(1)))
+        .groupBy("doc_id")
+        .agg(F.min_by("sig", "_src").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = lsh_candidate_pairs(both, num_hashes, num_bands)
     delta_ids = delta.select(F.col(id_col).alias("doc_b")).distinct()
     # keep pairs touching the delta (history×history pairs were reported
@@ -371,29 +408,44 @@ def dedup_delta_against_index(
         .unionByName(touch_a.select("doc_a", "doc_b"))
         .distinct()
     )
-    if estimate_threshold is None:
-        return out
-    sig_a = both.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
-    sig_b = both.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("_sa"),
-                F.col("_sb"),
-                lambda a, b: F.when(a == b, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    if estimate_threshold is not None:
+        sig_a = both.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa")
         )
-        / F.lit(num_hashes)
-    )
-    return (
-        out.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= estimate_threshold)
-        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
-    )
+        sig_b = both.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb")
+        )
+        est = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("_sa"),
+                    F.col("_sb"),
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(num_hashes)
+        )
+        out = (
+            out.join(sig_a, "doc_a")
+            .join(sig_b, "doc_b")
+            .withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= estimate_threshold)
+            .select(
+                "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+            )
+        )
+    # Materialize the (small) pair list, then release the signature-union
+    # cache: pairs are what callers consume repeatedly; the union was only
+    # needed to build them.  Recompute after a caller-side unpersist is
+    # deterministic (pure hashing), just slower.
+    from pyspark import StorageLevel as _SL
+
+    out = out.persist(_SL.MEMORY_AND_DISK)
+    out.count()
+    both.unpersist()
+    return out
 
 
 def decontaminate(

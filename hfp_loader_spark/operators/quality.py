@@ -93,3 +93,57 @@ def run_constraints(df: DataFrame, suite: ConstraintSuite) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str]) -> dict[str, float]:
+    """One-pass join-key skew profile, collected to a bounded scalar row.
+
+    The diagnosis half of skew mitigation (the catalog's
+    ``dq_skew_report`` as a reusable primitive): per-key cardinalities
+    via one hash aggregate, then max / avg / approximate p99 over the
+    (small) per-key counts.  ``percentile_approx`` keeps the final merge
+    GK-sketch-bounded at billions of keys.  Cost: one shuffle of per-key
+    count partials — the pass a production job runs once per layout and
+    caches (or reads from table stats) rather than per query.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count("*").alias("_cnt"))
+    row = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("_cnt").alias("max_rows_per_key"),
+        F.avg("_cnt").alias("avg_rows_per_key"),
+        F.expr("percentile_approx(_cnt, 0.99, 10000)").alias(
+            "p99_rows_per_key"
+        ),
+    ).collect()[0]
+    d = row.asDict()
+    d["skew_ratio"] = (
+        d["max_rows_per_key"] / d["avg_rows_per_key"]
+        if d["avg_rows_per_key"]
+        else 0.0
+    )
+    return d
+
+
+def derive_salt_factor(
+    stats: dict[str, float], max_salts: int = 64, engage_at: float = 2.0
+) -> int:
+    """Salt replication factor from a :func:`key_skew_stats` report.
+
+    Spreads the hot-key POPULATION: factor = ⌈p99 / avg⌉ — enough salts
+    that a key at the 99th cardinality percentile lands ~avg-sized
+    slices per reducer — clamped to ``max_salts`` (the replicated small
+    side's shuffle volume grows linearly with the factor, so an extreme
+    ratio caps out rather than exploding the dimension broadcast).
+    Below ``engage_at`` the skew isn't worth the replication cost and
+    the factor is 1 (= don't salt; AQE's runtime skew split handles
+    residual imbalance)."""
+    import math
+
+    avg = stats.get("avg_rows_per_key") or 0.0
+    p99 = stats.get("p99_rows_per_key") or 0.0
+    if avg <= 0:
+        return 1
+    ratio = p99 / avg
+    if ratio < engage_at:
+        return 1
+    return max(1, min(max_salts, math.ceil(ratio)))

@@ -95,7 +95,7 @@ def salted_join(
     skewed: DataFrame,
     small: DataFrame,
     on: list[str],
-    n_salts: int = 8,
+    n_salts: int | None = 8,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-spreading equi-join: salt the hot side, replicate the other.
@@ -109,7 +109,23 @@ def salted_join(
     smaller than the hot keys' row counts.  Join semantics are unchanged:
     every (key, salt) pair on the left finds exactly the original right
     rows for that key.
+
+    ``n_salts=None`` → MEASURE, then decide: profile the skewed side's
+    key cardinalities (``quality.key_skew_stats``, one aggregate pass)
+    and derive the factor from the p99/avg ratio
+    (``quality.derive_salt_factor``).  Below the engage threshold the
+    join runs PLAIN — no salt column, no replicated dimension — so the
+    auto mode is safe to leave on for keys that might not be skewed.
     """
+    if n_salts is None:
+        from hfp_loader_spark.operators.quality import (
+            derive_salt_factor,
+            key_skew_stats,
+        )
+
+        n_salts = derive_salt_factor(key_skew_stats(skewed, on))
+        if n_salts <= 1:
+            return skewed.join(small, on, how)
     salt = F.floor(F.rand(42) * n_salts).cast("int")
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
@@ -527,3 +543,43 @@ def gapfill_daily(
         F.when(F.col("_observed").isNull(), 1).otherwise(0).alias("was_gap"),
     ]
     return joined.select(*out)
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    taps: int = 8,
+    out_col: str = "ewma",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key trailing exponentially-weighted moving average.
+
+    Adds ``out_col`` = Σ w_j·value[t-j] / Σ w_j over the ``taps`` most
+    recent OBSERVATIONS per key (w_j = (1-alpha)^j as plan-time
+    literals over explicit ``lag()`` taps), normalized by the weights
+    actually present so the series head is unbiased.  Row offsets, not
+    calendar offsets: compose with ``gapfill_daily`` first when gapped
+    series need calendar-faithful decay.
+
+    The window is ``partitionBy(key_cols)`` — the scale-safe default:
+    Spark distributes the sort by key, and all ``taps`` lags share ONE
+    shuffle + local sort.  An empty ``key_cols`` degenerates to the
+    single global ordered window — acceptable ONLY when the input is
+    already a bounded rollup (|days| rows), the same argument as the
+    gap-fill spine."""
+    w = (
+        Window.partitionBy(*key_cols).orderBy(order_col)
+        if key_cols
+        else Window.orderBy(order_col)
+    )
+    decay = 1.0 - alpha
+    num = F.col(value_col).cast("double")
+    den = F.lit(1.0)
+    for j in range(1, taps):
+        tap = F.lag(value_col, j).over(w)
+        num = num + F.coalesce(tap, F.lit(0)) * (decay**j)
+        den = den + F.when(tap.isNull(), 0.0).otherwise(decay**j)
+    return df.withColumn(out_col, F.round(num / den, round_to))

@@ -17,13 +17,13 @@ reduces to stage correctness + the composition invariants tested in
 ``tests/test_pipeline.py`` (monotone shrinkage, determinism, stage
 accounting, history-wins incremental semantics).
 
-Scale shape: the chain is a single lazy DataFrame program — Catalyst
-sees all stages at once, pushes the cheap row-local gates (quality,
-repetition flags) below the expensive shuffling stages, and the
-expensive discovery paths (LSH banding, CC rounds) run on the already-
-reduced survivor set.  Stage counts in the report are collected from
-one action per stage boundary (a count over an id-projected frame), not
-from caching the full corpus.
+Scale shape: stage boundaries are CHECKPOINTED (persisted
+MEMORY_AND_DISK and materialized by the boundary count, previous
+boundary released) — each stage's lineage executes exactly once, the
+way a production pipeline lands an intermediate dataset between stages.
+Without the checkpoints every boundary count re-ran the chain from the
+scan: O(stages²) recompute at 100 TB.  Within a stage the program stays
+lazy, so Catalyst still pushes the row-local gates into the scan.
 """
 
 from __future__ import annotations
@@ -70,12 +70,50 @@ def _content_fingerprint(text_col: str):
     return F.md5(F.concat_ws(" ", tokens(F.col(text_col))))
 
 
+class _StageLedger:
+    """Stage-boundary checkpointing for the composed pipeline.
+
+    ``checkpoint(df, stage)`` persists the stage's survivor frame
+    (MEMORY_AND_DISK — the executor-local equivalent of the intermediate
+    write a production pipeline lands between stages), records its count
+    (the one action that materializes the cache), and unpersists the
+    PREVIOUS boundary's cache (now fully folded into this one).  Net
+    effect: each stage's lineage executes exactly ONCE — without this,
+    every boundary ``count()`` re-ran the whole chain from the scan, so
+    the near-dedup count re-executed quality+exact-dedup, the
+    decontaminate count re-executed all of those plus LSH, and the final
+    write ran everything again: O(stages²) recompute at 100 TB.
+
+    The LAST checkpointed frame is left cached on purpose — the caller's
+    output write consumes it; ``release()`` drops it for callers (tests,
+    ingest loops) that want a clean session afterwards."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        self._prev: DataFrame | None = None
+
+    def checkpoint(self, df: DataFrame, stage: str, id_col: str) -> DataFrame:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self.counts[stage] = df.select(id_col).count()
+        if self._prev is not None:
+            self._prev.unpersist()
+        self._prev = df
+        return df
+
+    def release(self) -> None:
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+
+
 def _gate_and_exact_dedup(
     docs: DataFrame,
     cfg: PipelineConfig,
     id_col: str,
     text_col: str,
-    counts: dict[str, int],
+    ledger: _StageLedger,
 ) -> DataFrame:
     """Shared head of both pipeline shapes: quality gates (score +
     Gopher repetition) then full-content exact dedup keeping the min id
@@ -88,13 +126,12 @@ def _gate_and_exact_dedup(
     survivors = scored.join(
         rep.where(~F.col("flagged")).select(id_col), id_col, "left_semi"
     )
-    counts["quality"] = survivors.select(id_col).count()
+    survivors = ledger.checkpoint(survivors, "quality", id_col)
 
     fp = survivors.withColumn("_fp", _content_fingerprint(text_col))
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     survivors = fp.join(keep, [id_col], "left_semi").drop("_fp")
-    counts["exact_dedup"] = survivors.select(id_col).count()
-    return survivors
+    return ledger.checkpoint(survivors, "exact_dedup", id_col)
 
 
 def prepare_corpus(
@@ -118,8 +155,9 @@ def prepare_corpus(
     cfg = config or PipelineConfig()
     counts: dict[str, int] = {}
     counts["input"] = docs.select(id_col).count()
+    ledger = _StageLedger(counts)
 
-    survivors = _gate_and_exact_dedup(docs, cfg, id_col, text_col, counts)
+    survivors = _gate_and_exact_dedup(docs, cfg, id_col, text_col, ledger)
 
     # near-dup clustering: LSH pairs → components → keep min-id doc.
     # No emptiness pre-check: connected_components handles an empty edge
@@ -133,23 +171,30 @@ def prepare_corpus(
         F.col("id").alias(id_col)
     )
     survivors = survivors.join(drop, id_col, "left_anti")
-    counts["near_dedup"] = survivors.select(id_col).count()
+    survivors = ledger.checkpoint(survivors, "near_dedup", id_col)
 
     if heldout is not None:
         contaminated = decontaminate(
             survivors, heldout, id_col, text_col, n=cfg.decontaminate_n
         ).select(id_col)
         survivors = survivors.join(contaminated, id_col, "left_anti")
-        counts["decontaminate"] = survivors.select(id_col).count()
+        survivors = ledger.checkpoint(survivors, "decontaminate", id_col)
 
     if cfg.mixture_thresholds:
         survivors = mixture_sample(
             survivors, source_col, cfg.mixture_thresholds, key_col=id_col
         )
-        counts["mixture"] = survivors.select(id_col).count()
+        survivors = ledger.checkpoint(survivors, "mixture", id_col)
 
+    # scrub_pii is a row-local projection — it drops nothing, so the
+    # output count IS the last stage's count (no extra action, and the
+    # caller's write over `clean` reads the cached boundary frame once).
     clean = survivors.withColumn(text_col, scrub_pii(F.col(text_col)))
-    counts["output"] = clean.select(id_col).count()
+    counts["output"] = counts[
+        "mixture" if cfg.mixture_thresholds
+        else "decontaminate" if heldout is not None
+        else "near_dedup"
+    ]
     return clean, counts
 
 
@@ -185,8 +230,9 @@ def ingest_delta(
     cfg = config or PipelineConfig()
     counts: dict[str, int] = {}
     counts["input"] = new_docs.select(id_col).count()
+    ledger = _StageLedger(counts)
 
-    gated = _gate_and_exact_dedup(new_docs, cfg, id_col, text_col, counts)
+    gated = _gate_and_exact_dedup(new_docs, cfg, id_col, text_col, ledger)
 
     pairs = dedup_delta_against_index(
         spark,
@@ -215,13 +261,30 @@ def ingest_delta(
     survivors = gated.join(
         drop_b.unionByName(drop_a).distinct(), id_col, "left_anti"
     )
-    counts["near_dedup_vs_index"] = survivors.select(id_col).count()
+    survivors = ledger.checkpoint(survivors, "near_dedup_vs_index", id_col)
 
     clean = survivors.withColumn(text_col, scrub_pii(F.col(text_col)))
+    # Index the RAW (pre-scrub) text: dedup_delta_against_index hashes each
+    # incoming batch's raw text, so index-time and compare-time
+    # representations must match.  Appending post-scrub signatures would
+    # let a later raw duplicate of any PII-bearing doc evade the index
+    # (signatures differ ⟺ scrub altered the text) — breaking the
+    # exactly-once growth invariant.
     save_signature_index(
-        spark, clean, index_root, id_col=id_col, text_col=text_col,
+        spark, survivors, index_root, id_col=id_col, text_col=text_col,
         mode="append",
     )
+    # Release every cache this call created — the pair list from
+    # dedup_delta_against_index and the ledger's boundary frames.  A
+    # long-running ingest stream calls this once per micro-batch; leaked
+    # MEMORY_AND_DISK entries would otherwise grow executor storage
+    # without bound.  Counts and the signature commit are already
+    # materialized; a caller consuming `clean` afterwards recomputes the
+    # (batch-sized, deterministic) chain — read_snapshot pins its file
+    # list at call time, so the recompute sees the same history even
+    # though this batch's signatures were appended meanwhile.
+    pairs.unpersist()
+    ledger.release()
     counts["output"] = counts["near_dedup_vs_index"]
     return clean, counts
 

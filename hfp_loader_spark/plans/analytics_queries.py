@@ -595,22 +595,60 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the gap-fill spine).",
 )
 def timeseries_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from hfp_loader_spark.operators.relational import ewma
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.round(F.sum("value"), 4).alias("v")
     )
-    w = Window.orderBy("d")
-    decay = 0.7  # (1 - alpha), alpha = 0.3
-    num = F.col("v")
-    den = F.lit(1.0)
-    for j in range(1, 8):
-        tap = F.lag("v", j).over(w)
-        num = num + F.coalesce(tap, F.lit(0)) * (decay**j)
-        den = den + F.when(tap.isNull(), 0.0).otherwise(decay**j)
-    return daily.select(
-        "d", "v", F.round(num / den, 4).alias("ewma")
+    # empty key list = the documented bounded special case (|days| rows)
+    return ewma(daily, [], "d", "v", alpha=0.3, taps=8).select(
+        "d", "v", "ewma"
+    )
+
+
+# decay weights emitted as repr(0.7**j) so both engines compute with
+# BIT-IDENTICAL doubles (same trick as timeseries_ewma_daily)
+_EWMA_W = {j: repr(0.7**j) for j in range(1, 8)}
+
+
+@defquery(
+    "timeseries_ewma_per_user",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT user_id, d, v,
+             {", ".join(f"lag(v, {j}) OVER w AS v{j}" for j in range(1, 8))}
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, d, v,
+           round((v + {" + ".join(f"coalesce(v{j},0)*{_EWMA_W[j]}::DOUBLE" for j in range(1, 8))})
+                 / (1 + {" + ".join(f"CASE WHEN v{j} IS NULL THEN 0 ELSE {_EWMA_W[j]}::DOUBLE END" for j in range(1, 8))}),
+                 4) AS ewma
+    FROM lagged
+    """,
+    doc="PER-KEY EWMA (operators.relational.ewma, alpha=0.3, 8 trailing "
+    "observations) over each user's daily value series — the API-default "
+    "shape of the smoothing operator: Window.partitionBy(user_id) "
+    "distributes the sort by key, all 7 lag taps share one shuffle, and "
+    "NO single-partition WindowExec appears in the plan (the global-"
+    "spine form timeseries_ewma_daily stays the documented bounded "
+    "special case). Head-unbiased via present-weight normalization, "
+    "decay literals bit-identical across engines.",
+)
+def timeseries_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    return ewma(daily, ["user_id"], "d", "v", alpha=0.3, taps=8).select(
+        "user_id", "d", "v", "ewma"
     )
 
 

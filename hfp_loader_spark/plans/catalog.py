@@ -210,6 +210,7 @@ class QuerySpec:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     doc: str
+    module: str = ""  # defining plans module (drives sample interleaving)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -223,10 +224,45 @@ def defquery(name: str, oracle: str | None, doc: str):
             register_views(spark, sf_dir)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = QuerySpec(name=name, builder=builder, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            builder=builder,
+            oracle=oracle,
+            doc=doc,
+            module=fn.__module__.rsplit(".", 1)[-1],
+        )
         return fn
 
     return wrap
+
+
+def _interleave_registry() -> None:
+    """Rebuild REGISTRY round-robin across the defining plans modules.
+
+    The external correctness gate samples the FIRST 50 registry entries;
+    with plain import-order registration those 50 were core-relational +
+    HFP + dedup + text only, leaving the similarity / streaming /
+    sampling / multimodal / incremental / analytics / TPC-H tiers with no
+    external signal.  Interleaving one entry per module per rotation puts
+    every tier inside any ≥12-entry prefix.  Within a module,
+    oracle-checked entries rotate before rows-only ones (stronger signal
+    first); both groups keep their definition order.  Name→spec mapping
+    and entry()/bench lookups are unaffected — only iteration order
+    changes."""
+    by_mod: dict[str, list[QuerySpec]] = {}
+    for spec in REGISTRY.values():
+        by_mod.setdefault(spec.module, []).append(spec)
+    queues = {
+        m: sorted(specs, key=lambda s: s.oracle is None)  # stable
+        for m, specs in by_mod.items()
+    }
+    REGISTRY.clear()
+    while queues:
+        for m in list(queues):
+            spec = queues[m].pop(0)
+            REGISTRY[spec.name] = spec
+            if not queues[m]:
+                del queues[m]
 
 
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -266,3 +302,5 @@ from hfp_loader_spark.plans import sampling_queries  # noqa: E402,F401
 from hfp_loader_spark.plans import tpch_extra  # noqa: E402,F401
 from hfp_loader_spark.plans import incremental_queries  # noqa: E402,F401
 from hfp_loader_spark.plans import analytics_queries  # noqa: E402,F401
+
+_interleave_registry()

@@ -239,6 +239,49 @@ def dedup_simhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "dedup_minhash_selfmatch",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS all_self_pairs_found
+    FROM documents WHERE len({_SHINGLES_SQL}) > 0
+    """,
+    doc="Oracle-checked completeness CONTRACT for the MinHash+LSH path, "
+    "mirroring dedup_simhash_selfmatch: append an id-shifted exact copy "
+    "of every shingle-bearing document (≥3 tokens — shorter docs have no "
+    "shingles, hence no signature, and are excluded on both sides), run "
+    "the full banded discovery + exact-Jaccard verification, and assert "
+    "every forced (doc, copy) pair — Jaccard exactly 1.0 — survives. "
+    "Identical shingle sets give identical 32-hash signatures, so every "
+    "band collides and the verifier scores 1.0 ≥ 0.8: a miss can only "
+    "mean broken plumbing (signature nondeterminism, band arithmetic, "
+    "verify-join keys). Paired with dedup_minhash_recall this gives the "
+    "rows-only dedup_minhash_lsh pair list both a recall and a "
+    "completeness contract.",
+)
+def dedup_minhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    offset = _simhash_self_offset(docs)
+    shifted = docs.select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(
+        docs.unionByName(shifted), "doc_id", "text", threshold=0.8
+    )
+    forced_found = pairs.where(F.col("doc_b") == F.col("doc_a") + offset)
+    eligible = shingle_docs(docs, "doc_id", "text").where(
+        F.size("shingles") > 0
+    )
+    return (
+        eligible.agg(F.count("*").alias("n_docs"))
+        .crossJoin(forced_found.agg(F.count("*").alias("_n_found")))
+        .select(
+            "n_docs",
+            (F.col("_n_found") == F.col("n_docs")).alias(
+                "all_self_pairs_found"
+            ),
+        )
+    )
+
+
 _CLUSTER_COMPONENTS: dict[tuple[int, str], DataFrame] = {}
 
 

@@ -332,6 +332,48 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "skew_autosalt_join_agg",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2)   AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="MEASURED skew mitigation (salted_join with n_salts=None): the "
+    "hot side's key cardinalities are profiled first "
+    "(quality.key_skew_stats, one aggregate pass), the salt factor is "
+    "derived from the p99/avg ratio (quality.derive_salt_factor, "
+    "clamped ≤64), and below the engage threshold the join runs PLAIN — "
+    "diagnosis (dq_skew_report) wired into the remedy "
+    "(skew_salted_join_agg) as one self-tuning operator. Semantics are "
+    "identical either way, which is what the plain-join oracle pins.",
+)
+def skew_autosalt_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(ev, dim, on=["user_id"], n_salts=None)
+    return (
+        joined.join(
+            F.broadcast(nation),
+            joined["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@defquery(
     "window_ntile_percentiles",
     """
     SELECT c_custkey, c_mktsegment,

@@ -288,7 +288,10 @@ def stream_ingest_corpus(
     batches 1..N-1 without re-reading their text), and its survivors'
     signatures are committed before the next batch starts.  foreachBatch
     micro-batches run sequentially, so index append/read interleaving is
-    race-free by construction.
+    race-free by construction.  A brand-new ``index_root`` needs no
+    pre-seeding: the first batch dedups within itself and its signature
+    append creates version 1 (``dedup_delta_against_index`` bootstraps
+    the empty-history case).
 
     Returns {batch_id: stage_counts} — the per-batch audit trail.
 

@@ -195,3 +195,129 @@ def test_ingest_delta_history_wins_even_with_lower_delta_id(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
     assert kept == [11]
     assert counts["output"] == 1
+
+
+def test_ingest_delta_bootstraps_fresh_index(spark, tmp_path):
+    """The very first ingest against an uninitialized index root must not
+    fail — it dedups within itself and its append creates version 1."""
+    from hfp_loader_spark.pipeline import ingest_delta
+    from hfp_loader_spark.versioned import latest_version
+
+    root = str(tmp_path / "fresh_index")
+    delta = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(30))),
+            (2, " ".join(f"a{i}" for i in range(30))),  # within-batch dup
+            (3, " ".join(f"b{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    clean, counts = ingest_delta(spark, delta, root)
+    kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert kept == [1, 3]
+    assert counts["output"] == 2
+    assert latest_version(spark, root) == 1
+
+    # second batch dedups against the bootstrap-created index
+    delta2 = spark.createDataFrame(
+        [(10, " ".join(f"b{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    clean2, counts2 = ingest_delta(spark, delta2, root)
+    assert clean2.count() == 0
+    assert counts2["output"] == 0
+
+
+def test_ingest_indexes_raw_text_so_pii_dups_are_caught(spark, tmp_path):
+    """Signatures must be appended from the PRE-scrub text: a raw
+    duplicate of a PII-bearing doc in a later batch must hit the index
+    (post-scrub signatures would differ from the raw comparison side and
+    let it slip through — exactly-once growth would break)."""
+    from hfp_loader_spark.pipeline import ingest_delta
+
+    root = str(tmp_path / "pii_index")
+    pii_text = (
+        "contact alice at alice@example.com about "
+        + " ".join(f"p{i}" for i in range(30))
+    )
+    clean, counts = ingest_delta(
+        spark,
+        spark.createDataFrame([(1, pii_text)], "doc_id long, text string"),
+        root,
+    )
+    assert counts["output"] == 1
+    # the RETURNED doc is scrubbed…
+    assert "alice@example.com" not in clean.collect()[0]["text"]
+
+    # …but an identical RAW duplicate in the next batch is still caught
+    clean2, counts2 = ingest_delta(
+        spark,
+        spark.createDataFrame([(2, pii_text)], "doc_id long, text string"),
+        root,
+    )
+    assert counts2["output"] == 0
+    assert clean2.count() == 0
+
+
+def test_dedup_delta_index_width_mismatch_fails_fast(spark, tmp_path):
+    from hfp_loader_spark.operators.neardup import (
+        dedup_delta_against_index,
+        save_signature_index,
+    )
+    import pytest
+
+    root = str(tmp_path / "w32_index")
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"h{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    save_signature_index(spark, docs, root, num_hashes=32, mode="overwrite")
+    with pytest.raises(ValueError, match="32-hash"):
+        dedup_delta_against_index(spark, docs, root, num_hashes=16)
+
+
+def test_stream_ingest_corpus_bootstraps_fresh_root(spark, tmp_path):
+    """Streaming ingest into a brand-new index root: the first
+    micro-batch must not crash on the missing index; later batches dedup
+    against the index the first batch created."""
+    import glob
+    import os
+    import shutil
+
+    from hfp_loader_spark.streaming.jobs import stream_ingest_corpus
+    from hfp_loader_spark.versioned import read_snapshot
+
+    root = str(tmp_path / "fresh_stream_index")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch_a = spark.createDataFrame(
+        [(10, " ".join(f"a{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    batch_b = spark.createDataFrame(
+        [(20, " ".join(f"a{i}" for i in range(30))),  # dup of batch A
+         (21, " ".join(f"b{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    for name, frame in (("f1", batch_a), ("f2", batch_b)):
+        stage = tmp_path / f"_stage_{name}"
+        frame.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    reports = stream_ingest_corpus(spark, str(src), root)
+    assert len(reports) == 2
+    assert sum(r["output"] for r in reports.values()) == 2  # 10 and 21
+    assert read_snapshot(spark, root).select("doc_id").distinct().count() == 2
+
+
+def test_prepare_corpus_consumes_checkpointed_boundary(spark, sf_dir):
+    """The returned frame must read from the last persisted stage
+    boundary (InMemoryTableScan in the plan), not re-run the whole
+    gate/dedup chain — the O(stages²) recompute fix."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean, _ = prepare_corpus(spark, docs)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # and the cached boundary means the scan chain is NOT in the plan
+    assert "minhash" not in plan.lower()

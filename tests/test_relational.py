@@ -266,3 +266,98 @@ def test_gapfill_daily_flags_gaps_without_fill_columns(spark):
     df = spark.createDataFrame(rows, "k string, d date")
     out = {str(r["d"]): r["was_gap"] for r in gapfill_daily(df, "d", ["k"]).collect()}
     assert out == {"2024-01-01": 0, "2024-01-02": 1, "2024-01-03": 0}
+
+
+def test_salted_join_auto_engages_on_planted_zipf(spark):
+    """n_salts=None must MEASURE the key distribution and engage salting
+    on a planted-zipf key (plan contains the salt column), with results
+    identical to the plain join."""
+    import itertools
+
+    # one key with 2000 rows, 50 keys with 10 rows each: p99/avg >> 2
+    rows = list(
+        itertools.chain(
+            ((0, float(i % 7)) for i in range(2000)),
+            ((k, float(k)) for k in range(1, 51) for _ in range(10)),
+        )
+    )
+    skewed = spark.createDataFrame(rows, "k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 51)], "k long, name string"
+    )
+    out = salted_join(skewed, dim, ["k"], n_salts=None)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan  # salting engaged
+    plain = skewed.join(dim, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_auto_skips_uniform_keys(spark):
+    """Uniform key distribution → factor 1 → the join must run PLAIN
+    (no salt column, no replicated dimension)."""
+    skewed = spark.createDataFrame(
+        [(k, float(k)) for k in range(200)], "k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(200)], "k long, name string"
+    )
+    out = salted_join(skewed, dim, ["k"], n_salts=None)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in plan
+    assert out.count() == 200
+
+
+def test_derive_salt_factor_thresholds():
+    from hfp_loader_spark.operators.quality import derive_salt_factor
+
+    # below engage threshold → 1
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 10.0, "p99_rows_per_key": 15}
+    ) == 1
+    # ratio 5 → 5 salts
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 10.0, "p99_rows_per_key": 50}
+    ) == 5
+    # extreme ratio clamps at max_salts
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 1.0, "p99_rows_per_key": 10_000}
+    ) == 64
+    # degenerate empty input
+    assert derive_salt_factor({"avg_rows_per_key": 0.0}) == 1
+
+
+def test_ewma_per_key_matches_reference_and_distributes(spark):
+    """ewma() with keys must match a hand-rolled trailing EWMA per key
+    and plan a KEY-partitioned window (no single-partition sort)."""
+    from hfp_loader_spark.operators.relational import ewma
+
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+        ("b", 1, 10.0), ("b", 2, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = ewma(df, ["k"], "t", "v", alpha=0.5, taps=3)
+    got = {(r["k"], r["t"]): r["ewma"] for r in out.collect()}
+
+    def ref(series):
+        res = {}
+        for i, (t, v) in enumerate(series):
+            num, den = 0.0, 0.0
+            for j in range(0, min(i + 1, 3)):
+                w = 0.5 ** j
+                num += series[i - j][1] * w
+                den += w
+            res[t] = round(num / den, 4)
+        return res
+
+    ra = ref([(1, 1.0), (2, 2.0), (3, 3.0)])
+    rb = ref([(1, 10.0), (2, 0.0)])
+    for t, v in ra.items():
+        assert got[("a", t)] == v
+    for t, v in rb.items():
+        assert got[("b", t)] == v
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
