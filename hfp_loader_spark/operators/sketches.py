@@ -108,3 +108,86 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    part_cols: list[str] | None = None,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom filter(s) of ``key_col`` membership, one per value of
+    ``part_cols`` — as a DataFrame of SET BITS (``*part_cols, bit``).
+
+    The third mergeable sketch of the family (HLL: distinct counts,
+    count-min: frequencies, Bloom: membership).  At most
+    ``min(distinct·k, num_bits)`` rows per partition regardless of input
+    size; the k bit positions are xxhash64 seeded by the hash index —
+    the same double-hashing family as the count-min buckets.  One
+    explode (k×) + distinct; map-side partial dedup compacts before the
+    shuffle, whose key space is the sketch's own (partition, bit)
+    domain.  At 100 TB the use is decontamination-style membership
+    gating: persist per-shard filters, merge (union-distinct), broadcast
+    the merged bit set, and gate the big side map-side — no shuffle of
+    the corpus."""
+    part_cols = list(part_cols or ())
+    rows = df.select(
+        *part_cols,
+        F.explode(
+            F.array(
+                *[
+                    _bucket(F.col(key_col), j, num_bits).alias(f"_b{j}")
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    return rows.distinct()
+
+
+def bloom_merge(
+    filters: DataFrame, part_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge Bloom filters by bit-set union — ``part_cols`` is the
+    grouping to KEEP (empty → one global filter).  Exact merge, like
+    all Bloom unions built with identical (num_bits, num_hashes)."""
+    part_cols = list(part_cols or ())
+    return filters.select(*part_cols, "bit").distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Membership probes against a (merged, global) filter: ``(key_col,
+    maybe_present)`` — TRUE iff ALL k probe bits are set.
+
+    No false negatives is a THEOREM (an inserted key's bits are all
+    set); false positives occur at ≈ (1 − e^(−k·n/m))^k.  The probe
+    frame explodes k× and left-joins the BROADCAST bit set (≤ num_bits
+    rows, bounded by construction) — a lookup, not a scan."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    _bucket(F.col(key_col), j, num_bits)
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit = bloom.select("bit").distinct().withColumn("_set", F.lit(1))
+    return (
+        probes.join(F.broadcast(hit), "bit", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0))) == F.lit(num_hashes)).alias(
+                "maybe_present"
+            )
+        )
+    )

@@ -934,3 +934,154 @@ def sketch_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps_bound"),
         )
     )
+
+
+@defquery(
+    "sketch_bloom_membership",
+    """
+    SELECT CAST(count(*) FILTER (c_nationkey < 5) AS BIGINT)  AS n_inserted,
+           CAST(count(*) FILTER (c_nationkey >= 5) AS BIGINT) AS n_absent,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_bounded
+    FROM customer
+    """,
+    doc="Bloom-filter membership CONTRACT (operators.sketches.bloom_*): "
+    "per-nation bit-set filters over the customer keys of nations 0-4 "
+    "(4096 bits x 5 hashes), merged by bit union to one global filter, "
+    "then EVERY customer key probed against the broadcast bit set. "
+    "No false negatives is a theorem (an inserted key's bits are all "
+    "set); the false-positive rate over the absent keys is checked "
+    "against 2x the analytic (1-e^(-kn/m))^k + 0.02 slack — "
+    "deterministic hashes make it a fixed fact of this corpus. The "
+    "scale use is shuffle-free membership gating: persist per-shard "
+    "filters, merge, broadcast ~4k bit rows, gate the 100 TB side "
+    "map-side. Oracle restates the inserted/absent counts and pins "
+    "both booleans.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from hfp_loader_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    num_bits, num_hashes = 4096, 5
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    inserted = cust.where(F.col("c_nationkey") < 5)
+    per_nation = bloom_build(
+        inserted, "c_custkey", part_cols=["c_nationkey"],
+        num_bits=num_bits, num_hashes=num_hashes,
+    )
+    merged = bloom_merge(per_nation, part_cols=[])
+    probed = bloom_contains(
+        merged, cust.select("c_custkey"), "c_custkey",
+        num_bits=num_bits, num_hashes=num_hashes,
+    )
+    labeled = probed.join(cust, "c_custkey").select(
+        "maybe_present", (F.col("c_nationkey") < 5).alias("_in")
+    )
+    # analytic FP bound needs n_inserted — fold it through the aggregate
+    agg = labeled.agg(
+        F.sum(F.when(F.col("_in"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(F.when(~F.col("_in"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_absent"),
+        F.sum(F.when(F.col("_in") & ~F.col("maybe_present"), 1).otherwise(0))
+        .alias("_false_neg"),
+        F.sum(F.when(~F.col("_in") & F.col("maybe_present"), 1).otherwise(0))
+        .alias("_false_pos"),
+    )
+    k, m = float(num_hashes), float(num_bits)
+    fp_analytic = (
+        F.pow(
+            F.lit(1.0) - F.exp(-F.lit(k) * F.col("n_inserted") / F.lit(m)),
+            F.lit(k),
+        )
+    )
+    return agg.select(
+        "n_inserted",
+        "n_absent",
+        (F.col("_false_neg") == 0).alias("no_false_negatives"),
+        (
+            F.col("_false_pos")
+            <= (F.lit(2.0) * fp_analytic + F.lit(0.02)) * F.col("n_absent")
+        ).alias("fp_rate_bounded"),
+    )
+
+
+@defquery(
+    "sketch_sliding_distinct",
+    """
+    WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ev),
+    sliding AS (
+      SELECT e.d AS day,
+             CAST(count(DISTINCT v.user_id) AS BIGINT) AS exact_sliding
+      FROM days e JOIN ev v ON v.d BETWEEN e.d - 6 AND e.d
+      GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, exact_sliding,
+           TRUE AS within_5pct
+    FROM sliding
+    """,
+    doc="TIME-dimension sketch reuse: 7-day sliding distinct users "
+    "computed by union-merging PERSISTED daily HLL sketches (each daily "
+    "sketch fans out to the ≤7 window-ends it serves via a bounded "
+    "explode — |days|x7 sketch rows, never a re-scan of events; the "
+    "dashboard pattern where one nightly sketch build answers every "
+    "trailing-window distinct for free). Contract: per window-end, the "
+    "merged estimate lands within 5% of the exact sliding distinct "
+    "(lgK=12 HLL is ~2.5% RSE); the oracle restates the exact counts "
+    "with a literal TRUE. Window-ends restricted to observed days on "
+    "both sides.",
+)
+def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = ev.select("d").distinct()
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "d", "sk"
+    ).select(F.date_add("d", F.col("o")).alias("day"), "sk")
+    est = (
+        fan.join(
+            F.broadcast(days.select(F.col("d").alias("day"))),
+            "day",
+            "left_semi",
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    )
+    exact = (
+        ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "d",
+            "user_id",
+        )
+        .select(F.date_add("d", F.col("o")).alias("day"), "user_id")
+        .join(
+            F.broadcast(days.select(F.col("d").alias("day"))),
+            "day",
+            "left_semi",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_sliding"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "exact_sliding",
+            (
+                F.abs(F.col("_est") - F.col("exact_sliding"))
+                <= 0.05 * F.col("exact_sliding")
+            ).alias("within_5pct"),
+        )
+    )

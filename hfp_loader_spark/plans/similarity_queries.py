@@ -90,23 +90,41 @@ def sim_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded-instrument cap for the deliberately-quadratic verification
+# queries (sim_cosine_neardup_pairs, semdedup_contract's global side):
+# all-pairs cost is |V|²/2 interpreted dot products, which dominated
+# full-catalog sf0.1 sweeps (~39 s + ~33 s of a ~3 min sweep).  The cap
+# is a NO-OP at gate scale (sf0.01 has 500 vectors) and bounds larger
+# SFs to a deterministic id-prefix sample with the SAME restated oracle
+# — the instruments certify construction correctness, not coverage; the
+# scale-path discovery queries (sign-LSH / IVF / PQ / SemDeDup cells)
+# remain uncapped.
+_ALLPAIRS_CAP = 800
+
+
 @defquery(
     "sim_cosine_neardup_pairs",
-    """
+    f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 4) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+    WHERE a.vec_id < {_ALLPAIRS_CAP} AND b.vec_id < {_ALLPAIRS_CAP}
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                        b.embedding::DOUBLE[]), 4) >= 0.45
     """,
-    doc="Embedding-cosine near-dup pairs (cos ≥ 0.45). Brute all-pairs at "
-    "test scale; the scale path buckets both sides with signlsh_bucket "
-    "first so only same-bucket pairs are scored.",
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.45). Brute all-pairs "
+    "over a deterministic id-prefix sample (cap 800 — a no-op at gate "
+    "scale, a bounded instrument at sf0.1+); the scale path buckets both "
+    "sides with signlsh_bucket first so only same-bucket pairs are "
+    "scored.",
 )
 def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        _t(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < _ALLPAIRS_CAP
+        ),
+        threshold=0.45,
     )
 
 
@@ -483,7 +501,8 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH removed AS (
       SELECT DISTINCT b.vec_id
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      WHERE a.vec_id < {_ALLPAIRS_CAP} AND b.vec_id < {_ALLPAIRS_CAP}
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]), 4)
             >= {_SEMDEDUP_T}
     )
@@ -492,18 +511,22 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS recall_ge_40
     FROM removed
     """,
-    doc="Oracle-checked CONTRACT for SemDeDup: the exact global greedy "
+    doc="Oracle-checked CONTRACT for SemDeDup over the bounded instrument "
+    "sample (id < 800 — a no-op at gate scale): the exact global greedy "
     "removal count (any smaller-id neighbor ≥ 0.35, SQL-restated "
-    "all-pairs at test scale), plus (a) precision ≡ 1 — every in-cell "
-    "removal must also qualify globally, an exact invariant of the "
-    "construction — and (b) removal recall ≥ 0.4 vs the global set "
-    "(measured 0.55 at sf0.01 / 0.71 at sf0.1 with nlist=4; true "
-    "duplicates at cos→1 co-cluster far more reliably than these "
-    "deliberately-weak 0.35 pairs). Deterministic: seeded sample + "
-    "seeded k-means.",
+    "all-pairs), plus (a) precision ≡ 1 — every in-cell removal must "
+    "also qualify globally, an exact invariant of the construction — "
+    "and (b) removal recall ≥ 0.4 vs the global set (measured 0.55 at "
+    "sf0.01 with nlist=4; true duplicates at cos→1 co-cluster far more "
+    "reliably than these deliberately-weak 0.35 pairs). The semdedup "
+    "side runs on the SAME capped corpus (same memoized centroids) so "
+    "both invariants stay exact. Deterministic: seeded sample + seeded "
+    "k-means.",
 )
 def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _ALLPAIRS_CAP
+    )
     v = as_double_array(F.col("embedding"))
     scored = emb.select("vec_id", v.alias("_v"), norm(v).alias("_n"))
     a = scored.alias("a")
@@ -524,7 +547,26 @@ def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
-    sem_removed = _semdedup(spark, sf_dir).where(~F.col("kept")).select("vec_id")
+    # run the semdedup side on the SAME capped corpus (same memoized
+    # centroids) — keep/prune decisions must not be influenced by
+    # out-of-sample neighbors or precision_eq_1 would be unfalsifiable
+    from hfp_loader_spark.operators.similarity import semantic_dedup
+
+    cents = _SEMDEDUP_CENTROIDS.get(sf_dir)
+    if cents is None:
+        from hfp_loader_spark.operators.similarity import train_ivf_centroids
+
+        cents = train_ivf_centroids(
+            _t(spark, sf_dir, "embeddings"), _SEMDEDUP_NLIST, fraction=1.0
+        )
+        _SEMDEDUP_CENTROIDS[sf_dir] = cents
+    sem_removed = (
+        semantic_dedup(
+            emb, threshold=_SEMDEDUP_T, nlist=_SEMDEDUP_NLIST, centroids=cents
+        )
+        .where(~F.col("kept"))
+        .select("vec_id")
+    )
     g = global_removed.agg(F.count("*").alias("n_global_removed"))
     hits = sem_removed.join(global_removed, "vec_id", "left_semi").agg(
         F.count("*").alias("_n_hit")

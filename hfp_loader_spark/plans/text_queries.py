@@ -171,10 +171,11 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
-    "text_quality_top20",
-    f"""
-    WITH feats AS (
+# (doc_id, quality, n_toks) — the DuckDB mirror of operators.text.
+# quality_score, shared by every quality-consuming oracle (one definition,
+# same rationale as TOKS_SQL).
+_QUALITY_SCORED_SQL = f"""
+    feats AS (
       SELECT doc_id, length(text) AS n_chars, {_TOKS_SQL} AS t,
              len(list_filter({_TOKS_SQL},
                  x -> list_contains(['the','a','and','of','to','in','is','value','table'], x)))
@@ -182,7 +183,7 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     scored AS (
-      SELECT doc_id,
+      SELECT doc_id, len(t) AS n_toks,
              round(0.4 * least(len(t) / 50.0, 1.0)
                  + 0.3 * (1.0 - least(abs(CASE WHEN len(t) > 0
                        THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
@@ -191,6 +192,13 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                4) AS quality
       FROM feats
     )
+"""
+
+
+@defquery(
+    "text_quality_top20",
+    f"""
+    WITH {_QUALITY_SCORED_SQL}
     SELECT doc_id, quality FROM scored
     ORDER BY quality DESC, doc_id LIMIT 20
     """,
@@ -204,6 +212,48 @@ def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
     )
     return global_top_k(scored, [F.desc("quality"), F.asc("doc_id")], 20)
+
+
+@defquery(
+    "text_quality_bin_budget",
+    f"""
+    WITH {_QUALITY_SCORED_SQL}
+    SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS quality_bin,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_toks) AS BIGINT)   AS total_tokens,
+           round(avg(quality), 4)        AS avg_quality
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="Quality-binned token budget — the curriculum/data-mixing input a "
+    "pre-training pipeline computes before sampling (how many tokens "
+    "exist per quality stratum): each doc lands in a FIXED-VALUE decile "
+    "bin (floor(quality·10), clamped) via a row-local projection — "
+    "deliberately NOT ntile(), whose global rank window would be a "
+    "single-partition sort over the corpus at 100 TB — then one hash "
+    "aggregate over ≤10 groups. Composable with mixture_sample: the "
+    "per-bin budgets become its per-source keep thresholds.",
+)
+def text_quality_bin_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    return (
+        scored.withColumn(
+            "quality_bin",
+            F.least(
+                F.floor(F.col("quality") * 10).cast("long"), F.lit(9)
+            ),
+        )
+        .groupBy("quality_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
 
 
 @defquery(

@@ -69,6 +69,15 @@ FUZZ_ENTRIES = [
     "profile_documents_table",
     "timeseries_ewma_daily",
     "events_funnel_per_session",
+    # round-6 additions: per-key EWMA (NULL values hit the lag taps),
+    # measured-salt join (NULL values in the summed measure), MinHash
+    # completeness contract (NULL/empty/non-ASCII docs must stay excluded
+    # symmetrically on both engines)
+    "timeseries_ewma_per_user",
+    "skew_autosalt_join_agg",
+    "dedup_minhash_selfmatch",
+    "text_quality_bin_budget",
+    "sketch_bloom_membership",
 ]
 
 

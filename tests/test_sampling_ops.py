@@ -98,3 +98,47 @@ def test_cms_estimate_absent_key_is_zero(spark):
     est = {r["k"]: r["cms_estimate"] for r in cms_estimate(sketch, keys, "k", width=1024).collect()}
     assert est[1] >= 10
     assert est.get(123456789) == 0  # width 1024, 1 occupied bucket/row: no collision
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    """Union of per-partition Bloom filters must equal the filter built
+    directly over the whole data (exact merge)."""
+    from hfp_loader_spark.operators.sketches import bloom_build, bloom_merge
+
+    rows = [(i, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, part int")
+    per_part = bloom_build(df, "k", part_cols=["part"])
+    merged = bloom_merge(per_part, part_cols=[])
+    direct = bloom_build(df, "k")
+    a = sorted(r["bit"] for r in merged.collect())
+    b = sorted(r["bit"] for r in direct.collect())
+    assert a == b
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from hfp_loader_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    present = spark.createDataFrame(
+        [(i,) for i in range(500)], "k long"
+    )
+    bloom = bloom_build(present, "k", num_bits=8192, num_hashes=5)
+    probes = spark.createDataFrame(
+        [(i,) for i in range(2000)], "k long"
+    )
+    out = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_contains(
+            bloom, probes, "k", num_bits=8192, num_hashes=5
+        ).collect()
+    }
+    # theorem: every inserted key must probe TRUE
+    assert all(out[i] for i in range(500))
+    # absent keys: fp rate well under 4x the analytic bound
+    import math
+
+    fp = sum(1 for i in range(500, 2000) if out[i]) / 1500
+    analytic = (1 - math.exp(-5 * 500 / 8192)) ** 5
+    assert fp <= 4 * analytic + 0.01, (fp, analytic)
