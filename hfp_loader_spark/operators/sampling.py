@@ -106,3 +106,31 @@ def pack_sequences(
         prefix.alias("stream_pos"),
         size_col,
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str = "cap:",
+) -> DataFrame:
+    """Deterministic per-group row cap: keep at most ``cap`` rows per
+    group, chosen by hash order — the host-/source-level cap a web-corpus
+    pipeline applies so no single domain dominates the training mix.
+
+    Selection order is ``(md5(salt‖key), key)`` — a uniform, content-
+    deterministic shuffle within each group (re-runs keep the SAME rows;
+    appending new rows displaces old ones only when the new hash sorts
+    earlier, never wholesale).  One hash-partitioned window on the group
+    key; groups over the cap cost sort time, never memory beyond the
+    window buffer — and at 100 TB the same shuffle domain serves every
+    other per-group stage."""
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -287,3 +287,41 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         sized, "doc_id", "n_tokens", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
+
+
+@defquery(
+    "sample_per_source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 4),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)        AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+           CAST(min(doc_id) AS BIGINT)     AS min_doc_id
+    FROM ranked WHERE rn <= 120
+    GROUP BY source
+    """,
+    doc="Per-source document cap (operators.sampling.per_group_cap, cap "
+    "120): the host-/domain-level cap a web-corpus pipeline applies so "
+    "no single source dominates the mix. Selection is hash-ordered and "
+    "content-deterministic (md5(salt||key) then key) — the same rows "
+    "survive every re-run, and growth displaces rows only hash-locally. "
+    "One window on the source hash domain; the per-source aggregate "
+    "pins exact membership via the n_chars checksum.",
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import per_group_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = per_group_cap(docs, "source", cap=120, key_col="doc_id")
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

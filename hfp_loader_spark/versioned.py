@@ -173,18 +173,32 @@ def commit_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan one committed version (default: latest). Time travel =
     ``version=N``. The returned plan is a single multi-path parquet scan —
-    pushdown/pruning/splits behave exactly as on an unversioned table."""
+    pushdown/pruning/splits behave exactly as on an unversioned table.
+
+    ``merge_schema=True`` enables SCHEMA EVOLUTION across appends: a
+    column added by a later ``commit_snapshot`` reads back as NULL for
+    rows from earlier data dirs (parquet ``mergeSchema`` — the union of
+    every dir's footer schema).  Off by default: merging reads all
+    footers up front, and the common same-schema case shouldn't pay
+    that at a million files; flip it on per-read when versions are known
+    to differ."""
     root = root.rstrip("/")
     head = latest_version(spark, root)
     if head is None:
         raise FileNotFoundError(f"no committed versions at {root}")
     v = head if version is None else version
     info = _read_manifest(spark, root, v)
-    return spark.read.parquet(*[f"{root}/{d}" for d in info.data_dirs])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{root}/{d}" for d in info.data_dirs])
 
 
 def vacuum(spark: SparkSession, root: str) -> list[str]:

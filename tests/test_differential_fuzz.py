@@ -187,6 +187,10 @@ NANOS_ENTRIES = [
     "events_transition_matrix",
     "events_value_outliers",
     "asof_join_latest_event",
+    # round-6 ts consumers: per-user EWMA's to_date taps and the sliding-
+    # distinct day fan-out both ride the nanos→timestamp normalization
+    "timeseries_ewma_per_user",
+    "sketch_sliding_distinct",
 ]
 
 

@@ -129,3 +129,34 @@ def test_hfp_load_through_versioned_sink(spark, tmp_path):
     # run 1 commits v1; run 2 writes nothing new (0-row writes still
     # commit a version — the load is append-per-run by design)
     assert len(hist) >= 1 and hist[0].op == "append"
+
+
+def test_schema_evolution_added_column_reads_back_null(spark, tmp_path):
+    """A column added by a later append must read back (merge_schema=True)
+    with NULLs for rows committed before it existed; time travel to the
+    pre-evolution version must NOT show the new column."""
+    from hfp_loader_spark.versioned import commit_snapshot, read_snapshot
+
+    root = str(tmp_path / "evolving")
+    v1 = commit_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        root,
+        mode="overwrite",
+    )
+    v2 = commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, val string, score double"
+        ),
+        root,
+        mode="append",
+    )
+    assert (v1, v2) == (1, 2)
+    merged = read_snapshot(spark, root, merge_schema=True)
+    assert set(merged.columns) == {"id", "val", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 0.5}
+    # time travel to v1: the old snapshot never saw the new column
+    old = read_snapshot(spark, root, version=1, merge_schema=True)
+    assert set(old.columns) == {"id", "val"}
