@@ -152,8 +152,11 @@ def _pagerank_oracle() -> str:
     _pagerank_oracle(),
     doc="Fixed 5-iteration PageRank (operators.graph.pagerank) over the "
     "customer→supplier shipment graph (distinct pairs from "
-    "orders⋈lineitem, role-prefixed vertex ids). Each round is one "
-    "join+aggregate+left-join with localCheckpoint lineage truncation. "
+    "orders⋈lineitem). Each round is one join+aggregate+left-join with "
+    "localCheckpoint lineage truncation. Vertices iterate as LONGS "
+    "(custkey·2 / suppkey·2+1 — joins hash 8-byte keys, not strings; "
+    "measured 3.7s → 2.3s at sf0.1) and map to the role-prefixed "
+    "string ids only in the final projection, byte-identical output. "
     "Oracle: the power iteration unrolled into 5 chained CTEs — the "
     "hash check covers every round's arithmetic.",
 )
@@ -163,15 +166,24 @@ def graph_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
     ranks = pagerank(edges, n_iter=_PR_ITER, damping=_DAMP)
+    node = (
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("c:"), (F.col("id") / 2).cast("long").cast("string")
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("s:"),
+                ((F.col("id") - 1) / 2).cast("long").cast("string"),
+            )
+        )
+    )
     return ranks.select(
-        F.col("id").alias("node"), F.round("rank", 9).alias("rank")
+        node.alias("node"), F.round("rank", 9).alias("rank")
     )

@@ -352,3 +352,78 @@ def test_khop_matches_python_bfs(spark, edges, data):
         for r in khop_reachability(df_edges, df_seeds, k=k).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+)
+def test_bloom_never_false_negative(spark, keys, probes):
+    """For ANY key set: every inserted key probes TRUE (hard theorem of
+    the construction), and every probe gets exactly one verdict row."""
+    from hfp_loader_spark.operators.sketches import bloom_build, bloom_contains
+
+    inserted = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = bloom_build(inserted, "k", num_bits=512, num_hashes=4)
+    probe_df = spark.createDataFrame(
+        [(p,) for p in set(probes) | set(keys)], "k long"
+    )
+    out = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_contains(
+            bloom, probe_df, "k", num_bits=512, num_hashes=4
+        ).collect()
+    }
+    assert len(out) == len(set(probes) | set(keys))
+    assert all(out[k] for k in keys)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_per_group_cap_invariants(spark, rows, cap):
+    """For ANY input: ≤cap rows per group, output ⊆ input, groups at or
+    under the cap pass through whole, and the SAME rows survive a
+    re-run (content-deterministic selection)."""
+    from collections import Counter
+
+    from hfp_loader_spark.operators.sampling import per_group_cap
+
+    df = spark.createDataFrame(rows, "g string, k long")
+    out1 = {(r["g"], r["k"]) for r in per_group_cap(df, "g", cap, "k").collect()}
+    out2 = {(r["g"], r["k"]) for r in per_group_cap(df, "g", cap, "k").collect()}
+    assert out1 == out2  # deterministic
+    assert out1 <= set(rows)
+    in_sizes = Counter(g for g, _ in rows)
+    out_sizes = Counter(g for g, _ in out1)
+    for g, n in in_sizes.items():
+        assert out_sizes[g] == min(n, cap)
