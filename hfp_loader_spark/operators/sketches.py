@@ -191,3 +191,46 @@ def bloom_contains(
             )
         )
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Inner-equi-join CARDINALITY estimate from two count-min sketches
+    of the join keys: per depth row, the bucket-wise dot product
+    Σ cnt_a·cnt_b; the estimate is the MIN over depth rows — the classic
+    sketch join-size estimator (never underestimates: every colliding
+    pair only adds; E[overshoot] ≤ (e/width)·N_a·N_b per row).
+
+    The pre-flight planning primitive at 100 TB: both sketches are
+    ≤ depth·width rows built in one pass each (or read from persisted
+    per-partition sketches via ``cms_merge``), so "how big is this join"
+    costs a bounded-size join of two tiny frames — BEFORE committing to
+    a shuffle of two huge tables, and without trusting stale table
+    stats.  Output: one row, ``est_join_rows``.
+
+    Depth rows with zero overlapping buckets contribute a 0 dot product
+    (the estimate is then 0 = the truth: no key collides anywhere), so
+    the depth domain is completed explicitly — an inner-join-only
+    formulation would take the min over surviving rows and overestimate.
+    """
+    spark = sketch_a.sparkSession
+    dots = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.depth_idx") == F.col("b.depth_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.depth_idx").alias("depth_idx"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("_dot"))
+    )
+    domain = spark.range(depth).select(F.col("id").cast("int").alias("depth_idx"))
+    return (
+        domain.join(F.broadcast(dots), "depth_idx", "left")
+        .agg(
+            F.min(F.coalesce("_dot", F.lit(0)))
+            .cast("long")
+            .alias("est_join_rows")
+        )
+    )

@@ -1085,3 +1085,59 @@ def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@defquery(
+    "sketch_join_size_estimate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS exact_join_rows,
+           TRUE AS never_underestimates,
+           TRUE AS within_eps_bound
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Join-cardinality estimation from count-min sketches "
+    "(operators.sketches.cms_join_size): |events ⋈ customer| estimated "
+    "as the min over depth rows of the bucket-wise dot product of the "
+    "two key sketches — the pre-flight 'how big is this join' answer "
+    "from two bounded (4×256)-cell frames, no shuffle of either table "
+    "and no reliance on stale table stats. Contract: est ≥ exact (a "
+    "hard invariant — collisions only add) and est ≤ exact + "
+    "(e/width)·N_a·N_b (the classic expectation bound; deterministic "
+    "hashes make it a fixed fact of this corpus). Oracle restates the "
+    "exact join count with literal TRUEs.",
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from hfp_loader_spark.operators.sketches import cms_build, cms_join_size
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    sa = cms_build(ev, "user_id")
+    sb = cms_build(cust, "user_id")
+    est = cms_join_size(sa, sb)
+    exact = (
+        ev.join(cust, "user_id")
+        .agg(F.count("*").cast("long").alias("exact_join_rows"))
+    )
+    sizes = ev.agg(F.count("*").alias("_na")).crossJoin(
+        cust.agg(F.count("*").alias("_nb"))
+    )
+    eps = math.e / 256
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "exact_join_rows",
+            (F.col("est_join_rows") >= F.col("exact_join_rows")).alias(
+                "never_underestimates"
+            ),
+            (
+                F.col("est_join_rows")
+                <= F.col("exact_join_rows")
+                + F.ceil(F.lit(eps) * F.col("_na") * F.col("_nb"))
+            ).alias("within_eps_bound"),
+        )
+    )

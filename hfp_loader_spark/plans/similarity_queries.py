@@ -583,3 +583,52 @@ def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@defquery(
+    "sim_semantic_clusters",
+    f"""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < {_ALLPAIRS_CAP} AND b.vec_id < {_ALLPAIRS_CAP}
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.45
+    ),
+    edges AS (
+      SELECT da AS s, db AS d FROM e0
+      UNION ALL
+      SELECT db AS s, da AS d FROM e0
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id
+    )
+    SELECT id AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+    doc="Semantic clusters: the cos≥0.45 similarity graph's transitive "
+    "closure via alternating large-star/small-star CC — embedding-space "
+    "duplicate GROUPS rather than pairs (the view a curation UI shows), "
+    "composing the similarity tier with the iterative graph tier. Over "
+    "the bounded instrument sample (id < 800, no-op at gate scale); the "
+    "scale path feeds the same CC from IVF-celled or LSH-bucketed edge "
+    "discovery instead of brute pairs. Oracle: DuckDB recursive-CTE "
+    "reachability with min-id labels.",
+)
+def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _ALLPAIRS_CAP
+    )
+    edges = cosine_neardup_pairs(emb, threshold=0.45)
+    comp = connected_components_alternating(edges, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )

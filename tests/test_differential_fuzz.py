@@ -78,6 +78,8 @@ FUZZ_ENTRIES = [
     "dedup_minhash_selfmatch",
     "text_quality_bin_budget",
     "sketch_bloom_membership",
+    "sketch_join_size_estimate",
+    "sample_per_source_cap",
 ]
 
 

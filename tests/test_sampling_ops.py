@@ -142,3 +142,38 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     fp = sum(1 for i in range(500, 2000) if out[i]) / 1500
     analytic = (1 - math.exp(-5 * 500 / 8192)) ** 5
     assert fp <= 4 * analytic + 0.01, (fp, analytic)
+
+
+def test_cms_join_size_exact_on_collision_free_keys(spark):
+    """With few distinct keys vs 256 buckets (collision-free whp), the
+    estimate should EQUAL the exact join size; and it must never
+    underestimate regardless."""
+    from hfp_loader_spark.operators.sketches import cms_build, cms_join_size
+
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], "k long")
+    exact = a.join(b, "k").count()
+    est = cms_join_size(cms_build(a, "k"), cms_build(b, "k")).collect()[0][
+        "est_join_rows"
+    ]
+    assert est >= exact
+    assert est == exact  # 12 distinct keys over 4x256 cells: no collisions
+
+
+def test_cms_join_size_zero_when_disjoint(spark):
+    """Disjoint key sets: if ANY depth row has no colliding bucket the
+    min must be 0 — the explicit depth-domain completion (an inner-join
+    min would overestimate from the surviving rows only)."""
+    from hfp_loader_spark.operators.sketches import cms_build, cms_join_size
+
+    a = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1005)], "k long")
+    est = cms_join_size(cms_build(a, "k"), cms_build(b, "k")).collect()[0][
+        "est_join_rows"
+    ]
+    exact = a.join(b, "k").count()
+    assert exact == 0
+    assert est >= exact
+    # 10 keys in 1024 cells: overwhelmingly likely some depth row is
+    # collision-free, giving the exact 0
+    assert est == 0
