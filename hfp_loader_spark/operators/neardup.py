@@ -717,3 +717,78 @@ def fuzzy_pairs_blocked(
     return cand.where(
         F.levenshtein("txt_a", "txt_b") <= max_subs
     ).select("id_a", "id_b")
+
+
+def decontaminate_bloom_gated(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Two-phase decontamination: Bloom prefilter, then exact verify —
+    same output contract as :func:`decontaminate` (no false negatives is
+    a Bloom theorem, and every gated doc is re-checked exactly, so the
+    result is IDENTICAL by construction).
+
+    When the benchmark side is too large to broadcast its full distinct
+    shingle-hash set (a cross-suite eval corpus can carry billions of
+    distinct 8-grams), phase 1 broadcasts a FIXED-SIZE bit set instead
+    (≤ ``num_bits`` rows): every corpus shingle probes the filter
+    map-side and a document survives the gate iff ANY shingle is
+    maybe-present.  Phase 2 runs the exact hash join of
+    :func:`decontaminate` over the gated documents only — typically a
+    tiny fraction of the corpus, so the expensive exact side now
+    broadcasts against a sliver.  Trade: the probe computes
+    ``num_hashes`` bit positions per corpus shingle (more map-side
+    arithmetic than one hash join) in exchange for an O(num_bits)
+    broadcast independent of benchmark size.
+    """
+    from hfp_loader_spark.operators.sketches import bloom_build
+
+    bench_keys = (
+        shingle_docs(heldout, id_col, text_col, n)
+        .select(F.explode("shingles").alias("_s"))
+        .select(F.xxhash64("_s").alias("_sh"))
+        .distinct()
+    )
+    bits = bloom_build(
+        bench_keys, "_sh", num_bits=num_bits, num_hashes=num_hashes
+    ).withColumn("_set", F.lit(1))
+    ex = (
+        shingle_docs(ensure_parallelism(corpus, id_col), id_col, text_col, n)
+        .select("doc_id", F.explode("shingles").alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("_sh"))
+    )
+    from hfp_loader_spark.operators.sketches import _bucket as _bloom_bit
+
+    probes = ex.select(
+        "doc_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_bit(F.col("_sh"), j, num_bits)
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    gated = (
+        probes.join(F.broadcast(bits.select("bit", "_set")), "bit", "left")
+        .groupBy("doc_id", "_sh")
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0))) == F.lit(num_hashes)).alias(
+                "_maybe"
+            )
+        )
+        .where(F.col("_maybe"))
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = corpus.join(
+        gated.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+    return decontaminate(survivors, heldout, id_col, text_col, n=n)

@@ -617,3 +617,42 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("doc_id"), F.col("hops").cast("int").alias("hops")
     )
+
+
+@defquery(
+    "decontaminate_bloom_gated",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(8)} AS shingles FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s, doc_id AS bench_id
+      FROM sh WHERE doc_id % 17 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 17 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.s) AS BIGINT)        AS n_matched_spans,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+    doc="Bloom-gated decontamination "
+    "(operators.neardup.decontaminate_bloom_gated): phase 1 broadcasts a "
+    "FIXED-SIZE bit set of benchmark 8-gram hashes (64Ki bits regardless "
+    "of benchmark size — the path for eval suites whose distinct-shingle "
+    "set is itself too big to broadcast) and gates corpus docs with any "
+    "maybe-present shingle map-side; phase 2 re-runs the exact hash join "
+    "over the gated sliver only. No false negatives is a Bloom theorem "
+    "and every flagged doc is exactly re-verified, so the output is "
+    "IDENTICAL to decontaminate_ngram_overlap — the oracle is the same "
+    "exact SQL, which is the point.",
+)
+def decontaminate_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import decontaminate_bloom_gated
+
+    docs = _t(spark, sf_dir, "documents")
+    heldout = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate_bloom_gated(corpus, heldout, "doc_id", "text", n=8)

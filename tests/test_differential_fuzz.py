@@ -80,6 +80,7 @@ FUZZ_ENTRIES = [
     "sketch_bloom_membership",
     "sketch_join_size_estimate",
     "sample_per_source_cap",
+    "decontaminate_bloom_gated",
 ]
 
 
