@@ -129,21 +129,30 @@ def derive_salt_factor(
 ) -> int:
     """Salt replication factor from a :func:`key_skew_stats` report.
 
-    Spreads the hot-key POPULATION: factor = ⌈p99 / avg⌉ — enough salts
-    that a key at the 99th cardinality percentile lands ~avg-sized
-    slices per reducer — clamped to ``max_salts`` (the replicated small
-    side's shuffle volume grows linearly with the factor, so an extreme
-    ratio caps out rather than exploding the dimension broadcast).
-    Below ``engage_at`` the skew isn't worth the replication cost and
-    the factor is 1 (= don't salt; AQE's runtime skew split handles
-    residual imbalance)."""
+    Spreads the HOTTEST key: factor = ⌈max / avg⌉ (``skew_ratio``) —
+    enough salts that the worst key lands ~avg-sized slices per reducer
+    — clamped to ``max_salts`` (the replicated small side's shuffle
+    volume grows linearly with the factor, so an extreme ratio caps out
+    rather than exploding the dimension broadcast).  max/avg is the
+    signal, NOT p99/avg: the canonical skew case is ONE mega-hot key
+    among thousands of uniform ones, where the hot key sits far above
+    the 99th percentile and p99 ≈ avg — a p99-based trigger silently
+    runs the plain join exactly when salting is needed.  p99/avg stays
+    as a secondary signal (and the fallback when a caller-built stats
+    dict carries no max) — max/avg always dominates it when both are
+    present.  Below ``engage_at`` the skew isn't worth the
+    replication cost and the factor is 1 (= don't salt; AQE's runtime
+    skew split handles residual imbalance)."""
     import math
 
     avg = stats.get("avg_rows_per_key") or 0.0
-    p99 = stats.get("p99_rows_per_key") or 0.0
     if avg <= 0:
         return 1
-    ratio = p99 / avg
+    mx = stats.get("max_rows_per_key") or 0.0
+    p99 = stats.get("p99_rows_per_key") or 0.0
+    ratio = max(
+        stats.get("skew_ratio") or (mx / avg if mx else 0.0), p99 / avg
+    )
     if ratio < engage_at:
         return 1
     return max(1, min(max_salts, math.ceil(ratio)))

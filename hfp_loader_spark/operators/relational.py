@@ -112,8 +112,10 @@ def salted_join(
 
     ``n_salts=None`` → MEASURE, then decide: profile the skewed side's
     key cardinalities (``quality.key_skew_stats``, one aggregate pass)
-    and derive the factor from the p99/avg ratio
-    (``quality.derive_salt_factor``).  Below the engage threshold the
+    and derive the factor from the max/avg skew ratio
+    (``quality.derive_salt_factor`` — max, not p99: one mega-hot key
+    among thousands of uniform ones leaves p99 ≈ avg).  Below the
+    engage threshold the
     join runs PLAIN — no salt column, no replicated dimension — so the
     auto mode is safe to leave on for keys that might not be skewed.
     """
