@@ -37,9 +37,16 @@ def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
     A small corpus (one parquet file) plans as ONE input partition, so a
     CPU-heavy projection chain (regex tokenize → shingle → hash) runs
     single-threaded no matter how many cores exist.  At real scale the
-    input already has thousands of splits and this is a no-op — the check
-    costs a plan inspection, not a job."""
+    input already has thousands of splits and this is a no-op — and that
+    no-op is decided from ``inputFiles()`` alone (file count is a LOWER
+    bound on scan partitions: splitting only adds), so the common
+    many-files path never pays the plan→RDD conversion that
+    ``df.rdd.getNumPartitions()`` costs.  Only a few-file or in-memory
+    frame falls through to the exact partition count — small by
+    definition, where the conversion is cheap."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= target:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key))
     return df
@@ -227,6 +234,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     reuse_shingles: bool = True,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup join, exact-Jaccard verified.
 
@@ -237,9 +245,14 @@ def minhash_lsh_pairs(
     it is consumed three times (signatures + both verification sides),
     and recomputing the regex tokenize + shingle pass is the dominant
     cost — at 100 TB you spill shingles to local disk rather than re-read
-    and re-tokenize the corpus twice more.  The cache entry lives until
-    the session drops it (or the caller unpersists the intermediate);
-    measured 6.7s → 3.3s at sf0.1 (PERF.md).
+    and re-tokenize the corpus twice more.  The cache entries live until
+    the session drops them — UNLESS the caller passes ``cache_registry``
+    (a list the persisted intermediates are appended to), in which case
+    the caller owns their lifetime and should ``unpersist()`` them once
+    the pair list is consumed (``pipeline.prepare_corpus`` does this at
+    its near-dedup stage boundary; a long-lived session otherwise
+    accumulates one shingle cache per call).  Measured 6.7s → 3.3s at
+    sf0.1 (PERF.md).
     """
     shingled = shingle_docs(
         ensure_parallelism(df, id_col), id_col, text_col, shingle_n
@@ -252,6 +265,8 @@ def minhash_lsh_pairs(
         # cache — a lazy persist measured zero wall-clock win.
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
         shingled.count()
+        if cache_registry is not None:
+            cache_registry.append(shingled)
     sigs = minhash_signatures(shingled, num_hashes)
     if reuse_shingles:
         from pyspark import StorageLevel
@@ -261,6 +276,8 @@ def minhash_lsh_pairs(
         # Tiny: num_hashes longs per doc.
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
         sigs.count()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
     cands = lsh_candidate_pairs(sigs, num_hashes, num_bands)
     sets_a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -746,7 +763,12 @@ def decontaminate_bloom_gated(
     arithmetic than one hash join) in exchange for an O(num_bits)
     broadcast independent of benchmark size.
     """
-    from hfp_loader_spark.operators.sketches import bloom_build
+    from hfp_loader_spark.operators.sketches import (
+        _bucket as _bloom_bit,
+        bloom_bitmap_test,
+        bloom_bitmap_words,
+        bloom_build,
+    )
 
     bench_keys = (
         shingle_docs(heldout, id_col, text_col, n)
@@ -756,38 +778,25 @@ def decontaminate_bloom_gated(
     )
     bits = bloom_build(
         bench_keys, "_sh", num_bits=num_bits, num_hashes=num_hashes
-    ).withColumn("_set", F.lit(1))
+    )
+    # pack the benchmark filter into an array-of-longs LITERAL (bounded
+    # driver read, ≤ num_bits/64 words) and gate the corpus with a pure
+    # map-side predicate: each shingle hash tests its k bits via
+    # element_at+getbit and a doc survives iff ANY shingle passes.  The
+    # only exchange before phase 2 is the distinct over SURVIVING doc
+    # ids — the earlier formulation shuffled the full distinct
+    # (doc, shingle) set just to aggregate probe hits.
+    words_lit = F.lit(bloom_bitmap_words(bits, num_bits))
     ex = (
         shingle_docs(ensure_parallelism(corpus, id_col), id_col, text_col, n)
         .select("doc_id", F.explode("shingles").alias("_s"))
         .select("doc_id", F.xxhash64("_s").alias("_sh"))
     )
-    from hfp_loader_spark.operators.sketches import _bucket as _bloom_bit
-
-    probes = ex.select(
-        "doc_id",
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    _bloom_bit(F.col("_sh"), j, num_bits)
-                    for j in range(num_hashes)
-                ]
-            )
-        ).alias("bit"),
-    )
-    gated = (
-        probes.join(F.broadcast(bits.select("bit", "_set")), "bit", "left")
-        .groupBy("doc_id", "_sh")
-        .agg(
-            (F.sum(F.coalesce("_set", F.lit(0))) == F.lit(num_hashes)).alias(
-                "_maybe"
-            )
-        )
-        .where(F.col("_maybe"))
-        .select("doc_id")
-        .distinct()
-    )
+    maybe = None
+    for j in range(num_hashes):
+        t = bloom_bitmap_test(words_lit, _bloom_bit(F.col("_sh"), j, num_bits))
+        maybe = t if maybe is None else (maybe & t)
+    gated = ex.where(maybe).select("doc_id").distinct()
     survivors = corpus.join(
         gated.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )

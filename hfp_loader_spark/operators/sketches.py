@@ -156,6 +156,26 @@ def bloom_merge(
     return filters.select(*part_cols, "bit").distinct()
 
 
+def bloom_bitmap_words(bloom: DataFrame, num_bits: int) -> list[int]:
+    """Pack a Bloom bit-set frame into ``⌈num_bits/64⌉`` signed 64-bit
+    words (LongType-ready).  The collect is BOUNDED by construction:
+    a bit-set frame has at most ``num_bits`` rows regardless of how much
+    data built it — this is the sketch family's whole point, so
+    materializing it on the driver is a constant-size read, not a scan."""
+    words = [0] * ((num_bits + 63) // 64)
+    for (b,) in bloom.select("bit").distinct().collect():
+        words[b >> 6] |= 1 << (b & 63)
+    # two's-complement fold into signed LongType range
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_bitmap_test(words_lit: Column, bit: Column) -> Column:
+    """TRUE iff ``bit`` is set in a packed-word bitmap literal — a pure
+    map-side expression (``element_at`` + ``getbit``), no join."""
+    word = words_lit[F.shiftright(bit, 6).cast("int")]
+    return F.getbit(word, bit.bitwiseAND(F.lit(63))) == F.lit(1)
+
+
 def bloom_contains(
     bloom: DataFrame,
     keys: DataFrame,
@@ -164,32 +184,30 @@ def bloom_contains(
     num_hashes: int = 5,
 ) -> DataFrame:
     """Membership probes against a (merged, global) filter: ``(key_col,
-    maybe_present)`` — TRUE iff ALL k probe bits are set.
+    maybe_present)``, one row per DISTINCT key — TRUE iff ALL k probe
+    bits are set.
 
     No false negatives is a THEOREM (an inserted key's bits are all
-    set); false positives occur at ≈ (1 − e^(−k·n/m))^k.  The probe
-    frame explodes k× and left-joins the BROADCAST bit set (≤ num_bits
-    rows, bounded by construction) — a lookup, not a scan."""
-    probes = keys.select(
-        F.col(key_col),
-        F.explode(
-            F.array(
-                *[
-                    _bucket(F.col(key_col), j, num_bits)
-                    for j in range(num_hashes)
-                ]
-            )
-        ).alias("bit"),
-    )
-    hit = bloom.select("bit").distinct().withColumn("_set", F.lit(1))
+    set); false positives occur at ≈ (1 − e^(−k·n/m))^k.  The filter is
+    materialized once into a packed-word ARRAY LITERAL (≤ num_bits/64
+    longs — a bounded driver read, see :func:`bloom_bitmap_words`) and
+    every key tests its k bits map-side via ``element_at``+``getbit``:
+    no explode, no join, no shuffle of the probe side beyond the
+    distinct.  The per-key AND over the k bit tests also makes the
+    no-false-negative theorem hold for DUPLICATE probe keys — the
+    earlier exploded-join formulation summed set-bit hits per key and
+    compared against k, so a key probed twice scored 2k ≠ k and was
+    falsely reported absent."""
+    words_lit = F.lit(bloom_bitmap_words(bloom, num_bits))
+    key = F.col(key_col)
+    pred = None
+    for j in range(num_hashes):
+        t = bloom_bitmap_test(words_lit, _bucket(key, j, num_bits))
+        pred = t if pred is None else (pred & t)
     return (
-        probes.join(F.broadcast(hit), "bit", "left")
-        .groupBy(key_col)
-        .agg(
-            (F.sum(F.coalesce("_set", F.lit(0))) == F.lit(num_hashes)).alias(
-                "maybe_present"
-            )
-        )
+        keys.select(key_col)
+        .distinct()
+        .select(key, pred.alias("maybe_present"))
     )
 
 

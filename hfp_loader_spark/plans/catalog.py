@@ -244,18 +244,17 @@ def _interleave_registry() -> None:
     HFP + dedup + text only, leaving the similarity / streaming /
     sampling / multimodal / incremental / analytics / TPC-H tiers with no
     external signal.  Interleaving one entry per module per rotation puts
-    every tier inside any ≥12-entry prefix.  Within a module,
-    oracle-checked entries rotate before rows-only ones (stronger signal
-    first); both groups keep their definition order.  Name→spec mapping
-    and entry()/bench lookups are unaffected — only iteration order
-    changes."""
+    every tier inside any ≥12-entry prefix.  Within a module, entries
+    keep their DEFINITION order — oracle-checked and rows-only alike, so
+    any sampled prefix carries its natural share of rows-only entries
+    (an earlier oracle-first sort systematically pushed the rows-only
+    LSH/ANN entries out of the sampled window; that bias is removed).
+    Name→spec mapping and entry()/bench lookups are unaffected — only
+    iteration order changes."""
     by_mod: dict[str, list[QuerySpec]] = {}
     for spec in REGISTRY.values():
         by_mod.setdefault(spec.module, []).append(spec)
-    queues = {
-        m: sorted(specs, key=lambda s: s.oracle is None)  # stable
-        for m, specs in by_mod.items()
-    }
+    queues = {m: list(specs) for m, specs in by_mod.items()}
     REGISTRY.clear()
     while queues:
         for m in list(queues):

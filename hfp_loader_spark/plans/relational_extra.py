@@ -345,8 +345,10 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MEASURED skew mitigation (salted_join with n_salts=None): the "
     "hot side's key cardinalities are profiled first "
     "(quality.key_skew_stats, one aggregate pass), the salt factor is "
-    "derived from the p99/avg ratio (quality.derive_salt_factor, "
-    "clamped ≤64), and below the engage threshold the join runs PLAIN — "
+    "derived from the max/avg skew ratio — p99/avg is only a secondary "
+    "signal, since the canonical one-mega-hot-key case has p99 ≈ avg — "
+    "(quality.derive_salt_factor, clamped ≤64), and below the engage "
+    "threshold the join runs PLAIN — "
     "diagnosis (dq_skew_report) wired into the remedy "
     "(skew_salted_join_agg) as one self-tuning operator. Semantics are "
     "identical either way, which is what the plain-join oracle pins.",

@@ -370,18 +370,21 @@ def test_khop_matches_python_bfs(spark, edges, data):
         st.integers(min_value=-(2**40), max_value=2**40),
         min_size=1,
         max_size=40,
-        unique=True,
     ),
 )
 def test_bloom_never_false_negative(spark, keys, probes):
     """For ANY key set: every inserted key probes TRUE (hard theorem of
-    the construction), and every probe gets exactly one verdict row."""
+    the construction), and every DISTINCT probe gets exactly one verdict
+    row.  The probe frame deliberately carries DUPLICATE keys (each
+    inserted key is probed twice, and the hypothesis probe list is not
+    unique) — regression for the exploded-join formulation that scored a
+    twice-probed key 2k set-bit hits ≠ k and reported it absent."""
     from hfp_loader_spark.operators.sketches import bloom_build, bloom_contains
 
     inserted = spark.createDataFrame([(k,) for k in keys], "k long")
     bloom = bloom_build(inserted, "k", num_bits=512, num_hashes=4)
     probe_df = spark.createDataFrame(
-        [(p,) for p in set(probes) | set(keys)], "k long"
+        [(p,) for p in probes + keys + keys], "k long"
     )
     out = {
         r["k"]: r["maybe_present"]

@@ -328,6 +328,57 @@ def test_derive_salt_factor_thresholds():
     assert derive_salt_factor({"avg_rows_per_key": 0.0}) == 1
 
 
+def test_derive_salt_factor_max_dominates_p99():
+    """The canonical skew shape — ONE mega-hot key among thousands of
+    uniform ones — has p99 ≈ avg; the trigger MUST come from max/avg.
+    A revert to a p99-only signal fails every assertion here."""
+    from hfp_loader_spark.operators.quality import derive_salt_factor
+
+    # p99 barely above avg (would not engage), max 50× avg → 50 salts
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 10.0, "p99_rows_per_key": 11,
+         "max_rows_per_key": 500}
+    ) == 50
+    # same shape via a precomputed skew_ratio only (key_skew_stats path)
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 10.0, "p99_rows_per_key": 11,
+         "skew_ratio": 50.0}
+    ) == 50
+    # max/avg below threshold, p99 absent → plain join
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 10.0, "max_rows_per_key": 15}
+    ) == 1
+    # p99 is still a live secondary signal when max is missing
+    assert derive_salt_factor(
+        {"avg_rows_per_key": 10.0, "p99_rows_per_key": 80}
+    ) == 8
+
+
+def test_salted_join_auto_engages_on_single_mega_hot_key(spark):
+    """One hot key among 400 uniform keys: p99 ≈ avg, so only the
+    max/avg signal can engage salting — assert the plan salts AND the
+    result equals the plain join (the operator's semantic contract)."""
+    import itertools
+
+    rows = list(
+        itertools.chain(
+            ((0, float(i % 7)) for i in range(4000)),  # the mega-hot key
+            ((k, float(k)) for k in range(1, 401) for _ in range(5)),
+        )
+    )
+    skewed = spark.createDataFrame(rows, "k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 401)], "k long, name string"
+    )
+    out = salted_join(skewed, dim, ["k"], n_salts=None)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan  # max/avg-driven engagement
+    plain = skewed.join(dim, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 def test_ewma_per_key_matches_reference_and_distributes(spark):
     """ewma() with keys must match a hand-rolled trailing EWMA per key
     and plan a KEY-partitioned window (no single-partition sort)."""

@@ -115,6 +115,46 @@ def test_bloom_merge_equals_direct_build(spark):
     assert a == b
 
 
+def test_bloom_contains_duplicate_probe_keys(spark):
+    """An inserted key probed MULTIPLE times must still report
+    maybe_present=TRUE, with one verdict row per distinct key.
+    Regression: the exploded-join formulation summed set-bit hits per
+    key and compared against num_hashes, so a key probed twice scored
+    2k ≠ k and was falsely reported ABSENT — violating the docstring's
+    no-false-negative theorem on plausible input."""
+    from hfp_loader_spark.operators.sketches import bloom_build, bloom_contains
+
+    present = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bloom = bloom_build(present, "k", num_bits=4096, num_hashes=5)
+    probes = spark.createDataFrame(
+        [(i % 25,) for i in range(100)] + [(7,)] * 5, "k long"
+    )
+    rows = bloom_contains(
+        bloom, probes, "k", num_bits=4096, num_hashes=5
+    ).collect()
+    out = {r["k"]: r["maybe_present"] for r in rows}
+    assert len(rows) == 25  # one row per DISTINCT probe key
+    assert all(out[i] for i in range(25))
+
+
+def test_bloom_contains_probe_is_joinless(spark):
+    """The probe must be a map-side bitmap test (element_at + getbit on
+    a packed-word literal) — no join, no exploded probe frame.  The only
+    exchange allowed is the distinct over probe keys."""
+    from hfp_loader_spark.operators.sketches import bloom_build, bloom_contains
+
+    present = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bloom = bloom_build(present, "k", num_bits=4096, num_hashes=5)
+    probes = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    df = bloom_contains(bloom, probes, "k", num_bits=4096, num_hashes=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "getbit" in plan
+    assert "Join" not in plan and "Generate" not in plan
+    # one exchange: the probe-key distinct
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") <= 1
+
+
 def test_bloom_no_false_negatives_and_bounded_fp(spark):
     from hfp_loader_spark.operators.sketches import (
         bloom_build,
