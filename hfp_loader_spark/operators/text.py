@@ -306,6 +306,115 @@ def chunk_documents(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Excise duplicated n-gram spans from document text — the SURGERY
+    counterpart of the ``text_duplicate_ngram_spans`` measurement (the
+    exact-substring deduplication of Lee et al., 'Deduplicating Training
+    Data Makes Language Models Better', §4, at word n-gram granularity).
+
+    Semantics: tokenize on whitespace (tokens keep their case and
+    punctuation — only inter-token whitespace is normalized), emit every
+    n-gram OCCURRENCE with its start position, and call an n-gram
+    duplicated when it occurs ≥ 2 times corpus-wide (across documents or
+    repeated inside one).  For each duplicated n-gram, the corpus-wide
+    FIRST occurrence (min (doc_id, position)) is canonical and kept —
+    "all but one of the occurrences" is removed, per the paper — and
+    every token position covered by a non-canonical occurrence is
+    excised.  Output: ``(id_col, text_col, n_tokens, n_removed)`` with
+    the trimmed, single-space-joined text (one row per input row;
+    NULL text passes through as NULL with zero counts).
+
+    Scale shape: grams are built in ONE projection over the bound token
+    array (the array is materialized before any explode, so the explode
+    carries (id, pos, hash) rows — never the token array itself), and
+    duplicated-gram detection is a single groupBy on the 8-byte
+    ``xxhash64`` of the gram with constant per-gram state
+    (count + min-struct canonical): no posting lists, no window sort.
+    Occurrences re-join the surviving gram set on the same hash key, the
+    covered positions fold back per document via ``collect_set``
+    (bounded by the document's own token count), and reconstruction is a
+    doc-local array filter — tokens are never shuffled.  Hash note: a
+    64-bit gram-hash collision can only merge two distinct grams into
+    one duplicate group (slight over-removal), never resurrect a
+    duplicate."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    raw_toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    toked = docs.withColumn("_toks", raw_toks)
+    # One gram hash per start position, built inside a single projection.
+    # The transform is guarded by a CASE WHEN rather than a row filter:
+    # InferFiltersFromGenerate copies the generator input into an
+    # inferred `size(e) > 0` predicate that can evaluate BEFORE the
+    # size>=n conjunct, and an unguarded transform then runs
+    # sequence(0, negative) → slice(start 0) → runtime error on short
+    # documents.  CaseWhen branches evaluate lazily, so the guard is
+    # part of the expression itself and survives any predicate
+    # inference or reordering.
+    starts = F.sequence(F.lit(0), F.size("_toks") - n)
+    gram_hashes = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            starts,
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice("_toks", i + 1, n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = toked.select(id_col, gram_hashes.alias("_ghs")).select(
+        id_col, F.posexplode("_ghs").alias("pos", "_gh")
+    )
+    dup = occ.groupBy("_gh").agg(
+        F.count("*").alias("_c"),
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("_canon"),
+    ).where(F.col("_c") >= 2)
+    rem_occ = occ.join(dup, "_gh").where(
+        ~(
+            (F.col(id_col) == F.col("_canon.d"))
+            & (F.col("pos") == F.col("_canon.p"))
+        )
+    )
+    rem = (
+        rem_occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_rm"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_rm"), i),
+    )
+    out_toks = F.when(F.col("_rm").isNull(), F.col("_toks")).otherwise(kept)
+    return (
+        toked.join(rem, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("_toks").isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat_ws(" ", out_toks)).alias(text_col),
+            F.coalesce(F.size("_toks"), F.lit(0)).cast("int").alias(
+                "n_tokens"
+            ),
+            (
+                F.coalesce(F.size("_toks"), F.lit(0))
+                - F.coalesce(F.size(out_toks), F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )
+
+
 def boilerplate_fractions(
     docs: DataFrame,
     id_col: str = "doc_id",

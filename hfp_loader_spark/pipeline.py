@@ -29,6 +29,7 @@ lazy, so Catalyst still pushes the row-local gates into the scan.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,7 @@ from hfp_loader_spark.operators.sampling import mixture_sample
 from hfp_loader_spark.operators.text import (
     chunk_documents,
     quality_score,
+    remove_duplicate_spans,
     repetition_metrics,
     scrub_pii,
     tokens,
@@ -57,6 +59,13 @@ class PipelineConfig:
     # per-source keep thresholds (4-hex lexicographic, see mixture_sample);
     # empty → keep every source in full
     mixture_thresholds: dict[str, str] = field(default_factory=dict)
+    # duplicated-span SURGERY (Lee et al. exact-substring dedup): excise
+    # word n-grams occurring ≥2× corpus-wide from the surviving docs'
+    # text, keeping the corpus-wide first occurrence.  None → skip the
+    # stage (whole-document dedup only).  Runs LAST, on the final
+    # survivor set, so the expensive gram pass sees the fewest docs and
+    # whole-doc near-dedup operates on unmodified text.
+    remove_span_n: int | None = None
     chunk_window: int = 32
     chunk_stride: int = 24
 
@@ -142,12 +151,16 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
-) -> tuple[DataFrame, dict[str, int]]:
-    """Run the full corpus-prep chain; returns (clean_docs, stage_counts).
+) -> tuple[DataFrame, dict[str, int], Callable[[], None]]:
+    """Run the full corpus-prep chain; returns (clean_docs, stage_counts,
+    release).
 
     ``clean_docs`` carries the surviving documents with ``text`` PII-
     scrubbed; ``stage_counts`` maps stage name → surviving row count (the
-    audit trail a production pipeline persists next to the output).
+    audit trail a production pipeline persists next to the output);
+    ``release()`` unpersists the final cached stage boundary — call it
+    AFTER writing ``clean_docs`` (writing first consumes the cache;
+    releasing first turns the write into a full-chain recompute).
     Stages that need a second input (decontamination) or configuration
     (mixture) are skipped when not provided — the report records only the
     stages that ran.
@@ -163,8 +176,13 @@ def prepare_corpus(
     # No emptiness pre-check: connected_components handles an empty edge
     # list, and a take(1) probe would materialize the whole LSH+verify
     # chain a second time.
+    lsh_caches: list[DataFrame] = []
     pairs = minhash_lsh_pairs(
-        survivors, id_col, text_col, threshold=cfg.jaccard_threshold
+        survivors,
+        id_col,
+        text_col,
+        threshold=cfg.jaccard_threshold,
+        cache_registry=lsh_caches,
     )
     comp = connected_components_alternating(pairs, src="doc_a", dst="doc_b")
     drop = comp.where(F.col("id") != F.col("component")).select(
@@ -172,6 +190,11 @@ def prepare_corpus(
     )
     survivors = survivors.join(drop, id_col, "left_anti")
     survivors = ledger.checkpoint(survivors, "near_dedup", id_col)
+    # the boundary count above materialized the pair lineage into the
+    # near_dedup cache — the LSH intermediates (shingles + signatures)
+    # are dead weight from here on
+    for c in lsh_caches:
+        c.unpersist()
 
     if heldout is not None:
         contaminated = decontaminate(
@@ -185,17 +208,40 @@ def prepare_corpus(
             survivors, source_col, cfg.mixture_thresholds, key_col=id_col
         )
         survivors = ledger.checkpoint(survivors, "mixture", id_col)
+        last = "mixture"
+    else:
+        last = "decontaminate" if heldout is not None else "near_dedup"
+
+    if cfg.remove_span_n:
+        # duplicated-span SURGERY on the final survivor set: trim the
+        # text in place (rows are never dropped — the stage count stays
+        # equal to the previous boundary, which keeps the monotone-
+        # shrinkage invariant).  Only (id, text) feed the gram pass; the
+        # trimmed text joins back so every other column passes through.
+        trimmed = remove_duplicate_spans(
+            survivors.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            n=cfg.remove_span_n,
+        )
+        survivors = survivors.drop(text_col).join(
+            trimmed.select(id_col, text_col), id_col
+        )
+        survivors = ledger.checkpoint(survivors, "remove_dup_spans", id_col)
+        last = "remove_dup_spans"
 
     # scrub_pii is a row-local projection — it drops nothing, so the
     # output count IS the last stage's count (no extra action, and the
     # caller's write over `clean` reads the cached boundary frame once).
     clean = survivors.withColumn(text_col, scrub_pii(F.col(text_col)))
-    counts["output"] = counts[
-        "mixture" if cfg.mixture_thresholds
-        else "decontaminate" if heldout is not None
-        else "near_dedup"
-    ]
-    return clean, counts
+    counts["output"] = counts[last]
+    # The final boundary stays cached so the caller's write consumes it
+    # (see _StageLedger); the release handle is how a long-lived session
+    # drops it once the output is landed — without it the last
+    # MEMORY_AND_DISK frame leaked until session end (the ingest loop in
+    # ingest_delta releases eagerly instead, trading a batch-sized
+    # recompute; a full-corpus caller should write first, then release).
+    return clean, counts, ledger.release
 
 
 def ingest_delta(
@@ -350,9 +396,12 @@ def main(argv: list[str] | None = None) -> int:
         heldout = docs.where(F.col("doc_id") % args.heldout_mod == 0)
         docs = docs.where(F.col("doc_id") % args.heldout_mod != 0)
     cfg = PipelineConfig(min_quality=args.min_quality)
-    clean, counts = prepare_corpus(spark, docs, heldout=heldout, config=cfg)
+    clean, counts, release = prepare_corpus(
+        spark, docs, heldout=heldout, config=cfg
+    )
     corpus_path = os.path.join(args.out_dir, "corpus.parquet")
     clean.write.mode("overwrite").parquet(corpus_path)
+    release()  # output landed — drop the final cached stage boundary
     # chunk from the materialized output, not the live lineage — re-running
     # the whole gate/dedup chain for the second write would double the cost
     chunk_corpus(spark.read.parquet(corpus_path), cfg).write.mode(

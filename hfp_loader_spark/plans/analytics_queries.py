@@ -491,6 +491,73 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "text_remove_duplicate_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1 : i+8], ' ') AS g
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i)
+      WHERE len(t) >= 8
+    ), ranked AS (
+      SELECT doc_id, pos,
+             count(*)     OVER (PARTITION BY g) AS c,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ), rem AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM ranked, LATERAL (SELECT unnest(generate_series(0, 7)) AS j)
+      WHERE c >= 2 AND rn > 1
+    ), tok_rows AS (
+      SELECT doc_id, i - 1 AS p, t[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+    ), kept AS (
+      SELECT tr.doc_id,
+             string_agg(tr.tok, ' ' ORDER BY tr.p)
+               FILTER (WHERE r.p IS NULL) AS new_text,
+             count(*) FILTER (WHERE r.p IS NOT NULL) AS n_rm
+      FROM tok_rows tr
+      LEFT JOIN rem r ON tr.doc_id = r.doc_id AND tr.p = r.p
+      GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(k.new_text, '') END AS text,
+           CAST(coalesce(len(tk.t), 0) AS INT) AS n_tokens,
+           CAST(coalesce(k.n_rm, 0)   AS INT) AS n_removed
+    FROM documents d
+    LEFT JOIN toks tk ON d.doc_id = tk.doc_id
+    LEFT JOIN kept k  ON d.doc_id = k.doc_id
+    """,
+    doc="Duplicated-span SURGERY (operators.text.remove_duplicate_spans) — "
+    "the removal counterpart of the text_duplicate_ngram_spans "
+    "measurement, per Lee et al. §4 exact-substring dedup at word "
+    "8-grams: every n-gram occurring ≥2× corpus-wide keeps its "
+    "corpus-wide FIRST occurrence (min (doc_id, pos)) and every other "
+    "occurrence's covered tokens are excised; the trimmed text is the "
+    "single-space re-join of surviving tokens (case and punctuation "
+    "preserved — only inter-token whitespace normalizes). Scale shape: "
+    "grams hash to 8 bytes in one projection over the bound token "
+    "array, duplicate detection is a constant-state groupBy (count + "
+    "min-struct canonical — no posting lists, no window sort), covered "
+    "positions fold back per doc via collect_set, and reconstruction "
+    "is a doc-local array filter: tokens are never shuffled. The "
+    "oracle restates the contract with the gram STRINGS and a "
+    "row_number canonical — agreeing with the hash path bit-for-bit "
+    "on every doc_id/text/n_tokens/n_removed.",
+)
+def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, n=8)
+
+
+@defquery(
     "dq_skew_report",
     """
     WITH per_key AS (

@@ -308,3 +308,49 @@ def test_duplicate_ngram_spans_detects_planted_dup(spark):
     assert out[1]["n_boiler"] == 5
     assert out[2]["n_boiler"] == 5
     assert out[3]["n_boiler"] == 0
+
+
+def test_remove_duplicate_spans_exact_surgery(spark):
+    """Lee-et-al. exact-substring surgery at word 8-grams: the
+    corpus-wide FIRST occurrence of a duplicated n-gram survives, every
+    other occurrence's covered tokens are excised (cross-document and
+    within-document alike), and untouched / short / NULL / empty docs
+    pass through with their token stream intact."""
+    from hfp_loader_spark.operators.text import remove_duplicate_spans
+
+    rows = [
+        (1, "A B C D e f g h tail one two three"),       # canonical holder
+        (2, "prefix words A B C D e f g h more stuff"),  # cross-doc dup
+        (3, "x y z " + "r1 r2 r3 r4 r5 r6 r7 r8 " * 2 + "end"),  # self dup
+        (4, "short doc"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=8).collect()
+    }
+    assert len(out) == 6  # one row per input row, none dropped
+    assert out[1] == ("A B C D e f g h tail one two three", 12, 0)
+    assert out[2] == ("prefix words more stuff", 12, 8)
+    assert out[3] == ("x y z r1 r2 r3 r4 r5 r6 r7 r8 end", 20, 8)
+    assert out[4] == ("short doc", 2, 0)
+    assert out[5] == (None, 0, 0)
+    assert out[6] == ("", 0, 0)
+
+
+def test_remove_duplicate_spans_merges_overlapping_occurrences(spark):
+    """Overlapping duplicated grams excise the UNION of covered
+    positions — no double counting, no gaps."""
+    from hfp_loader_spark.operators.text import remove_duplicate_spans
+
+    nine = " ".join(f"t{i}" for i in range(9))  # two overlapping 8-grams
+    rows = [(1, nine + " filler alpha beta"), (2, "lead in " + nine)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=8).collect()
+    }
+    assert out[1] == (nine + " filler alpha beta", 0)
+    assert out[2] == ("lead in", 9)  # both grams' cover = 9 tokens, once

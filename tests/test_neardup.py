@@ -220,6 +220,38 @@ def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bloom_gated_decontaminate_matches_exact(spark, sf_dir):
+    """Identity contract: the Bloom gate has no false negatives and
+    phase 2 re-checks exactly, so the two-phase result must EQUAL plain
+    decontaminate row-for-row — and phase 1 must gate map-side (getbit
+    on the broadcast bitmap literal), shuffling only surviving doc ids,
+    never the (doc, shingle) pair set."""
+    from hfp_loader_spark.operators.neardup import (
+        decontaminate,
+        decontaminate_bloom_gated,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 17 != 0")
+    heldout = docs.where("doc_id % 17 = 0")
+    gated = decontaminate_bloom_gated(
+        corpus, heldout, "doc_id", "text", n=8, num_bits=1 << 14
+    )
+    exact = decontaminate(corpus, heldout, "doc_id", "text", n=8)
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    import re
+
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "getbit" in plan  # map-side bitmap gate in place
+    # phase 1 must NOT aggregate the full (doc_id, shingle) pair set —
+    # the old exploded-probe gate grouped by exactly those two keys to
+    # sum bit hits, shuffling every corpus shingle; the bitmap gate's
+    # only phase-1 aggregate is the survivor doc_id distinct.
+    assert not re.search(r"Aggregate \[doc_id#\d+L?, _sh#\d+L?\]", plan)
+
+
 def test_incremental_signature_index_matches_full_recompute(spark, sf_dir, tmp_path):
     """Index 80% of the corpus, then dedup the 20% delta against the
     stored signatures: candidate pairs touching the delta must equal the

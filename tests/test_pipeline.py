@@ -12,7 +12,7 @@ def test_pipeline_stages_shrink_and_account(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     heldout = docs.where(F.col("doc_id") % 17 == 0)
     corpus = docs.where(F.col("doc_id") % 17 != 0)
-    clean, counts = prepare_corpus(
+    clean, counts, release = prepare_corpus(
         spark,
         corpus,
         heldout=heldout,
@@ -58,7 +58,7 @@ def test_pipeline_removes_planted_duplicates_and_contamination(spark):
     heldout = spark.createDataFrame(
         [(100, bench_text)], "doc_id long, text string"
     )
-    clean, counts = prepare_corpus(spark, docs, heldout=heldout)
+    clean, counts, _rel = prepare_corpus(spark, docs, heldout=heldout)
     kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
     assert 2 not in kept  # exact dup removed, min id kept
     assert 1 in kept
@@ -69,14 +69,14 @@ def test_pipeline_removes_planted_duplicates_and_contamination(spark):
 
 def test_pipeline_is_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    _, c1 = prepare_corpus(spark, docs)
-    _, c2 = prepare_corpus(spark, docs)
+    _, c1, _r1 = prepare_corpus(spark, docs)
+    _, c2, _r2 = prepare_corpus(spark, docs)
     assert c1 == c2
 
 
 def test_chunk_corpus_covers_every_survivor(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    clean, _ = prepare_corpus(spark, docs)
+    clean, _, _rel = prepare_corpus(spark, docs)
     chunks = chunk_corpus(clean)
     n_docs = clean.count()
     chunk_docs = chunks.select("doc_id").distinct().count()
@@ -316,8 +316,52 @@ def test_prepare_corpus_consumes_checkpointed_boundary(spark, sf_dir):
     boundary (InMemoryTableScan in the plan), not re-run the whole
     gate/dedup chain — the O(stages²) recompute fix."""
     docs = load_table(spark, sf_dir, "documents")
-    clean, _ = prepare_corpus(spark, docs)
+    clean, _, _rel = prepare_corpus(spark, docs)
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     # and the cached boundary means the scan chain is NOT in the plan
     assert "minhash" not in plan.lower()
+
+
+def test_prepare_corpus_release_handle_clears_cache(spark, sf_dir):
+    """The third return value must unpersist the final cached stage
+    boundary — without it every prepare_corpus call leaked one
+    MEMORY_AND_DISK frame until session end (the ingest-loop leak class
+    ingest_delta already guards against)."""
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    clean, _, release = prepare_corpus(spark, docs)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert not cache_mgr.isEmpty()  # final boundary is cached for the write
+    release()
+    assert cache_mgr.isEmpty()  # no cached frame survives the release
+
+
+def test_pipeline_remove_span_stage_trims_shared_spans(spark):
+    """With remove_span_n set, a duplicated 8-gram shared by two
+    SURVIVING documents must be excised from the non-canonical one,
+    rows must not be dropped, and the stage must be recorded."""
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + " ".join(f"a{i}" for i in range(20)), "src0"),
+            (2, " ".join(f"b{i}" for i in range(20)) + " " + span, "src0"),
+            (3, " ".join(f"c{i}" for i in range(28)), "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    clean, counts, release = prepare_corpus(
+        spark, docs, config=PipelineConfig(remove_span_n=8)
+    )
+    out = {r["doc_id"]: r["text"] for r in clean.collect()}
+    release()
+    assert list(counts) == [
+        "input", "quality", "exact_dedup", "near_dedup",
+        "remove_dup_spans", "output",
+    ]
+    assert counts["remove_dup_spans"] == counts["near_dedup"]  # no rows drop
+    assert sorted(out) == [1, 2, 3]
+    assert span in out[1]          # canonical (min doc_id) keeps the span
+    assert span not in out[2]      # non-canonical occurrence excised
+    assert out[2] == " ".join(f"b{i}" for i in range(20))
+    assert out[3] == " ".join(f"c{i}" for i in range(28))
