@@ -495,7 +495,11 @@ def decontaminate(
     is advisory, the flag needs any true match).
     """
     c = shingle_docs(ensure_parallelism(corpus, id_col), id_col, text_col, n)
-    h = shingle_docs(heldout, id_col, text_col, n)
+    # the bench side is small but its tokenize+shingle pass is the same
+    # CPU-heavy chain — a single-file benchmark otherwise runs it on ONE
+    # core while 31 idle (ensure_parallelism is a no-op once the input
+    # has ≥ cores files)
+    h = shingle_docs(ensure_parallelism(heldout, id_col), id_col, text_col, n)
     bench = (
         h.select(
             F.col("doc_id").alias("bench_id"),
@@ -765,13 +769,11 @@ def decontaminate_bloom_gated(
     """
     from hfp_loader_spark.operators.sketches import (
         _bucket as _bloom_bit,
-        bloom_bitmap_test,
-        bloom_bitmap_words,
         bloom_build,
     )
 
     bench_keys = (
-        shingle_docs(heldout, id_col, text_col, n)
+        shingle_docs(ensure_parallelism(heldout, id_col), id_col, text_col, n)
         .select(F.explode("shingles").alias("_s"))
         .select(F.xxhash64("_s").alias("_sh"))
         .distinct()
@@ -779,24 +781,29 @@ def decontaminate_bloom_gated(
     bits = bloom_build(
         bench_keys, "_sh", num_bits=num_bits, num_hashes=num_hashes
     )
-    # pack the benchmark filter into an array-of-longs LITERAL (bounded
-    # driver read, ≤ num_bits/64 words) and gate the corpus with a pure
-    # map-side predicate: each shingle hash tests its k bits via
-    # element_at+getbit and a doc survives iff ANY shingle passes.  The
-    # only exchange before phase 2 is the distinct over SURVIVING doc
-    # ids — the earlier formulation shuffled the full distinct
-    # (doc, shingle) set just to aggregate probe hits.
-    words_lit = F.lit(bloom_bitmap_words(bits, num_bits))
+    # Gate the corpus with k chained BROADCAST LEFT-SEMI joins against
+    # the ≤ num_bits-row bit-set frame — semi join j keeps a shingle row
+    # iff its j-th probe bit is set, so surviving the chain means ALL k
+    # bits are set (the Bloom maybe-present verdict), entirely map-side.
+    # The only exchange before phase 2 is the distinct over SURVIVING
+    # doc ids: the earlier formulation exploded probes k× and shuffled
+    # the full distinct (doc, shingle) set through a hash aggregation
+    # just to count bit hits.  Chained semi joins also keep the plan
+    # LAZY end-to-end (an alternative — packing the filter into an
+    # array literal probed via getbit — runs an eager collect job at
+    # DataFrame-construction time, which a catalog builder must not).
     ex = (
         shingle_docs(ensure_parallelism(corpus, id_col), id_col, text_col, n)
         .select("doc_id", F.explode("shingles").alias("_s"))
         .select("doc_id", F.xxhash64("_s").alias("_sh"))
     )
-    maybe = None
     for j in range(num_hashes):
-        t = bloom_bitmap_test(words_lit, _bloom_bit(F.col("_sh"), j, num_bits))
-        maybe = t if maybe is None else (maybe & t)
-    gated = ex.where(maybe).select("doc_id").distinct()
+        ex = ex.join(
+            F.broadcast(bits),
+            _bloom_bit(F.col("_sh"), j, num_bits) == bits["bit"],
+            "left_semi",
+        )
+    gated = ex.select("doc_id").distinct()
     survivors = corpus.join(
         gated.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )

@@ -198,7 +198,12 @@ def bloom_contains(
     earlier exploded-join formulation summed set-bit hits per key and
     compared against k, so a key probed twice scored 2k ≠ k and was
     falsely reported absent."""
-    words_lit = F.lit(bloom_bitmap_words(bloom, num_bits))
+    # the cast is load-bearing: a sparse filter whose words all fit in
+    # 32 bits would otherwise infer array<int>, and getbit rejects bit
+    # positions ≥ 32 on an int word
+    words_lit = F.lit(bloom_bitmap_words(bloom, num_bits)).cast(
+        "array<bigint>"
+    )
     key = F.col(key_col)
     pred = None
     for j in range(num_hashes):

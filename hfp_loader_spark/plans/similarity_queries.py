@@ -590,11 +590,18 @@ def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE
     e0 AS (
+      -- the CASE guard mirrors Spark's NULL-safe cosine (zero-norm or
+      -- NULL/empty vectors score NULL and drop out of the edge list);
+      -- bare list_cosine_similarity ERRORS on an empty-vs-64 length
+      -- mismatch, and a WHERE conjunct is not guaranteed to
+      -- short-circuit before it
       SELECT a.vec_id AS da, b.vec_id AS db
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.vec_id < {_ALLPAIRS_CAP} AND b.vec_id < {_ALLPAIRS_CAP}
-        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]), 4) >= 0.45
+        AND round(CASE WHEN len(a.embedding) > 0 AND len(b.embedding) > 0
+                       THEN list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                  END, 4) >= 0.45
     ),
     edges AS (
       SELECT da AS s, db AS d FROM e0

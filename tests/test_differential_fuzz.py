@@ -81,6 +81,13 @@ FUZZ_ENTRIES = [
     "sketch_join_size_estimate",
     "sample_per_source_cap",
     "decontaminate_bloom_gated",
+    # sliding distinct (ts fan-out over mutated events), semantic
+    # clusters (the banded-discovery + CC composition over mutated
+    # text), and duplicate-span surgery (NULL / empty / non-ASCII text
+    # is exactly the reconstruction path's risk surface)
+    "sketch_sliding_distinct",
+    "sim_semantic_clusters",
+    "text_remove_duplicate_spans",
 ]
 
 
@@ -194,6 +201,10 @@ NANOS_ENTRIES = [
     # distinct day fan-out both ride the nanos→timestamp normalization
     "timeseries_ewma_per_user",
     "sketch_sliding_distinct",
+    # events-reading round-6 entries: neither consumes ts directly, but
+    # both scan the re-encoded table and must survive the schema change
+    "skew_autosalt_join_agg",
+    "sketch_join_size_estimate",
 ]
 
 

@@ -223,9 +223,9 @@ def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
 def test_bloom_gated_decontaminate_matches_exact(spark, sf_dir):
     """Identity contract: the Bloom gate has no false negatives and
     phase 2 re-checks exactly, so the two-phase result must EQUAL plain
-    decontaminate row-for-row — and phase 1 must gate map-side (getbit
-    on the broadcast bitmap literal), shuffling only surviving doc ids,
-    never the (doc, shingle) pair set."""
+    decontaminate row-for-row — and phase 1 must gate map-side (chained
+    broadcast left-semi joins against the bit-set frame), shuffling only
+    surviving doc ids, never the (doc, shingle) pair set."""
     from hfp_loader_spark.operators.neardup import (
         decontaminate,
         decontaminate_bloom_gated,
@@ -244,10 +244,12 @@ def test_bloom_gated_decontaminate_matches_exact(spark, sf_dir):
     import re
 
     plan = gated._jdf.queryExecution().optimizedPlan().toString()
-    assert "getbit" in plan  # map-side bitmap gate in place
+    # the k-bit verdict is a chain of LeftSemi joins on the probe-bit
+    # equality — all map-side once the bit set broadcasts
+    assert plan.count("LeftSemi") >= 5
     # phase 1 must NOT aggregate the full (doc_id, shingle) pair set —
     # the old exploded-probe gate grouped by exactly those two keys to
-    # sum bit hits, shuffling every corpus shingle; the bitmap gate's
+    # sum bit hits, shuffling every corpus shingle; the semi-join gate's
     # only phase-1 aggregate is the survivor doc_id distinct.
     assert not re.search(r"Aggregate \[doc_id#\d+L?, _sh#\d+L?\]", plan)
 
