@@ -301,6 +301,55 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def index_signature_params(
+    spark, root: str, version: int | None = None
+) -> dict | None:
+    """The signature-construction stamp of a persisted index's manifest
+    (``None`` on an empty root).  Every :func:`save_signature_index`
+    commit records how its signatures were built — text representation,
+    shingle width, hash count — so a later reader can refuse to compare
+    against signatures built differently instead of silently
+    under-matching."""
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
+
+    head = latest_version(spark, root)
+    if head is None:
+        return None
+    v = head if version is None else version
+    meta = _read_manifest(spark, root, v).meta or {}
+    return meta.get("signature_params")
+
+
+def _check_signature_params(
+    stored: dict | None,
+    root: str,
+    text_representation: str,
+    shingle_n: int,
+    num_hashes: int,
+) -> None:
+    want = {
+        "text_representation": text_representation,
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+    }
+    if stored is None:
+        raise ValueError(
+            f"signature index at {root!r} carries no signature_params "
+            "stamp — it predates the manifest marker, so its text "
+            "representation is unknown and mixing it with new "
+            f"{want} signatures could silently under-match near-dups; "
+            "rebuild the index (save_signature_index stamps every "
+            "commit) or verify and restamp it"
+        )
+    if stored != want:
+        raise ValueError(
+            f"signature index at {root!r} was built with {stored} but "
+            f"this call uses {want}; comparing signatures across "
+            "representations silently deflates every match — rebuild "
+            "the index or pass matching parameters"
+        )
+
+
 def save_signature_index(
     spark,
     docs: DataFrame,
@@ -310,6 +359,7 @@ def save_signature_index(
     shingle_n: int = 3,
     num_hashes: int = 32,
     mode: str = "append",
+    text_representation: str = "raw",
 ) -> int:
     """Persist MinHash signatures as a versioned-table snapshot — the
     corpus-history side of incremental dedup.
@@ -318,14 +368,41 @@ def save_signature_index(
     delta: each ingest APPENDS its batch's ``(doc_id, sig)`` rows
     (``mode='append'`` = O(1) manifest commit on top of the stored
     parquet), and the delta join reads signatures — 32 longs per doc —
-    instead of documents.  Returns the committed version."""
+    instead of documents.  Returns the committed version.
+
+    Every manifest is STAMPED with ``signature_params`` — the text
+    representation the caller hashed (``'raw'`` = pre-scrub, the
+    pipeline's contract), shingle width, and hash count.  An append onto
+    an index stamped with DIFFERENT params fails fast: signatures built
+    from different representations never collide correctly, so a mixed
+    index silently stops finding near-dups across the boundary —
+    exactly the failure the stamp exists to make loud."""
     from hfp_loader_spark.versioned import commit_snapshot
 
+    params = {
+        "text_representation": text_representation,
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+    }
+    if mode == "append":
+        stored = index_signature_params(spark, root)
+        if stored is not None or _index_has_commits(spark, root):
+            _check_signature_params(
+                stored, root, text_representation, shingle_n, num_hashes
+            )
     sigs = minhash_signatures(
         shingle_docs(ensure_parallelism(docs, id_col), id_col, text_col, shingle_n),
         num_hashes,
     )
-    return commit_snapshot(spark, sigs, root, mode=mode)
+    return commit_snapshot(
+        spark, sigs, root, mode=mode, meta={"signature_params": params}
+    )
+
+
+def _index_has_commits(spark, root: str) -> bool:
+    from hfp_loader_spark.versioned import latest_version
+
+    return latest_version(spark, root) is not None
 
 
 def dedup_delta_against_index(
@@ -339,6 +416,7 @@ def dedup_delta_against_index(
     num_bands: int = 8,
     version: int | None = None,
     estimate_threshold: float | None = None,
+    text_representation: str = "raw",
 ) -> DataFrame:
     """LSH candidates of a NEW batch against the persisted signature
     index (plus within-batch pairs): every ``(doc_a, doc_b)`` candidate
@@ -364,9 +442,14 @@ def dedup_delta_against_index(
     Bootstraps an EMPTY history: on a fresh ``root`` with no committed
     version the history side is an empty frame (within-batch pairs only)
     — the very first ingest must not fail just because nothing precedes
-    it.  Fails fast on a signature-width mismatch: a stored index built
-    with a different ``num_hashes`` would otherwise zip-pad with NULLs
-    and silently deflate every ``est_jaccard`` below threshold.
+    it.  Fails fast on a parameter mismatch, twice over: the manifest's
+    ``signature_params`` stamp must equal this call's (text
+    representation, shingle_n, num_hashes) — a stored index hashed from
+    a DIFFERENT text representation (e.g. post-PII-scrub) never matches
+    raw-text delta signatures, silently missing every cross-boundary
+    near-dup — and the stored signature WIDTH is re-checked from the
+    data as a backstop, since zip-comparing mismatched widths would
+    NULL-pad and deflate every ``est_jaccard`` below threshold.
 
     The returned pair list is persisted and eagerly materialized so the
     (larger) signature-union cache can be released before returning —
@@ -384,6 +467,13 @@ def dedup_delta_against_index(
         # signature append (the caller's job) creates version 0
         hist = delta_sigs.limit(0)
     else:
+        _check_signature_params(
+            index_signature_params(spark, root, version),
+            root,
+            text_representation,
+            shingle_n,
+            num_hashes,
+        )
         hist = read_snapshot(spark, root, version)
         stored = hist.select(F.size("sig").alias("n")).limit(1).collect()
         if stored and stored[0]["n"] != num_hashes:

@@ -136,6 +136,108 @@ def salted_join(
     return left.join(right, [*on, "_salt"], how).drop("_salt")
 
 
+def choose_join_strategy(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    broadcast_max_rows: int = 500_000,
+    prefilter_below_match_ratio: float = 0.5,
+    engage_at: float = 2.0,
+    max_salts: int = 64,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> tuple[DataFrame, dict]:
+    """Pre-flight join planning from bounded instruments: pick broadcast
+    vs salted vs Bloom-prefiltered vs plain shuffle BEFORE committing to
+    a 100 TB shuffle, and return (joined_df, decision).
+
+    The planning pass a production job runs once per layout, built from
+    this repo's own instruments — each a bounded aggregate, none a scan
+    retained in memory:
+
+    1. ``dim.count()`` — at or under ``broadcast_max_rows`` the dim
+       broadcasts (`strategy='broadcast'`): zero shuffle of the fact
+       side, skew irrelevant.
+    2. ``quality.key_skew_stats`` on the fact keys →
+       ``derive_salt_factor`` (max/avg signal): a factor above 1 salts
+       the join (`'salted'`, the measured factor) — AQE's runtime skew
+       split can't help a join feeding a same-key aggregate.
+    3. ``sketches.cms_join_size`` over count-min sketches of BOTH key
+       streams: when the estimated join cardinality is below
+       ``prefilter_below_match_ratio × fact_rows`` (a miss-heavy join —
+       most fact rows find no partner), the fact side is gated through
+       a Bloom filter of the dim keys (k chained broadcast left-semi
+       joins, map-side — same gate as the decontamination phase 1)
+       BEFORE the shuffle, so non-matching rows never shuffle at all
+       (`'bloom_prefilter_shuffle'`; inner joins only — dropping
+       non-matching fact rows early would change outer semantics, and
+       CMS over-estimation means the gate can only be conservative).
+    4. Otherwise `'shuffle'`: the plain hash join, AQE handling the
+       residuals.
+
+    The decision dict records the strategy and every measured input
+    (dim rows, fact rows, skew stats, estimated join rows) — the audit
+    line a pipeline logs next to the chosen plan."""
+    from hfp_loader_spark.operators.quality import (
+        derive_salt_factor,
+        key_skew_stats,
+    )
+    from hfp_loader_spark.operators.sketches import (
+        _bucket,
+        bloom_build,
+        cms_build,
+        cms_join_size,
+    )
+
+    on = [on] if isinstance(on, str) else list(on)
+    decision: dict = {}
+
+    n_dim = dim.count()
+    decision["dim_rows"] = n_dim
+    if n_dim <= broadcast_max_rows:
+        decision["strategy"] = "broadcast"
+        return fact.join(F.broadcast(dim), on, how), decision
+
+    stats = key_skew_stats(fact, on)
+    decision["fact_key_stats"] = stats
+    n_fact = int(round(stats["n_keys"] * stats["avg_rows_per_key"]))
+    decision["fact_rows"] = n_fact
+    factor = derive_salt_factor(stats, max_salts=max_salts, engage_at=engage_at)
+    if factor > 1:
+        decision["strategy"] = "salted"
+        decision["n_salts"] = factor
+        return salted_join(fact, dim, on, n_salts=factor, how=how), decision
+
+    key = F.xxhash64(*on)
+    est = cms_join_size(
+        cms_build(fact.select(key.alias("_k")), "_k"),
+        cms_build(dim.select(key.alias("_k")), "_k"),
+    ).collect()[0]["est_join_rows"]
+    decision["est_join_rows"] = est
+    if how == "inner" and n_fact > 0 and (
+        est < prefilter_below_match_ratio * n_fact
+    ):
+        decision["strategy"] = "bloom_prefilter_shuffle"
+        bits = bloom_build(
+            dim.select(key.alias("_k")),
+            "_k",
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+        )
+        gated = fact
+        for j in range(num_hashes):
+            gated = gated.join(
+                F.broadcast(bits),
+                _bucket(key, j, num_bits) == bits["bit"],
+                "left_semi",
+            )
+        return gated.join(dim, on, how), decision
+
+    decision["strategy"] = "shuffle"
+    return fact.join(dim, on, how), decision
+
+
 def asof_join(
     probes: DataFrame,
     events: DataFrame,

@@ -376,6 +376,63 @@ def skew_autosalt_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "join_strategy_autoplan",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2)   AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey AND c.c_custkey % 20 = 0
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Pre-flight join PLANNING (relational.choose_join_strategy): the "
+    "dim is counted (broadcast disabled here to exercise the deeper "
+    "branches), the fact keys are skew-profiled "
+    "(quality.key_skew_stats → derive_salt_factor), and the join "
+    "cardinality is estimated from count-min sketches of both key "
+    "streams (sketches.cms_join_size) — a miss-heavy estimate gates "
+    "the fact side through a Bloom filter of the dim keys (chained "
+    "broadcast left-semi joins, map-side) BEFORE the shuffle, so "
+    "non-matching rows never shuffle. Here the dim keeps only "
+    "c_custkey % 20 = 0 (~5% key coverage), so the prefilter branch "
+    "fires deterministically; the oracle is the PLAIN join — every "
+    "strategy must return the identical result, which is the "
+    "operator's whole contract. The decision instruments are bounded "
+    "scalar reads (dim count, skew profile, two depth×width sketches), "
+    "never a retained scan.",
+)
+def join_strategy_autoplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import choose_join_strategy
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 20 == 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined, _decision = choose_join_strategy(
+        ev,
+        dim,
+        on=["user_id"],
+        broadcast_max_rows=0,
+        engage_at=1e9,  # salting covered by skew_autosalt_join_agg
+    )
+    return (
+        joined.join(
+            F.broadcast(nation),
+            joined["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@defquery(
     "window_ntile_percentiles",
     """
     SELECT c_custkey, c_mktsegment,

@@ -324,3 +324,62 @@ def test_fuzzy_pairs_wildcard_handles_empty_and_short_keys(spark):
     )
     # ('','') lev 0; ('x','y') lev 1; nothing crosses lengths
     assert got == [(1, 2), (3, 4)]
+
+
+def test_signature_index_stamps_and_rejects_mismatched_params(
+    spark, sf_dir, tmp_path
+):
+    """Every index commit records signature_params (text representation,
+    shingle_n, num_hashes); appending or delta-deduping with DIFFERENT
+    params — or against an unstamped legacy index — must fail fast
+    instead of silently under-matching near-dups."""
+    import pytest
+
+    from hfp_loader_spark.operators.neardup import (
+        dedup_delta_against_index,
+        index_signature_params,
+        save_signature_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where("doc_id % 5 != 0").limit(40)
+    delta = docs.where("doc_id % 5 = 0").limit(10)
+
+    root = str(tmp_path / "sig_index")
+    save_signature_index(spark, hist, root)
+    assert index_signature_params(spark, root) == {
+        "text_representation": "raw",
+        "shingle_n": 3,
+        "num_hashes": 32,
+    }
+    # matching params: append and delta-dedup both proceed
+    save_signature_index(spark, delta, root)
+    dedup_delta_against_index(spark, delta, root).unpersist()
+
+    # any divergent parameter fails fast on append AND on read
+    with pytest.raises(ValueError, match="was built with"):
+        save_signature_index(spark, delta, root, shingle_n=5)
+    with pytest.raises(ValueError, match="was built with"):
+        save_signature_index(
+            spark, delta, root, text_representation="scrubbed"
+        )
+    with pytest.raises(ValueError, match="was built with"):
+        dedup_delta_against_index(spark, delta, root, num_hashes=16)
+
+    # a legacy index with commits but NO stamp is refused, not guessed at
+    from hfp_loader_spark.operators.neardup import (
+        minhash_signatures,
+        shingle_docs,
+    )
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    legacy = str(tmp_path / "legacy_index")
+    commit_snapshot(
+        spark,
+        minhash_signatures(shingle_docs(hist, "doc_id", "text")),
+        legacy,
+    )
+    with pytest.raises(ValueError, match="no signature_params stamp"):
+        dedup_delta_against_index(spark, delta, legacy)
+    with pytest.raises(ValueError, match="no signature_params stamp"):
+        save_signature_index(spark, delta, legacy)

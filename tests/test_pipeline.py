@@ -272,7 +272,9 @@ def test_dedup_delta_index_width_mismatch_fails_fast(spark, tmp_path):
         "doc_id long, text string",
     )
     save_signature_index(spark, docs, root, num_hashes=32, mode="overwrite")
-    with pytest.raises(ValueError, match="32-hash"):
+    # the manifest signature_params stamp fires first (r8); the
+    # data-level width probe remains as a backstop behind it
+    with pytest.raises(ValueError, match="was built with"):
         dedup_delta_against_index(spark, docs, root, num_hashes=16)
 
 

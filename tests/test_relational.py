@@ -412,3 +412,94 @@ def test_ewma_per_key_matches_reference_and_distributes(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_choose_join_strategy_broadcasts_small_dim(spark):
+    from hfp_loader_spark.operators.relational import choose_join_strategy
+
+    fact = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(2000)], "k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(50)], "k long, name string"
+    )
+    out, decision = choose_join_strategy(fact, dim, ["k"])
+    assert decision["strategy"] == "broadcast"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 2000
+
+
+def test_choose_join_strategy_salts_skewed_fact(spark):
+    """One mega-hot key among hundreds of uniform ones (p99 ≈ avg, so
+    only the max/avg signal fires) with broadcast disabled → salted."""
+    import itertools
+
+    from hfp_loader_spark.operators.relational import choose_join_strategy
+
+    rows = list(
+        itertools.chain(
+            ((0, float(i % 7)) for i in range(4000)),
+            ((k, float(k)) for k in range(1, 401) for _ in range(5)),
+        )
+    )
+    fact = spark.createDataFrame(rows, "k long, v double")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 401)], "k long, name string"
+    )
+    out, decision = choose_join_strategy(
+        fact, dim, ["k"], broadcast_max_rows=0
+    )
+    assert decision["strategy"] == "salted"
+    assert decision["n_salts"] > 1
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+    plain = fact.join(dim, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_choose_join_strategy_bloom_prefilters_miss_heavy_join(spark):
+    """Uniform fact keys but only 5% find a dim partner: the CMS
+    estimate flags the miss-heavy join and the fact side is gated
+    through the dim-key Bloom (chained left-semi joins) before the
+    shuffle — results identical to the plain inner join."""
+    from hfp_loader_spark.operators.relational import choose_join_strategy
+
+    fact = spark.createDataFrame(
+        [(i % 1000, float(i)) for i in range(4000)], "k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(50)], "k long, name string"
+    )
+    out, decision = choose_join_strategy(
+        fact, dim, ["k"], broadcast_max_rows=0
+    )
+    assert decision["strategy"] == "bloom_prefilter_shuffle"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 5
+    plain = fact.join(dim, ["k"])
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_choose_join_strategy_plain_shuffle_when_nothing_fires(spark):
+    """Uniform keys, high match ratio, dim too big to broadcast, outer
+    join (prefilter ineligible) → the plain shuffle join."""
+    from hfp_loader_spark.operators.relational import choose_join_strategy
+
+    fact = spark.createDataFrame(
+        [(i % 200, float(i)) for i in range(2000)], "k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(200)], "k long, name string"
+    )
+    out, decision = choose_join_strategy(
+        fact, dim, ["k"], how="left", broadcast_max_rows=0
+    )
+    assert decision["strategy"] == "shuffle"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" not in plan and "LeftSemi" not in plan
+    assert out.count() == 2000
