@@ -256,20 +256,28 @@ def asof_join(
     columns forward onto each probe row.  Cost is sort-merge-like:
     O((|events|+|probes|) log) per key partition, no pair blowup, and the
     single exchange is shared by every carried column.
-    """
+
+    The event columns are carried as ONE STRUCT, not column-by-column:
+    ``ignorenulls`` must skip the probe rows' filler NULLs, but a
+    per-column carry also skips an event's genuinely-NULL value and
+    resurrects an OLDER event's value for that column — splicing fields
+    of different events into one match (and the old
+    first-column-NULL inner filter dropped genuinely matched probes).
+    A NULL struct marks "probe row"; a non-NULL struct with NULL fields
+    is a real event, carried intact — exactly ASOF-join semantics."""
     probe_cols = [c for c in probes.columns if c not in (key, probe_ts)]
     ev = events.select(
         F.col(key),
         F.col(event_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_ev_{c}") for c in event_cols],
+        F.struct(*[F.col(c) for c in event_cols]).alias("_ev"),
         *[F.lit(None).cast(dict(probes.dtypes)[c]).alias(c) for c in probe_cols],
     )
     pr = probes.select(
         F.col(key),
         F.col(probe_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(events.dtypes)[c]).alias(f"_ev_{c}") for c in event_cols],
+        F.lit(None).cast(ev.schema["_ev"].dataType).alias("_ev"),
         *[F.col(c) for c in probe_cols],
     )
     u = ev.unionByName(pr)
@@ -283,15 +291,20 @@ def asof_join(
         "_ts",
         "_side",
         *probe_cols,
-        *[
-            F.last(f"_ev_{c}", ignorenulls=True).over(w).alias(c)
-            for c in event_cols
-        ],
+        F.last("_ev", ignorenulls=True).over(w).alias("_ev"),
     )
     out = carried.where(F.col("_side") == 1).drop("_side")
-    # inner semantics: drop probes with no event at or before them
-    return out.where(F.col(event_cols[0]).isNotNull()).withColumnRenamed(
-        "_ts", probe_ts
+    # inner semantics: drop probes with no event at or before them (the
+    # struct is NULL iff no event row precedes the probe)
+    return (
+        out.where(F.col("_ev").isNotNull())
+        .select(
+            key,
+            "_ts",
+            *probe_cols,
+            *[F.col(f"_ev.{c}").alias(c) for c in event_cols],
+        )
+        .withColumnRenamed("_ts", probe_ts)
     )
 
 

@@ -634,9 +634,34 @@ def arrow_top_k(
             "For large query sides use brute_force_top_k (a distributed "
             "join) or raise max_queries explicitly if you know the size."
         )
-    q_ids = np.array([r[query_id_col] for r in q_rows])
-    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # NULL-cos contract, identical to brute_force_top_k: a pair scores
+    # NULL when either side is NULL/empty/zero-norm, and NULL scores
+    # rank after every real score (desc nulls-last) with the vec_id
+    # tiebreak.  Queries and corpus rows are therefore split into
+    # scoreable and unscoreable sets instead of being fed raggedly into
+    # np.array (which raises on mixed lengths).
+    q_ids = [r[query_id_col] for r in q_rows]
+    q_vecs = [r[vec_col] for r in q_rows]
+    dim = next((len(v) for v in q_vecs if v), 0)
+    valid_q = [
+        i
+        for i, v in enumerate(q_vecs)
+        if v is not None and len(v) == dim and dim > 0
+    ]
+    q_mat = np.array([q_vecs[i] for i in valid_q], dtype=np.float64)
+    if q_mat.size:
+        qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        zero_q = qn[:, 0] == 0.0
+        qn[qn == 0] = 1.0
+        q_norm = q_mat / qn
+        valid_q = [i for i, z in zip(valid_q, zero_q) if not z]
+        q_norm = q_norm[~zero_q]
+    else:
+        q_norm = q_mat
+    null_q_ids = [
+        int(q_ids[i]) for i in range(len(q_ids)) if i not in set(valid_q)
+    ]
+    valid_q_ids = np.array([q_ids[i] for i in valid_q])
 
     import pandas as pd
     from pyspark.sql.types import (
@@ -656,26 +681,68 @@ def arrow_top_k(
 
     def score(batches):
         for pdf in batches:
-            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (c_mat / norms) @ q_norm.T  # (batch, n_queries)
-            ids = pdf[id_col].to_numpy()
-            # k + margin: local selection is on raw sims, global ranking on
-            # ROUNDED sims + id tiebreak — the margin keeps rounded ties
-            # from being cut at batch boundaries
-            take = min(k + 8, len(ids))
-            # local top-k per query inside the batch
-            part = np.argpartition(-sims, take - 1, axis=0)[:take]
-            out = {query_id_col: [], id_col: [], "cos": []}
-            for qi in range(sims.shape[1]):
-                rows = part[:, qi]
-                out[query_id_col].extend([int(q_ids[qi])] * len(rows))
-                out[id_col].extend(int(i) for i in ids[rows])
-                out["cos"].extend(
-                    round(float(s), round_to) for s in sims[rows, qi]
+            vecs = list(pdf[vec_col])
+            all_ids = pdf[id_col].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            c_mat = (
+                np.array(
+                    [v for v, m in zip(vecs, ok) if m], dtype=np.float64
                 )
-            yield pd.DataFrame(out)
+                if ok.any()
+                else np.zeros((0, max(dim, 1)))
+            )
+            if c_mat.size:
+                norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+                ok[np.flatnonzero(ok)[norms[:, 0] == 0.0]] = False
+                keep = norms[:, 0] != 0.0
+                c_mat, norms = c_mat[keep], norms[keep]
+            ids = all_ids[ok]
+            # NULL-cos tails can only matter when real scores run out,
+            # and the global ranking breaks NULL ties by ascending id —
+            # so the k+8 smallest relevant ids per batch are exact
+            null_take = k + 8
+            null_ids = [int(i) for i in sorted(all_ids[~ok])[:null_take]]
+            out = {query_id_col: [], id_col: [], "cos": []}
+            if c_mat.size and q_norm.size:
+                sims = (c_mat / norms) @ q_norm.T  # (batch, n_queries)
+                # k + margin: local selection is on raw sims, global
+                # ranking on ROUNDED sims + id tiebreak — the margin
+                # keeps rounded ties from being cut at batch boundaries
+                t2 = min(k + 8, len(ids))
+                part = np.argpartition(-sims, t2 - 1, axis=0)[:t2]
+                for qi in range(sims.shape[1]):
+                    rows = part[:, qi]
+                    out[query_id_col].extend(
+                        [int(valid_q_ids[qi])] * len(rows)
+                    )
+                    out[id_col].extend(int(i) for i in ids[rows])
+                    out["cos"].extend(
+                        round(float(s), round_to) for s in sims[rows, qi]
+                    )
+            # scoreable queries additionally pair with the unscoreable
+            # corpus prefix at cos NULL; unscoreable queries score NULL
+            # against EVERYTHING, so they take the batch's smallest ids
+            # overall (disjoint sets — no duplicate (query, id) rows)
+            for q in valid_q_ids:
+                out[query_id_col].extend([int(q)] * len(null_ids))
+                out[id_col].extend(null_ids)
+                out["cos"].extend([None] * len(null_ids))
+            head_ids = [int(i) for i in sorted(all_ids)[:null_take]]
+            for q in null_q_ids:
+                out[query_id_col].extend([int(q)] * len(head_ids))
+                out[id_col].extend(head_ids)
+                out["cos"].extend([None] * len(head_ids))
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.array(
+                        out[query_id_col], dtype="Int64"
+                    ),
+                    id_col: pd.array(out[id_col], dtype="Int64"),
+                    "cos": pd.array(out["cos"], dtype="Float64"),
+                }
+            )
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     return top_k_per_group(

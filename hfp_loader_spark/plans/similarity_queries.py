@@ -33,8 +33,16 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
       FROM embeddings WHERE vec_id < {_N_QUERIES}
     ),
     scored AS (
+      -- CASE mirrors Spark's NULL-safe cosine: NULL/empty/zero-norm
+      -- vectors score NULL and rank after every real score (DuckDB and
+      -- Spark both place NULLs last under DESC); bare
+      -- list_cosine_similarity ERRORS on NULL or length-mismatched
+      -- arguments instead
       SELECT q.query_id, c.vec_id,
-             round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 4) AS cos
+             round(CASE WHEN len(q.qv) > 0 AND len(c.embedding) > 0
+                        THEN list_cosine_similarity(q.qv,
+                                                    c.embedding::DOUBLE[])
+                   END, 4) AS cos
       FROM embeddings c CROSS JOIN q
     )
     SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
@@ -70,7 +78,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Typed vector-column aggregate: per-label L2-norm and first-"
     "component means. Exercises array<float> as a first-class multimodal "
-    "column (norm folds fused into the scan; one tiny shuffle).",
+    "column (norm folds fused into the scan; one tiny shuffle). "
+    "NULL/empty vectors contribute NULL to both averages (DuckDB's "
+    "list_sum over an empty list is NULL, and try_element_at mirrors "
+    "its out-of-bounds NULL) while still counting in n_vectors.",
 )
 def sim_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -78,8 +89,13 @@ def sim_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "label",
-            norm(v).alias("_norm"),
-            F.element_at("embedding", 1).cast("double").alias("_d0"),
+            # size>0 guard: Spark's fold gives norm([]) = 0.0 where the
+            # oracle's list_sum([]) is NULL; and ANSI element_at ERRORS
+            # on the empty array where DuckDB indexing returns NULL
+            F.when(F.size("embedding") > 0, norm(v)).alias("_norm"),
+            F.try_element_at("embedding", F.lit(1)).cast("double").alias(
+                "_d0"
+            ),
         )
         .groupBy("label")
         .agg(
@@ -110,8 +126,12 @@ _ALLPAIRS_CAP = 800
                                         b.embedding::DOUBLE[]), 4) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < {_ALLPAIRS_CAP} AND b.vec_id < {_ALLPAIRS_CAP}
-      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]), 4) >= 0.45
+      -- lazy CASE guard: NULL/empty vectors drop out like Spark's
+      -- NULL-safe cosine; a bare call ERRORS on length mismatch
+      AND round(CASE WHEN len(a.embedding) > 0 AND len(b.embedding) > 0
+                     THEN list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[])
+                END, 4) >= 0.45
     """,
     doc="Embedding-cosine near-dup pairs (cos ≥ 0.45). Brute all-pairs "
     "over a deterministic id-prefix sample (cap 800 — a no-op at gate "
@@ -390,8 +410,16 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id < {_N_QUERIES}
     ),
     scored AS (
+      -- CASE mirrors Spark's NULL-safe cosine: NULL/empty/zero-norm
+      -- vectors score NULL and rank after every real score (DuckDB and
+      -- Spark both place NULLs last under DESC); bare
+      -- list_cosine_similarity ERRORS on NULL or length-mismatched
+      -- arguments instead
       SELECT q.query_id, c.vec_id,
-             round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 4) AS cos
+             round(CASE WHEN len(q.qv) > 0 AND len(c.embedding) > 0
+                        THEN list_cosine_similarity(q.qv,
+                                                    c.embedding::DOUBLE[])
+                   END, 4) AS cos
       FROM embeddings c CROSS JOIN q
     )
     SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (

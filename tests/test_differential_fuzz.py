@@ -88,6 +88,31 @@ FUZZ_ENTRIES = [
     "sketch_sliding_distinct",
     "sim_semantic_clusters",
     "text_remove_duplicate_spans",
+    # r8 widening — duplicated lineitem facts through the TPC-H tier
+    "q14_promo_revenue",
+    "q17_small_quantity_avg",
+    "q19_disjunctive_revenue",
+    "q6_forecast_revenue",
+    "unpivot_lineitem_measures",
+    # NULL event values/props through the event-analytics tier
+    "attribution_last_touch",
+    "funnel_view_click_purchase",
+    "asof_join_latest_event",
+    "sketch_cms_frequencies",
+    "timeseries_gapfill_per_key",
+    "join_strategy_autoplan",
+    # NULL / empty embedding vectors — previously only emb_dim_stats
+    # carried this signal for the whole similarity tier
+    "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
+    "sim_cosine_neardup_pairs",
+    "sim_embedding_norm_stats",
+    "sim_quantize_int8",
+    # mutated text through dedup recall/cluster compositions + PII
+    "dedup_minhash_recall",
+    "dedup_duplicate_clusters",
+    "text_pii_redaction",
+    "text_unigram_surprisal",
 ]
 
 

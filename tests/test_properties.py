@@ -430,3 +430,63 @@ def test_per_group_cap_invariants(spark, rows, cap):
     out_sizes = Counter(g for g, _ in out1)
     for g, n in in_sizes.items():
         assert out_sizes[g] == min(n, cap)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"),  # tiny vocab → dense collisions
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_remove_duplicate_spans_reference_model(spark, docs, n):
+    """Differential check against a direct python model of the contract:
+    for every duplicated n-gram (≥2 occurrences corpus-wide), the
+    corpus-wide first occurrence (min (doc_id, pos)) is canonical and
+    every other occurrence's covered positions are excised; output text
+    is the space-join of surviving tokens IN ORDER.  Also pins the
+    arithmetic invariant n_removed = n_tokens - len(out_tokens)."""
+    from hfp_loader_spark.operators.text import remove_duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # reference model
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[p : p + n]), []).append((i, p))
+    removed: dict[int, set[int]] = {i: set() for i in range(len(docs))}
+    for gram, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        canon = min(sites)
+        for d, p in sites:
+            if (d, p) != canon:
+                removed[d].update(range(p, p + n))
+    want = {
+        i: (
+            " ".join(
+                t for j, t in enumerate(toks) if j not in removed[i]
+            ),
+            len(toks),
+            len(removed[i]),
+        )
+        for i, toks in enumerate(docs)
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=n).collect()
+    }
+    assert got == want

@@ -503,3 +503,42 @@ def test_choose_join_strategy_plain_shuffle_when_nothing_fires(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" not in plan and "LeftSemi" not in plan
     assert out.count() == 2000
+
+
+def test_asof_join_carries_latest_event_even_with_null_fields(spark):
+    """ASOF semantics: the probe matches the latest event ROW at or
+    before it — if that event's value is NULL, the result is NULL.
+    Regression: the per-column ignorenulls carry skipped the NULL and
+    resurrected an OLDER event's value (splicing two events into one
+    match), and the first-column-NULL inner filter dropped genuinely
+    matched probes."""
+    import datetime
+
+    from hfp_loader_spark.operators.relational import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    events = spark.createDataFrame(
+        [
+            (1, at(0), 100, 5.0),     # older event, real value
+            (1, at(10), 101, None),   # LATEST event before probe: NULL value
+            (2, at(50), 200, 7.5),    # after u2's probe → no match
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    probes = spark.createDataFrame(
+        [(11, 1, at(20)), (22, 2, at(40))],
+        "probe_id long, user_id long, probe_ts timestamp",
+    )
+    out = {
+        r["probe_id"]: (r["event_id"], r["value"])
+        for r in asof_join(
+            probes, events, "user_id", "probe_ts", "ts",
+            ["event_id", "value"],
+        ).collect()
+    }
+    # probe 11 matches event 101 with its real NULL value — not 100/5.0
+    assert out == {11: (101, None)}
