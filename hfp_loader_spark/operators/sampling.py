@@ -56,6 +56,65 @@ def mixture_sample(
     return df.where(_bucket(F.col(key_col), salt) < thr)
 
 
+def temperature_thresholds(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 1.0,
+) -> dict[str, str]:
+    """Per-source keep thresholds from TEMPERATURE sampling — the
+    multilingual/multi-source rebalancing rule (the α-smoothed sampling
+    of XLM-R / mC4): target share of source s ∝ (n_s)^α, so α=1 keeps
+    the natural mix, α→0 flattens toward uniform, and the dominant
+    crawl is downsampled in favour of rare sources.
+
+    Returns the ``thresholds`` dict for :func:`mixture_sample` — per-
+    source 4-hex lexicographic md5 thresholds, so the SELECTION stays a
+    deterministic, shuffle-free projection; only this PLANNING step
+    aggregates (one groupBy over the source column, collected to a
+    bounded #sources-row scalar read — the per-layout pass a production
+    pipeline caches).  ``budget_frac`` scales the total kept volume
+    (1.0 = as many rows as the most-constrained source allows without
+    upsampling).  Rates are capped at 1: temperature sampling UPsamples
+    rare sources by repetition, which a keep/drop filter cannot express
+    — callers wanting true upsampling union replicated salted passes
+    (see mixture_sample's doc); capping instead preserves the rare
+    sources in full and downsamples the rest proportionally, the usual
+    curation choice."""
+    import math
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r[source_col]: r["_n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("_n")).collect()
+        if r[source_col] is not None
+    }
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    # keep_rate_s ∝ share_s^α / share_s, scaled so the max rate is
+    # budget_frac (the target-share normalizer Σ w_s cancels in the
+    # ratio and is deliberately NOT computed: every remaining operation
+    # — divide, sqrt, max, floor — is IEEE-754 correctly-rounded, so an
+    # oracle re-deriving the thresholds in SQL lands on bit-identical
+    # doubles; a summation would instead expose engine-dependent
+    # accumulation order).  α=0.5 routes through sqrt explicitly, the
+    # correctly-rounded primitive, rather than pow(x, 0.5).
+    def w(n: int) -> float:
+        share = n / total
+        return math.sqrt(share) if alpha == 0.5 else share**alpha
+
+    rel = {s: w(n) / (n / total) for s, n in counts.items()}
+    rel_max = max(rel.values())
+    return {
+        s: "{:04x}".format(
+            min(65535, max(0, math.floor(budget_frac * (r / rel_max) * 65536)))
+        )
+        for s, r in rel.items()
+    }
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

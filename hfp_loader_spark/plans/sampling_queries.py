@@ -230,6 +230,78 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "sample_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    ), tot AS (
+      SELECT sum(n) AS t FROM counts
+    ), rel AS (
+      -- keep_rate ∝ sqrt(share)/share; every op here (divide, sqrt,
+      -- max, floor) is IEEE correctly-rounded, so these doubles are
+      -- BIT-IDENTICAL to the planner's python — which is why the
+      -- Σw normalizer is absent on both sides (it cancels, and
+      -- summation order is engine-dependent)
+      SELECT source, n, sqrt(n / t) / (n / t) AS r FROM counts, tot
+    ), thr AS (
+      SELECT source, n,
+             printf('%04x', CAST(least(65535, greatest(0,
+               floor(r / (SELECT max(r) FROM rel) * 65536))) AS INT))
+               AS t4
+      FROM rel
+    ), kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t4
+    )
+    SELECT thr.source,
+           CAST(thr.n AS BIGINT)       AS n_total,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(sum(k.doc_id) AS BIGINT)   AS id_checksum
+    FROM thr LEFT JOIN kept k ON thr.source = k.source
+    GROUP BY thr.source, thr.n
+    """,
+    doc="TEMPERATURE mixture sampling (operators.sampling."
+    "temperature_thresholds → mixture_sample): per-source keep rates "
+    "∝ share^(α−1) with α=0.5 — the XLM-R/mC4 α-smoothed source "
+    "rebalance that downsamples the dominant crawl toward a flatter "
+    "mix, capped at keep-all for the rarest source (a keep/drop filter "
+    "cannot upsample). Planning is ONE bounded groupBy collected to "
+    "#sources scalars; selection stays the deterministic salted-md5 "
+    "projection, so membership is engine-portable and pinned here by "
+    "the per-source id_checksum. The oracle re-derives the thresholds "
+    "in SQL from the same correctly-rounded operations — bit-identical "
+    "doubles by construction, no float-tolerance band needed.",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import (
+        mixture_sample,
+        temperature_thresholds,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    thresholds = temperature_thresholds(docs, "source", alpha=0.5)
+    kept = mixture_sample(
+        docs, "source", thresholds, key_col="doc_id",
+        default_threshold="0000",
+    )
+    totals = docs.where(F.col("source").isNotNull()).groupBy("source").agg(
+        F.count("*").alias("n_total")
+    )
+    per_source = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return totals.join(per_source, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.col("id_checksum"),
+    )
+
+
 _PACK_BUDGET = 512
 _PACK_SHARDS = 8
 _PACK_TOKS = (

@@ -113,6 +113,14 @@ FUZZ_ENTRIES = [
     "dedup_duplicate_clusters",
     "text_pii_redaction",
     "text_unigram_surprisal",
+    # streaming tier over mutated events — the availableNow micro-batch
+    # lifecycle previously had zero mutated-data signal
+    "stream_session_counts",
+    "streaming_watermark_dedup",
+    "streaming_static_enrich",
+    "q3_top_unshipped_orders",
+    "q12_priority_by_mode",
+    "sample_temperature_mixture",
 ]
 
 

@@ -217,3 +217,40 @@ def test_cms_join_size_zero_when_disjoint(spark):
     # 10 keys in 1024 cells: overwhelmingly likely some depth row is
     # collision-free, giving the exact 0
     assert est == 0
+
+
+def test_temperature_thresholds_invariants(spark):
+    """α-temperature planning invariants: the rarest source keeps
+    (nearly) everything, rarer ⇒ strictly higher keep rate, α=1
+    reproduces the natural mix (all rates equal the cap), and α=0
+    targets a uniform mix (rates ∝ 1/n)."""
+    from hfp_loader_spark.operators.sampling import temperature_thresholds
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "rare") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    t = temperature_thresholds(df, "source", alpha=0.5)
+    rates = {s: int(v, 16) for s, v in t.items()}
+    assert rates["rare"] == 0xFFFF          # rarest: keep-all (capped)
+    assert rates["rare"] > rates["mid"] > rates["big"]
+    # α=0.5: rate ratio between sources = sqrt(n_rare/n_big) etc.
+    assert abs(rates["big"] / rates["rare"] - (10 / 900) ** 0.5) < 1e-3
+
+    t1 = {s: int(v, 16) for s, v in
+          temperature_thresholds(df, "source", alpha=1.0).items()}
+    assert set(t1.values()) == {0xFFFF}     # natural mix: keep everything
+
+    t0 = {s: int(v, 16) for s, v in
+          temperature_thresholds(df, "source", alpha=0.0).items()}
+    assert t0["rare"] == 0xFFFF
+    assert abs(t0["big"] / t0["rare"] - 10 / 900) < 1e-3  # uniform target
+
+    # budget_frac scales every rate proportionally
+    th = {s: int(v, 16) for s, v in
+          temperature_thresholds(df, "source", alpha=0.5,
+                                 budget_frac=0.5).items()}
+    assert abs(th["rare"] - 0xFFFF / 2) <= 1
