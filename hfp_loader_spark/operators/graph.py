@@ -355,3 +355,41 @@ def khop_reachability(
             legs.append(nxt)
             frontier = nxt
     return reduce(DataFrame.unionByName, legs)
+
+
+def cluster_keepers_by_score(
+    comp: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per connected component, the member with the HIGHEST score —
+    ties broken by lowest id, so selection is deterministic across
+    engines and re-runs.  Input: a components frame (``id_col``,
+    ``component``) and a per-member score frame (``id_col``,
+    ``score_col``).  Output: one row per component with
+    ``(component, keeper_<id>, n_members, keeper_<score>)``.
+
+    The curation variant of min-id keeper selection: a near-dup
+    pipeline that keeps the canonical min-id document throws away a
+    higher-quality duplicate whenever ids and quality disagree; this
+    picks the best-scoring member instead (Lee et al. keep-one, with
+    "one" chosen by a quality signal).  Scale shape: one join on the
+    member id + one hash aggregate with constant per-component state —
+    the arg-max is a ``min(struct(-score, id))`` fold, never a window
+    sort over members."""
+    j = comp.join(scores, id_col)
+    best = j.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("_ns"), F.col(id_col).alias("_i")
+            )
+        ).alias("_best"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        "component",
+        F.col("_best._i").alias(f"keeper_{id_col}"),
+        "n_members",
+        (-F.col("_best._ns")).alias(f"keeper_{score_col}"),
+    )

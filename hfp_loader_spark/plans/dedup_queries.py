@@ -21,6 +21,7 @@ from hfp_loader_spark.operators.neardup import (
 )
 from hfp_loader_spark.operators.text import fingerprint
 from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
+from hfp_loader_spark.plans.text_queries import _QUALITY_SCORED_SQL
 
 _TOKS_SQL = TOKS_SQL  # the shared oracle tokenizer (plans.catalog)
 # Word-trigram shingles, distinct, as DuckDB SQL (lockstep with
@@ -439,6 +440,81 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         (F.count("*") - 1).alias("n_removed"),
         F.max("id").cast("long").alias("max_doc_id"),
+    )
+
+
+@defquery(
+    "dedup_quality_keepers",
+    f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM dup_edges
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM dup_edges
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id
+    ),
+    comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+    {_QUALITY_SCORED_SQL}
+    ,
+    ranked AS (
+      SELECT c.component, c.id, s.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY s.quality DESC, c.id) AS rn
+      FROM comp c JOIN scored s ON c.id = s.doc_id
+    )
+    SELECT CAST(component AS BIGINT)  AS cluster_id,
+           CAST(id AS BIGINT)         AS keeper_doc_id,
+           CAST((SELECT count(*) FROM comp c2
+                 WHERE c2.component = ranked.component) AS BIGINT)
+             AS n_members,
+           quality                    AS keeper_quality
+    FROM ranked WHERE rn = 1
+    """,
+    doc="QUALITY-keeper selection per duplicate cluster "
+    "(operators.graph.cluster_keepers_by_score): instead of the "
+    "canonical min-id keeper, each Jaccard≥0.8 cluster keeps its "
+    "HIGHEST-quality member (text.quality_score, ties → lowest id) — "
+    "the curation choice that stops whole-corpus dedup from discarding "
+    "the better-written duplicate. Arg-max is a min(struct(-score, "
+    "id)) fold in one hash aggregate — constant per-component state, "
+    "no window sort over members; at 100 TB the keep-list feeds the "
+    "same anti-join as the min-id variant. Oracle: recursive-CTE "
+    "components + the shared quality CTE + a row_number arg-max.",
+)
+def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import cluster_keepers_by_score
+    from hfp_loader_spark.operators.text import quality_score
+
+    comp = _components(spark, sf_dir)
+    scores = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+    out = cluster_keepers_by_score(comp, scores, id_col="id", score_col="quality")
+    return out.select(
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("keeper_id").cast("long").alias("keeper_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("keeper_quality"),
     )
 
 

@@ -238,6 +238,16 @@ NANOS_ENTRIES = [
     # both scan the re-encoded table and must survive the schema change
     "skew_autosalt_join_agg",
     "sketch_join_size_estimate",
+    # r8: the heaviest ts-arithmetic consumers — as-of probe offsets,
+    # interval range joins, tumbling windows + watermark lifecycle,
+    # week bucketing, attribution ordering, funnel step ordering
+    "asof_join_latest_event",
+    "range_join_interval_counts",
+    "stream_tumbling_counts",
+    "streaming_watermark_dedup",
+    "cohort_weekly_retention",
+    "attribution_last_touch",
+    "funnel_view_click_purchase",
 ]
 
 

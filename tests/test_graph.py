@@ -113,3 +113,26 @@ def test_alternating_cc_keeps_self_loop_only_vertices(spark):
         for r in connected_components_alternating(df).collect()
     }
     assert a == b == {(1, 1), (2, 1), (5, 5)}
+
+
+def test_cluster_keepers_by_score_argmax_and_ties(spark):
+    """Per component: highest score wins, ties break to the LOWEST id,
+    and member counts are exact."""
+    from hfp_loader_spark.operators.graph import cluster_keepers_by_score
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "id long, score double",
+    )
+    out = {
+        r["component"]: (r["keeper_id"], r["n_members"], r["keeper_score"])
+        for r in cluster_keepers_by_score(comp, scores).collect()
+    }
+    assert out == {
+        1: (2, 3, 0.9),    # 2 beats 3 on the id tiebreak, beats 1 on score
+        10: (10, 2, 0.5),  # pure tie → min id
+    }
