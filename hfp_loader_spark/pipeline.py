@@ -66,6 +66,11 @@ class PipelineConfig:
     # survivor set, so the expensive gram pass sees the fewest docs and
     # whole-doc near-dedup operates on unmodified text.
     remove_span_n: int | None = None
+    # which member of each near-dup cluster survives: "min_id" (the
+    # canonical component label — free) or "quality" (the highest
+    # text.quality_score member, ties → lowest id — one extra join on
+    # the small cluster-member set, keeps the better-written duplicate)
+    keeper: str = "min_id"
     chunk_window: int = 32
     chunk_stride: int = 24
 
@@ -185,9 +190,28 @@ def prepare_corpus(
         cache_registry=lsh_caches,
     )
     comp = connected_components_alternating(pairs, src="doc_a", dst="doc_b")
-    drop = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    if cfg.keeper == "quality":
+        # keep each cluster's highest-quality member (ties → lowest id)
+        # instead of the canonical min-id doc — one extra join on the
+        # (small) cluster-member set, same anti-join shape after
+        from hfp_loader_spark.operators.graph import cluster_keepers_by_score
+
+        scores = survivors.select(
+            F.col(id_col).alias("id"),
+            quality_score(F.col(text_col)).alias("score"),
+        )
+        keep = cluster_keepers_by_score(comp, scores).select(
+            F.col("component"), F.col("keeper_id")
+        )
+        drop = (
+            comp.join(keep, "component")
+            .where(F.col("id") != F.col("keeper_id"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        drop = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
     survivors = survivors.join(drop, id_col, "left_anti")
     survivors = ledger.checkpoint(survivors, "near_dedup", id_col)
     # the boundary count above materialized the pair lineage into the

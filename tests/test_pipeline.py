@@ -367,3 +367,32 @@ def test_pipeline_remove_span_stage_trims_shared_spans(spark):
     assert span not in out[2]      # non-canonical occurrence excised
     assert out[2] == " ".join(f"b{i}" for i in range(20))
     assert out[3] == " ".join(f"c{i}" for i in range(28))
+
+
+def test_pipeline_quality_keeper_keeps_best_duplicate(spark):
+    """keeper='quality': the cluster survivor is the highest-quality
+    member, not the min id — and the stage accounting is unchanged."""
+    # doc 2 is a longer (higher length-score) near-dup of doc 1: same
+    # content plus a tail, Jaccard above the 0.8 threshold
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "src0"),
+            (2, base + " extra tail words", "src0"),
+            (3, " ".join(f"u{i}" for i in range(30)), "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from hfp_loader_spark.pipeline import PipelineConfig, prepare_corpus
+
+    clean_q, counts_q, rel_q = prepare_corpus(
+        spark, docs, config=PipelineConfig(keeper="quality")
+    )
+    kept_q = sorted(r["doc_id"] for r in clean_q.select("doc_id").collect())
+    rel_q()
+    clean_m, counts_m, rel_m = prepare_corpus(spark, docs)
+    kept_m = sorted(r["doc_id"] for r in clean_m.select("doc_id").collect())
+    rel_m()
+    assert kept_m == [1, 3]   # canonical min-id keeper
+    assert kept_q == [2, 3]   # quality keeper prefers the longer doc
+    assert counts_q["near_dedup"] == counts_m["near_dedup"] == 2
