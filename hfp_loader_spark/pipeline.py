@@ -242,16 +242,20 @@ def prepare_corpus(
         # equal to the previous boundary, which keeps the monotone-
         # shrinkage invariant).  Only (id, text) feed the gram pass; the
         # trimmed text joins back so every other column passes through.
+        span_caches: list[DataFrame] = []
         trimmed = remove_duplicate_spans(
             survivors.select(id_col, text_col),
             id_col=id_col,
             text_col=text_col,
             n=cfg.remove_span_n,
+            cache_registry=span_caches,
         )
         survivors = survivors.drop(text_col).join(
             trimmed.select(id_col, text_col), id_col
         )
         survivors = ledger.checkpoint(survivors, "remove_dup_spans", id_col)
+        for c in span_caches:
+            c.unpersist()
         last = "remove_dup_spans"
 
     # scrub_pii is a row-local projection — it drops nothing, so the
