@@ -136,20 +136,27 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, round_to: int = 6) -> Column:
     """Scalar quality score in [0, 1]: length + word-shape + stopword mix.
 
     The formula is arbitrary-but-deterministic; what matters at scale is
     that it is a single narrow projection usable as a pushed-down filter
     before expensive downstream stages.
-    """
+
+    ``round_to`` is the SINGLE rounding applied to the raw score.
+    Catalog entries whose oracle rounds to 4 must pass ``round_to=4``
+    here rather than re-rounding the default-6 result: double rounding
+    diverges from the oracle's direct round exactly at the half-way
+    boundaries (observed at sf0.1 — a raw score of ~0.56724999…
+    rounded 6→4 gives 0.5673 where round(x, 4) gives 0.5672)."""
     f = quality_features(text)
     length_score = F.least(f["n_tokens"] / F.lit(50.0), F.lit(1.0))
     shape_score = F.lit(1.0) - F.least(
         F.abs(f["mean_token_len"] - 5.0) / F.lit(5.0), F.lit(1.0)
     )
     return F.round(
-        0.4 * length_score + 0.3 * shape_score + 0.3 * f["stopword_ratio"], 6
+        0.4 * length_score + 0.3 * shape_score + 0.3 * f["stopword_ratio"],
+        round_to,
     )
 
 

@@ -507,7 +507,7 @@ def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = _components(spark, sf_dir)
     scores = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        quality_score(F.col("text"), round_to=4).alias("quality"),
     )
     out = cluster_keepers_by_score(comp, scores, id_col="id", score_col="quality")
     return out.select(

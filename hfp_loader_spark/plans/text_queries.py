@@ -209,7 +209,7 @@ _QUALITY_SCORED_SQL = f"""
 def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+        "doc_id", quality_score(F.col("text"), round_to=4).alias("quality")
     )
     return global_top_k(scored, [F.desc("quality"), F.asc("doc_id")], 20)
 
@@ -237,7 +237,7 @@ def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_bin_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        quality_score(F.col("text"), round_to=4).alias("quality"),
         F.size(tokens(F.col("text"))).alias("n_toks"),
     )
     return (
