@@ -223,13 +223,22 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+    # size>0 drops NULL and empty vectors (size(NULL) is NULL → filtered)
+    # — a ragged sample would crash the np.array below; the python-side
+    # dim guard additionally drops any stray length-mismatched vector
+    sample = corpus.select(vec_col).where(F.size(vec_col) > 0)
     if fraction is None:
         fraction = min(1.0, 4.0 * sample_cap / max(1, sample.count()))
     if fraction < 1.0:
         sample = sample.sample(fraction=fraction, seed=seed)
     rows = sample.limit(sample_cap).collect()
-    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if not rows:
+        raise ValueError("no non-empty vectors to train IVF centroids on")
+    dim = len(rows[0][vec_col])
+    x = np.array(
+        [r[vec_col] for r in rows if len(r[vec_col]) == dim],
+        dtype=np.float64,
+    )
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms
@@ -441,7 +450,12 @@ def semantic_dedup(
         centroids = train_ivf_centroids(
             corpus, nlist, vec_col=vec_col, fraction=train_fraction
         )
-    c = corpus.select(
+    # NULL/empty vectors carry no semantic signal and would reach the
+    # per-cell numpy matrix as ragged rows — they are excluded from the
+    # operator's universe entirely (absent from the keep-list, neither
+    # kept nor pruned), the same exclusion the NULL-safe cosine applies
+    # in the brute-force paths
+    c = corpus.where(F.size(vec_col) > 0).select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
     ).withColumn("_cell", ivf_assign_cell(F.col("_v"), centroids))
     if not use_arrow:
@@ -778,13 +792,21 @@ def train_pq_codebooks(
     no model artifact to persist or ship."""
     import numpy as np
 
-    sample = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+    # same ragged-sample guard as train_ivf_centroids: size>0 excludes
+    # NULL/empty vectors, the dim check any stray mismatched length
+    sample = corpus.select(vec_col).where(F.size(vec_col) > 0)
     if fraction is None:
         fraction = min(1.0, 4.0 * sample_cap / max(1, sample.count()))
     if fraction < 1.0:
         sample = sample.sample(fraction=fraction, seed=seed)
     rows = sample.limit(sample_cap).collect()
-    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if not rows:
+        raise ValueError("no non-empty vectors to train PQ codebooks on")
+    dim = len(rows[0][vec_col])
+    x = np.array(
+        [r[vec_col] for r in rows if len(r[vec_col]) == dim],
+        dtype=np.float64,
+    )
     if normalize:
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

@@ -527,11 +527,15 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_contract",
     f"""
     WITH removed AS (
+      -- lazy CASE guard: NULL/empty vectors drop out like Spark's
+      -- NULL-safe cosine (and semantic_dedup's size>0 universe)
       SELECT DISTINCT b.vec_id
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.vec_id < {_ALLPAIRS_CAP} AND b.vec_id < {_ALLPAIRS_CAP}
-        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]), 4)
+        AND round(CASE WHEN len(a.embedding) > 0 AND len(b.embedding) > 0
+                       THEN list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                  END, 4)
             >= {_SEMDEDUP_T}
     )
     SELECT CAST(count(*) AS BIGINT) AS n_global_removed,

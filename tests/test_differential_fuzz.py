@@ -25,10 +25,30 @@ sys.path.insert(
 )
 from check_correctness import _norm_rows  # noqa: E402
 
-# Entries chosen to cover every tier that could see mutated columns:
-# relational aggs/windows/joins over duplicated facts, event analytics
-# over NULL props/values, the text tier over NULL/empty/non-ASCII text,
-# multimodal byte plumbing, embeddings with NULL/empty vectors.
+def _all_oracle_entries() -> list[str]:
+    """EVERY oracle-checked catalog entry — the full mutated-data gate.
+
+    The list below was the hand-grown subset; r8 verified every
+    remaining entry individually against the mutated fixture (finding
+    and fixing the as-of NULL splicing, the ragged-vector crashes in
+    arrow_top_k / IVF / PQ / SemDeDup training, the ANSI element_at,
+    and four unguarded list_cosine_similarity oracles along the way),
+    so the harness now derives the set from the live registry: a future
+    entry is fuzzed from the day it is registered, not when someone
+    remembers to list it."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    return [n for n, s in REGISTRY.items() if s.oracle is not None]
+
+
+def _rows_only_entries() -> list[str]:
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    return [n for n, s in REGISTRY.items() if s.oracle is None]
+
+
+# Historical hand-grown subset, kept as documentation of WHY tiers were
+# added; the tests below run _all_oracle_entries() instead.
 FUZZ_ENTRIES = [
     "q1_pricing_summary",
     "agg_monthly_orders",
@@ -201,12 +221,20 @@ def test_catalog_agrees_with_oracle_on_mutated_data(spark, fuzz_dir):
     register_views(spark, fuzz_dir, force=True)
 
     failures = []
-    for name in FUZZ_ENTRIES:
-        sdf = queries[name](spark, fuzz_dir)
-        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+    for name in _all_oracle_entries():
+        try:
+            sdf = queries[name](spark, fuzz_dir)
+            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001 — reported, not raised
+            failures.append(f"{name}: SPARK ERROR {str(ex)[:160]}")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: ORACLE ERROR {str(ex)[:160]}")
+            continue
         sc, sr = _norm_rows(scols, srows)
         oc, orr = _norm_rows(ocols, orows)
         if sc != oc:
@@ -217,6 +245,21 @@ def test_catalog_agrees_with_oracle_on_mutated_data(spark, fuzz_dir):
                 f"{name}: {len(sr)} vs {len(orr)} rows; first diffs {diffs}"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_rows_only_entries_survive_mutated_data(spark, fuzz_dir):
+    """Rows-only entries (LSH/ANN pair lists, keep-lists) have no oracle
+    to diverge from, but they must still EXECUTE on mutated data — the
+    ragged-vector crashes in the ANN training and SemDeDup paths were
+    exactly this failure class."""
+    import __spark_entry__ as entry_mod
+    from hfp_loader_spark.plans.catalog import register_views
+
+    queries = entry_mod.queries()
+    register_views(spark, fuzz_dir, force=True)
+    for name in _rows_only_entries():
+        n = queries[name](spark, fuzz_dir).count()
+        assert n >= 0, name
 
 
 NANOS_ENTRIES = [
