@@ -377,8 +377,15 @@ def cluster_keepers_by_score(
     "one" chosen by a quality signal).  Scale shape: one join on the
     member id + one hash aggregate with constant per-component state —
     the arg-max is a ``min(struct(-score, id))`` fold, never a window
-    sort over members."""
-    j = comp.join(scores, id_col)
+    sort over members.
+
+    UNSCORED members — no score row at all, or a NULL ``score_col`` —
+    are excluded both from keeper candidacy and from ``n_members``: a
+    NULL score would otherwise negate to NULL and win the ``min(struct)``
+    fold NULLS-FIRST, the exact opposite of the "highest score" contract
+    (and of the oracle's score DESC NULLS LAST).  A component whose
+    members are ALL unscored yields no row."""
+    j = comp.join(scores.where(F.col(score_col).isNotNull()), id_col)
     best = j.groupBy("component").agg(
         F.min(
             F.struct(

@@ -30,6 +30,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_DEFAULT_OPEN_COST = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+
+
+def _open_cost_bytes(spark) -> int | None:
+    """``spark.sql.files.openCostInBytes`` as an int, or ``None`` when the
+    value can't be parsed (treat as unknown → take the exact path)."""
+    raw = str(spark.conf.get(
+        "spark.sql.files.openCostInBytes", str(_DEFAULT_OPEN_COST)
+    )).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
     """Repartition by ``key`` only when the scan has fewer partitions than
     the cluster's parallelism.
@@ -37,15 +59,28 @@ def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
     A small corpus (one parquet file) plans as ONE input partition, so a
     CPU-heavy projection chain (regex tokenize → shingle → hash) runs
     single-threaded no matter how many cores exist.  At real scale the
-    input already has thousands of splits and this is a no-op — and that
-    no-op is decided from ``inputFiles()`` alone (file count is a LOWER
-    bound on scan partitions: splitting only adds), so the common
-    many-files path never pays the plan→RDD conversion that
-    ``df.rdd.getNumPartitions()`` costs.  Only a few-file or in-memory
-    frame falls through to the exact partition count — small by
-    definition, where the conversion is cheap."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
+    input already has thousands of splits and this is a no-op — and the
+    many-files case tries to decide that from ``inputFiles()`` alone,
+    skipping the plan→RDD conversion ``df.rdd.getNumPartitions()`` costs.
+
+    File count is only a lower bound on scan partitions UNDER THE
+    DEFAULT file-packing configs: with the stock 4 MB
+    ``spark.sql.files.openCostInBytes`` every file's padded cost is at
+    least the split floor, so greedy packing never bin-packs
+    ``defaultParallelism`` files into fewer partitions.  A TUNED session
+    (open cost lowered toward 0) can pack many small files into one
+    partition, so the fast path is gated on the conf still being at or
+    above the default — anything lower (or unparseable) falls through to
+    the exact ``getNumPartitions`` probe rather than silently skipping
+    the repartition this helper exists for."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    open_cost = _open_cost_bytes(spark)
+    if (
+        open_cost is not None
+        and open_cost >= _DEFAULT_OPEN_COST
+        and len(df.inputFiles()) >= target
+    ):
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key))
@@ -320,6 +355,75 @@ def index_signature_params(
     return meta.get("signature_params")
 
 
+def restamp_signature_index(
+    spark,
+    root: str,
+    text_representation: str,
+    shingle_n: int,
+    num_hashes: int,
+) -> int:
+    """Stamp a PRE-MARKER signature index with ``signature_params`` via a
+    manifest-only append — the migration path for indexes built before
+    :func:`save_signature_index` started recording how signatures were
+    constructed.  Returns the committed version.
+
+    The caller asserts, after OUT-OF-BAND verification (the job config
+    that built the index, a sample re-hash), that the stored signatures
+    were built with exactly these parameters; this helper cannot verify
+    the text representation from the data, which is the whole reason the
+    stamp exists.  What it CAN check it does: the index must exist, must
+    not already carry a (different) stamp — a mis-stamped index is a
+    rebuild, not a restamp — and the stored signature WIDTH must equal
+    ``num_hashes``, read from one row of the head snapshot.
+
+    The commit appends ZERO data rows (an empty frame of the stored
+    schema): a pure manifest write carrying the stamp, after which
+    ``save_signature_index(mode='append')`` and
+    :func:`dedup_delta_against_index` accept the index."""
+    from hfp_loader_spark.versioned import (
+        commit_snapshot,
+        latest_version,
+        read_snapshot,
+    )
+
+    if latest_version(spark, root) is None:
+        raise FileNotFoundError(
+            f"no signature index at {root!r} — nothing to restamp"
+        )
+    params = {
+        "text_representation": text_representation,
+        "shingle_n": shingle_n,
+        "num_hashes": num_hashes,
+    }
+    stored = index_signature_params(spark, root)
+    if stored == params:
+        raise ValueError(
+            f"signature index at {root!r} already carries exactly this "
+            "stamp — restamping again would only add an empty commit"
+        )
+    if stored is not None:
+        raise ValueError(
+            f"signature index at {root!r} is already stamped with "
+            f"{stored}; restamp is only for pre-marker indexes — a "
+            "wrongly-stamped index must be rebuilt, not restamped"
+        )
+    head = read_snapshot(spark, root)
+    sample = head.select(F.size("sig").alias("_w")).take(1)
+    if sample and sample[0]["_w"] != num_hashes:
+        raise ValueError(
+            f"stored signatures at {root!r} are {sample[0]['_w']} hashes "
+            f"wide but the restamp claims num_hashes={num_hashes}; the "
+            "width is readable from the data and contradicts the claim"
+        )
+    return commit_snapshot(
+        spark,
+        head.limit(0),
+        root,
+        mode="append",
+        meta={"signature_params": params},
+    )
+
+
 def _check_signature_params(
     stored: dict | None,
     root: str,
@@ -339,7 +443,9 @@ def _check_signature_params(
             "representation is unknown and mixing it with new "
             f"{want} signatures could silently under-match near-dups; "
             "rebuild the index (save_signature_index stamps every "
-            "commit) or verify and restamp it"
+            "commit), or — after verifying out-of-band how its "
+            "signatures were built — restamp it with "
+            "restamp_signature_index"
         )
     if stored != want:
         raise ValueError(

@@ -80,7 +80,11 @@ def temperature_thresholds(
     — callers wanting true upsampling union replicated salted passes
     (see mixture_sample's doc); capping instead preserves the rare
     sources in full and downsamples the rest proportionally, the usual
-    curation choice."""
+    curation choice.  "In full" is exact: a source whose computed rate
+    reaches 1 gets :data:`KEEP_ALL` (lexicographically above every hex
+    bucket), not the largest hex threshold ``'ffff'`` — the latter would
+    drop the ~1/65536 of rows whose 4-hex bucket is exactly ``'ffff'``
+    under mixture_sample's strict ``<`` comparison."""
     import math
 
     if alpha < 0:
@@ -107,12 +111,19 @@ def temperature_thresholds(
 
     rel = {s: w(n) / (n / total) for s, n in counts.items()}
     rel_max = max(rel.values())
-    return {
-        s: "{:04x}".format(
-            min(65535, max(0, math.floor(budget_frac * (r / rel_max) * 65536)))
-        )
-        for s, r in rel.items()
-    }
+
+    def threshold(r: float) -> str:
+        # rate 1 (raw ≥ 65536 — always at least the most-constrained
+        # source when budget_frac ≥ 1) means KEEP ALL, which no hex
+        # threshold expresses under the strict `<` comparison; the
+        # branch condition is a floor over correctly-rounded doubles, so
+        # a SQL oracle re-deriving it lands on the same branch
+        raw = math.floor(budget_frac * (r / rel_max) * 65536)
+        if raw >= 65536:
+            return KEEP_ALL
+        return "{:04x}".format(max(0, raw))
+
+    return {s: threshold(r) for s, r in rel.items()}
 
 
 def pack_sequences(

@@ -197,7 +197,16 @@ def bloom_contains(
     no-false-negative theorem hold for DUPLICATE probe keys — the
     earlier exploded-join formulation summed set-bit hits per key and
     compared against k, so a key probed twice scored 2k ≠ k and was
-    falsely reported absent."""
+    falsely reported absent.
+
+    EAGER at construction: packing the literal collects the bit-set
+    frame, so building this DataFrame runs Spark jobs for ``bloom``'s
+    lineage before any action on the result.  That buys the joinless
+    probe plan — right for a hot path that packs once and probes much.
+    A builder that must stay lazy until first action (e.g. a catalog
+    constructing plans it may never run) should use
+    :func:`bloom_contains_lazy`, which trades one broadcast join for
+    zero construction-time work."""
     # the cast is load-bearing: a sparse filter whose words all fit in
     # 32 bits would otherwise infer array<int>, and getbit rejects bit
     # positions ≥ 32 on an int word
@@ -212,6 +221,70 @@ def bloom_contains(
     return (
         keys.select(key_col)
         .distinct()
+        .select(key, pred.alias("maybe_present"))
+    )
+
+
+def bloom_contains_lazy(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`bloom_contains` with ZERO construction-time work: the
+    bit-set is packed into words BY THE PLAN (``bit_or`` aggregate over
+    ``⌈num_bits/64⌉`` word indices, folded to one array row) and
+    broadcast onto the probe side, instead of being collected into a
+    literal on the driver.  Same output, same no-false-negative and
+    FP-rate contracts — including on duplicate probe keys.
+
+    The trade: one broadcast nested-loop join of a single-row side (and
+    a bounded ≤ num_bits-row aggregate inside the job) replaces the
+    joinless literal probe, and in exchange constructing the DataFrame
+    runs no Spark job at all.  Use this from catalog/plan builders that
+    must stay lazy; use the literal form on a hot path that packs once
+    and probes repeatedly."""
+    spark = bloom.sparkSession
+    num_words = (num_bits + 63) // 64
+    word_rows = (
+        bloom.select(F.col("bit").cast("bigint").alias("bit"))
+        .distinct()
+        .select(
+            F.shiftright("bit", 6).cast("int").alias("w"),
+            # python shiftleft() only takes a literal shift; the SQL
+            # builtin accepts a per-row expression
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    # complete the word domain so element_at never reads a hole, and
+    # fold into ONE ordered-array row (bounded: ≤ num_bits/64 entries)
+    packed = (
+        spark.range(num_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(word_rows, "w", "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("w"), F.col("word")))
+            ).alias("_s")
+        )
+        .select(
+            F.transform(
+                "_s", lambda x: F.coalesce(x["word"], F.lit(0).cast("bigint"))
+            ).alias("_words")
+        )
+    )
+    key = F.col(key_col)
+    pred = None
+    for j in range(num_hashes):
+        t = bloom_bitmap_test(F.col("_words"), _bucket(key, j, num_bits))
+        pred = t if pred is None else (pred & t)
+    return (
+        keys.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(packed))
         .select(key, pred.alias("maybe_present"))
     )
 

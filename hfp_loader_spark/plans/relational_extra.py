@@ -1022,7 +1022,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hfp_loader_spark.operators.sketches import (
         bloom_build,
-        bloom_contains,
+        bloom_contains_lazy,
         bloom_merge,
     )
 
@@ -1034,7 +1034,9 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bits=num_bits, num_hashes=num_hashes,
     )
     merged = bloom_merge(per_nation, part_cols=[])
-    probed = bloom_contains(
+    # the LAZY probe keeps catalog construction job-free: the literal
+    # form collects the bit set at plan-build time (see bloom_contains)
+    probed = bloom_contains_lazy(
         merged, cust.select("c_custkey"), "c_custkey",
         num_bits=num_bits, num_hashes=num_hashes,
     )

@@ -246,11 +246,19 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- summation order is engine-dependent)
       SELECT source, n, sqrt(n / t) / (n / t) AS r FROM counts, tot
     ), thr AS (
+      -- rate 1 (raw >= 65536, always the most-constrained source) maps
+      -- to 'zzzz' = keep-all: every hex threshold drops the bucket
+      -- equal to it under the strict < comparison, so 'ffff' would
+      -- lose ~1/65536 of the source it claims to keep in full
       SELECT source, n,
-             printf('%04x', CAST(least(65535, greatest(0,
-               floor(r / (SELECT max(r) FROM rel) * 65536))) AS INT))
-               AS t4
-      FROM rel
+             CASE WHEN raw >= 65536 THEN 'zzzz'
+                  ELSE printf('%04x', CAST(greatest(0, raw) AS INT))
+             END AS t4
+      FROM (
+        SELECT source, n,
+               floor(r / (SELECT max(r) FROM rel) * 65536) AS raw
+        FROM rel
+      )
     ), kept AS (
       SELECT d.source, d.doc_id
       FROM documents d JOIN thr ON d.source = thr.source
@@ -268,7 +276,9 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "∝ share^(α−1) with α=0.5 — the XLM-R/mC4 α-smoothed source "
     "rebalance that downsamples the dominant crawl toward a flatter "
     "mix, capped at keep-all for the rarest source (a keep/drop filter "
-    "cannot upsample). Planning is ONE bounded groupBy collected to "
+    "cannot upsample; the cap is EXACT — rate-1 sources get the "
+    "above-hex KEEP_ALL sentinel, not 'ffff', on both sides). "
+    "Planning is ONE bounded groupBy collected to "
     "#sources scalars; selection stays the deterministic salted-md5 "
     "projection, so membership is engine-portable and pinned here by "
     "the per-source id_checksum. The oracle re-derives the thresholds "

@@ -136,3 +136,27 @@ def test_cluster_keepers_by_score_argmax_and_ties(spark):
         1: (2, 3, 0.9),    # 2 beats 3 on the id tiebreak, beats 1 on score
         10: (10, 2, 0.5),  # pure tie → min id
     }
+
+
+def test_cluster_keepers_excludes_null_scores(spark):
+    """A NULL-score member must never win the keeper fold (struct min is
+    NULLS-FIRST, so an unfiltered NULL would beat every real score —
+    ADVICE r8) and is excluded from n_members; an all-NULL component
+    yields no row."""
+    from hfp_loader_spark.operators.graph import cluster_keepers_by_score
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (20, 20), (21, 20)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.3), (2, None), (3, 0.7), (20, None), (21, None)],
+        "id long, score double",
+    )
+    out = {
+        r["component"]: (r["keeper_id"], r["n_members"], r["keeper_score"])
+        for r in cluster_keepers_by_score(comp, scores).collect()
+    }
+    # component 1: NULL member 2 neither wins nor counts
+    # component 20: all members unscored → no keeper row at all
+    assert out == {1: (3, 2, 0.7)}

@@ -383,3 +383,103 @@ def test_signature_index_stamps_and_rejects_mismatched_params(
         dedup_delta_against_index(spark, delta, legacy)
     with pytest.raises(ValueError, match="no signature_params stamp"):
         save_signature_index(spark, delta, legacy)
+
+
+def test_restamp_signature_index_migrates_legacy(spark, sf_dir, tmp_path):
+    """restamp_signature_index is the legacy-index migration path the
+    stamp-check error points at (ADVICE r8): after an out-of-band
+    verified restamp, append and delta-dedup accept the index; a wrong
+    claimed width, a missing index, and an already-stamped index are
+    all refused."""
+    import pytest
+
+    from hfp_loader_spark.operators.neardup import (
+        dedup_delta_against_index,
+        index_signature_params,
+        minhash_signatures,
+        restamp_signature_index,
+        save_signature_index,
+        shingle_docs,
+    )
+    from hfp_loader_spark.versioned import commit_snapshot, read_snapshot
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where("doc_id % 5 != 0").limit(30)
+    delta = docs.where("doc_id % 5 = 0").limit(8)
+
+    # a pre-marker index: data committed with no signature_params meta
+    legacy = str(tmp_path / "legacy_restamp")
+    commit_snapshot(
+        spark,
+        minhash_signatures(shingle_docs(hist, "doc_id", "text"), 32),
+        legacy,
+    )
+    assert index_signature_params(spark, legacy) is None
+    with pytest.raises(ValueError, match="no signature_params stamp"):
+        dedup_delta_against_index(spark, delta, legacy)
+
+    # claiming a width the data contradicts is caught from the data
+    with pytest.raises(ValueError, match="contradicts the claim"):
+        restamp_signature_index(spark, legacy, "raw", 3, 16)
+
+    n_before = read_snapshot(spark, legacy).count()
+    v = restamp_signature_index(spark, legacy, "raw", 3, 32)
+    assert v == 2
+    assert index_signature_params(spark, legacy) == {
+        "text_representation": "raw",
+        "shingle_n": 3,
+        "num_hashes": 32,
+    }
+    # manifest-only: the restamp appended zero data rows
+    assert read_snapshot(spark, legacy).count() == n_before
+
+    # and the index is now a first-class citizen of the stamped world
+    dedup_delta_against_index(spark, delta, legacy).unpersist()
+    save_signature_index(spark, delta, legacy)
+
+    # restamping a stamped index is refused in both flavours
+    with pytest.raises(ValueError, match="already carries exactly"):
+        restamp_signature_index(spark, legacy, "raw", 3, 32)
+    with pytest.raises(ValueError, match="must be rebuilt"):
+        restamp_signature_index(spark, legacy, "scrubbed", 3, 32)
+
+    with pytest.raises(FileNotFoundError, match="nothing to restamp"):
+        restamp_signature_index(
+            spark, str(tmp_path / "nowhere"), "raw", 3, 32
+        )
+
+
+def test_ensure_parallelism_detects_tuned_file_packing(spark, tmp_path):
+    """With spark.sql.files.openCostInBytes tuned below the default,
+    Spark bin-packs many small files into fewer partitions than files —
+    the fast file-count path must NOT conclude 'enough partitions' from
+    the file count alone (ADVICE r8); the conf gate falls back to the
+    exact probe and the repartition fires."""
+    from hfp_loader_spark.operators.neardup import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "many_small")
+    (
+        spark.range(200)
+        .selectExpr("id as doc_id", "cast(id as string) as text")
+        .repartition(2 * target)
+        .write.parquet(p)
+    )
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) >= 2 * target
+
+    # default configs: fast path, and the lower bound genuinely holds
+    assert ensure_parallelism(df, "doc_id") is df
+    assert df.rdd.getNumPartitions() >= target
+
+    conf = spark.conf
+    try:
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        conf.set("spark.sql.files.minPartitionNum", "1")
+        packed = spark.read.parquet(p)
+        assert packed.rdd.getNumPartitions() < target  # bin-packed
+        out = ensure_parallelism(packed, "doc_id")
+        assert out.rdd.getNumPartitions() >= target
+    finally:
+        conf.unset("spark.sql.files.openCostInBytes")
+        conf.unset("spark.sql.files.minPartitionNum")

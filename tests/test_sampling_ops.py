@@ -155,6 +155,47 @@ def test_bloom_contains_probe_is_joinless(spark):
     assert phys.count("Exchange hashpartitioning") <= 1
 
 
+def test_bloom_contains_lazy_matches_eager_and_runs_no_job(spark):
+    """bloom_contains_lazy: identical verdicts to the literal form on
+    every probe (including duplicates), and CONSTRUCTING the frame runs
+    zero Spark work — the property catalog builders need (ADVICE r8:
+    the literal form collects at plan-build time)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from hfp_loader_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_lazy,
+    )
+
+    present = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bloom = bloom_build(present, "k", num_bits=4096, num_hashes=5)
+    probes = spark.createDataFrame(
+        [(i,) for i in range(400)] + [(7,), (7,), (399,)], "k long"
+    )
+
+    # construction must not touch the cluster: any eager materialization
+    # funnels through DataFrame.collect (bloom_bitmap_words) — forbid it
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("eager collect")
+    ):
+        lazy = bloom_contains_lazy(
+            bloom, probes, "k", num_bits=4096, num_hashes=5
+        )
+    got = {r["k"]: r["maybe_present"] for r in lazy.collect()}
+    want = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_contains(
+            bloom, probes, "k", num_bits=4096, num_hashes=5
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 400  # distinct probes, duplicates collapsed
+    assert all(got[i] for i in range(200))  # no false negatives
+
+
 def test_bloom_no_false_negatives_and_bounded_fp(spark):
     from hfp_loader_spark.operators.sketches import (
         bloom_build,
@@ -224,7 +265,15 @@ def test_temperature_thresholds_invariants(spark):
     (nearly) everything, rarer ⇒ strictly higher keep rate, α=1
     reproduces the natural mix (all rates equal the cap), and α=0
     targets a uniform mix (rates ∝ 1/n)."""
-    from hfp_loader_spark.operators.sampling import temperature_thresholds
+    from hfp_loader_spark.operators.sampling import (
+        KEEP_ALL,
+        temperature_thresholds,
+    )
+
+    def rate(v: str) -> int:
+        # KEEP_ALL expresses rate 1 exactly — no hex threshold can,
+        # since mixture_sample's comparison is a strict <
+        return 65536 if v == KEEP_ALL else int(v, 16)
 
     rows = (
         [(i, "big") for i in range(900)]
@@ -234,23 +283,61 @@ def test_temperature_thresholds_invariants(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string")
 
     t = temperature_thresholds(df, "source", alpha=0.5)
-    rates = {s: int(v, 16) for s, v in t.items()}
-    assert rates["rare"] == 0xFFFF          # rarest: keep-all (capped)
+    rates = {s: rate(v) for s, v in t.items()}
+    assert t["rare"] == KEEP_ALL            # rarest: keep-all, EXACTLY
     assert rates["rare"] > rates["mid"] > rates["big"]
     # α=0.5: rate ratio between sources = sqrt(n_rare/n_big) etc.
     assert abs(rates["big"] / rates["rare"] - (10 / 900) ** 0.5) < 1e-3
 
-    t1 = {s: int(v, 16) for s, v in
-          temperature_thresholds(df, "source", alpha=1.0).items()}
-    assert set(t1.values()) == {0xFFFF}     # natural mix: keep everything
+    t1 = temperature_thresholds(df, "source", alpha=1.0)
+    assert set(t1.values()) == {KEEP_ALL}   # natural mix: keep everything
 
-    t0 = {s: int(v, 16) for s, v in
+    t0 = {s: rate(v) for s, v in
           temperature_thresholds(df, "source", alpha=0.0).items()}
-    assert t0["rare"] == 0xFFFF
+    assert t0["rare"] == 65536
     assert abs(t0["big"] / t0["rare"] - 10 / 900) < 1e-3  # uniform target
 
-    # budget_frac scales every rate proportionally
-    th = {s: int(v, 16) for s, v in
+    # budget_frac scales every rate proportionally (and below 1 no
+    # source reaches the keep-all sentinel)
+    th = {s: rate(v) for s, v in
           temperature_thresholds(df, "source", alpha=0.5,
                                  budget_frac=0.5).items()}
-    assert abs(th["rare"] - 0xFFFF / 2) <= 1
+    assert abs(th["rare"] - 65536 / 2) <= 1
+
+
+def test_temperature_keep_all_retains_ffff_bucket(spark):
+    """The rate-1 source keeps even the ~1/65536 of rows whose 4-hex
+    md5 bucket is exactly 'ffff' — the rows an 'ffff' threshold would
+    drop under mixture_sample's strict < (ADVICE r8: the 'preserves
+    rare sources in full' claim must be literally true)."""
+    from hfp_loader_spark.operators.sampling import (
+        KEEP_ALL,
+        mixture_sample,
+        temperature_thresholds,
+    )
+
+    # md5('mix:51373')[:4] == 'ffff' — the exact boundary bucket
+    boundary = 51373
+    rows = [(boundary, "rare"), (1, "rare")] + [
+        (i + 100000, "big") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    t = temperature_thresholds(df, "source", alpha=0.5)
+    assert t["rare"] == KEEP_ALL
+
+    kept = {
+        r["doc_id"]
+        for r in mixture_sample(df, "source", t, key_col="doc_id")
+        .where("source = 'rare'")
+        .collect()
+    }
+    assert kept == {boundary, 1}  # nothing lost at the cap
+
+    # counter-check: the old 'ffff' cap does drop the boundary row
+    dropped = {
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "source", {"rare": "ffff", "big": "0000"}, key_col="doc_id"
+        ).collect()
+    }
+    assert boundary not in dropped and 1 in dropped
