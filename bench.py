@@ -48,6 +48,11 @@ HEADLINE = [
     "stream_session_counts",
     "streaming_watermark_dedup",
     "streaming_sliding_availablenow",
+    # round 9: DSIR importance weighting — explode → two bounded count
+    # aggregates → broadcast ratio join → per-doc sum; added so the
+    # data-selection tier has a measured representative (raises the
+    # headline total by its own cost vs earlier rounds' 24-query sum).
+    "sample_dsir_importance",
 ]
 
 

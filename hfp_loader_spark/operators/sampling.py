@@ -204,3 +204,92 @@ def per_group_cap(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score each
+    raw-corpus document by how much more likely its hashed n-gram
+    features are under a TARGET domain than under the raw corpus —
+    ``log w(x) = Σ_tokens log p_target(b(t)) / p_raw(b(t))`` — so that
+    resampling proportionally to ``w`` shifts the corpus toward the
+    target distribution without a learned model.
+
+    Features are hashed UNIGRAM buckets: ``b(t) = first-byte of
+    md5(t)`` (``num_buckets`` ≤ 256 uses a prefix of it), the
+    engine-portable stand-in for the paper's hashed n-gram features —
+    md5 exists bit-identically in Spark and DuckDB, so a SQL oracle
+    re-derives the same buckets (the xxhash64 family does not cross
+    engines).  Both bucket distributions are Laplace-smoothed:
+    ``p(b) = (c_b + smoothing) / (N + smoothing·num_buckets)``.
+    The per-bucket log-ratio is computed in ONE fixed expression shape —
+    ``ln(((c_t+s)·(N_r+s·B)) / ((c_r+s)·(N_t+s·B)))`` — every step of
+    which is an IEEE correctly-rounded op on both engines, so only the
+    final ``ln`` and the per-doc summation order are engine-soft; like
+    the surprisal entries, callers pin parity by rounding once at the
+    oracle's precision.
+
+    Output: ``(id_col, n_tokens, dsir_logw)`` with ``dsir_logw``
+    UNROUNDED (log-space; positive = target-like).  Downstream, keep
+    top-k by weight or resample via a Gumbel-style deterministic draw.
+
+    Scale shape: both count tables are ≤ ``num_buckets`` rows (built by
+    one hash aggregate over each corpus's exploded tokens — map-side
+    partial aggregation collapses the explode before any shuffle), the
+    scalar totals ride along by crossJoin of 1-row aggregates, and the
+    joined log-ratio table broadcasts onto the exploded raw corpus; the
+    only data-sized shuffle is the final per-document aggregate."""
+    from hfp_loader_spark.operators.text import tokens
+
+    if not 1 <= num_buckets <= 256:
+        raise ValueError("num_buckets must be in [1, 256] (one md5 byte)")
+    s = float(smoothing)
+    b_expr = (
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 2), 16, 10).cast("int")
+        % num_buckets
+    ).alias("_b")
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+        ).select(id_col, b_expr)
+
+    raw_toks = bucketed(docs)
+    c_raw = raw_toks.groupBy("_b").agg(F.count("*").alias("_cr"))
+    c_tgt = bucketed(target).groupBy("_b").agg(F.count("*").alias("_ct"))
+    n_raw = c_raw.agg(F.sum("_cr").alias("_nr"))
+    n_tgt = c_tgt.agg(F.sum(F.col("_ct")).alias("_nt"))
+    denom = F.lit(s * num_buckets)
+    ratios = (
+        c_raw.join(c_tgt, "_b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "_b",
+            F.log(
+                (
+                    (F.coalesce("_ct", F.lit(0)) + F.lit(s))
+                    * (F.col("_nr") + denom)
+                )
+                / (
+                    (F.col("_cr") + F.lit(s))
+                    * (F.coalesce("_nt", F.lit(0)) + denom)
+                )
+            ).alias("_logr"),
+        )
+    )
+    return (
+        raw_toks.join(F.broadcast(ratios), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_logr").alias("dsir_logw"),
+        )
+    )

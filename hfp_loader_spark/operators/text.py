@@ -500,3 +500,175 @@ def boilerplate_fractions(
     return flagged.withColumn(
         "boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 4)
     )
+
+
+# Gopher's §A1.1 quality-rule stopword list (Rae et al. 2021): a page
+# must contain at least GOPHER_MIN_STOPWORDS distinct members.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopwords: int = GOPHER_MIN_STOPWORDS,
+) -> dict[str, Column]:
+    """The Gopher rule-based quality filters (Rae et al. 2021, §A1.1) as
+    per-rule boolean columns plus the conjunction ``gopher_keep`` — the
+    hard-gate companion to :func:`quality_score`'s soft signal (MassiveWeb
+    used exactly these rules as the FIRST curation stage, before any
+    model-based scoring).
+
+    Words are WHITESPACE tokens of the raw text (punctuation attached),
+    not the alnum ``tokens()`` — mean word length and the symbol ratio
+    are defined over surface words in the paper.  All rule arithmetic is
+    integer counts with at most one division per ratio, so a SQL oracle
+    re-deriving the flags lands on bit-identical doubles.  Empty pages
+    (0 words / 0 lines) fail the respective bound checks rather than
+    dividing by zero.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'-or-'...' symbols per
+    word ≤ max_symbol_ratio; ≥ min_alpha_word_frac of words contain an
+    alphabetic character; ≥ ``min_stopwords`` distinct members of
+    ``stopwords`` (default: Gopher's eight); ≤ max_bullet_line_frac of lines start
+    with a bullet; ≤ max_ellipsis_line_frac of lines end with an
+    ellipsis.
+
+    Scale shape: one narrow projection, no shuffle, no UDF — usable as a
+    pushed-down pre-filter in front of every expensive stage."""
+    words = F.filter(F.split(text, "\\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text)
+        - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike("^\\s*[-*•]"))
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)\\s*$"))
+    )
+    word_count_ok = (n_words >= F.lit(min_words)) & (
+        n_words <= F.lit(max_words)
+    )
+    # the zero-word/zero-line guards must be CASE WHEN around the
+    # division, not a conjunct: ANSI mode evaluates both sides of `&`,
+    # so a bare `(n > 0) & (x / n <= c)` raises DIVIDE_BY_ZERO on an
+    # empty page (CASE branches ARE lazy)
+    mean_word_len_ok = F.when(
+        n_words > 0,
+        ((sum_len / n_words) >= F.lit(min_mean_word_len))
+        & ((sum_len / n_words) <= F.lit(max_mean_word_len)),
+    ).otherwise(F.lit(False))
+    symbol_ratio_ok = F.when(
+        n_words > 0,
+        ((n_hash + n_ellipsis) / n_words) <= F.lit(max_symbol_ratio),
+    ).otherwise(F.lit(False))
+    alpha_word_frac_ok = F.when(
+        n_words > 0,
+        (n_alpha_words / n_words) >= F.lit(min_alpha_word_frac),
+    ).otherwise(F.lit(False))
+    stopword_ok = n_stop >= F.lit(min_stopwords)
+    bullet_frac_ok = F.when(
+        n_lines > 0, (n_bullet / n_lines) <= F.lit(max_bullet_line_frac)
+    ).otherwise(F.lit(True))
+    ellipsis_frac_ok = F.when(
+        n_lines > 0,
+        (n_ell_lines / n_lines) <= F.lit(max_ellipsis_line_frac),
+    ).otherwise(F.lit(True))
+    keep = (
+        word_count_ok
+        & mean_word_len_ok
+        & symbol_ratio_ok
+        & alpha_word_frac_ok
+        & stopword_ok
+        & bullet_frac_ok
+        & ellipsis_frac_ok
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "word_count_ok": word_count_ok,
+        "mean_word_len_ok": mean_word_len_ok,
+        "symbol_ratio_ok": symbol_ratio_ok,
+        "alpha_word_frac_ok": alpha_word_frac_ok,
+        "stopword_ok": stopword_ok,
+        "bullet_frac_ok": bullet_frac_ok,
+        "ellipsis_frac_ok": ellipsis_frac_ok,
+        "gopher_keep": keep,
+    }
+
+
+def c4_line_filter(
+    text: Column,
+    min_line_words: int = 3,
+    min_kept_lines: int = 5,
+) -> dict[str, Column]:
+    """The C4 line-level cleaning rules (Raffel et al. 2020, §2.2) as
+    expression columns: per-line retention plus the page-level verdict.
+
+    A line is RETAINED when it ends in a terminal punctuation mark
+    (``.``, ``!``, ``?``, or a closing double quote), has at least
+    ``min_line_words`` whitespace words, and does not contain the word
+    "javascript" (case-insensitive) — the paper's cookie/boilerplate
+    heuristic.  The PAGE is kept only when at least ``min_kept_lines``
+    lines survive (C4's "fewer than 5 sentences" proxy) and the raw
+    text contains neither a curly brace (code) nor "lorem ipsum"
+    (placeholder), both page-level in the paper.
+
+    Everything is deterministic string logic (split, regexp test, word
+    count) — no floats at all, so oracle parity is exact by
+    construction.  Output columns: ``cleaned_text`` (retained lines
+    re-joined with newlines), ``n_lines`` (non-empty), ``n_kept_lines``,
+    ``page_keep``.
+
+    Scale shape: a narrow projection; the cleaned text is computed
+    without exploding lines into rows, so no shuffle and no row
+    multiplication — the whole filter rides along with the scan."""
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]\\s*$')
+        & (
+            F.size(F.filter(F.split(l, "\\s+"), lambda w: F.length(w) > 0))
+            >= F.lit(min_line_words)
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_kept = F.size(kept)
+    page_keep = (
+        (n_kept >= F.lit(min_kept_lines))
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )
+    return {
+        "cleaned_text": F.array_join(kept, "\n"),
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": n_kept.cast("long"),
+        "page_keep": page_keep,
+    }

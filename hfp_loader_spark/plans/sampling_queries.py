@@ -407,3 +407,67 @@ def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+_DSIR_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "t -> len(t) > 0)"
+)
+
+
+@defquery(
+    "sample_dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DSIR_TOKS}) AS t FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', md5(t)[1]) - 1) * 16
+                   + strpos('0123456789abcdef', md5(t)[2]) - 1) % 256
+                  AS INT) AS bkt
+      FROM toks
+    ), tb AS (
+      SELECT b.bkt FROM b JOIN documents d USING (doc_id)
+      WHERE d.lang = 'fr'
+    ), cr AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+       ct AS (SELECT bkt, count(*) AS c FROM tb GROUP BY bkt),
+       nr AS (SELECT sum(c) AS n FROM cr),
+       nt AS (SELECT sum(c) AS n FROM ct),
+       r AS (
+         -- ONE fixed expression shape, mirrored in the Spark plan:
+         -- products/divide are correctly rounded, so only ln and the
+         -- per-doc sum order are engine-soft (pinned by round 6)
+         SELECT cr.bkt,
+                ln(((coalesce(ct.c, 0) + 0.5) * (nr.n + 128.0))
+                   / ((cr.c + 0.5) * (coalesce(nt.n, 0) + 128.0))) AS logr
+         FROM cr LEFT JOIN ct USING (bkt), nr, nt
+       )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(logr), 6) AS dsir_logw
+    FROM b JOIN r USING (bkt)
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (operators.sampling."
+    "dsir_importance_weights; Xie et al. 2023): score every raw-corpus "
+    "document by the summed log-likelihood ratio of its hashed unigram "
+    "buckets under a TARGET domain (here: the French documents) vs the "
+    "raw corpus — the model-free data-selection signal that resampling "
+    "proportionally to w shifts the mix toward the target. Buckets are "
+    "one md5 byte (engine-portable, unlike xxhash), both distributions "
+    "Laplace-smoothed (s=0.5, B=256). Scale shape: two ≤256-row count "
+    "tables (map-side partials absorb the token explode), scalar totals "
+    "as 1-row broadcast crossJoins, log-ratio table broadcast onto the "
+    "exploded corpus, one per-doc aggregate — no data-sized shuffle "
+    "beyond the doc key.",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "fr")
+    w = dsir_importance_weights(
+        docs, target, num_buckets=256, smoothing=0.5
+    )
+    return w.select(
+        "doc_id", "n_tokens", F.round("dsir_logw", 6).alias("dsir_logw")
+    )

@@ -521,3 +521,205 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log("_p")), 6).alias("avg_neg_logp2"),
         )
     )
+
+
+# Corpus-adapted stopword set for the Gopher rule demo: the synthetic
+# vocabulary has only two of Gopher's eight English stopwords, so the
+# entry exercises the ≥2-distinct rule with common corpus words instead
+# (the operator defaults to the paper's list).
+_GOPHER_STOPS = ("the", "a", "value", "table", "data", "key")
+
+
+@defquery(
+    "text_gopher_rules",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> len(x) > 0) AS words,
+             list_filter(string_split(text, chr(10)),
+                         l -> len(l) > 0) AS lines
+      FROM base
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS nw,
+             coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS sl,
+             len(text) - len(replace(text, '#', '')) AS nhash,
+             (len(text) - len(replace(text, '...', ''))) / 3 AS nell,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+             len(list_intersect(
+                 list_distinct(list_transform(words, x -> lower(x))),
+                 ['the', 'a', 'value', 'table', 'data', 'key'])) AS nstop,
+             len(lines) AS nl,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[-*•]'))) AS nbul,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS nelll
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           nw >= 50 AND nw <= 100000 AS word_count_ok,
+           nw > 0 AND (sl / nw) >= 3.0 AND (sl / nw) <= 10.0
+             AS mean_word_len_ok,
+           nw > 0 AND ((nhash + nell) / nw) <= 0.1 AS symbol_ratio_ok,
+           nw > 0 AND (nalpha / nw) >= 0.8 AS alpha_word_frac_ok,
+           nstop >= 2 AS stopword_ok,
+           nl = 0 OR (nbul / nl) <= 0.9 AS bullet_frac_ok,
+           nl = 0 OR (nelll / nl) <= 0.3 AS ellipsis_frac_ok,
+           (nw >= 50 AND nw <= 100000)
+             AND (nw > 0 AND (sl / nw) >= 3.0 AND (sl / nw) <= 10.0)
+             AND (nw > 0 AND ((nhash + nell) / nw) <= 0.1)
+             AND (nw > 0 AND (nalpha / nw) >= 0.8)
+             AND nstop >= 2
+             AND (nl = 0 OR (nbul / nl) <= 0.9)
+             AND (nl = 0 OR (nelll / nl) <= 0.3) AS gopher_keep
+    FROM m
+    """,
+    doc="Gopher rule-based quality gates (operators.text."
+    "gopher_quality_flags; Rae et al. 2021 §A1.1): per-document rule "
+    "booleans — word count in [50, 100k], mean word length in [3, 10], "
+    "symbol-per-word ratio, alphabetic-word fraction, ≥2 distinct "
+    "stopwords (corpus-adapted list), bullet/ellipsis line fractions — "
+    "plus their conjunction gopher_keep, the MassiveWeb first-stage "
+    "hard filter. All integer counts with one division per ratio, so "
+    "the oracle's doubles are bit-identical; a pure narrow projection "
+    "at scale (pushes below every join/shuffle).",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        F.coalesce(F.col("text"), F.lit("")),
+        stopwords=_GOPHER_STOPS,
+        min_stopwords=2,
+    )
+    return docs.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        flags["word_count_ok"].alias("word_count_ok"),
+        flags["mean_word_len_ok"].alias("mean_word_len_ok"),
+        flags["symbol_ratio_ok"].alias("symbol_ratio_ok"),
+        flags["alpha_word_frac_ok"].alias("alpha_word_frac_ok"),
+        flags["stopword_ok"].alias("stopword_ok"),
+        flags["bullet_frac_ok"].alias("bullet_frac_ok"),
+        flags["ellipsis_frac_ok"].alias("ellipsis_frac_ok"),
+        flags["gopher_keep"].alias("gopher_keep"),
+    )
+
+
+@defquery(
+    "text_c4_line_filter",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), shaped AS (
+      -- fixture shaping (both engines identically): the corpus is
+      -- single-line word soup, so wrap tokens into 8-word lines and
+      -- derive punctuation / blacklist injections from (doc_id, line
+      -- index) — the FILTER below is the operator under test
+      SELECT doc_id,
+        list_concat(
+          CASE WHEN doc_id % 17 = 2
+               THEN ['lorem ipsum dolor sit amet.'] ELSE [] END,
+          list_concat(
+            CASE WHEN doc_id % 19 = 4
+                 THEN ['{{ config block }}'] ELSE [] END,
+            list_transform(
+              range(0, CAST(ceil(len(toks) / 8.0) AS INT)), j ->
+                (CASE WHEN (doc_id + j) % 11 = 5
+                      THEN 'javascript ' ELSE '' END)
+                || array_to_string(toks[(j*8+1):(j*8+8)], ' ')
+                || (CASE (doc_id + j) % 4 WHEN 0 THEN ''
+                    WHEN 1 THEN '.' WHEN 2 THEN '!' ELSE '?' END)))
+        ) AS lines
+      FROM t
+    ), pages AS (
+      SELECT doc_id, coalesce(array_to_string(lines, chr(10)), '') AS text
+      FROM shaped
+    ), f AS (
+      SELECT doc_id, text,
+        list_filter(string_split(text, chr(10)),
+                    l -> len(trim(l)) > 0) AS lines
+      FROM pages
+    ), k AS (
+      SELECT doc_id, text, len(lines) AS n_lines,
+        list_filter(lines, l ->
+          regexp_matches(l, '[.!?"]\s*$')
+          AND len(list_filter(string_split_regex(l, '\s+'),
+                              w -> len(w) > 0)) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM f
+    )
+    SELECT doc_id,
+      CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      len(kept) >= 5 AND NOT contains(text, '{{')
+        AND NOT contains(lower(text), 'lorem ipsum') AS page_keep,
+      -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+      -- array_join([]) is '' — pin the empty-page hash to md5('')
+      md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash
+    FROM k
+    """,
+    doc="C4 line-level cleaning (operators.text.c4_line_filter; Raffel "
+    "et al. 2020 §2.2): lines are retained iff they end in terminal "
+    "punctuation, carry ≥3 words, and lack 'javascript'; the page "
+    "survives iff ≥5 lines remain and the raw text has no brace and no "
+    "'lorem ipsum'. The corpus has no line structure, so both engines "
+    "first shape identical synthetic pages (8-word lines, punctuation "
+    "and blacklist injections keyed on (doc_id, line index)); the "
+    "cleaned text is pinned by md5. Pure string logic, exact parity, "
+    "zero shuffle — the filter fuses into the scan at any scale.",
+)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+
+    def build(t):
+        nl = F.ceil(F.size(t) / F.lit(8.0)).cast("int")
+        body = F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda j: F.concat(
+                    F.when(
+                        (doc_id + j) % 11 == 5, F.lit("javascript ")
+                    ).otherwise(F.lit("")),
+                    F.array_join(F.slice(t, j * 8 + 1, 8), " "),
+                    F.when((doc_id + j) % 4 == 0, F.lit(""))
+                    .when((doc_id + j) % 4 == 1, F.lit("."))
+                    .when((doc_id + j) % 4 == 2, F.lit("!"))
+                    .otherwise(F.lit("?")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        lorem = F.when(
+            doc_id % 17 == 2, F.array(F.lit("lorem ipsum dolor sit amet."))
+        ).otherwise(F.array().cast("array<string>"))
+        brace = F.when(
+            doc_id % 19 == 4, F.array(F.lit("{ config block }"))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(lorem, brace, body)
+
+    # let-bind the token array once (the word_shingles lesson: unbound,
+    # the tokenizer re-runs per line reference)
+    shaped = F.element_at(
+        F.transform(F.array(tokens(F.col("text"))), build), 1
+    )
+    page = docs.select(
+        "doc_id", F.array_join(shaped, "\n").alias("_text")
+    )
+    flt = c4_line_filter(F.col("_text"))
+    return page.select(
+        "doc_id",
+        flt["n_lines"].alias("n_lines"),
+        flt["n_kept_lines"].alias("n_kept_lines"),
+        flt["page_keep"].alias("page_keep"),
+        F.md5(flt["cleaned_text"]).alias("clean_hash"),
+    )

@@ -105,3 +105,142 @@ def test_repetition_thresholds_configurable(spark):
     ).collect()[0]
     assert strict["flagged"] is True
     assert lax["flagged"] is False
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires on its planted violation and only there
+    (Rae et al. §A1.1): too-short page, 1-char words (mean length),
+    symbol spam, bullet walls, missing stopwords."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.text import gopher_quality_flags
+
+    good = ("the cat sat with all of that and more here today " * 6).strip()
+    rows = [
+        (1, good),                                      # passes everything
+        (2, "short text with the and of"),              # < 50 words
+        (3, ("a b c " * 40).strip()),                   # mean word len < 3
+        (4, good + " " + "### " * 30),                  # symbol spam
+        (5, "\n".join(["- item " + good] * 10)),        # 10/10 bullet lines
+        (6, ("value table query scan merge " * 12).strip()),  # no stopwords
+        (7, ""),                                        # empty page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_quality_flags(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[
+            v.alias(k) for k, v in flags.items()
+        ]).collect()
+    }
+    assert out[1]["gopher_keep"]
+    assert not out[2]["word_count_ok"] and out[2]["mean_word_len_ok"]
+    assert not out[3]["mean_word_len_ok"]
+    assert not out[4]["symbol_ratio_ok"]
+    assert not out[5]["bullet_frac_ok"]
+    assert not out[6]["stopword_ok"] and out[6]["word_count_ok"]
+    assert not out[7]["word_count_ok"] and not out[7]["mean_word_len_ok"]
+    assert all(not out[k]["gopher_keep"] for k in range(2, 8))
+    # ellipsis-line rule: 1/2 lines ending in '...' > 0.3
+    ell = spark.createDataFrame(
+        [(8, "the first line is fine.\nthe second trails off...")],
+        "doc_id long, text string",
+    )
+    r8 = ell.select(
+        *[v.alias(k) for k, v in gopher_quality_flags(F.col("text")).items()]
+    ).collect()[0]
+    assert not r8["ellipsis_frac_ok"]
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 §2.2 line retention: terminal punctuation + ≥3 words +
+    no-javascript per line; ≥5 kept lines + no brace + no lorem ipsum
+    per page; cleaned_text is exactly the surviving lines."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.text import c4_line_filter
+
+    page = "\n".join(
+        [
+            "This is a perfectly good sentence.",   # kept
+            "Another fine sentence ends here too!", # kept
+            "no terminal punctuation on this line", # dropped: punct
+            "Too few.",                             # dropped: < 3 words
+            "Enable javascript to view this page.", # dropped: blacklist
+            'He said "stop right there."',          # kept (quote end)
+            "Does this question count as well?",    # kept
+            "",                                     # dropped: empty
+            "The fifth and final proper sentence.", # kept
+        ]
+    )
+    rows = [
+        (1, page),                                   # 5 kept → page keep
+        (2, page + "\nint main() { return 0; }"),    # brace → page drop
+        (3, "Lorem ipsum dolor sit amet filler.\n" + page),  # lorem drop
+        (4, "Only one good sentence lives here.\nsecond line bad"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flt = c4_line_filter(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[
+            v.alias(k) for k, v in flt.items()
+        ]).collect()
+    }
+    assert out[1]["n_lines"] == 8 and out[1]["n_kept_lines"] == 5
+    assert out[1]["page_keep"]
+    assert out[1]["cleaned_text"].split("\n") == [
+        "This is a perfectly good sentence.",
+        "Another fine sentence ends here too!",
+        'He said "stop right there."',
+        "Does this question count as well?",
+        "The fifth and final proper sentence.",
+    ]
+    assert not out[2]["page_keep"]          # brace, despite 6 kept lines
+    assert not out[3]["page_keep"]          # lorem ipsum (kept lines ≥ 5)
+    assert out[3]["n_kept_lines"] >= 5
+    assert out[4]["n_kept_lines"] == 1 and not out[4]["page_keep"]
+    assert out[5]["n_lines"] == 0 and not out[5]["page_keep"]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): a document written in the target domain's
+    vocabulary must outscore one written in the raw-only vocabulary, and
+    a mixed document lands between them; n_tokens is the tokenizer
+    count."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hfp_loader_spark.operators.sampling import dsir_importance_weights
+
+    target_vocab = "alpha beta gamma delta epsilon"
+    raw_vocab = "zork grue troll dungeon lantern"
+    docs = spark.createDataFrame(
+        [
+            (1, (target_vocab + " ") * 8),
+            (2, (raw_vocab + " ") * 8),
+            (3, (target_vocab + " " + raw_vocab + " ") * 4),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, (target_vocab + " ") * 20)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logw"])
+        for r in dsir_importance_weights(docs, target).collect()
+    }
+    assert out[1][0] == 40 and out[2][0] == 40 and out[3][0] == 40
+    assert out[1][1] > out[3][1] > out[2][1]
+    # target-like is genuinely positive, raw-only genuinely negative
+    assert out[1][1] > 0 > out[2][1]
+
+
+def test_dsir_rejects_bad_bucket_count(spark):
+    import pytest
+
+    from hfp_loader_spark.operators.sampling import dsir_importance_weights
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_importance_weights(df, df, num_buckets=1024)
