@@ -3,7 +3,9 @@
 Every stage of the standard LLM pre-training data pipeline, chained from
 this repo's operator tier into one declarative flow:
 
-    profile → quality gates (score + Gopher repetition + PII scrub)
+    profile → C4 line cleaning (optional, first — Raffel et al. §2.2)
+            → quality gates (score + Gopher repetition + optional
+              Gopher §A1.1 hard rules + PII scrub)
             → exact dedup (full-content fingerprint)
             → near-dup clustering (MinHash-LSH pairs → connected
               components → keep the min-id doc per cluster)
@@ -38,7 +40,9 @@ from hfp_loader_spark.operators.graph import connected_components_alternating
 from hfp_loader_spark.operators.neardup import decontaminate, minhash_lsh_pairs
 from hfp_loader_spark.operators.sampling import mixture_sample
 from hfp_loader_spark.operators.text import (
+    c4_line_filter,
     chunk_documents,
+    gopher_quality_flags,
     quality_score,
     remove_duplicate_spans,
     repetition_metrics,
@@ -73,6 +77,20 @@ class PipelineConfig:
     keeper: str = "min_id"
     chunk_window: int = 32
     chunk_stride: int = 24
+    # C4 line-level cleaning (Raffel et al. §2.2) as the FIRST stage:
+    # lines without terminal punctuation / enough words / with
+    # "javascript" are excised, and pages failing the brace /
+    # lorem-ipsum / min-kept-lines rules are dropped — the paper's
+    # order, before any whole-document scoring (scores should see the
+    # cleaned text).  Off by default: single-line corpora lose every
+    # line to the punctuation rule.
+    c4_clean: bool = False
+    # Gopher hard rule gates (Rae et al. §A1.1) folded into the quality
+    # stage's filter; ``gopher_stopwords=None`` uses the paper's list —
+    # pass a corpus-adapted tuple when the corpus vocabulary doesn't
+    # overlap English function words.
+    gopher_rules: bool = False
+    gopher_stopwords: tuple[str, ...] | None = None
 
 
 def _content_fingerprint(text_col: str):
@@ -130,12 +148,22 @@ def _gate_and_exact_dedup(
     ledger: _StageLedger,
 ) -> DataFrame:
     """Shared head of both pipeline shapes: quality gates (score +
-    Gopher repetition) then full-content exact dedup keeping the min id
-    per key.  Records the 'quality' and 'exact_dedup' stage counts."""
-    scored = docs.where(
-        F.col(text_col).isNotNull()
-        & (quality_score(F.col(text_col)) >= cfg.min_quality)
+    Gopher repetition, plus the Gopher §A1.1 hard rules when
+    ``cfg.gopher_rules``) then full-content exact dedup keeping the min
+    id per key.  Records the 'quality' and 'exact_dedup' stage counts."""
+    gate = F.col(text_col).isNotNull() & (
+        quality_score(F.col(text_col)) >= cfg.min_quality
     )
+    if cfg.gopher_rules:
+        kwargs = (
+            {"stopwords": cfg.gopher_stopwords}
+            if cfg.gopher_stopwords is not None
+            else {}
+        )
+        gate = gate & gopher_quality_flags(F.col(text_col), **kwargs)[
+            "gopher_keep"
+        ]
+    scored = docs.where(gate)
     rep = repetition_metrics(scored, id_col=id_col, text_col=text_col)
     survivors = scored.join(
         rep.where(~F.col("flagged")).select(id_col), id_col, "left_semi"
@@ -174,6 +202,21 @@ def prepare_corpus(
     counts: dict[str, int] = {}
     counts["input"] = docs.select(id_col).count()
     ledger = _StageLedger(counts)
+
+    if cfg.c4_clean:
+        # line surgery BEFORE any scoring (the C4 order): both the page
+        # verdict and the cleaned text derive from the ORIGINAL text in
+        # one projection, then the text column is swapped in place so
+        # every later stage sees cleaned pages only
+        flt = c4_line_filter(F.col(text_col))
+        docs = (
+            docs.where(F.col(text_col).isNotNull())
+            .withColumn("_c4_text", flt["cleaned_text"])
+            .where(flt["page_keep"])
+            .withColumn(text_col, F.col("_c4_text"))
+            .drop("_c4_text")
+        )
+        docs = ledger.checkpoint(docs, "c4_clean", id_col)
 
     survivors = _gate_and_exact_dedup(docs, cfg, id_col, text_col, ledger)
 

@@ -396,3 +396,74 @@ def test_pipeline_quality_keeper_keeps_best_duplicate(spark):
     assert kept_m == [1, 3]   # canonical min-id keeper
     assert kept_q == [2, 3]   # quality keeper prefers the longer doc
     assert counts_q["near_dedup"] == counts_m["near_dedup"] == 2
+
+
+def test_pipeline_c4_and_gopher_stages(spark):
+    """Opt-in C4 line cleaning runs FIRST (pages trimmed, brace pages
+    dropped, later stages see cleaned text) and the Gopher hard rules
+    fold into the quality gate; both record stage counts and keep the
+    monotone-shrinkage invariant."""
+    # page-unique vocabulary (the repetition gate flags templated
+    # pages); one stopword per line gives ≥2 distinct for Gopher
+    stops = ["the", "with", "that", "of", "and", "have"]
+    page = "\n".join(
+        [
+            f"{stops[i]} alpha{i} bravo{i} charlie{i} delta{i} echo{i} "
+            f"foxtrot{i} golf{i} hotel{i}."
+            for i in range(6)
+        ]
+        + ["no terminal punctuation line"]
+    )
+    nostop = "\n".join(
+        [
+            f"query{i} scan{i} merge{i} row{i} data{i} line{i} "
+            f"value{i} table{i} now{i}."
+            for i in range(6)
+        ]
+    )
+    rows = [
+        (1, page, "src0"),
+        (2, page + "\nint main() { return 0; }", "src0"),  # brace → dropped
+        # passes C4 (6 kept lines) but has NO stopwords → gopher drop
+        (3, nostop, "src0"),
+        # too few kept lines → C4 page drop
+        (4, "Short page.\nonly one terminal sentence lives here.", "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean, counts, release = prepare_corpus(
+        spark,
+        docs,
+        config=PipelineConfig(
+            min_quality=0.0,
+            c4_clean=True,
+            gopher_rules=True,
+        ),
+    )
+    try:
+        assert list(counts)[:3] == ["input", "c4_clean", "quality"]
+        vals = list(counts.values())
+        assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+        assert counts["input"] == 4
+        assert counts["c4_clean"] == 2      # brace + short page dropped
+        assert counts["quality"] == 1       # stopword-less page dropped
+        out = clean.collect()
+        assert [r["doc_id"] for r in out] == [1]
+        # the surviving text is the CLEANED page: the punctuation-less
+        # line is gone, the six good lines remain
+        assert out[0]["text"].count("\n") == 5
+        assert "no terminal punctuation" not in out[0]["text"]
+    finally:
+        release()
+
+
+def test_pipeline_c4_off_by_default_single_line_corpus(spark, sf_dir):
+    """The default config must NOT run C4 on the single-line synthetic
+    corpus (every line lacks terminal punctuation — the stage would
+    erase the corpus); defaults keep the historical stage list."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    clean, counts, release = prepare_corpus(spark, docs)
+    try:
+        assert "c4_clean" not in counts
+        assert counts["output"] > 0
+    finally:
+        release()
