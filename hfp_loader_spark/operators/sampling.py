@@ -293,3 +293,53 @@ def dsir_importance_weights(
             F.sum("_logr").alias("dsir_logw"),
         )
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "gumbel:",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k: sample ``k`` rows WITHOUT replacement
+    with probability ∝ ``exp(weight_col)`` — the log-space companion of
+    the A-ES weighted reservoir (:mod:`plans.sampling_queries`'s
+    ``sample_weighted_reservoir``), for weights that ARRIVE in log space
+    (DSIR importance scores, log-perplexities) where exponentiating
+    would overflow.  The Gumbel-max trick: ``argtop_k(w_i + G_i)`` with
+    ``G_i`` standard Gumbel draws IS such a sample (Vieira 2014).
+
+    The draw is DETERMINISTIC and engine-portable: ``u`` is the first
+    12 hex digits of ``md5(salt‖key)`` as an integer, shifted by +0.5
+    and scaled by 16^-12 — strictly inside (0,1) so ``-ln(-ln(u))`` is
+    always finite (ANSI mode turns ln(0) into ±inf downstream), and
+    exactly representable, so both engines hold the identical double and
+    the identical Gumbel.  Re-runs and engines agree on the exact row
+    set; rows never migrate when the corpus grows (their keys don't
+    change — only the global top-k cutoff moves).
+
+    Output: the input columns + ``gumbel_key`` (unrounded; callers
+    comparing across engines should round ONCE at their precision).
+    Scale shape: one narrow projection + TakeOrderedAndProject (per-task
+    k-row heaps, driver merge) — no global sort, no shuffle of the
+    corpus."""
+    from hfp_loader_spark.operators.relational import global_top_k
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+    g = -F.log(-F.log(u))
+    keyed = df.withColumn("gumbel_key", F.col(weight_col) + g)
+    return global_top_k(
+        keyed, [F.desc("gumbel_key"), F.asc(key_col)], k
+    )

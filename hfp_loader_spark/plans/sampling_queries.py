@@ -471,3 +471,81 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "doc_id", "n_tokens", F.round("dsir_logw", 6).alias("dsir_logw")
     )
+
+
+@defquery(
+    "sample_dsir_gumbel_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DSIR_TOKS}) AS t FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', md5(t)[1]) - 1) * 16
+                   + strpos('0123456789abcdef', md5(t)[2]) - 1) % 256
+                  AS INT) AS bkt
+      FROM toks
+    ), tb AS (
+      SELECT b.bkt FROM b JOIN documents d USING (doc_id)
+      WHERE d.lang = 'fr'
+    ), cr AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+       ct AS (SELECT bkt, count(*) AS c FROM tb GROUP BY bkt),
+       nr AS (SELECT sum(c) AS n FROM cr),
+       nt AS (SELECT sum(c) AS n FROM ct),
+       r AS (
+         SELECT cr.bkt,
+                ln(((coalesce(ct.c, 0) + 0.5) * (nr.n + 128.0))
+                   / ((cr.c + 0.5) * (coalesce(nt.n, 0) + 128.0))) AS logr
+         FROM cr LEFT JOIN ct USING (bkt), nr, nt
+       ), w AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(logr), 6) AS dsir_logw
+      FROM b JOIN r USING (bkt) GROUP BY doc_id
+    ), g AS (
+      -- u from 12 md5 hex digits, +0.5 → strictly inside (0,1), every
+      -- term an exact double, so both engines hold the identical
+      -- Gumbel; ranking uses the UNROUNDED key (identical doubles),
+      -- display rounds once
+      SELECT doc_id, n_tokens, dsir_logw,
+             dsir_logw + (-ln(-ln(
+               (list_sum(list_transform(generate_series(1, 12),
+                  i -> (strpos('0123456789abcdef',
+                         substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)),
+                                i, 1)) - 1)
+                       * 16.0 ** (12 - i))) + 0.5) / 16.0 ** 12)))
+               AS key_raw
+      FROM w
+    )
+    SELECT doc_id, n_tokens, dsir_logw, round(key_raw, 6) AS gumbel_key
+    FROM g ORDER BY key_raw DESC, doc_id LIMIT 20
+    """,
+    doc="DSIR SELECTION via deterministic Gumbel-top-k "
+    "(operators.sampling.gumbel_topk over dsir_importance_weights): "
+    "sample 20 documents without replacement ∝ exp(importance) by "
+    "ranking w_i + G_i with G_i a Gumbel draw derived from md5(doc_id) "
+    "— the Gumbel-max trick in log space, where exponentiating DSIR "
+    "weights would over/underflow. Engine-portable: u is 12 exact md5 "
+    "hex digits (+0.5, so ln never sees 0 under ANSI), both engines "
+    "hold bit-identical keys, and the top-k is TakeOrderedAndProject "
+    "(per-task heaps, no global sort) over one narrow projection — the "
+    "whole selection adds zero shuffles to the weight computation.",
+)
+def sample_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import (
+        dsir_importance_weights,
+        gumbel_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "fr")
+    w = dsir_importance_weights(
+        docs, target, num_buckets=256, smoothing=0.5
+    ).select(
+        "doc_id", "n_tokens", F.round("dsir_logw", 6).alias("dsir_logw")
+    )
+    picked = gumbel_topk(w, "dsir_logw", 20, key_col="doc_id")
+    return picked.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logw",
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )

@@ -341,3 +341,30 @@ def test_temperature_keep_all_retains_ffff_bucket(spark):
         ).collect()
     }
     assert boundary not in dropped and 1 in dropped
+
+
+def test_gumbel_topk_is_deterministic_and_weight_monotone(spark):
+    """Gumbel-top-k: identical selection on re-run (no RNG state), a
+    different salt re-deals, and cranking one row's weight far above the
+    rest forces it into the sample — the ∝exp(weight) direction."""
+    from hfp_loader_spark.operators.sampling import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(i, 0.0) for i in range(200)], "doc_id long, w double"
+    )
+    a = [r["doc_id"] for r in gumbel_topk(df, "w", 10, "doc_id").collect()]
+    b = [r["doc_id"] for r in gumbel_topk(df, "w", 10, "doc_id").collect()]
+    assert a == b and len(a) == 10
+    c = [
+        r["doc_id"]
+        for r in gumbel_topk(df, "w", 10, "doc_id", salt="other:").collect()
+    ]
+    assert set(c) != set(a)  # 10-of-200 twice: overlap of all 10 ≈ 1e-13
+
+    # Gumbel noise is bounded in practice; +1e6 dominates any draw
+    boosted = df.withColumn(
+        "w",
+        (F.col("doc_id") == 137).cast("int").cast("double") * 1_000_000.0,
+    )
+    top = {r["doc_id"] for r in gumbel_topk(boosted, "w", 3, "doc_id").collect()}
+    assert 137 in top
