@@ -672,3 +672,138 @@ def c4_line_filter(
         "n_kept_lines": n_kept.cast("long"),
         "page_keep": page_keep,
     }
+
+
+def _md5_bucket(tok: Column, num_buckets: int) -> Column:
+    """One engine-portable hash bucket of a token: the first md5 byte
+    (mod ``num_buckets``).  md5 is bit-identical in Spark and DuckDB, so
+    a SQL oracle re-derives the SAME buckets; the xxhash64 family does
+    not cross engines (the dsir_importance_weights precedent)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("int")
+        % num_buckets
+    )
+
+
+def ccnet_perplexity(
+    docs: DataFrame,
+    lm_corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under a target-domain bigram LM — the
+    CCNet quality signal (Wenzek et al. 2020, "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", §4.3): score every
+    document by the perplexity of a language model TRAINED ON A TRUSTED
+    TARGET DOMAIN (the paper uses Wikipedia; KenLM 5-gram), then keep the
+    low-perplexity head of the corpus.  This is the absolute-fluency
+    complement of ``sampling.dsir_importance_weights`` (a RATIO of two
+    domains): DSIR asks "more target-like than raw-like?", CCNet asks
+    "fluent under the target LM at all?".
+
+    The LM here is a hashed-bucket BIGRAM model: tokens map to
+    ``num_buckets`` md5 buckets (engine-portable, OOV-free — every
+    possible token has a bucket, the hashed-feature trick DSIR also
+    uses), and the conditional probability is Laplace-smoothed:
+    ``p(b2|b1) = (c(b1,b2) + s) / (c(b1,·) + s·B)``.  Per document,
+    ``ce_nats = avg(-ln p)`` over its bigram events — ln(perplexity).
+    The probability is ONE fixed expression shape (add, add, divide —
+    all IEEE correctly-rounded) so only the final ``ln`` and the per-doc
+    mean's summation order are engine-soft; callers pin oracle parity by
+    rounding once (the dsir/surprisal precedent).
+
+    Output: ``(id_col, n_bigrams, ce_nats)`` — UNROUNDED, one row per
+    document with ≥ 1 bigram (documents with < 2 tokens have no events
+    and are dropped, as in ``text_bigram_surprisal``).  Classify with
+    ``ccnet_bucket`` (fixed cutoffs) or derive corpus-relative cutoffs
+    with ``ccnet_cutoffs``.
+
+    Scale shape: the LM is at most ``num_buckets²`` rows (one hash
+    aggregate over the target's exploded bigrams — map-side partial
+    aggregation collapses the explode before the shuffle) and both the
+    pair-count and context-count tables BROADCAST onto the corpus's
+    exploded bigram stream; the only data-sized shuffle is the final
+    per-document aggregate, and partial aggregation collapses the ~T×
+    bigram explode before it.  No vocabulary is ever shuffled."""
+    if not 1 <= num_buckets <= 256:
+        raise ValueError("num_buckets must be in [1, 256] (one md5 byte)")
+    s = float(smoothing)
+
+    def bigram_events(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n1),
+                    F.slice(toks, 2, n1),
+                    lambda a, b: F.struct(
+                        _md5_bucket(a, num_buckets).alias("_b1"),
+                        _md5_bucket(b, num_buckets).alias("_b2"),
+                    ),
+                )
+            ).alias("_bg"),
+        ).select(id_col, "_bg._b1", "_bg._b2")
+
+    c2 = bigram_events(lm_corpus).groupBy("_b1", "_b2").agg(
+        F.count("*").alias("_c2")
+    )
+    c1 = c2.groupBy("_b1").agg(F.sum("_c2").alias("_c1"))
+    denom = F.lit(s * num_buckets)
+    return (
+        bigram_events(docs)
+        .join(F.broadcast(c2), ["_b1", "_b2"], "left")
+        .join(F.broadcast(c1), ["_b1"], "left")
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.coalesce("_c2", F.lit(0)) + F.lit(s))
+                / (F.coalesce("_c1", F.lit(0)) + denom)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg(-F.col("_logp")).alias("ce_nats"),
+        )
+    )
+
+
+def ccnet_bucket(
+    ce: Column, head_cutoff: float, tail_cutoff: float
+) -> Column:
+    """CCNet's head/middle/tail split on a cross-entropy column with
+    FIXED cutoffs: ``ce < head_cutoff`` → 'head' (most fluent),
+    ``ce < tail_cutoff`` → 'middle', else 'tail'.  The paper derives the
+    cutoffs as the corpus's ⅓/⅔ perplexity percentiles ONCE per
+    language and then applies them as constants — which is exactly the
+    scale-correct shape (a constant comparison that rides the scan, no
+    global rank window); ``ccnet_cutoffs`` computes them."""
+    return (
+        F.when(ce < F.lit(head_cutoff), F.lit("head"))
+        .when(ce < F.lit(tail_cutoff), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+
+
+def ccnet_cutoffs(
+    scored: DataFrame,
+    ce_col: str = "ce_nats",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> tuple[float, float]:
+    """Derive the head/tail cross-entropy cutoffs as corpus percentiles
+    (CCNet computes them per language on a sample, then freezes them).
+    Uses ``approx_percentile`` — the mergeable-sketch percentile whose
+    memory is bounded by accuracy, not by corpus size (the exact
+    ``percentile`` buffers every value per group: wrong at 100 TB).
+    Returns driver-side floats to be passed to ``ccnet_bucket`` as
+    constants — two scalars, the only thing collected."""
+    lo, hi = probs
+    row = scored.agg(
+        F.approx_percentile(ce_col, F.lit(lo), F.lit(10000)).alias("_lo"),
+        F.approx_percentile(ce_col, F.lit(hi), F.lit(10000)).alias("_hi"),
+    ).collect()[0]
+    return float(row["_lo"]), float(row["_hi"])

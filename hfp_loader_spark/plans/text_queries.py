@@ -723,3 +723,82 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         flt["page_keep"].alias("page_keep"),
         F.md5(flt["cleaned_text"]).alias("clean_hash"),
     )
+
+
+# One md5-byte hash bucket of a token, mod 64 — the SQL twin of
+# operators.text._md5_bucket (the engine-portable hashed-feature trick;
+# see sample_dsir_importance for the 256-bucket variant).
+def _CCNET_BKT(col: str) -> str:
+    return (
+        f"CAST(((strpos('0123456789abcdef', md5({col})[1]) - 1) * 16"
+        f" + strpos('0123456789abcdef', md5({col})[2]) - 1) % 64 AS INT)"
+    )
+
+
+@defquery(
+    "text_ccnet_perplexity",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    bg0 AS (
+      SELECT doc_id,
+             unnest(tk[1:len(tk)-1]) AS a,
+             unnest(tk[2:len(tk)])   AS b
+      FROM t WHERE len(tk) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, {_CCNET_BKT('a')} AS b1, {_CCNET_BKT('b')} AS b2
+      FROM bg0
+    ),
+    lm AS (
+      SELECT b1, b2 FROM bg JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en'
+    ),
+    c2 AS (SELECT b1, b2, count(*) AS c FROM lm GROUP BY 1, 2),
+    c1 AS (SELECT b1, sum(c) AS n FROM c2 GROUP BY 1),
+    ev AS (
+      -- ONE fixed expression shape, mirrored in the Spark plan: two
+      -- adds and a divide (IEEE correctly-rounded), so only ln and the
+      -- per-doc mean's summation order are engine-soft (pinned round 6)
+      SELECT doc_id,
+             ln((coalesce(c2.c, 0) + 0.5) / (coalesce(c1.n, 0) + 32.0))
+               AS logp
+      FROM bg LEFT JOIN c2 USING (b1, b2) LEFT JOIN c1 USING (b1)
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(-logp), 6) AS ce_nats
+      FROM ev GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ce_nats,
+           CASE WHEN ce_nats < 3.18 THEN 'head'
+                WHEN ce_nats < 3.23 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored
+    """,
+    doc="CCNet perplexity filtering (operators.text.ccnet_perplexity; "
+    "Wenzek et al. 2020 §4.3): every document scored by cross-entropy "
+    "under a hashed-bucket bigram LM trained ONLY on the trusted target "
+    "domain (here: the English documents — the paper's Wikipedia), then "
+    "split head/middle/tail with FIXED cutoffs the way CCNet freezes its "
+    "per-language percentile cutoffs into constants. The absolute-fluency "
+    "complement of DSIR's two-domain ratio. Buckets are one md5 byte mod "
+    "64 (engine-portable, OOV-free); p(b2|b1) is Laplace-smoothed "
+    "(s=0.5, B=64). Scale shape: the LM is ≤ 64² rows built by one hash "
+    "aggregate (map-side partials absorb the bigram explode) and "
+    "BROADCAST onto the corpus bigram stream; the only data-sized "
+    "shuffle is the per-document aggregate; the bucket split is a "
+    "constant comparison riding the scan — no global rank window.",
+)
+def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import ccnet_bucket, ccnet_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = ccnet_perplexity(
+        docs, docs.where(F.col("lang") == "en"), num_buckets=64
+    ).withColumn("ce_nats", F.round("ce_nats", 6))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "ce_nats",
+        ccnet_bucket(F.col("ce_nats"), 3.18, 3.23).alias("ppl_bucket"),
+    )

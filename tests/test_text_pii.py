@@ -244,3 +244,84 @@ def test_dsir_rejects_bad_bucket_count(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="num_buckets"):
         dsir_importance_weights(df, df, num_buckets=1024)
+
+
+def test_ccnet_perplexity_prefers_lm_domain_docs(spark):
+    """CCNet (Wenzek et al. 2020): a document written in the LM corpus's
+    vocabulary scores LOWER cross-entropy than one in vocabulary the LM
+    never saw; an unseen-context bigram costs exactly the smoothing
+    floor ln(B) = ln((0+s)/(0+s·B))⁻¹ when its buckets are untrained."""
+    import math
+
+    from hfp_loader_spark.operators.text import ccnet_perplexity
+
+    lm_vocab = "alpha beta gamma delta epsilon"
+    odd_vocab = "zork grue troll dungeon lantern"
+    docs = spark.createDataFrame(
+        [(1, (lm_vocab + " ") * 8), (2, (odd_vocab + " ") * 8)],
+        "doc_id long, text string",
+    )
+    lm = spark.createDataFrame(
+        [(100, (lm_vocab + " ") * 20)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["ce_nats"])
+        for r in ccnet_perplexity(docs, lm, num_buckets=64).collect()
+    }
+    assert out[1][0] == 39 and out[2][0] == 39  # 40 tokens → 39 bigrams
+    assert out[1][1] < out[2][1]
+    # trained bigrams are far below the smoothing floor; unseen ones at
+    # most at it (hash collisions can only lower the cost, never raise it)
+    assert out[1][1] < 2.0
+    assert out[2][1] <= math.log(64) + 1e-9
+
+
+def test_ccnet_perplexity_short_docs_and_validation(spark):
+    import pytest
+
+    from hfp_loader_spark.operators.text import ccnet_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens"), (3, None)],
+        "doc_id long, text string",
+    )
+    lm = spark.createDataFrame([(9, "two tokens")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in ccnet_perplexity(docs, lm).collect()}
+    assert set(rows) == {2}  # <2 tokens → no events → dropped
+    assert rows[2]["n_bigrams"] == 1
+    with pytest.raises(ValueError, match="num_buckets"):
+        ccnet_perplexity(docs, lm, num_buckets=0)
+
+
+def test_ccnet_bucket_and_cutoffs(spark):
+    from hfp_loader_spark.operators.text import (
+        ccnet_bucket,
+        ccnet_cutoffs,
+        ccnet_perplexity,
+    )
+
+    lm_vocab = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(i, (lm_vocab + " ") * (2 + i % 5) + "zork grue " * (i % 3))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    lm = spark.createDataFrame(
+        [(100, (lm_vocab + " ") * 20)], "doc_id long, text string"
+    )
+    scored = ccnet_perplexity(docs, lm, num_buckets=64)
+    lo, hi = ccnet_cutoffs(scored)
+    assert lo <= hi
+    out = scored.withColumn(
+        "bucket", ccnet_bucket(F.col("ce_nats"), lo, hi)
+    ).collect()
+    seen = {r["bucket"] for r in out}
+    assert seen <= {"head", "middle", "tail"}
+    # percentile cutoffs split a 30-doc corpus into non-empty tertiles
+    assert {"head", "tail"} <= seen
+    for r in out:
+        want = (
+            "head" if r["ce_nats"] < lo
+            else "middle" if r["ce_nats"] < hi else "tail"
+        )
+        assert r["bucket"] == want
