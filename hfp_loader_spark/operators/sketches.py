@@ -330,3 +330,122 @@ def cms_join_size(
             .alias("est_join_rows")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: log-linear histogram (HdrHistogram family)
+# ---------------------------------------------------------------------------
+
+
+def qhist_floor(value: Column, sub_bits: int = 5) -> Column:
+    """Deterministic log-linear bucket LOWER BOUND of a non-negative long
+    (the HdrHistogram / DDSketch bucketing family, integer-exact): keep
+    the top ``sub_bits + 1`` significant bits and zero the rest —
+    ``floor = (v >> s) << s`` with ``s = max(bitlen(v) - 1 - sub_bits,
+    0)``.  Values below ``2^(sub_bits+1)`` are their own bucket (exact);
+    above, the bucket width is ``2^s`` so ``width / floor ≤ 2^-sub_bits``
+    — a hard RELATIVE-error bound at every magnitude, in pure integer
+    ops that DuckDB replicates bit-identically (``length(bin(v))`` and
+    ``>>``/``<<`` exist on both engines; no log2, whose last-ulp
+    behavior at power-of-two boundaries does NOT cross engines).
+
+    Precondition: ``value ≥ 0`` (shift semantics on negatives diverge);
+    builders enforce it with an explicit filter they must document."""
+    from pyspark.sql.functions import call_function
+
+    v = value.cast("long")
+    s = F.greatest(F.length(F.bin(v)) - F.lit(1 + sub_bits), F.lit(0))
+    # the python wrappers F.shiftright/F.shiftleft only accept int
+    # literals for the shift; the underlying SQL expressions take a
+    # column, reachable via call_function
+    return call_function("shiftleft", call_function("shiftright", v, s), s)
+
+
+def qhist_build(
+    df: DataFrame,
+    value_col: str,
+    part_cols: list[str] | None = None,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile-histogram sketch(es) of ``value_col``, one per value of
+    ``part_cols`` — the MERGEABLE quantile summary completing the sketch
+    tier (HLL = distincts, CMS = frequencies, Bloom = membership, this =
+    quantiles).  approx_percentile cannot do the persisted-sketch rollup
+    because its digest never leaves the aggregate; a histogram is just a
+    ``(bucket_lo, cnt)`` DataFrame and merging is a groupBy-sum.
+
+    Output: ``(*part_cols, bucket_lo, cnt)`` — at most ``~63·2^sub_bits``
+    rows per partition whatever the input size (≈ 2k at the default 5),
+    with relative bucket error ≤ ``2^-sub_bits`` (3.1%).  NULL and
+    negative values are EXCLUDED by an explicit filter (shift semantics
+    on negatives diverge between engines) — callers needing signed data
+    shift it into the non-negative domain first; the filter is part of
+    the operator's declared semantics, not a silent drop.
+
+    Scale shape: one narrow projection + one hash aggregate whose key
+    space is the sketch's own bounded (partition, bucket) domain;
+    map-side partial aggregation collapses the input before the
+    shuffle."""
+    part_cols = list(part_cols or ())
+    v = F.col(value_col).cast("long")
+    return (
+        df.where(v >= 0)
+        .select(*part_cols, qhist_floor(v, sub_bits).alias("bucket_lo"))
+        .groupBy(*part_cols, "bucket_lo")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def qhist_merge(
+    sketches: DataFrame, part_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge histogram sketches by per-bucket addition — any coarser
+    grouping of persisted per-partition sketches without a rescan."""
+    part_cols = list(part_cols or ())
+    return sketches.groupBy(*part_cols, "bucket_lo").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def qhist_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a (merged, global) histogram sketch:
+    for each ``q``, the smallest ``bucket_lo`` whose cumulative count
+    reaches rank ``max(ceil(q·N), 1)``.
+
+    Because per-bucket counts are EXACT, the selected bucket provably
+    CONTAINS the true q-th smallest value — the only error is the
+    bucket's own width, so ``est ≤ true < est·(1 + 2^-sub_bits)`` (est
+    is the bucket's lower bound).  The rank arithmetic is
+    ``ceil(q · double(N))`` — one IEEE multiply + ceil, bit-identical
+    across engines for identical ``q`` literals.
+
+    The cumulative window runs UNPARTITIONED — correct here because a
+    sketch is bounded by construction (~2k rows at sub_bits=5),
+    independent of the data size it summarizes; this is a reduction over
+    a sketch, not over data."""
+    from pyspark.sql import Window
+
+    cum = sketch.withColumn(
+        "_cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket_lo").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    total = sketch.agg(F.sum("cnt").alias("_n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(qdf))
+        .where(
+            F.col("_cum")
+            >= F.greatest(
+                F.ceil(F.col("q") * F.col("_n").cast("double")), F.lit(1)
+            )
+        )
+        .groupBy("q")
+        .agg(F.min("bucket_lo").alias("q_est"))
+    )

@@ -1202,3 +1202,97 @@ def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps_bound"),
         )
     )
+
+
+@defquery(
+    "sketch_quantile_histogram",
+    """
+    WITH c AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 0
+    ), b AS (
+      -- log-linear bucket floor: top 6 significant bits, rest zeroed
+      SELECT month,
+             (cents >> greatest(length(bin(cents)) - 6, 0))
+               << greatest(length(bin(cents)) - 6, 0) AS bucket_lo
+      FROM c
+    ),
+    m AS (SELECT month, bucket_lo, count(*) AS cnt FROM b GROUP BY 1, 2),
+    g AS (SELECT bucket_lo, sum(cnt) AS cnt FROM m GROUP BY 1),
+    cum AS (SELECT bucket_lo, sum(cnt) OVER (ORDER BY bucket_lo) AS cc
+            FROM g),
+    n AS (SELECT sum(cnt) AS n FROM g),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    est AS (
+      SELECT q, min(bucket_lo) AS q_est
+      FROM cum, n, qs
+      WHERE cc >= greatest(CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT), 1)
+      GROUP BY q
+    ),
+    vc AS (SELECT cents AS v, count(*) AS cnt FROM c GROUP BY 1),
+    vcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM vc),
+    exact AS (
+      SELECT q, min(v) AS q_exact
+      FROM vcum, n, qs
+      WHERE cc >= greatest(CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT), 1)
+      GROUP BY q
+    )
+    SELECT q, CAST(q_est AS BIGINT) AS q_est,
+           CAST(q_exact AS BIGINT) AS q_exact,
+           q_est <= q_exact AS est_never_exceeds,
+           (q_exact - q_est) * 32 <= q_est AS within_rel_bound
+    FROM est JOIN exact USING (q)
+    """,
+    doc="MERGEABLE quantile sketch (operators.sketches.qhist_*): "
+    "log-linear histogram of order totals in cents (HdrHistogram "
+    "bucketing — top 6 significant bits, integer-exact on both engines; "
+    "no log2, whose power-of-two last-ulp behavior does not cross "
+    "engines), one sketch per month, merged by per-bucket addition to "
+    "answer p50/p90/p99 globally — the quantile member of the "
+    "persisted-sketch family (HLL = distincts, CMS = frequencies, Bloom "
+    "= membership): any later rollup is a merge, never a rescan; "
+    "approx_percentile cannot do this because its digest never leaves "
+    "the aggregate. Per-bucket counts are exact, so the selected bucket "
+    "provably CONTAINS the true rank value: est ≤ true (pinned) and "
+    "(true − est)·2^sub_bits ≤ est (the hard relative bound, pinned in "
+    "pure integer math). The true rank values come from the same "
+    "rank-selection run on exact value counts — a verification "
+    "instrument; the sketch path is the 100 TB path (the cumulative "
+    "window runs over the ~2k-row sketch, never the data).",
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sketches import (
+        qhist_build,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    QS = [0.5, 0.9, 0.99]
+    cents = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("cents") >= 0)
+    )
+    monthly = qhist_build(cents, "cents", ["month"])
+    est = qhist_quantiles(qhist_merge(monthly, []), QS)
+    value_counts = (
+        cents.groupBy(F.col("cents").alias("bucket_lo"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = qhist_quantiles(value_counts, QS).withColumnRenamed(
+        "q_est", "q_exact"
+    )
+    return est.join(exact, "q").select(
+        "q",
+        "q_est",
+        "q_exact",
+        (F.col("q_est") <= F.col("q_exact")).alias("est_never_exceeds"),
+        ((F.col("q_exact") - F.col("q_est")) * 32 <= F.col("q_est")).alias(
+            "within_rel_bound"
+        ),
+    )

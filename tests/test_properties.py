@@ -490,3 +490,56 @@ def test_remove_duplicate_spans_reference_model(spark, docs, n):
         for r in remove_duplicate_spans(df, n=n).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=2**45),
+        min_size=1,
+        max_size=60,
+    ),
+    qs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    sub_bits=st.integers(min_value=2, max_value=7),
+)
+def test_qhist_quantile_bounds_and_mergeability(spark, vals, qs, sub_bits):
+    """For ANY non-negative value multiset and ANY q: the histogram
+    estimate never exceeds the true rank value, the true value sits
+    within the bucket's relative width (true − est ≤ est·2^-sub_bits),
+    and building one sketch over everything equals merging per-part
+    sketches (the mergeability contract that makes persisted sketches
+    answer later rollups)."""
+    import math
+
+    from hfp_loader_spark.operators.sketches import (
+        qhist_build,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], "p int, v long"
+    )
+    merged = qhist_merge(qhist_build(df, "v", ["p"], sub_bits), [])
+    whole = qhist_build(df, "v", None, sub_bits)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = {
+        r["q"]: r["q_est"]
+        for r in qhist_quantiles(merged, qs).collect()
+    }
+    xs = sorted(vals)
+    for q in qs:
+        true = xs[max(math.ceil(q * len(xs)), 1) - 1]
+        assert est[q] <= true
+        assert (true - est[q]) * (2**sub_bits) <= est[q] or est[q] == true
