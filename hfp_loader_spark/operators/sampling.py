@@ -343,3 +343,125 @@ def gumbel_topk(
     return global_top_k(
         keyed, [F.desc("gumbel_key"), F.asc(key_col)], k
     )
+
+
+def _unit_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform draw strictly inside (0,1): the first 12 md5
+    hex digits of (salt ‖ key) as an integer, +0.5, scaled by 16^-12 —
+    every term an exact double, so Spark and DuckDB hold the identical
+    value (the ``gumbel_topk`` idiom).  The salt decorrelates this draw
+    from every other hash decision on the same key."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+
+
+def upsample_epochs(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    salt: str = "epoch:",
+) -> DataFrame:
+    """Deterministic fractional replication — the data-mixing step that
+    runs some sources for MORE than one epoch (Wikipedia ×3 in GPT-3's
+    mix; The Pile's per-set epoch counts) and others for less than one,
+    in a single rule: each row gets ``floor(w)`` guaranteed copies plus
+    one more iff its deterministic uniform draw falls below ``frac(w)``,
+    so E[copies] = w exactly, per row.  ``w < 1`` degenerates to plain
+    downsampling (keep with probability w), ``w = 2.5`` yields 2 or 3
+    copies — re-runs and engines agree row-for-row because the draw is
+    ``md5(salt ‖ key)``, never ``rand()``.
+
+    Output: the input columns + ``n_copies`` + ``copy`` (1-based),
+    one row per copy; rows with ``n_copies = 0`` disappear.  Downstream
+    shuffling should include ``copy`` in its sort key so replicas of a
+    document spread across the training order instead of clumping.
+
+    Scale shape: one narrow projection + a row-local ``explode`` of a
+    ``sequence(1, n)`` literal — no shuffle, no state; the explode's
+    row multiplication IS the requested output size (Σ n_copies)."""
+    w = weight.cast("double")
+    n = (
+        F.floor(w)
+        + F.when(
+            _unit_uniform(F.col(key_col), salt) < (w - F.floor(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    # sequence(1, 0) would count DOWN ([1, 0]); guard the empty case
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("n_copies", n).withColumn(
+        "copy", F.explode(copies)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-order shuffle + sharding: every row gets a
+    ``shard`` in [0, n_shards) and a ``sort_key`` whose within-shard
+    lexicographic order IS the training order — the final step of a
+    corpus pipeline (a seeded global shuffle written as N shard files
+    that data loaders stream in order).
+
+    Both columns are md5 draws with DIFFERENT salts (``<salt>shard:`` /
+    ``<salt>order:``), so shard assignment and within-shard order are
+    independent, reproducible across engines and re-runs, and stable
+    under corpus growth (a new document lands somewhere; existing
+    documents never move — unlike rand() or zipWithIndex shuffles, which
+    reshuffle everything on every change).  Vary ``salt`` per epoch for
+    a fresh order.
+
+    Scale shape: the assignment is a pure projection.  ``write_shards``
+    materializes it with ONE hash repartition on ``shard`` and a
+    distributed within-partition sort — no global sort, no driver
+    involvement; shard sizes concentrate tightly around n/n_shards (md5
+    is uniform), so tasks are balanced by construction."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    k = F.col(key_col).cast("string")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "shard:"), k)), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % n_shards
+    )
+    order = F.md5(F.concat(F.lit(salt + "order:"), k))
+    return df.withColumn("shard", shard).withColumn("sort_key", order)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    salt: str = "",
+) -> None:
+    """Materialize ``shuffle_shards`` as ``shard=…`` parquet directories,
+    each file internally in training order.  One hash repartition on the
+    shard id + a within-partition sort on (shard, sort_key) — rows of a
+    shard are contiguous and ordered within their task, so each
+    ``shard=k`` directory holds ordered files; loaders stream them
+    sequentially with zero further shuffling."""
+    assigned = shuffle_shards(df, n_shards, key_col, salt)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -1296,3 +1296,70 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_rel_bound"
         ),
     )
+
+
+# SQL twin of layout.zorder_value for two 8-bit dimensions: bit i of dim
+# j lands at position 2i + j.  Generated once; pure BIGINT shifts/ands.
+_Z_SQL = " | ".join(
+    f"(((qu >> {i}) & 1) << {2 * i}) | (((qt >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@defquery(
+    "layout_zorder_events",
+    f"""
+    WITH q AS (
+      SELECT greatest(least(user_id // 8, 255), 0) AS qu,
+             greatest(least(CAST(floor(epoch(ts)) AS BIGINT)
+                            - 1704067200, 2591999) // 10800, 0) AS qt
+      FROM events
+    ), z AS (
+      SELECT qu, qt, {_Z_SQL} AS zval FROM q
+    )
+    SELECT zval >> 10 AS z_prefix,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(qu) AS min_qu, max(qu) AS max_qu,
+           min(qt) AS min_qt, max(qt) AS max_qt
+    FROM z
+    GROUP BY z_prefix
+    ORDER BY z_prefix
+    """,
+    doc="Z-order (Morton) clustering key for events over (user_id, "
+    "3h-time-bucket) — the layout.zorder_value interleave exposed to the "
+    "oracle gate in pure integer math: quantize both dimensions to 8-bit "
+    "bucket ids (integer div + clamp; no floats), interleave bits so "
+    "close-in-EVERY-dimension rows get close Z-values, then report "
+    "per-Z-prefix occupancy with each prefix's min/max bucket ids — the "
+    "per-file min/max tightness that makes box predicates on ANY "
+    "dimension subset skip files via plain parquet row-group stats "
+    "(layout.zorder_write materializes it; tests/test_layout.py proves "
+    "the skipping on real files). Scale shape: one narrow projection + "
+    "one bounded aggregate (≤ 2^6 prefixes); the production write adds "
+    "one range shuffle at write time, amortized over every pruned read.",
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.layout import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    # `div` (truncating) vs DuckDB's flooring `//` agree here because the
+    # clamp pins every negative input to bucket 0 on both engines
+    qu = F.expr("greatest(least(user_id div 8, 255), 0)")
+    qt = F.expr(
+        "greatest(least((unix_timestamp(ts) - 1704067200) div 10800, 239),"
+        " 0)"
+    )
+    z = ev.select(
+        qu.cast("long").alias("qu"), qt.cast("long").alias("qt")
+    ).withColumn("zval", zorder_value([F.col("qu"), F.col("qt")], bits=8))
+    return (
+        z.groupBy(F.shiftright("zval", 10).alias("z_prefix"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("qu").alias("min_qu"),
+            F.max("qu").alias("max_qu"),
+            F.min("qt").alias("min_qt"),
+            F.max("qt").alias("max_qt"),
+        )
+        .orderBy("z_prefix")
+    )

@@ -549,3 +549,148 @@ def sample_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_logw",
         F.round("gumbel_key", 6).alias("gumbel_key"),
     )
+
+
+def _hex_int_sql(expr: str, ndigits: int) -> str:
+    """SQL for 'first ``ndigits`` md5 hex chars as an integer' — the
+    DuckDB twin of Spark's ``conv(substring(md5(..), 1, n), 16, 10)``
+    (DuckDB has no base-16 conv; digitwise strpos arithmetic is exact
+    integer math, 16^12 < 2^53)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        )
+        + ")"
+    )
+
+
+_EPOCH_U = (
+    "(("
+    + _hex_int_sql("md5('epoch:' || CAST(doc_id AS VARCHAR))", 12)
+    + " + 0.5) / 16.0 ** 12)"
+)
+
+
+@defquery(
+    "sample_upsample_epochs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 2.5
+                  WHEN source = 'src1' THEN 1.5
+                  ELSE 0.4 END AS wt
+      FROM documents
+    ), n AS (
+      SELECT doc_id, source, wt,
+             CAST(floor(wt) AS INT)
+             + CASE WHEN {_EPOCH_U} < wt - floor(wt)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    ), e AS (
+      SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+      FROM n WHERE n_copies >= 1
+    ), outs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows_out,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_kept
+      FROM e GROUP BY source
+    ), ins AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(sum(wt), 2) AS expected_rows
+      FROM w GROUP BY source
+    )
+    SELECT source, n_docs, expected_rows,
+           coalesce(n_rows_out, 0) AS n_rows_out,
+           coalesce(n_docs_kept, 0) AS n_docs_kept
+    FROM ins LEFT JOIN outs USING (source)
+    """,
+    doc="Epoch upsampling / fractional replication (operators.sampling."
+    "upsample_epochs): the data-mixing step that runs src0 for 2.5 "
+    "epochs, src1 for 1.5, and downsamples the rest to 0.4 — each doc "
+    "gets floor(w) copies plus one more iff its deterministic md5 draw "
+    "falls below frac(w), so E[copies] = w per row with NO rand() "
+    "(engines and re-runs agree row-for-row; the entry also restates "
+    "Σw as expected_rows next to the realized count). Scale shape: one "
+    "narrow projection + a row-local explode of sequence(1, n) — no "
+    "shuffle; the row multiplication IS the requested output.",
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import upsample_epochs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = (
+        F.when(F.col("source") == "src0", F.lit(2.5))
+        .when(F.col("source") == "src1", F.lit(1.5))
+        .otherwise(F.lit(0.4))
+    )
+    w = docs.withColumn("wt", wt)
+    outs = (
+        upsample_epochs(w, F.col("wt"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows_out"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs_kept"),
+        )
+    )
+    ins = w.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.sum("wt"), 2).alias("expected_rows"),
+    )
+    return ins.join(outs, "source", "left").select(
+        "source",
+        "n_docs",
+        "expected_rows",
+        F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+    )
+
+
+_SHARD_ID = (
+    "CAST("
+    + _hex_int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 4)
+    + " % 8 AS INT)"
+)
+
+
+@defquery(
+    "sample_shuffle_shards",
+    f"""
+    WITH a AS (
+      SELECT doc_id, {_SHARD_ID} AS shard,
+             md5('order:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      FROM documents
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY sort_key, doc_id)) AS order_md5
+    FROM a GROUP BY shard
+    """,
+    doc="Seeded training-order shuffle + sharding (operators.sampling."
+    "shuffle_shards / write_shards): every document gets an md5 shard "
+    "id (8 shards) and an independent md5 sort key whose within-shard "
+    "lexicographic order IS the training order — the final corpus-prep "
+    "step, reproducible across engines/re-runs and stable under corpus "
+    "growth (new docs land somewhere; existing docs never move, unlike "
+    "rand()/zipWithIndex shuffles). The entry pins the EXACT per-shard "
+    "order as md5(comma-joined doc_ids in shard order); the per-shard "
+    "collect behind that checksum is the verification instrument — "
+    "production materialization is write_shards: one hash repartition + "
+    "distributed within-partition sort, no global sort, no driver "
+    "collect, shard sizes balanced by md5 uniformity.",
+)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import shuffle_shards
+
+    a = shuffle_shards(
+        _t(spark, sf_dir, "documents").select("doc_id"), 8, "doc_id"
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("sort_key", "doc_id"))),
+        lambda s: s.getField("doc_id").cast("string"),
+    )
+    return a.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.md5(F.array_join(ordered_ids, ",")).alias("order_md5"),
+    )

@@ -368,3 +368,75 @@ def test_gumbel_topk_is_deterministic_and_weight_monotone(spark):
     )
     top = {r["doc_id"] for r in gumbel_topk(boosted, "w", 3, "doc_id").collect()}
     assert 137 in top
+
+
+def test_upsample_epochs_copy_counts_and_determinism(spark):
+    from hfp_loader_spark.operators.sampling import upsample_epochs
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(60)], "doc_id long, src string"
+    )
+    # integer weight → exactly w copies, no randomness involved
+    out3 = upsample_epochs(df, F.lit(3.0), "doc_id").collect()
+    assert len(out3) == 180
+    assert all(r["n_copies"] == 3 for r in out3)
+    assert sorted({r["copy"] for r in out3}) == [1, 2, 3]
+    # zero weight → empty
+    assert upsample_epochs(df, F.lit(0.0), "doc_id").count() == 0
+    # fractional: every doc gets 2 or 3 copies; identical on re-run
+    a = upsample_epochs(df, F.lit(2.5), "doc_id").collect()
+    b = upsample_epochs(df, F.lit(2.5), "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], set()).add(r["n_copies"])
+    assert all(v <= {2} or v <= {3} for v in per_doc.values())
+    assert {2, 3} == {n for v in per_doc.values() for n in v}
+    # the copy column enumerates 1..n_copies exactly
+    from collections import Counter
+
+    c = Counter(r["doc_id"] for r in a)
+    assert all(c[d] == next(iter(per_doc[d])) for d in c)
+
+
+def test_shuffle_shards_stability_and_write(spark, tmp_path):
+    from hfp_loader_spark.operators.sampling import (
+        shuffle_shards,
+        write_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(base, 8, "doc_id").collect()}
+    assert all(0 <= s < 8 for s, _ in a.values())
+    assert len({s for s, _ in a.values()}) == 8  # every shard populated
+    # stability under growth: adding docs never moves existing ones
+    grown = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    b = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(grown, 8, "doc_id").collect()}
+    assert all(b[d] == a[d] for d in a)
+    # a different salt reshuffles (new epoch order)
+    c = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(base, 8, "doc_id", salt="ep2:").collect()}
+    assert any(c[d] != a[d] for d in a)
+
+    # materialized layout: shard dirs exist, each file in training order
+    path = str(tmp_path / "shards")
+    write_shards(base, path, 8, "doc_id")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    dirs = sorted(glob.glob(path + "/shard=*"))
+    assert len(dirs) == 8
+    seen = 0
+    for d in dirs:
+        for f in glob.glob(d + "/*.parquet"):
+            keys = pq.read_table(f, columns=["sort_key"])["sort_key"].to_pylist()
+            assert keys == sorted(keys)
+            seen += len(keys)
+    assert seen == 200
