@@ -41,6 +41,7 @@ from hfp_loader_spark.operators.neardup import decontaminate, minhash_lsh_pairs
 from hfp_loader_spark.operators.sampling import mixture_sample
 from hfp_loader_spark.operators.text import (
     c4_line_filter,
+    ccnet_perplexity,
     chunk_documents,
     gopher_quality_flags,
     quality_score,
@@ -91,6 +92,15 @@ class PipelineConfig:
     # overlap English function words.
     gopher_rules: bool = False
     gopher_stopwords: tuple[str, ...] | None = None
+    # CCNet perplexity gate (Wenzek et al. §4.3): keep documents whose
+    # cross-entropy under the target-domain bigram LM (the ``ccnet_lm``
+    # corpus passed to prepare_corpus) stays below this cutoff — the
+    # paper's head/middle split frozen into a constant (derive it once
+    # with text.ccnet_cutoffs).  None → stage skipped.  Documents with
+    # < 2 tokens have no LM events and are DROPPED when the stage runs
+    # (CCNet cannot score them; they are junk for training regardless).
+    ccnet_max_ce: float | None = None
+    ccnet_buckets: int = 64
 
 
 def _content_fingerprint(text_col: str):
@@ -184,6 +194,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    ccnet_lm: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, int], Callable[[], None]]:
     """Run the full corpus-prep chain; returns (clean_docs, stage_counts,
     release).
@@ -194,9 +205,10 @@ def prepare_corpus(
     ``release()`` unpersists the final cached stage boundary — call it
     AFTER writing ``clean_docs`` (writing first consumes the cache;
     releasing first turns the write into a full-chain recompute).
-    Stages that need a second input (decontamination) or configuration
-    (mixture) are skipped when not provided — the report records only the
-    stages that ran.
+    Stages that need a second input (decontamination: ``heldout``; the
+    CCNet perplexity gate: ``ccnet_lm`` + ``cfg.ccnet_max_ce``) or
+    configuration (mixture) are skipped when not provided — the report
+    records only the stages that ran.
     """
     cfg = config or PipelineConfig()
     counts: dict[str, int] = {}
@@ -219,6 +231,27 @@ def prepare_corpus(
         docs = ledger.checkpoint(docs, "c4_clean", id_col)
 
     survivors = _gate_and_exact_dedup(docs, cfg, id_col, text_col, ledger)
+
+    if ccnet_lm is not None and cfg.ccnet_max_ce is not None:
+        # CCNet perplexity gate AFTER the cheap rule gates and exact
+        # dedup (fewer docs feed the bigram pass), BEFORE the expensive
+        # LSH near-dedup.  The LM corpus is external trusted text; the
+        # ≤ B² conditional-prob table broadcasts, so the gate adds one
+        # per-doc aggregate + one semi-join — no corpus-sized shuffle
+        # beyond the doc key.  Unscorable docs (< 2 tokens) drop here by
+        # construction, as documented on ccnet_max_ce.
+        scored = ccnet_perplexity(
+            survivors.select(id_col, text_col),
+            ccnet_lm,
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=cfg.ccnet_buckets,
+        )
+        keep_ids = scored.where(
+            F.col("ce_nats") < cfg.ccnet_max_ce
+        ).select(id_col)
+        survivors = survivors.join(keep_ids, id_col, "left_semi")
+        survivors = ledger.checkpoint(survivors, "ccnet_perplexity", id_col)
 
     # near-dup clustering: LSH pairs → components → keep min-id doc.
     # No emptiness pre-check: connected_components handles an empty edge

@@ -467,3 +467,48 @@ def test_pipeline_c4_off_by_default_single_line_corpus(spark, sf_dir):
         assert counts["output"] > 0
     finally:
         release()
+
+
+def test_pipeline_ccnet_stage_gates_on_lm_perplexity(spark):
+    """The opt-in CCNet stage keeps documents fluent under the trusted
+    LM and drops off-domain + unscorable (<2 tokens) ones, recording its
+    stage count between exact_dedup and near_dedup; off by default."""
+    # all-distinct tokens per doc (the repetition gate must NOT fire);
+    # the LM corpus repeats the fluent sentences so their bucket bigrams
+    # are trained (measured ce ≈ 2.0/2.2) while the junk doc's are not
+    # (ce ≈ 4.25 — unseen pairs cost at least the smoothing floor)
+    sents = [" ".join(f"w{i}x{j}" for j in range(8)) for i in range(6)]
+    rows = [
+        (1, " ".join(sents), "src0"),
+        (2, " ".join(sents[::-1]), "src0"),  # fluent, not an exact dup
+        (3, " ".join(f"q{i}z{j}" for i in range(6) for j in range(8)), "src0"),
+        (4, "solo", "src0"),  # unscorable: 1 token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lm = spark.createDataFrame(
+        [(100, (" ".join(sents) + " ") * 5)], "doc_id long, text string"
+    )
+    clean, counts, release = prepare_corpus(
+        spark,
+        docs,
+        config=PipelineConfig(min_quality=0.0, ccnet_max_ce=3.5),
+        ccnet_lm=lm,
+    )
+    try:
+        keys = list(counts)
+        assert keys.index("ccnet_perplexity") == keys.index("exact_dedup") + 1
+        assert counts["ccnet_perplexity"] == 2
+        assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+        vals = list(counts.values())
+        assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    finally:
+        release()
+
+    # off by default: no ccnet stage without both the LM and the cutoff
+    _, counts2, release2 = prepare_corpus(
+        spark, docs, config=PipelineConfig(min_quality=0.0)
+    )
+    try:
+        assert "ccnet_perplexity" not in counts2
+    finally:
+        release2()
