@@ -348,3 +348,57 @@ def streaming_watermark_dedup_within(
 
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(watermark_dedup_within(stream, ["user_id", "event_type"]))
+
+
+@defquery(
+    "streaming_followup_left_outer",
+    """
+    WITH p AS (
+      SELECT event_id AS probe_id, user_id, ts AS probe_ts
+      FROM events WHERE event_id % 89 = 0
+    ),
+    -- the stream's FINAL event-time watermark: the global watermark is
+    -- the MIN across both join inputs, and the probe side is filtered,
+    -- so it is max(probe_ts) - delay, NOT max(ts) - delay
+    wm AS (SELECT max(probe_ts) - INTERVAL '10 minutes' AS w FROM p),
+    j AS (
+      SELECT p.probe_id, p.user_id, e.event_id AS matched_event_id,
+             CAST(date_diff('second', p.probe_ts, e.ts) AS BIGINT)
+               AS lag_seconds
+      FROM p JOIN events e
+        ON p.user_id = e.user_id
+       AND e.ts > p.probe_ts
+       AND e.ts <= p.probe_ts + INTERVAL '2 hours'
+    )
+    SELECT * FROM j
+    UNION ALL
+    SELECT p.probe_id, p.user_id, NULL AS matched_event_id,
+           NULL AS lag_seconds
+    FROM p, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM events e
+            WHERE e.user_id = p.user_id
+              AND e.ts > p.probe_ts
+              AND e.ts <= p.probe_ts + INTERVAL '2 hours')
+      AND p.probe_ts + INTERVAL '2 hours' < wm.w
+    """,
+    doc="GENUINE streaming stream-stream LEFT OUTER join with the "
+    "delayed-NULL semantics only streaming has: a probe with no "
+    "follow-up within 2 h is emitted (NULL match) only when the "
+    "event-time watermark passes probe_ts + horizon — the earliest "
+    "moment 'no match' is provable under the lateness contract — and "
+    "probes whose horizon is still open when the archive drains are "
+    "withheld. The oracle states that truncation exactly, including the "
+    "non-obvious watermark source: the global watermark is the MIN over "
+    "both inputs' (max event time − delay), and the probe side is "
+    "filtered, so the cutoff derives from max(probe_ts), not max(ts) — "
+    "measured from the query's own progress log, then pinned here. "
+    "State stays O(horizon of events) on both sides.",
+)
+def streaming_followup_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        followup_join(
+            stream, probe_mod=89, horizon="2 hours", how="left_outer"
+        )
+    )

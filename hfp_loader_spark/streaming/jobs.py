@@ -178,6 +178,7 @@ def followup_join(
     probe_mod: int = 97,
     horizon: str = "12 hours",
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream self-join: for each probe event (every
     ``probe_mod``-th id), the same user's follow-up events within
@@ -189,6 +190,16 @@ def followup_join(
     events), not O(stream).  Batch execution of the same expression is
     the oracle (inner join: every in-horizon match is emitted exactly
     once regardless of micro-batching).
+
+    ``how="left_outer"`` adds the streaming-only DELAYED-NULL semantics:
+    a probe with no in-horizon follow-up is emitted (NULL match, NULL
+    lag) only when the event-time watermark passes ``probe_ts +
+    horizon`` — the earliest moment "no match" is PROVABLE under the
+    lateness contract, at which point the buffered probe state is also
+    evicted.  Probes whose horizon is still open when the stream drains
+    are NOT emitted (their absence is not yet a fact); the batch oracle
+    states that final-watermark truncation explicitly:
+    ``probe_ts + horizon < max(ts) − delay``.
     """
     probes = (
         events.where((F.col("event_id") % probe_mod) == 0)
@@ -209,6 +220,7 @@ def followup_join(
         (F.col("p_user") == F.col("m_user"))
         & (F.col("m_ts") > F.col("probe_ts"))
         & (F.col("m_ts") <= F.col("probe_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
     return joined.select(
         "probe_id",

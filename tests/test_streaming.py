@@ -114,3 +114,68 @@ def test_transform_with_state_distinct_types(spark, sf_dir, events):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_left_outer_join_emits_nulls_only_below_watermark(
+    spark, sf_dir, events
+):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    join; unmatched probes appear (NULL match) ONLY when the final
+    watermark — min over both inputs, i.e. max(probe_ts) − delay since
+    the probe side is filtered — passed their horizon end; later
+    unmatched probes are withheld (their absence is not yet provable)."""
+    import datetime
+
+    from hfp_loader_spark.streaming.jobs import followup_join
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        followup_join(stream, probe_mod=89, horizon="2 hours", how="left_outer")
+    ).collect()
+
+    probes = (
+        events.where(F.col("event_id") % 89 == 0)
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in events.select("user_id", "ts", "event_id").collect():
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    horizon = datetime.timedelta(hours=2)
+    wm = max(p["ts"] for p in probes) - datetime.timedelta(minutes=10)
+
+    expect_matched = set()
+    expect_null = set()
+    for p in probes:
+        matches = [
+            eid
+            for (ts, eid) in by_user.get(p["user_id"], [])
+            if p["ts"] < ts <= p["ts"] + horizon
+        ]
+        if matches:
+            expect_matched |= {(p["event_id"], m) for m in matches}
+        elif p["ts"] + horizon < wm:
+            expect_null.add((p["event_id"], None))
+
+    got_matched = {
+        (r["probe_id"], r["matched_event_id"])
+        for r in out
+        if r["matched_event_id"] is not None
+    }
+    got_null = {
+        (r["probe_id"], None) for r in out if r["matched_event_id"] is None
+    }
+    assert got_matched == expect_matched
+    assert got_null == expect_null
+    # the withheld tail exists in this fixture (otherwise the truncation
+    # assertion is vacuous): at least one unmatched probe sits above wm
+    all_null_probes = {
+        p["event_id"]
+        for p in probes
+        if not any(
+            p["ts"] < ts <= p["ts"] + horizon
+            for (ts, _e) in by_user.get(p["user_id"], [])
+        )
+    }
+    assert {pid for pid, _ in got_null} <= all_null_probes
+    assert len(all_null_probes) > len(got_null)
