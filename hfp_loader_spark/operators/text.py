@@ -807,3 +807,176 @@ def ccnet_cutoffs(
         F.approx_percentile(ce_col, F.lit(hi), F.lit(10000)).alias("_hi"),
     ).collect()[0]
     return float(row["_lo"]), float(row["_hi"])
+
+
+#: Rae et al. 2021, Table A1 — repetition thresholds: a document is
+#: removed when ANY fraction exceeds its bound.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_fractions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The COMPLETE Gopher §A1.2 intra-document repetition suite (Rae et
+    al. 2021): per document, the fraction of characters (a) contained in
+    the single most frequent n-gram for small n (``top_ns`` — all
+    occurrences counted, overlaps included, the paper's definition) and
+    (b) covered by n-grams that occur ≥ 2× within the document for
+    larger n (``dup_ns`` — each character counted ONCE via position
+    union).  ``repetition_metrics`` implements the unigram + top-bigram
+    corner of this table; this operator fills in the remaining seven
+    rows.  (The paper's duplicate line/paragraph variants are the
+    newline-delimited siblings of the same computation; ``c4_line_filter``
+    owns the line tier.)
+
+    Characters are counted over tokens only (whitespace excluded,
+    denominator = Σ token lengths), so every fraction is a ratio of two
+    integers — exact on both engines; display rounds once at 6.
+
+    Output: ``(id_col, n_tokens, total_chars, top_ngram_frac_{n}…,
+    dup_ngram_frac_{n}…, gopher_rep_keep)`` — one row per input row,
+    zero fractions for documents too short to have the n-gram, NULL
+    text treated as empty, ``gopher_rep_keep`` = all fractions within
+    the paper's Table A1 bounds.
+
+    Scale shape: gram arrays for every n are built POSITIONALLY in one
+    let-bound projection (the ``word_shingles`` zip chain, tokenizer
+    runs once per consumer), exploded to (id, n, pos, gram) rows that
+    one hash aggregate counts — map-side partials absorb the ~Σn×
+    blowup.  The duplicate-coverage pass re-joins occurrences to the
+    ≥2× gram set on (id, n, gram) and unions covered token positions
+    with a distinct — all aggregates keyed by the document, nothing
+    corpus-global; total work is linear in corpus tokens × |ns|."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def gram_positions(t: Column) -> Column:
+        """Concat over n of (n, pos, gram-starting-at-pos) structs."""
+        parts = []
+        for n in all_ns:
+            out = t
+            for k in range(1, n):
+                shifted = F.slice(
+                    t, k + 1, F.greatest(F.size(t) - k, F.lit(0))
+                )
+                out = F.zip_with(
+                    out, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+                )
+            parts.append(
+                F.filter(
+                    F.transform(
+                        out,
+                        lambda x, i: F.struct(
+                            F.lit(n).alias("n"),
+                            i.alias("pos"),
+                            x.alias("gram"),
+                        ),
+                    ),
+                    lambda s: s.getField("gram").isNotNull(),
+                )
+            )
+        return F.concat(*parts)
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("total_chars"),
+    )
+    evs = base.select(
+        id_col,
+        F.explode(
+            F.element_at(F.transform(F.array(F.col("_toks")), gram_positions), 1)
+        ).alias("_g"),
+    ).select(id_col, "_g.n", "_g.pos", "_g.gram")
+    counts = evs.groupBy(id_col, "n", "gram").agg(F.count("*").alias("_c"))
+
+    top = (
+        counts.where(F.col("n").isin(list(top_ns)))
+        .withColumn("_chars", F.length("gram") - (F.col("n") - 1))
+        .groupBy(id_col, "n")
+        .agg(F.max(F.struct("_c", "_chars", "gram")).alias("_m"))
+        .select(
+            id_col,
+            "n",
+            (F.col("_m._c") * F.col("_m._chars")).alias("_topchars"),
+        )
+    )
+    dup_occ = evs.where(F.col("n").isin(list(dup_ns))).join(
+        counts.where((F.col("_c") >= 2) & F.col("n").isin(list(dup_ns))),
+        [id_col, "n", "gram"],
+    )
+    covered = (
+        dup_occ.select(
+            id_col,
+            "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("_tp"),
+        )
+        .distinct()
+    )
+    lens = base.select(
+        id_col, F.posexplode("_toks").alias("_tp", "_tok")
+    ).select(id_col, "_tp", F.length("_tok").alias("_l"))
+    dupchars = (
+        covered.join(lens, [id_col, "_tp"])
+        .groupBy(id_col, "n")
+        .agg(F.sum("_l").alias("_dupchars"))
+    )
+
+    def frac(chars: Column) -> Column:
+        return F.round(
+            F.when(
+                F.col("total_chars") > 0,
+                F.coalesce(chars, F.lit(0)) / F.col("total_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    top_p = top.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_topchars"))).alias(
+                f"_top{n}"
+            )
+            for n in top_ns
+        ]
+    )
+    dup_p = dupchars.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_dupchars"))).alias(
+                f"_dup{n}"
+            )
+            for n in dup_ns
+        ]
+    )
+    out = (
+        base.drop("_toks")
+        .join(top_p, id_col, "left")
+        .join(dup_p, id_col, "left")
+    )
+    frac_cols = [
+        frac(F.col(f"_top{n}")).alias(f"top_ngram_frac_{n}") for n in top_ns
+    ] + [
+        frac(F.col(f"_dup{n}")).alias(f"dup_ngram_frac_{n}") for n in dup_ns
+    ]
+    out = out.select(id_col, "n_tokens", "total_chars", *frac_cols)
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (
+            F.col(f"top_ngram_frac_{n}") <= F.lit(GOPHER_TOP_NGRAM_MAX[n])
+        )
+    for n in dup_ns:
+        keep = keep & (
+            F.col(f"dup_ngram_frac_{n}") <= F.lit(GOPHER_DUP_NGRAM_MAX[n])
+        )
+    return out.withColumn("gopher_rep_keep", keep)

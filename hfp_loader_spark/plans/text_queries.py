@@ -802,3 +802,126 @@ def text_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce_nats",
         ccnet_bucket(F.col("ce_nats"), 3.18, 3.23).alias("ppl_bucket"),
     )
+
+
+def _gopher_rep_oracle() -> str:
+    """Full SQL replication of gopher_repetition_fractions (generated:
+    9 n-values → 9 pivot joins).  MATERIALIZED CTEs are load-bearing —
+    DuckDB inlines plain CTEs, which nests the position unnest inside
+    the coverage unnest (unsupported); generate_subscripts is likewise
+    avoided (it IS an unnest internally)."""
+    from hfp_loader_spark.operators.text import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    frac = (
+        "round(CASE WHEN b.total_chars > 0 THEN coalesce({src}, 0) * 1.0 "
+        "/ b.total_chars ELSE 0.0 END, 6)"
+    )
+    sel = [
+        frac.format(src=f"t{n}.topchars") + f" AS top_ngram_frac_{n}"
+        for n in top_ns
+    ] + [
+        frac.format(src=f"d{n}.dupchars") + f" AS dup_ngram_frac_{n}"
+        for n in dup_ns
+    ]
+    joins = [
+        f"LEFT JOIN top t{n} ON t{n}.doc_id = b.doc_id AND t{n}.n = {n}"
+        for n in top_ns
+    ] + [
+        f"LEFT JOIN dupc d{n} ON d{n}.doc_id = b.doc_id AND d{n}.n = {n}"
+        for n in dup_ns
+    ]
+    keep = " AND ".join(
+        [
+            frac.format(src=f"t{n}.topchars") + f" <= {GOPHER_TOP_NGRAM_MAX[n]}"
+            for n in top_ns
+        ]
+        + [
+            frac.format(src=f"d{n}.dupchars")
+            + f" <= {GOPHER_DUP_NGRAM_MAX[n]}"
+            for n in dup_ns
+        ]
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '[^a-z0-9]+'),
+                         x -> len(x) > 0) AS tk
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+                  AS BIGINT) AS total_chars
+      FROM t
+    ),
+    ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+    ev AS MATERIALIZED (
+      SELECT doc_id, n,
+             unnest(generate_series(1, len(tk) - n + 1)) AS pos, tk
+      FROM base CROSS JOIN ns WHERE len(tk) >= n
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, n, pos,
+             array_to_string(tk[pos:pos+n-1], ' ') AS gram
+      FROM ev
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    top AS (
+      SELECT doc_id, n,
+             (max(struct_pack(c := c, l := len(gram) - (n - 1),
+                              g := gram))).c
+             * (max(struct_pack(c := c, l := len(gram) - (n - 1),
+                                g := gram))).l AS topchars
+      FROM c WHERE n <= 4 GROUP BY 1, 2
+    ),
+    dupocc AS MATERIALIZED (
+      SELECT g.doc_id, g.n, g.pos FROM g JOIN c USING (doc_id, n, gram)
+      WHERE c.c >= 2 AND g.n >= 5
+    ),
+    cov AS MATERIALIZED (
+      SELECT DISTINCT doc_id, n,
+             unnest(generate_series(pos, pos + n - 1)) AS tp
+      FROM dupocc
+    ),
+    lens AS MATERIALIZED (
+      SELECT doc_id, unnest(generate_series(1, len(tk))) AS tp,
+             unnest(list_transform(tk, x -> len(x))) AS l
+      FROM base
+    ),
+    dupc AS (
+      SELECT cov.doc_id, cov.n, sum(l) AS dupchars
+      FROM cov JOIN lens USING (doc_id, tp) GROUP BY 1, 2
+    )
+    SELECT b.doc_id, b.n_tokens, b.total_chars,
+           {", ".join(sel)},
+           ({keep}) AS gopher_rep_keep
+    FROM base b
+    {" ".join(joins)}
+    """
+
+
+@defquery(
+    "text_gopher_repetition",
+    _gopher_rep_oracle(),
+    doc="The COMPLETE Gopher §A1.2 repetition suite (operators.text."
+    "gopher_repetition_fractions; Rae et al. 2021 Table A1): per "
+    "document, chars in the most frequent {2,3,4}-gram (all occurrences, "
+    "the DataTrove-convention count×len) and chars COVERED by ≥2× "
+    "{5..10}-grams (position union, each char once), all as exact "
+    "integer ratios with the paper's thresholds folded into one keep "
+    "flag — the seven repetition rows repetition_metrics' unigram/bigram "
+    "corner was missing. Scale shape: positional gram arrays for every n "
+    "in ONE let-bound projection (tokenizer runs once per consumer), one "
+    "(id, n, gram) hash count with map-side partials absorbing the Σn× "
+    "explode, coverage via a doc-keyed distinct + join — nothing "
+    "corpus-global, work linear in corpus tokens × 9.",
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import gopher_repetition_fractions
+
+    return gopher_repetition_fractions(_t(spark, sf_dir, "documents"))

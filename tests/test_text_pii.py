@@ -325,3 +325,62 @@ def test_ccnet_bucket_and_cutoffs(spark):
             else "middle" if r["ce_nats"] < hi else "tail"
         )
         assert r["bucket"] == want
+
+
+def test_gopher_repetition_fractions_hand_checked(spark):
+    """Exact Rae-et-al. Table-A1 fractions on planted docs: top-n-gram
+    counts ALL occurrences (overlaps included, so fractions may exceed
+    1), duplicate-n-gram coverage counts each character ONCE (position
+    union), and short/empty docs fall through to zero fractions."""
+    from hfp_loader_spark.operators.text import gopher_repetition_fractions
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e a b c d e"),
+            (3, ""),
+            (4, "hello"),
+            (5, "w w w w w w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_fractions(df).collect()
+    }
+
+    # doc 1: 4 tokens, 16 chars. "spam spam" ×3 → 3·8/16; "spam spam
+    # spam" ×2 → 2·12/16; the 4-gram once → 16/16; too short for n≥5.
+    assert out[1]["n_tokens"] == 4 and out[1]["total_chars"] == 16
+    assert out[1]["top_ngram_frac_2"] == 1.5
+    assert out[1]["top_ngram_frac_3"] == 1.5
+    assert out[1]["top_ngram_frac_4"] == 1.0
+    assert all(out[1][f"dup_ngram_frac_{n}"] == 0.0 for n in range(5, 11))
+    assert out[1]["gopher_rep_keep"] is False
+
+    # doc 2: 10 single-char tokens. Max-count bigram/trigram/4-gram all
+    # occur 2× → 2·2/10, 2·3/10, 2·4/10; "a b c d e" ×2 covers every
+    # position → dup_5 = 1.0; every n≥6 gram is unique → 0.
+    assert out[2]["top_ngram_frac_2"] == 0.4
+    assert out[2]["top_ngram_frac_3"] == 0.6
+    assert out[2]["top_ngram_frac_4"] == 0.8
+    assert out[2]["dup_ngram_frac_5"] == 1.0
+    assert all(out[2][f"dup_ngram_frac_{n}"] == 0.0 for n in range(6, 11))
+    assert out[2]["gopher_rep_keep"] is False
+
+    # empty + single-token docs: all-zero fractions, keep=True
+    for d in (3, 4):
+        assert all(
+            out[d][c] == 0.0
+            for c in out[d]
+            if c.startswith(("top_ngram", "dup_ngram"))
+        )
+        assert out[d]["gopher_rep_keep"] is True
+    assert out[3]["n_tokens"] == 0 and out[3]["total_chars"] == 0
+    assert out[4]["n_tokens"] == 1 and out[4]["total_chars"] == 5
+
+    # doc 5: "w"×6 — the duplicate 5-gram occurs at pos 0 and 1 with
+    # 4 overlapping positions; union coverage = 6/6 chars exactly 1.0
+    # (an occurrence·len count would give 10/6 — the union is the test).
+    assert out[5]["dup_ngram_frac_5"] == 1.0
+    assert out[5]["dup_ngram_frac_6"] == 0.0
