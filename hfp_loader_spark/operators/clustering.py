@@ -1,0 +1,150 @@
+"""Distributed Lloyd's k-means over embedding columns — exact
+fixed-point arithmetic so an iterative algorithm can still be checked
+against an independent SQL oracle bit-for-bit.
+
+Extension tier (the reference has no vector surface; SURVEY §2.11
+similarity tier).  ``operators.similarity`` already uses a driver-side
+capped k-means to build IVF/PQ codebooks; this module is the
+CORPUS-SCALE clustering path: every step — assignment, centroid update,
+convergence — is a DataFrame plan, and the only driver-bounded object is
+the k×dim centroid set itself.
+
+Why fixed-point: float k-means is not reproducible across engines (the
+per-cluster mean sums doubles in partition order, and after one
+iteration a last-ulp difference can flip an assignment and cascade).
+Quantizing the input once to int64 (``floor(x·scale)``) makes distances
+exact integer sums and centroid updates exact integer-rational rounds,
+so ANY engine replaying the same recurrence lands on the identical
+clustering.  The quantization error is bounded by 1/scale per
+coordinate — 1e-6 at the default, far below embedding noise.
+
+Scale shape per iteration: one broadcast join of the k-row centroid
+frame onto the corpus (no corpus shuffle for assignment — the argmin is
+a map-side fold over a k-element broadcast array is avoided in favor of
+a join + min(struct) aggregate so partial aggregation still applies),
+then one (cluster, dim) hash aggregate for the update whose key space is
+k·dim rows.  Overflow headroom: |q| ≤ scale·|x|; with scale 1e6 and
+|x| ≤ 10 a squared diff is ≤ 4e14, so dims ≤ ~20k fit int64; the
+centroid sum stays exact while cluster mass × scale·|x| < 2^53.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantize_vec(vec: Column, scale: int) -> Column:
+    """``floor(x·scale)`` per coordinate as ``array<long>`` — floor, not
+    round, because floor is unambiguous on every engine (round-half
+    conventions differ)."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two quantized vectors
+    (an ordered fold, though order is moot for integer addition)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Lloyd's k-means, ``iters`` assignment/update rounds, deterministic
+    end to end: centroids initialize from the ``k`` lowest-id vectors
+    (cluster ids 0..k−1 in id order), assignment breaks distance ties by
+    lowest cluster id, and the centroid update rounds the exact integer
+    mean (``round(Σq/n)``, half away from zero on both Spark and DuckDB
+    for the positive and negative case alike).  A cluster that loses all
+    members keeps its previous centroid.
+
+    Output: ``(id_col, cluster, dist_q)`` — final assignment and the
+    exact quantized squared distance.  ``dist_q / scale²`` recovers the
+    float-space squared distance to quantization error.
+
+    ``checkpoint=True`` truncates lineage with a lazy
+    ``localCheckpoint(eager=False)`` per iteration — use it for real
+    iteration counts; the default keeps plan construction job-free so
+    catalog builders stay lazy (iteration depth here is small and
+    Catalyst handles the nested-join plan fine)."""
+    q = emb.select(
+        F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q")
+    )
+    w = Window.orderBy(id_col)
+    cent = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster"),
+            F.col("q").alias("cq"),
+        )
+    )
+
+    assign = None
+    for _ in range(iters):
+        pairs = q.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "cluster",
+            _sq_dist(F.col("q"), F.col("cq")).alias("d"),
+        )
+        assign = pairs.groupBy(id_col).agg(
+            F.min(F.struct(F.col("d"), F.col("cluster"))).alias("_m")
+        ).select(
+            id_col,
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.d").alias("dist_q"),
+        )
+        upd = (
+            assign.join(q, id_col)
+            .select(
+                "cluster",
+                F.posexplode("q").alias("pos", "v"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(F.sum("v") / F.count("*"))
+                .cast("long")
+                .alias("v")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("v")))
+                    ),
+                    lambda s: s.getField("v"),
+                ).alias("nq")
+            )
+        )
+        cent = cent.join(upd, "cluster", "left").select(
+            "cluster", F.coalesce(F.col("nq"), F.col("cq")).alias("cq")
+        )
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=False)
+    return assign
+
+
+def kmeans_cluster_profile(assign: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster size and exact total quantized inertia — the
+    convergence scalar a driver loop would watch (monotone non-increasing
+    over Lloyd's iterations).  One k-row aggregate."""
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist_q").alias("inertia_q"),
+    )

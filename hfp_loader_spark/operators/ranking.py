@@ -1,0 +1,250 @@
+"""Model-based scoring over text: BM25 relevance ranking and a
+hashed-feature linear classifier.
+
+Extension tier — the reference has no search or model-scoring surface at
+all (SURVEY §2.8); this is the retrieval / quality-classifier corner of
+the §2.11 training-data toolkit: BM25 is the standard sparse retriever
+for RAG-style chunk selection and hard-negative mining, and the hashed
+linear model is the fastText-shaped quality gate (a dot product over
+hashing-trick features) that corpus pipelines run when a trained filter
+is available.
+
+All pure Catalyst expressions — zero Python UDFs.  Scale shape:
+
+- the QUERY side is always tiny (a handful of query strings, a weight
+  table bounded by the feature dimension) and is ``broadcast()`` onto the
+  corpus side, so the corpus never shuffles for the model inputs;
+- corpus-side work is explode → aggregate with map-side partial
+  aggregation absorbing the token blowup, exactly like
+  ``operators.text``;
+- document frequencies are computed ONLY for query terms (semi-join
+  against the broadcast term set before the df aggregate), so the df
+  shuffle carries |query vocabulary| keys, not the corpus vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.text import tokens
+
+
+def _doc_lengths(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl) — token count per document, a narrow projection."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_at: int = 4,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document for every query:
+    ``score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf(t,d)·(k1+1) /
+    (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))`` with the Lucene-style
+    always-positive ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
+    Duplicate query terms count once (set semantics — the common
+    retrieval convention; term weighting within the query belongs to the
+    caller's query builder).  Documents sharing no term with a query get
+    no row, not a zero.
+
+    Output: ``(qid_col, id_col, score)``, score rounded once at
+    ``round_at`` — rank on the rounded value so downstream top-k ties
+    break identically on any engine.
+
+    Exactness: tf, df, N and dl are integers; ``dl/avgdl`` is computed
+    as ``dl·N / Σdl`` (one int64 product, one division) so both factors
+    of every term's contribution are correctly-rounded doubles of exact
+    rationals; only ``ln`` and the cross-term sum are inexact, which the
+    single rounding absorbs.
+
+    Scale shape: one corpus shuffle for ``tf`` (map-side combine on
+    (doc, term)), one narrow projection for ``dl``; the query-term set,
+    the per-term idf table (≤ query vocabulary) and the single-row
+    (N, Σdl) stats frame are all broadcast; df aggregates only terms
+    surviving the broadcast semi-join with the query vocabulary.  The
+    final per-(query, doc) sum shuffles ``|queries| × matched docs``
+    rows — the output size."""
+    dl = _doc_lengths(docs, id_col, text_col)
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"), F.sum("dl").alias("_sum_dl")
+    )
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+    qterms = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(tokens(F.col(qtext_col)))).alias("term"),
+    )
+    qvocab = qterms.select("term").distinct()
+
+    df_t = (
+        tf.join(F.broadcast(qvocab), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+
+    norm = (
+        F.lit(float(k1))
+        * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b))
+            * (F.col("dl") * F.col("_n_docs") / F.col("_sum_dl"))
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            qid_col,
+            id_col,
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (F.col("tf") + norm)
+            ).alias("_c"),
+        )
+    )
+    return contrib.groupBy(qid_col, id_col).agg(
+        F.round(F.sum("_c"), round_at).alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25, rank ties broken by lowest
+    document id on the ROUNDED score (deterministic across engines and
+    re-runs).  The rank window partitions by query — parallelism is the
+    query count, which is the right axis for a retrieval batch; a
+    single-query call at 100 TB should shard the corpus and merge
+    per-shard top-k lists instead (see ``relational.global_top_k``)."""
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    scored = bm25_scores(
+        docs, queries, id_col, text_col, qid_col, qtext_col, k1, b
+    )
+    return top_k_per_group(
+        scored, [qid_col], [F.desc("score"), F.asc(id_col)], k
+    )
+
+
+def hashed_feature(term: Column, dim: int) -> Column:
+    """Hashing-trick feature index of a token: the first 8 hex digits of
+    ``md5(term)`` read as an integer, mod ``dim``.  md5 (not xxhash64)
+    so any engine with an md5 builtin lands on the same bucket."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % F.lit(dim)
+    )
+
+
+def pseudo_weights(spark, dim: int, seed: str = "w", scale: float = 1.0) -> DataFrame:
+    """A deterministic stand-in weight vector for the hashed linear
+    model: ``w_j = scale · ((int(md5(seed||':'||j)[:8], 16) mod 2001) −
+    1000)/1000`` — uniform-ish in [−scale, +scale], reproducible on any
+    engine from the (seed, dim) pair alone.  Real deployments load a
+    TRAINED vector into the same (bucket, weight) shape; everything
+    downstream is engine-side and identical."""
+    return spark.range(dim).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            F.lit(float(scale))
+            * (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{seed}:"), F.col("id"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(2001)
+                    - F.lit(1000)
+                )
+                / F.lit(1000.0)
+            )
+        ).alias("weight"),
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    round_at: int = 4,
+) -> DataFrame:
+    """fastText-shaped linear text classifier: mean-pooled hashing-trick
+    bag-of-words → dot product with a broadcast weight vector → sigmoid.
+    ``p(d) = σ(bias + (Σ_t w[h(t)]) / n_tokens(d))`` with ``h`` =
+    :func:`hashed_feature`; tokens hitting the same bucket add their
+    weight once per OCCURRENCE (mean pooling over token instances, the
+    fastText convention).  Output: ``(id_col, n_tokens, p, keep)`` with
+    ``p`` rounded at ``round_at`` and ``keep = p ≥ threshold`` (the
+    quality-gate reading: p is "probability the document is keepable").
+    Empty documents score ``σ(bias)`` — the model's prior.
+
+    ``weights`` is any ``(bucket, weight)`` frame with ``dim`` rows —
+    :func:`pseudo_weights` for a reproducible fake, or a trained vector
+    loaded from parquet.  Scale shape: explode → broadcast-join the
+    weight table (≤ ``dim`` rows) → one (doc) hash aggregate; the only
+    shuffle carries one row per document.  The sigmoid and division
+    happen after the aggregate, per document."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    summed = (
+        toks.select(id_col, hashed_feature(F.col("term"), dim).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("_sw"), F.count("*").alias("n_tokens"))
+    )
+    # left join back so token-less documents keep a row (score = σ(bias))
+    base = docs.select(id_col).join(summed, id_col, "left")
+    logit = F.lit(float(bias)) + F.coalesce(
+        F.col("_sw") / F.col("n_tokens"), F.lit(0.0)
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), round_at)
+    return base.select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        p.alias("p"),
+        (p >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -1,0 +1,248 @@
+"""Model-based scoring catalog: BM25 retrieval and a hashed linear
+quality classifier over ``documents`` (SURVEY §2.11 retrieval/model tier;
+the reference has no search or model surface — extension tier).
+
+Scale shape (shared by every entry): the model side — query strings,
+idf tables, weight vectors — is bounded and broadcast; the corpus side
+does explode → map-side-combined aggregate exactly once; no corpus-sized
+shuffle carries anything wider than (id, small ints/doubles).
+
+Cross-engine exactness: every float constant is injected into BOTH plans
+from the same Python value (``repr`` into the SQL, ``F.lit`` into the
+DataFrame), so ``k1 + 1`` is the identical double on both engines rather
+than two independently-parsed decimal literals; hash buckets use md5 hex
+prefixes (both engines have md5); scores round exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.ranking import (
+    bm25_topk,
+    hashed_linear_score,
+    pseudo_weights,
+)
+from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
+
+_BM25_QUERIES = [
+    (1, "hash join strategy"),
+    (2, "window agg stream"),
+    (3, "fast table scan"),
+    (4, "customer merge sort"),
+]
+_K1, _B = 1.2, 0.75
+_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    # the SAME Python-computed doubles the Spark plan puts in F.lit()
+    k1, one_minus_b, b, k1p1 = (
+        repr(_K1),
+        repr(1.0 - _B),
+        repr(_B),
+        repr(_K1 + 1.0),
+    )
+    qtoks = TOKS_SQL.replace("lower(text)", "lower(query_text)")
+    return f"""
+    WITH q(query_id, query_text) AS (VALUES {vals}),
+    qt AS (SELECT query_id, unnest(list_distinct({qtoks})) AS term FROM q),
+    dl AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS dl
+           FROM documents),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+    toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+            WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+    idf AS (SELECT term,
+                   ln(1 + (st.n - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE))) AS idf
+            FROM dfq CROSS JOIN st),
+    sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(idf.idf * (tf.tf * CAST({k1p1} AS DOUBLE))
+                       / (tf.tf + CAST({k1} AS DOUBLE)
+                          * (CAST({one_minus_b} AS DOUBLE)
+                             + CAST({b} AS DOUBLE)
+                               * ((dl.dl * st.n)
+                                  / CAST(st.sumdl AS DOUBLE))))),
+                   4) AS score
+      FROM qt JOIN tf USING (term)
+      JOIN idf ON idf.term = qt.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM sc
+    ) WHERE rn <= {_TOPK}
+    """
+
+
+@defquery(
+    "rank_bm25_topk",
+    _bm25_oracle(),
+    doc="Okapi BM25 top-10 per query (operators.ranking.bm25_topk): "
+    "Lucene-style positive idf, set-semantics query terms, dl/avgdl as "
+    "the exact dl·N/Σdl rational, score rounded once and ranked with a "
+    "doc-id tiebreak. Scale shape: one corpus tf shuffle with map-side "
+    "combine; query terms, idf and the (N, Σdl) stats row are broadcast; "
+    "df aggregates only the query vocabulary (broadcast semi-join "
+    "before the df count); the rank window partitions by query.",
+)
+def rank_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_topk(docs, queries, _TOPK, k1=_K1, b=_B).select(
+        "query_id", "doc_id", "score", F.col("rn").cast("long").alias("rn")
+    )
+
+
+_CLS_DIM, _CLS_SEED, _CLS_SCALE, _CLS_BIAS, _CLS_THRESH = 256, "w", 1.0, 0.1, 0.5
+
+
+def _classifier_oracle() -> str:
+    scale, bias, thresh = repr(_CLS_SCALE), repr(_CLS_BIAS), repr(_CLS_THRESH)
+    return f"""
+    WITH w AS (
+      SELECT j AS bucket,
+             CAST({scale} AS DOUBLE)
+             * ((('0x' || substr(md5('{_CLS_SEED}:' || j), 1, 8))::BIGINT
+                 % 2001 - 1000) / CAST(1000.0 AS DOUBLE)) AS weight
+      FROM generate_series(0, {_CLS_DIM - 1}) AS t(j)
+    ),
+    toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    f AS (SELECT doc_id,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT % {_CLS_DIM}
+                   AS bucket
+          FROM toks),
+    s AS (SELECT doc_id, sum(weight) AS sw,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM f JOIN w USING (bucket) GROUP BY 1),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(s.n_tokens, 0) AS n_tokens,
+             round(1 / (1 + exp(-(CAST({bias} AS DOUBLE)
+                                  + coalesce(s.sw / s.n_tokens,
+                                             CAST(0.0 AS DOUBLE))))),
+                   4) AS p
+      FROM documents d LEFT JOIN s USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, p, p >= CAST({thresh} AS DOUBLE) AS keep
+    FROM scored
+    """
+
+
+@defquery(
+    "quality_hashed_classifier",
+    _classifier_oracle(),
+    doc="fastText-shaped hashed linear quality classifier (operators."
+    "ranking.hashed_linear_score): mean-pooled hashing-trick bag of "
+    "words (md5-prefix buckets mod 256) · a deterministic pseudo-weight "
+    "vector (pseudo_weights — a trained vector drops into the same "
+    "(bucket, weight) shape), sigmoid with bias 0.1, keep = p ≥ 0.5. "
+    "Scale shape: the 256-row weight table is broadcast onto the "
+    "exploded tokens; the only shuffle is the one-row-per-doc sum; "
+    "empty documents keep a row at the model prior σ(bias).",
+)
+def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = pseudo_weights(spark, _CLS_DIM, seed=_CLS_SEED, scale=_CLS_SCALE)
+    return hashed_linear_score(
+        docs, w, dim=_CLS_DIM, bias=_CLS_BIAS, threshold=_CLS_THRESH
+    )
+
+
+_KM_K, _KM_ITERS, _KM_SCALE = 8, 3, 1_000_000
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's recurrence (``_KM_ITERS`` assignment/update CTE
+    pairs) — expressible in plain SQL precisely BECAUSE the operator is
+    fixed-point: every distance is an exact BIGINT and every centroid
+    update an exact integer-rational round, so engine summation order
+    cannot perturb the trajectory."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                 * CAST({float(_KM_SCALE)!r} AS DOUBLE))
+                           AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, q AS cq
+      FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {_KM_K})
+    )"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT e.vec_id, c.cluster, {dist} AS d
+      FROM e CROSS JOIN c{i - 1} c
+    ),
+    a{i} AS (
+      SELECT vec_id,
+             (min(struct_pack(d := d, c := cluster))).c AS cluster,
+             (min(struct_pack(d := d, c := cluster))).d AS dist_q
+      FROM p{i} GROUP BY vec_id
+    )""")
+        if i < _KM_ITERS:
+            parts.append(f""",
+    u{i} AS (
+      SELECT cluster, pos,
+             CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      FROM (SELECT a.cluster,
+                   unnest(generate_series(1, len(e.q))) AS pos,
+                   unnest(e.q) AS v
+            FROM a{i} a JOIN e USING (vec_id))
+      GROUP BY 1, 2
+    ),
+    n{i} AS (SELECT cluster, list(v ORDER BY pos) AS nq
+             FROM u{i} GROUP BY cluster),
+    c{i} AS (
+      SELECT c.cluster, coalesce(n.nq, c.cq) AS cq
+      FROM c{i - 1} c LEFT JOIN n{i} n USING (cluster)
+    )""")
+    parts.append(f"""
+    SELECT vec_id, cluster, dist_q FROM a{_KM_ITERS}
+    """)
+    return "".join(parts)
+
+
+@defquery(
+    "emb_kmeans_clusters",
+    _kmeans_oracle(),
+    doc="Distributed Lloyd's k-means, 3 exact fixed-point iterations "
+    "(operators.clustering.kmeans_fixed_point, k=8): embeddings "
+    "quantized once to int64 (floor(x·1e6)) so distances are exact "
+    "integer sums and centroid means exact rationals — an ITERATIVE "
+    "algorithm with a bit-exact SQL oracle (unrolled recurrence), where "
+    "float k-means would diverge across engines on summation order. "
+    "Deterministic throughout: k lowest-id seeds, min(struct(dist, "
+    "cluster)) argmin, half-away-from-zero mean rounding, empty "
+    "clusters keep their centroid. Scale shape per iteration: k-row "
+    "centroid frame broadcast onto the corpus (assignment never "
+    "shuffles the corpus), one (cluster, dim)-key update aggregate with "
+    "map-side partials.",
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.clustering import kmeans_fixed_point
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(emb, _KM_K, _KM_ITERS, scale=_KM_SCALE)

@@ -1,0 +1,106 @@
+"""operators.clustering — fixed-point Lloyd's k-means.
+
+Hand-traced recurrences on 2-D points: with scale=1e6 every distance and
+centroid below is exact, so assertions are equalities, not tolerances.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hfp_loader_spark.operators.clustering import (
+    kmeans_cluster_profile,
+    kmeans_fixed_point,
+)
+
+S = 1_000_000
+
+
+@pytest.fixture()
+def two_blobs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.0]),
+            (4, [10.0, 10.0]),
+            (5, [10.0, 11.0]),
+            (6, [11.0, 10.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_kmeans_two_blobs_hand_traced(spark, two_blobs):
+    """Seeds are ids 1, 2 ([0,0], [0,1]).  Iter-1 assignment puts
+    {1,3} with seed 0 and {2,4,5,6} with seed 1; the update pulls
+    centroid 1 to the far blob's side, and from iter 2 on the
+    clustering is the natural {1,2,3} / {4,5,6} split.  The reported
+    dist_q is against the centroids entering the FINAL iteration:
+    c0 = [⌊10⁶/3⌉, ⌊10⁶/3⌉] = [333333, 333333]."""
+    out = {
+        r["vec_id"]: r
+        for r in kmeans_fixed_point(two_blobs, k=2, iters=3).collect()
+    }
+    assert {i: out[i]["cluster"] for i in out} == {
+        1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1
+    }
+    assert out[1]["dist_q"] == 2 * 333333 * 333333
+    # id 4 = [10,10] vs c1 = [10333333, 10333333]
+    assert out[4]["dist_q"] == 2 * 333333 * 333333
+
+    prof = {r["cluster"]: r for r in kmeans_cluster_profile(
+        kmeans_fixed_point(two_blobs, k=2, iters=3)
+    ).collect()}
+    assert prof[0]["n_members"] == 3 and prof[1]["n_members"] == 3
+
+
+def test_kmeans_tie_break_and_empty_cluster(spark):
+    """Identical seeds: every point ties and takes the LOWEST cluster
+    id, leaving cluster 1 empty — which must then RETAIN its previous
+    centroid (here the origin), win the origin points back next round,
+    and converge with zero inertia."""
+    pts = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r for r in kmeans_fixed_point(pts, k=2, iters=3).collect()
+    }
+    assert out[1]["cluster"] == 1 and out[2]["cluster"] == 1
+    assert out[3]["cluster"] == 0
+    assert all(r["dist_q"] == 0 for r in out.values())
+
+
+def test_kmeans_deterministic_across_runs(spark, two_blobs):
+    a = sorted(map(tuple, kmeans_fixed_point(two_blobs, 2, 2).collect()))
+    b = sorted(map(tuple, kmeans_fixed_point(two_blobs, 2, 2).collect()))
+    assert a == b
+
+
+def test_kmeans_broadcast_assignment_plan(spark, two_blobs):
+    """Assignment must broadcast the k-row centroid frame — the corpus
+    side never shuffles for it."""
+    plan = (
+        kmeans_fixed_point(two_blobs, 2, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    """Lloyd's invariant on real embeddings: total inertia measured at
+    iteration i is ≥ the one at i+1 (both measured against each run's
+    final-iteration centroids)."""
+    from hfp_loader_spark.plans.catalog import _t
+
+    emb = _t(spark, sf_dir, "embeddings").limit(200)
+    inertias = []
+    for iters in (1, 2, 3):
+        prof = kmeans_cluster_profile(
+            kmeans_fixed_point(emb, k=4, iters=iters)
+        ).collect()
+        inertias.append(sum(r["inertia_q"] for r in prof))
+    assert inertias[0] >= inertias[1] >= inertias[2]

@@ -1,0 +1,149 @@
+"""operators.ranking — BM25 and the hashed linear classifier.
+
+Hand-computed expectations (not engine-vs-engine): the BM25 case is a
+3-document corpus small enough to evaluate the Okapi formula by hand,
+and the classifier case replays the md5 hashing trick in pure Python
+(hashlib) so the Spark plan is checked against an independent
+implementation, not against itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.ranking import (
+    bm25_scores,
+    bm25_topk,
+    hashed_feature,
+    hashed_linear_score,
+    pseudo_weights,
+)
+
+
+@pytest.fixture()
+def tiny_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_hand_checked(spark, tiny_corpus):
+    """N=3, Σdl=9, avgdl=3, query 'apple cherry':
+
+    idf(apple)  = ln(1 + 2.5/1.5) = ln(8/3)      (df=1)
+    idf(cherry) = ln(1 + 1.5/2.5) = ln(1.6)      (df=2)
+    d1: tf(apple)=2, dl=3 → ln(8/3)·4.4/(2+1.2·1.0)
+    d2: tf(cherry)=1, dl=2 → ln(1.6)·2.2/(1+1.2·0.75)
+    d3: tf(cherry)=4, dl=4 → ln(1.6)·8.8/(4+1.2·1.25)
+    """
+    q = spark.createDataFrame(
+        [(1, "apple cherry")], "query_id long, query_text string"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(tiny_corpus, q).collect()
+    }
+    assert out[1] == round(math.log(8 / 3) * 4.4 / 3.2, 4)
+    assert out[2] == round(math.log(1.6) * 2.2 / 1.9, 4)
+    assert out[3] == round(math.log(1.6) * 8.8 / 5.5, 4)
+    # ranking follows the rounded scores, best first
+    ranked = bm25_topk(tiny_corpus, q, 2).collect()
+    assert [(r["doc_id"], r["rn"]) for r in ranked] == [(1, 1), (3, 2)]
+
+
+def test_bm25_set_semantics_and_no_match(spark, tiny_corpus):
+    """Duplicate query terms count once; a no-overlap query yields no
+    rows; a no-overlap document never appears."""
+    q = spark.createDataFrame(
+        [(1, "apple apple apple"), (2, "durian fig")],
+        "query_id long, query_text string",
+    )
+    rows = bm25_scores(tiny_corpus, q).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert 2 not in by_q  # no term in corpus
+    assert set(by_q[1]) == {1}  # only d1 contains 'apple'
+    single = spark.createDataFrame(
+        [(9, "apple")], "query_id long, query_text string"
+    )
+    want = {r["doc_id"]: r["score"] for r in bm25_scores(tiny_corpus, single).collect()}
+    assert by_q[1] == want  # tripled term == single term
+
+
+def test_hashed_feature_matches_hashlib(spark):
+    df = spark.createDataFrame(
+        [("hash",), ("join",), ("the",)], "term string"
+    )
+    got = {
+        r["term"]: r["b"]
+        for r in df.select("term", hashed_feature(F.col("term"), 256).alias("b")).collect()
+    }
+    for t, b in got.items():
+        assert b == int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 256
+
+
+def test_hashed_linear_score_python_replica(spark):
+    """Full-model agreement with an independent hashlib/math replica,
+    including the empty-document prior row."""
+    dim, seed, bias = 64, "tw", 0.2
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "spam spam spam"), (3, "")],
+        "doc_id long, text string",
+    )
+    w = pseudo_weights(spark, dim, seed=seed, scale=1.0)
+    out = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(
+            docs, w, dim=dim, bias=bias, threshold=0.5
+        ).collect()
+    }
+
+    def weight(j: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    def expect(text: str) -> tuple[int, float]:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return 0, round(1 / (1 + math.exp(-bias)), 4)
+        s = sum(
+            weight(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim)
+            for t in toks
+        )
+        return len(toks), round(1 / (1 + math.exp(-(bias + s / len(toks)))), 4)
+
+    for doc_id, text in [(1, "the quick brown fox"), (2, "spam spam spam"), (3, "")]:
+        n, p = expect(text)
+        assert out[doc_id]["n_tokens"] == n
+        assert out[doc_id]["p"] == p
+        assert out[doc_id]["keep"] is (p >= 0.5)
+
+
+def test_pseudo_weights_bounded_and_deterministic(spark):
+    w1 = pseudo_weights(spark, 128, seed="a", scale=0.5).collect()
+    w2 = pseudo_weights(spark, 128, seed="a", scale=0.5).collect()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))
+    assert len(w1) == 128
+    assert all(-0.5 <= r["weight"] <= 0.5 for r in w1)
+
+
+def test_bm25_query_side_broadcast(spark, tiny_corpus):
+    """The corpus must never shuffle for the model inputs: every join
+    against query-derived frames is a broadcast join in the plan."""
+    q = spark.createDataFrame(
+        [(1, "apple cherry")], "query_id long, query_text string"
+    )
+    plan = bm25_scores(tiny_corpus, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only sort-merge-eligible join is tf ⋈ dl on doc_id
+    assert plan.count("SortMergeJoin") <= 1
