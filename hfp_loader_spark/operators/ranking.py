@@ -160,6 +160,83 @@ def bm25_topk(
     )
 
 
+def hard_negatives(
+    docs: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_id_col: str = "query_id",
+    anchor_text_col: str = "query_text",
+    max_jaccard: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """DPR-style hard-negative mining for contrastive training: per
+    anchor document, the top-``k`` BM25-most-similar documents that are
+    NOT near-duplicates of the anchor.  Lexically close but
+    sub-duplicate is exactly the "hard" band — BM25 supplies closeness,
+    a distinct-token Jaccard cap (``max_jaccard``, strict ``<``)
+    removes the probable-positives that would poison the negative set,
+    and the anchor itself is always excluded.  Candidates sharing no
+    term with the anchor never surface (they are easy negatives; random
+    sampling covers them, not this operator).
+
+    Output: ``(anchor_id_col, id_col, score, jaccard, rn)`` — BM25
+    score and exact-rational Jaccard both rounded (4 / 6), rank by
+    (rounded score desc, id asc).
+
+    Scale shape: the BM25 side is :func:`bm25_scores` (corpus shuffles
+    once for tf); the Jaccard side joins the BROADCAST distinct
+    anchor-token set onto the corpus tokens and aggregates per
+    (anchor, doc) — intersection counts only exist for candidate pairs,
+    never all-pairs.  Anchor-side sizes are broadcast; document token
+    counts ride the same aggregate."""
+    scored = bm25_scores(
+        docs, anchors, id_col, text_col, anchor_id_col, anchor_text_col,
+        k1, b,
+    ).where(F.col(anchor_id_col) != F.col(id_col))
+
+    dtok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    atok = anchors.select(
+        F.col(anchor_id_col),
+        F.explode(
+            F.array_distinct(tokens(F.col(anchor_text_col)))
+        ).alias("term"),
+    )
+    asize = atok.groupBy(anchor_id_col).agg(F.count("*").alias("_na"))
+    dsize = dtok.groupBy(id_col).agg(F.count("*").alias("_nd"))
+    inter = (
+        dtok.join(F.broadcast(atok), "term")
+        .groupBy(anchor_id_col, id_col)
+        .agg(F.count("*").alias("_ni"))
+    )
+    jac = (
+        inter.join(F.broadcast(asize), anchor_id_col)
+        .join(dsize, id_col)
+        .select(
+            anchor_id_col,
+            id_col,
+            F.round(
+                F.col("_ni")
+                / (F.col("_na") + F.col("_nd") - F.col("_ni")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    cand = scored.join(jac, [anchor_id_col, id_col]).where(
+        F.col("jaccard") < F.lit(float(max_jaccard))
+    )
+    return top_k_per_group(
+        cand, [anchor_id_col], [F.desc("score"), F.asc(id_col)], k
+    )
+
+
 def hashed_feature(term: Column, dim: int) -> Column:
     """Hashing-trick feature index of a token: the first 8 hex digits of
     ``md5(term)`` read as an integer, mod ``dim``.  md5 (not xxhash64)

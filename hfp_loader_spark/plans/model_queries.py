@@ -36,8 +36,11 @@ _K1, _B = 1.2, 0.75
 _TOPK = 10
 
 
-def _bm25_oracle() -> str:
-    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+def _bm25_core_sql(q_cte: str) -> str:
+    """The shared Okapi-BM25 CTE chain (everything through the rounded
+    per-(query, doc) score ``sc``) over an arbitrary ``q(query_id,
+    query_text)`` source — one SQL definition for every BM25-consuming
+    oracle, same single-definition rationale as ``TOKS_SQL``."""
     # the SAME Python-computed doubles the Spark plan puts in F.lit()
     k1, one_minus_b, b, k1p1 = (
         repr(_K1),
@@ -47,7 +50,7 @@ def _bm25_oracle() -> str:
     )
     qtoks = TOKS_SQL.replace("lower(text)", "lower(query_text)")
     return f"""
-    WITH q(query_id, query_text) AS (VALUES {vals}),
+    WITH q AS ({q_cte}),
     qt AS (SELECT query_id, unnest(list_distinct({qtoks})) AS term FROM q),
     dl AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS dl
            FROM documents),
@@ -76,7 +79,15 @@ def _bm25_oracle() -> str:
       JOIN dl ON dl.doc_id = tf.doc_id
       CROSS JOIN st
       GROUP BY 1, 2
+    )"""
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    core = _bm25_core_sql(
+        f"SELECT * FROM (VALUES {vals}) v(query_id, query_text)"
     )
+    return f"""{core}
     SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id) AS rn
@@ -158,6 +169,76 @@ def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = pseudo_weights(spark, _CLS_DIM, seed=_CLS_SEED, scale=_CLS_SCALE)
     return hashed_linear_score(
         docs, w, dim=_CLS_DIM, bias=_CLS_BIAS, threshold=_CLS_THRESH
+    )
+
+
+_HN_ANCHORS = (0, 1, 2, 3)
+_HN_K, _HN_MAX_JAC = 5, 0.6
+
+
+def _hard_negatives_oracle() -> str:
+    ids = ", ".join(str(i) for i in _HN_ANCHORS)
+    core = _bm25_core_sql(
+        "SELECT doc_id AS query_id, text AS query_text FROM documents "
+        f"WHERE doc_id IN ({ids})"
+    )
+    return f"""{core},
+    asz AS (SELECT query_id, CAST(count(*) AS BIGINT) AS na
+            FROM qt GROUP BY 1),
+    dt AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS term
+           FROM documents),
+    dsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+            FROM dt GROUP BY 1),
+    inx AS (SELECT qt.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS ni
+            FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+    jac AS (SELECT query_id, doc_id,
+                   round(ni / CAST(na + nd - ni AS DOUBLE), 6) AS jaccard
+            FROM inx JOIN asz USING (query_id) JOIN dsz USING (doc_id))
+    SELECT query_id, doc_id, score, jaccard, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT sc.query_id, sc.doc_id, sc.score, j.jaccard,
+             row_number() OVER (PARTITION BY sc.query_id
+                                ORDER BY sc.score DESC, sc.doc_id) AS rn
+      FROM sc JOIN jac j ON j.query_id = sc.query_id
+                        AND j.doc_id = sc.doc_id
+      WHERE sc.query_id != sc.doc_id
+        AND j.jaccard < CAST({_HN_MAX_JAC!r} AS DOUBLE)
+    ) WHERE rn <= {_HN_K}
+    """
+
+
+@defquery(
+    "rank_hard_negatives",
+    _hard_negatives_oracle(),
+    doc="DPR-style hard-negative mining (operators.ranking."
+    "hard_negatives): per anchor document, the top-5 BM25-most-similar "
+    "documents that are NOT near-duplicates — a distinct-token Jaccard "
+    "cap (< 0.6, exact rational, the corpus median is ≈0.57) strips the "
+    "probable-positives, the anchor excludes itself, and no-overlap "
+    "documents never surface (easy negatives belong to random "
+    "sampling). Scale shape: the BM25 chain's one corpus tf shuffle "
+    "plus one broadcast of the distinct anchor-token set onto the "
+    "corpus tokens; intersection counts exist only for candidate "
+    "pairs — never all-pairs.",
+)
+def rank_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.ranking import hard_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    anchors = docs.where(
+        F.col("doc_id").isin(list(_HN_ANCHORS))
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    return hard_negatives(
+        docs, anchors, _HN_K, max_jaccard=_HN_MAX_JAC, k1=_K1, b=_B
+    ).select(
+        "query_id",
+        "doc_id",
+        "score",
+        "jaccard",
+        F.col("rn").cast("long").alias("rn"),
     )
 
 

@@ -80,6 +80,22 @@ def test_bm25_set_semantics_and_no_match(spark, tiny_corpus):
     assert by_q[1] == want  # tripled term == single term
 
 
+def test_hard_negatives_exclusions(spark, tiny_corpus):
+    """Anchor d1 = 'apple banana apple': d3 shares no term (never a
+    candidate), d2 shares 'banana' with Jaccard({apple,banana},
+    {banana,cherry}) = 1/3 — in at cap 0.5, out at cap 0.3; the anchor
+    itself is always excluded."""
+    from hfp_loader_spark.operators.ranking import hard_negatives
+
+    anchors = tiny_corpus.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    rows = hard_negatives(tiny_corpus, anchors, 5, max_jaccard=0.5).collect()
+    assert [(r["query_id"], r["doc_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] == round(1 / 3, 6)
+    assert hard_negatives(tiny_corpus, anchors, 5, max_jaccard=0.3).count() == 0
+
+
 def test_hashed_feature_matches_hashlib(spark):
     df = spark.createDataFrame(
         [("hash",), ("join",), ("the",)], "term string"
