@@ -1173,3 +1173,64 @@ def pq_top_k_rerank(
     return top_k_per_group(
         rer, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
     )
+
+
+def rp_sign_matrix(dim_in: int, dim_out: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix, derived from
+    md5 so ANY engine can rebuild it bit-identically: entry (j, i) is +1
+    iff hex digit #2 of ``md5("rp{j}d{i}")`` is even (DuckDB:
+    ``substr(md5(...), 2, 1) IN ('0','2','4','6','8','a','c','e')``).
+    Achlioptas (2003) shows ±1 entries satisfy the JL lemma with the
+    same distortion bound as Gaussian entries — and they constant-fold
+    into the plan, ship no model object, and multiply exactly."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp{j}d{i}".encode()).hexdigest()[1], 16) % 2
+            == 0
+            else -1.0
+            for i in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def random_project(vec: Column, dim_in: int, dim_out: int) -> Column:
+    """Project ``vec`` (array<double>, length ``dim_in``) to ``dim_out``
+    dimensions: ``y_j = (1/√dim_out) · Σ_i M[j][i]·x_i`` with the
+    :func:`rp_sign_matrix` signs.  The matrix is a folded literal —
+    Catalyst constant-folds it, executors do ``dim_out`` sequential
+    zip_with·aggregate folds per row and zero hash calls.  Same fold
+    order (i = 0..dim_in−1) as DuckDB's ``list_sum`` over an i-ordered
+    comprehension, so rounded outputs agree across engines."""
+    import math
+
+    m = rp_sign_matrix(dim_in, dim_out)
+    scale = 1.0 / math.sqrt(dim_out)
+    rows = F.array(*[F.array(*[F.lit(s) for s in row]) for row in m])
+    return F.transform(rows, lambda row: dot(vec, row) * F.lit(scale))
+
+
+def random_projection(
+    df: DataFrame,
+    dim_in: int,
+    dim_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Dimensionality reduction for embedding corpora: (id, rp) with
+    ``rp`` the rounded ±1-JL projection.  The 100 TB story: a 64→16
+    projection cuts every downstream shuffle, broadcast, and ANN index
+    byte count 4× while keeping pairwise cosines within the JL
+    distortion envelope (measured by the ``sim_rp_distortion`` contract
+    entry, not assumed) — and because the matrix is derived from md5,
+    a re-run, another session, or another engine projects identically
+    with no persisted model artifact."""
+    proj = random_project(as_double_array(F.col(vec_col)), dim_in, dim_out)
+    return df.select(
+        F.col(id_col),
+        F.transform(proj, lambda x: F.round(x, round_to)).alias("rp"),
+    )

@@ -671,3 +671,110 @@ def sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.col("component").cast("long").alias("cluster_id"),
     )
+
+
+_RP_DIM_OUT = 16  # 64→16: 4× smaller vectors; 1/sqrt(16) scales exactly
+_RP_SIGN_SQL = (
+    "CASE WHEN substr(md5('rp' || j || 'd' || i), 2, 1) IN "
+    "('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
+)
+_RP_VEC_SQL = f"""[ round(list_sum([ embedding[i+1]::DOUBLE * ({_RP_SIGN_SQL})
+         FOR i IN range(0, {_DIM}) ]) * 0.25, 4)
+      FOR j IN range(0, {_RP_DIM_OUT}) ]"""
+
+
+@defquery(
+    "sim_random_projection",
+    f"""
+    SELECT vec_id, {_RP_VEC_SQL} AS rp
+    FROM embeddings
+    """,
+    doc="±1 Johnson–Lindenstrauss random projection 64→16 (operators."
+    "similarity.random_projection): per vector, 16 sequential "
+    "zip_with·aggregate folds against a constant-folded sign matrix "
+    "derived from md5 — no model artifact, any engine rebuilds the "
+    "matrix bit-identically (the oracle re-derives it from DuckDB's "
+    "md5). The 100 TB storage/shuffle lever: 4× smaller vectors for "
+    "every downstream broadcast, ANN index, and near-dup pass, with "
+    "distortion MEASURED by sim_rp_distortion rather than assumed. "
+    "Narrow one-pass projection — no shuffle at all.",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import random_projection
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), _DIM, _RP_DIM_OUT
+    )
+
+
+_RP_PAIR_CAP = 30  # 435 pairs — bounded instrument, same idea as _ALLPAIRS_CAP
+
+
+@defquery(
+    "sim_rp_distortion",
+    f"""
+    WITH rp AS (
+      SELECT vec_id, {_RP_VEC_SQL} AS rp
+      FROM embeddings WHERE vec_id < {_RP_PAIR_CAP}
+    ),
+    orig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_RP_PAIR_CAP}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(oa.v, ob.v), 3) AS cos_orig,
+           round(list_cosine_similarity(a.rp, b.rp), 3) AS cos_rp,
+           round(abs(round(list_cosine_similarity(oa.v, ob.v), 3)
+                     - round(list_cosine_similarity(a.rp, b.rp), 3)), 3)
+             AS abs_err
+    FROM rp a JOIN rp b ON a.vec_id < b.vec_id
+    JOIN orig oa ON oa.vec_id = a.vec_id
+    JOIN orig ob ON ob.vec_id = b.vec_id
+    """,
+    doc="The JL tradeoff made measurable: over a bounded pair sample "
+    "(vec_id < 30, 435 pairs), original-space cosine vs projected-space "
+    "cosine and their absolute gap, both engines computing the "
+    "projection from the same md5-derived matrix. k=16 has error std "
+    "≈ 1/√k = 0.25 on near-orthogonal vectors (measured mean |Δcos| "
+    "≈ 0.2 here), so 16 dims suit coarse candidate generation followed "
+    "by exact rerank — this entry is what tells an operator whether a "
+    "given k is tight enough BEFORE committing the 4× smaller index. "
+    "Bounded instrument: capped pair count, no all-pairs at scale.",
+)
+def sim_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _RP_PAIR_CAP
+    )
+    rp = random_projection(emb, _DIM, _RP_DIM_OUT)
+    orig = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    a = rp.join(orig, "vec_id").select(
+        F.col("vec_id").alias("id_a"),
+        F.col("rp").alias("rpa"),
+        F.col("v").alias("va"),
+    )
+    b = rp.join(orig, "vec_id").select(
+        F.col("vec_id").alias("id_b"),
+        F.col("rp").alias("rpb"),
+        F.col("v").alias("vb"),
+    )
+    from hfp_loader_spark.operators.similarity import cosine
+
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 3).alias("cos_orig"),
+        F.round(cosine(F.col("rpa"), F.col("rpb")), 3).alias("cos_rp"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cos_orig",
+        "cos_rp",
+        F.round(F.abs(F.col("cos_orig") - F.col("cos_rp")), 3).alias(
+            "abs_err"
+        ),
+    )

@@ -335,3 +335,75 @@ def test_ivf_centroids_save_load_round_trip(spark, sf_dir, tmp_path):
     a = ivf_top_k(emb, q, 5, nlist=8, nprobe=4, centroids=trained)
     b = ivf_top_k(emb, q, 5, nlist=8, nprobe=4, centroids=loaded)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_rp_matrix_matches_hashlib_and_projection_is_linear(emb):
+    """The md5 sign matrix is reproducible; the projection of a vector
+    equals the hand-computed matrix product; JL distortion over real
+    sf-data pairs stays inside the k=16 envelope."""
+    import hashlib
+
+    from hfp_loader_spark.operators.similarity import (
+        random_projection,
+        rp_sign_matrix,
+    )
+
+    m = rp_sign_matrix(64, 16)
+    assert len(m) == 16 and all(len(r) == 64 for r in m)
+    assert m[3][7] == (
+        1.0
+        if int(hashlib.md5(b"rp3d7").hexdigest()[1], 16) % 2 == 0
+        else -1.0
+    )
+
+    row = emb.where(F.col("vec_id") == 0).collect()[0]
+    got = (
+        random_projection(emb.where(F.col("vec_id") == 0), 64, 16)
+        .collect()[0]["rp"]
+    )
+    want = [
+        round(
+            sum(float(x) * s for x, s in zip(row["embedding"], m[j])) * 0.25,
+            4,
+        )
+        for j in range(16)
+    ]
+    assert got == want
+
+
+def test_rp_distortion_within_jl_envelope(emb):
+    """Pairwise cosine distortion under the 64→16 ±1 projection: for
+    near-orthogonal vectors the error std is ≈ 1/√k = 0.25, so the mean
+    |Δcos| over real-data pairs lands near E|N(0, 0.25)| ≈ 0.2
+    (measured: 0.194 at sf0.001, 0.228 at sf0.01) and the max of ~300
+    samples stays under ~3.5σ.  A mis-scaled projection (wrong 1/√k, a
+    dropped dimension) shifts the mean far outside these bands."""
+    from hfp_loader_spark.operators.similarity import random_projection
+
+    sub = emb.where(F.col("vec_id") < 25)
+    rp = random_projection(sub, 64, 16)
+    orig = sub.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    j = rp.join(orig, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("ia"),
+        F.col("rp").alias("ra"),
+        F.col("v").alias("va"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("ib"),
+        F.col("rp").alias("rb"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.abs(
+            cosine(F.col("va"), F.col("vb"))
+            - cosine(F.col("ra"), F.col("rb"))
+        ).alias("err")
+    )
+    stats = pairs.agg(
+        F.avg("err").alias("avg"), F.max("err").alias("mx")
+    ).collect()[0]
+    assert 0.1 < stats["avg"] < 0.3
+    assert stats["mx"] < 0.9
