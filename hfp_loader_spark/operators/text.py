@@ -980,3 +980,68 @@ def gopher_repetition_fractions(
             F.col(f"dup_ngram_frac_{n}") <= F.lit(GOPHER_DUP_NGRAM_MAX[n])
         )
     return out.withColumn("gopher_rep_keep", keep)
+
+
+def vocab_top_terms(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's ``vocab_size`` most frequent tokens (ties broken by
+    term asc): ``(term, term_count)``.  Scale shape: partial-aggregated
+    term counts (map-side combine collapses each partition to its
+    distinct terms) followed by a global top-k — Spark plans
+    ``orderBy().limit()`` as TakeOrderedAndProject, a per-partition heap
+    plus a driver merge of k rows, never a full sort."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+        .orderBy(F.desc("term_count"), F.asc("term"))
+        .limit(vocab_size)
+    )
+
+
+def vocab_oov_rates(
+    docs: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Tokenizer-coverage measurement: per document, how much of its
+    token stream falls outside the corpus's own top-``vocab_size``
+    vocabulary — ``(id, n_tokens, n_oov, oov_rate)``.
+
+    The pre-tokenizer-training question at 100 TB: a vocab sized too
+    small shows up here as a heavy OOV tail (documents that would
+    shatter into bytes/unk), and per-source OOV aggregates locate WHICH
+    slice the vocab underserves.  Scale shape: the vocabulary is a
+    global top-k (TakeOrderedAndProject) then BROADCAST onto the token
+    stream — the stream itself shuffles once, for the per-document
+    count.  Zero-token documents keep a row with ``oov_rate`` NULL
+    (0/0 is unmeasured, not 0)."""
+    vocab = vocab_top_terms(docs, vocab_size, text_col).select("term")
+    dt = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per = (
+        dt.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("_in").isNull()).alias("n_oov"),
+        )
+    )
+    return docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov") / F.col("n_tokens").cast("double"),
+            ),
+            round_to,
+        ).alias("oov_rate"),
+    )

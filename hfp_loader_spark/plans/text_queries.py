@@ -925,3 +925,46 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.text import gopher_repetition_fractions
 
     return gopher_repetition_fractions(_t(spark, sf_dir, "documents"))
+
+
+_VOCAB_SIZE = 16  # the synthetic corpus has ~31 distinct terms; top-16
+#                   splits documents across oov_rate ≈ 0.18 – 0.77
+
+
+@defquery(
+    "text_vocab_oov_rate",
+    f"""
+    WITH dt AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    tc AS (SELECT term, count(*) AS c FROM dt GROUP BY 1),
+    vocab AS (SELECT term FROM tc ORDER BY c DESC, term LIMIT {_VOCAB_SIZE}),
+    per AS (
+      SELECT dt.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM dt LEFT JOIN vocab v USING (term)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_oov, 0) AS n_oov,
+           CASE WHEN p.n_tokens > 0
+                THEN round(p.n_oov / CAST(p.n_tokens AS DOUBLE), 4)
+           END AS oov_rate
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Tokenizer-coverage audit (operators.text.vocab_oov_rates): per "
+    "document, the fraction of token occurrences outside the corpus's "
+    "own top-16 vocabulary — the question a vocab-size decision asks "
+    "before training a tokenizer, and per-source rollups of this locate "
+    "which slice a vocab underserves. Scale shape: vocabulary via "
+    "map-side-combined term counts + global top-k "
+    "(TakeOrderedAndProject — per-partition heap, no full sort), then "
+    "BROADCAST onto the token stream; one shuffle total (the "
+    "per-document count). Zero-token documents keep a row with NULL "
+    "oov_rate (0/0 is unmeasured, not clean).",
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import vocab_oov_rates
+
+    return vocab_oov_rates(_t(spark, sf_dir, "documents"), _VOCAB_SIZE)

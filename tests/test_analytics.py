@@ -354,3 +354,39 @@ def test_remove_duplicate_spans_merges_overlapping_occurrences(spark):
     }
     assert out[1] == (nine + " filler alpha beta", 0)
     assert out[2] == ("lead in", 9)  # both grams' cover = 9 tokens, once
+
+
+def test_vocab_oov_rates_planted(spark):
+    """Vocab = top-2 of {aa×4, bb×3, cc×2, dd×1} = {aa, bb}; doc OOV
+    rates follow exactly; a zero-token doc keeps its row with NULL
+    rate (0/0 is unmeasured), and ties at the vocab boundary break by
+    term asc."""
+    from hfp_loader_spark.operators.text import (
+        vocab_oov_rates,
+        vocab_top_terms,
+    )
+
+    rows = [
+        (1, "aa aa bb cc"),     # 1 OOV of 4
+        (2, "aa bb bb dd cc"),  # 2 OOV of 5
+        (3, "aa aa"),           # 0 OOV of 2
+        (4, "...!!!"),          # tokenizes to nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = [r["term"] for r in vocab_top_terms(df, 2).collect()]
+    assert vocab == ["aa", "bb"]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_oov_rates(df, 2).collect()
+    }
+    assert got == {
+        1: (4, 1, 0.25),
+        2: (5, 2, 0.4),
+        3: (2, 0, 0.0),
+        4: (0, 0, None),
+    }
+    # boundary tie: equal counts fall back to term order (ee before ff)
+    tie = spark.createDataFrame(
+        [(1, "ee ff ee ff gg")], "doc_id long, text string"
+    )
+    assert [r["term"] for r in vocab_top_terms(tie, 1).collect()] == ["ee"]
