@@ -1234,3 +1234,131 @@ def random_projection(
         F.col(id_col),
         F.transform(proj, lambda x: F.round(x, round_to)).alias("rp"),
     )
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_select: int,
+    n_candidates: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's exact cosine top-``n_candidates``, greedily
+    select ``k_select`` results maximizing ``λ·rel(q,c) − (1−λ)·max_{s∈S}
+    sim(c,s)`` — the step that turns a near-duplicate-heavy top-k into a
+    DIVERSE one (retrieval-augmented data curation wants coverage, not
+    five copies of the best hit).
+
+    Output: ``(query_id, id, score, mmr_rank)`` — rank 1 is the pure
+    argmax of relevance, later ranks the greedy MMR argmax; scores and
+    sims are rounded before ranking so selection is deterministic across
+    engines (ties → lowest id).
+
+    Scale shape: selection is inherently sequential in ``k_select`` but
+    the plan UNROLLS the k fixed steps into static DataFrame ops — no
+    driver loop over rows, no UDF.  All pair state is bounded per query:
+    candidate relevance (n_candidates rows) and candidate-candidate sims
+    (n_candidates² rows, computed once and reused by every step); each
+    step is one join + hash-agg + per-query top-1 window over ≤
+    n_candidates rows.  At 1000 executors the work is embarrassingly
+    parallel across queries."""
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    cand = brute_force_top_k(
+        corpus, queries, n_candidates, id_col, vec_col, query_id_col,
+        round_to,
+    ).select(query_id_col, id_col, F.col("cos").alias("rel"))
+
+    vecs = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    cv = cand.join(vecs, id_col)
+    a = cv.select(
+        query_id_col,
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = cv.select(
+        query_id_col,
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    # disjoint column names throughout: sims and the selected-set copies
+    # all descend from `cand`, and qualified-attribute joins on shared
+    # lineage trip Spark's ambiguous-self-join analysis
+    sims = (
+        a.join(b, query_id_col)
+        .where(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.col(query_id_col).alias("_mq"),
+            F.col("_ida").alias("_ma"),
+            F.col("_idb").alias("_mb"),
+            F.round(
+                cosine_prenormed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                round_to,
+            ).alias("_msim"),
+        )
+        # computed once at first action, reused by every unrolled step;
+        # eager=False keeps plan CONSTRUCTION job-free (a catalog builder
+        # must not run Spark jobs — the bloom_contains lesson)
+        .localCheckpoint(eager=False)
+    )
+
+    sel = (
+        top_k_per_group(
+            cand, [query_id_col], [F.desc("rel"), F.asc(id_col)], 1
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.col("rel").alias("score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    for t in range(2, k_select + 1):
+        remaining = cand.join(
+            sel.select(query_id_col, id_col), [query_id_col, id_col],
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                sims,
+                (F.col(query_id_col) == F.col("_mq"))
+                & (F.col(id_col) == F.col("_ma")),
+            )
+            .join(
+                sel.select(
+                    F.col(query_id_col).alias("_pq"),
+                    F.col(id_col).alias("_pid"),
+                ),
+                (F.col("_mq") == F.col("_pq"))
+                & (F.col("_mb") == F.col("_pid")),
+            )
+            .groupBy(query_id_col, id_col, "rel")
+            .agg(F.max("_msim").alias("_ms"))
+            .select(
+                query_id_col,
+                id_col,
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("_ms"),
+                    round_to,
+                ).alias("score"),
+            )
+        )
+        pick = top_k_per_group(
+            scored, [query_id_col], [F.desc("score"), F.asc(id_col)], 1
+        ).select(
+            query_id_col, id_col, "score", F.lit(t).alias("mmr_rank")
+        )
+        sel = sel.unionByName(pick)
+    return sel

@@ -778,3 +778,111 @@ def sim_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+_MMR_K, _MMR_CAND, _MMR_LAM = 5, 20, 0.7
+_MMR_N_Q = 4
+
+
+def _mmr_oracle() -> str:
+    """The greedy MMR selection unrolled into one CTE per step — the
+    same k fixed steps the Spark plan unrolls, so both engines walk the
+    identical argmax sequence.  λ and (1−λ) are emitted via repr() so
+    the SQL multiplies by the SAME doubles Spark's F.lit carries
+    (1.0 − 0.7 is 0.30000000000000004, not the SQL literal 0.3)."""
+    lam, one_m_lam = repr(_MMR_LAM), repr(1.0 - _MMR_LAM)
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_MMR_N_Q}
+    ),
+    allcos AS (
+      SELECT q.query_id, c.vec_id,
+             round(CASE WHEN len(q.qv) > 0 AND len(c.embedding) > 0
+                        THEN list_cosine_similarity(q.qv,
+                                                    c.embedding::DOUBLE[])
+                   END, 4) AS rel
+      FROM embeddings c CROSS JOIN q
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM allcos
+      ) WHERE rn <= {_MMR_CAND}
+    ),
+    cv AS (
+      SELECT cand.query_id, cand.vec_id, e.embedding::DOUBLE[] AS v
+      FROM cand JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM cv a JOIN cv b
+        ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    all1 AS (
+      SELECT query_id, vec_id, rel AS score, 1 AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS r
+        FROM cand
+      ) WHERE r = 1
+    )"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+    sc{t} AS (
+      SELECT c.query_id, c.vec_id,
+             round({lam} * c.rel - {one_m_lam} * max(s.sim), 4) AS score
+      FROM cand c
+      JOIN all{t - 1} p ON p.query_id = c.query_id
+      JOIN sims s ON s.query_id = c.query_id AND s.ida = c.vec_id
+                 AND s.idb = p.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    all{t} AS (
+      SELECT * FROM all{t - 1}
+      UNION ALL
+      SELECT query_id, vec_id, score, {t} AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS r
+        FROM sc{t}
+      ) WHERE r = 1
+    )""")
+    parts.append(f"""
+    SELECT query_id, vec_id, score, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM all{_MMR_K}
+    """)
+    return "".join(parts)
+
+
+@defquery(
+    "sim_mmr_rerank",
+    _mmr_oracle(),
+    doc="Maximal Marginal Relevance re-ranking (operators.similarity."
+    "mmr_diversify; Carbonell & Goldstein 1998): per query, greedily "
+    "pick 5 of the exact cosine top-20 maximizing λ·relevance − (1−λ)·"
+    "max-similarity-to-already-picked (λ=0.7) — the diversification "
+    "step that turns a near-duplicate-heavy top-k into a coverage set. "
+    "The k selection steps are inherently sequential, so BOTH engines "
+    "unroll them statically: Spark as k fixed DataFrame stages (join + "
+    "hash-agg + per-query top-1 window, candidate-pair sims computed "
+    "once and lazily checkpointed for reuse — no driver loop, no UDF), "
+    "the oracle as one CTE per step. Pair state is bounded per query "
+    "(20 candidates, 380 sims); work is embarrassingly parallel across "
+    "queries at scale.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MMR_N_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_diversify(
+        emb, queries, k_select=_MMR_K, n_candidates=_MMR_CAND, lam=_MMR_LAM
+    )

@@ -407,3 +407,53 @@ def test_rp_distortion_within_jl_envelope(emb):
     ).collect()[0]
     assert 0.1 < stats["avg"] < 0.3
     assert stats["mx"] < 0.9
+
+
+def test_mmr_diversifies_and_keeps_pure_argmax_first(emb, queries):
+    """Rank 1 is the plain relevance argmax; the MMR set's internal
+    max pairwise similarity never exceeds the plain top-k's (that IS
+    the operator's contract); every rank's set is a strict prefix
+    growth with no repeats."""
+    from hfp_loader_spark.operators.similarity import mmr_diversify
+
+    plain = brute_force_top_k(emb, queries, K).collect()
+    got = mmr_diversify(emb, queries, k_select=K, n_candidates=20).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], {})[r["mmr_rank"]] = (
+            r["vec_id"], r["score"],
+        )
+    top1 = {
+        r["query_id"]: r["vec_id"] for r in plain if r["rn"] == 1
+    }
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        import math
+
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den if den > 0 else None
+
+    def max_pair_sim(ids):
+        return max(
+            cos(vecs[i], vecs[j])
+            for i in ids
+            for j in ids
+            if i < j
+        )
+
+    plain_ids = {}
+    for r in plain:
+        plain_ids.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+        assert ranks[1][0] == top1[qid]
+        ids = [ranks[t][0] for t in sorted(ranks)]
+        assert len(set(ids)) == K  # no repeats
+        assert max_pair_sim(ids) <= max_pair_sim(plain_ids[qid]) + 1e-9
