@@ -1004,3 +1004,101 @@ def decontaminate_bloom_gated(
         gated.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )
     return decontaminate(survivors, heldout, id_col, text_col, n=n)
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    round_to: int = 4,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair
+    (a < b), how many DISTINCT word n-gram shingles they share, and the
+    overlap coefficient ``|A∩B| / min(|A|,|B|)`` — the dataset-forensics
+    view that answers "which of my sources are mirrors / scrapes of
+    each other?" before near-dup machinery is pointed at them.  Pairs
+    sharing nothing still get a row (n_shared 0) so the matrix is
+    complete.
+
+    Scale shape: one distinct over (source, shingle) — corpus-sized,
+    map-side combined — then a posting-list self-join ON THE SHINGLE,
+    so only co-occurring shingles pair up (never sources × corpus); the
+    per-source sizes and the final S² matrix are broadcast-joined.
+    Skew note: a stop-shingle appearing in all S sources fans out S²
+    rows for that shingle alone — the same df-cap lever jaccard_pairs
+    uses applies here if S is large."""
+    toks_sh = shingle_docs(docs.select(
+        F.col(source_col).alias("doc_id"), F.col(text_col)
+    ), "doc_id", text_col, n)
+    sh = (
+        toks_sh.select(
+            F.col("doc_id").alias("_src"),
+            F.explode("shingles").alias("_sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count("*").alias("_n"))
+    shared = (
+        sh.select(F.col("_src").alias("source_a"), "_sh")
+        .join(
+            sh.select(F.col("_src").alias("source_b"), F.col("_sh").alias(
+                "_shb"
+            )),
+            F.col("_sh") == F.col("_shb"),
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("_shared"))
+    )
+    srcs = docs.select(
+        F.col(source_col).alias("_s")
+    ).distinct()
+    matrix = (
+        srcs.select(F.col("_s").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("_s").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    # sizes join LEFT + coalesce: a source whose every document is
+    # shorter than n tokens has zero shingles — it must still appear in
+    # the matrix (n 0, overlap NULL: 0/0 is unmeasured, not clean)
+    n_shared = F.coalesce(F.col("_shared"), F.lit(0))
+    return (
+        matrix.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(sizes.select(
+                F.col("_src").alias("source_a"), F.col("_n").alias("n_a")
+            )),
+            "source_a",
+            "left",
+        )
+        .join(
+            F.broadcast(sizes.select(
+                F.col("_src").alias("source_b"), F.col("_n").alias("n_b")
+            )),
+            "source_b",
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            n_shared.alias("n_shared"),
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            F.round(
+                F.when(
+                    F.least(
+                        F.coalesce(F.col("n_a"), F.lit(0)),
+                        F.coalesce(F.col("n_b"), F.lit(0)),
+                    )
+                    > 0,
+                    n_shared
+                    / F.least("n_a", "n_b").cast("double"),
+                ),
+                round_to,
+            ).alias("overlap"),
+        )
+    )

@@ -732,3 +732,51 @@ def decontaminate_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     heldout = docs.where(F.col("doc_id") % 17 == 0)
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     return decontaminate_bloom_gated(corpus, heldout, "doc_id", "text", n=8)
+
+
+@defquery(
+    "dedup_cross_source_overlap",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source AS src, s
+      FROM (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM documents)
+    ),
+    sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source AS src FROM documents)
+    SELECT m.source_a, m.source_b,
+           coalesce(sh2.n_shared, 0) AS n_shared,
+           coalesce(sa.n, 0) AS n_a,
+           coalesce(sb.n, 0) AS n_b,
+           CASE WHEN least(coalesce(sa.n, 0), coalesce(sb.n, 0)) > 0
+                THEN round(coalesce(sh2.n_shared, 0)
+                           / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
+           END AS overlap
+    FROM (SELECT a.src AS source_a, b.src AS source_b
+          FROM srcs a JOIN srcs b ON a.src < b.src) m
+    LEFT JOIN shared sh2 USING (source_a, source_b)
+    LEFT JOIN sizes sa ON sa.src = m.source_a
+    LEFT JOIN sizes sb ON sb.src = m.source_b
+    """,
+    doc="Cross-source contamination matrix (operators.neardup."
+    "cross_source_overlap): for every source pair, the count of shared "
+    "distinct word-trigram shingles and the overlap coefficient "
+    "|A∩B|/min(|A|,|B|) — the forensics view that finds mirror/scrape "
+    "sources BEFORE pointing near-dup machinery at them (a pair near "
+    "1.0 means one source is contained in the other). Zero-sharing "
+    "pairs keep a row; a zero-shingle source reports NULL overlap. "
+    "Scale shape: one map-side-combined distinct over (source, "
+    "shingle), a posting-list self-join on the shingle (only "
+    "co-occurring shingles pair — never sources × corpus), then "
+    "broadcast joins onto the S² matrix; the jaccard_pairs df-cap "
+    "lever applies if a stop-shingle spans all sources.",
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import cross_source_overlap
+
+    return cross_source_overlap(_t(spark, sf_dir, "documents"))

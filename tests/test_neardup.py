@@ -483,3 +483,30 @@ def test_ensure_parallelism_detects_tuned_file_packing(spark, tmp_path):
     finally:
         conf.unset("spark.sql.files.openCostInBytes")
         conf.unset("spark.sql.files.minPartitionNum")
+
+
+def test_cross_source_overlap_planted_matrix(spark):
+    """Planted three sources: A and B share exactly one trigram, C has
+    too few tokens for any shingle — its pairs stay in the matrix with
+    n 0 and NULL overlap (0/0 unmeasured); the A-B overlap coefficient
+    is shared / min(|A|,|B|) exactly."""
+    from hfp_loader_spark.operators.neardup import cross_source_overlap
+
+    rows = [
+        (1, "one two three four", "A"),    # shingles: {one two three, two three four}
+        (2, "one two three", "B"),         # {one two three}
+        (3, "nine eight seven six", "B"),  # {nine eight seven, eight seven six}
+        (4, "tiny", "C"),                  # none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["overlap"]
+        )
+        for r in cross_source_overlap(df).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 2, 3, round(1 / 2, 4)),
+        ("A", "C"): (0, 2, 0, None),
+        ("B", "C"): (0, 3, 0, None),
+    }
