@@ -1269,10 +1269,21 @@ def mmr_diversify(
     parallel across queries."""
     from hfp_loader_spark.operators.relational import top_k_per_group
 
-    cand = brute_force_top_k(
-        corpus, queries, n_candidates, id_col, vec_col, query_id_col,
-        round_to,
-    ).select(query_id_col, id_col, F.col("cos").alias("rel"))
+    cand = (
+        brute_force_top_k(
+            corpus, queries, n_candidates, id_col, vec_col, query_id_col,
+            round_to,
+        )
+        .select(query_id_col, id_col, F.col("cos").alias("rel"))
+        # every unrolled step references cand (and, through sel, every
+        # PRIOR step's output); without lineage truncation the final
+        # plan re-derives the top-k subtree O(k²) times — measured 437
+        # exchanges at k=5, vs one short stage per step with the
+        # checkpoints.  eager=False keeps construction job-free; each
+        # RDD computes once at the first action and is reused by all
+        # later steps.
+        .localCheckpoint(eager=False)
+    )
 
     vecs = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
@@ -1355,10 +1366,14 @@ def mmr_diversify(
                 ).alias("score"),
             )
         )
-        pick = top_k_per_group(
-            scored, [query_id_col], [F.desc("score"), F.asc(id_col)], 1
-        ).select(
-            query_id_col, id_col, "score", F.lit(t).alias("mmr_rank")
+        pick = (
+            top_k_per_group(
+                scored, [query_id_col], [F.desc("score"), F.asc(id_col)], 1
+            )
+            .select(
+                query_id_col, id_col, "score", F.lit(t).alias("mmr_rank")
+            )
+            .localCheckpoint(eager=False)  # see cand: stop re-derivation
         )
         sel = sel.unionByName(pick)
     return sel
