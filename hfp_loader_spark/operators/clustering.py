@@ -83,7 +83,12 @@ def kmeans_fixed_point(
     iteration counts; the default keeps plan construction job-free so
     catalog builders stay lazy (iteration depth here is small and
     Catalyst handles the nested-join plan fine)."""
-    q = emb.select(
+    # NULL/empty vectors are unclusterable and EXCLUDED (no output row):
+    # kept in, a NULL vector poisons any centroid seeded from it and an
+    # empty one folds to distance 0 against every centroid (while SQL
+    # engines sum an empty list to NULL) — exclusion is the only
+    # semantics every engine reproduces
+    q = emb.where(F.size(F.col(vec_col)) > 0).select(
         F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("q")
     )
     w = Window.orderBy(id_col)

@@ -1230,9 +1230,16 @@ def random_projection(
     a re-run, another session, or another engine projects identically
     with no persisted model artifact."""
     proj = random_project(as_double_array(F.col(vec_col)), dim_in, dim_out)
+    # NULL/empty vectors project to NULL (not a zero vector): a zero rp
+    # would silently rank in downstream cosine passes, and the fold's
+    # empty-array result (0.0) diverges from SQL engines' NULL sum —
+    # size(NULL) is NULL, so the WHEN covers both shapes
     return df.select(
         F.col(id_col),
-        F.transform(proj, lambda x: F.round(x, round_to)).alias("rp"),
+        F.when(
+            F.size(F.col(vec_col)) > 0,
+            F.transform(proj, lambda x: F.round(x, round_to)),
+        ).alias("rp"),
     )
 
 

@@ -258,12 +258,14 @@ def _kmeans_oracle() -> str:
     parts = [
         f"""
     WITH e AS (
+      -- len > 0 mirrors the operator's size() gate: NULL/empty vectors
+      -- are unclusterable and excluded from seeds and assignments alike
       SELECT vec_id,
              list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE)
                                  * CAST({float(_KM_SCALE)!r} AS DOUBLE))
                            AS BIGINT)) AS q
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) > 0
     ),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -317,7 +319,9 @@ def _kmeans_oracle() -> str:
     "float k-means would diverge across engines on summation order. "
     "Deterministic throughout: k lowest-id seeds, min(struct(dist, "
     "cluster)) argmin, half-away-from-zero mean rounding, empty "
-    "clusters keep their centroid. Scale shape per iteration: k-row "
+    "clusters keep their centroid, NULL/empty vectors excluded on both "
+    "engines (unclusterable — and engines disagree on empty-list "
+    "folds). Scale shape per iteration: k-row "
     "centroid frame broadcast onto the corpus (assignment never "
     "shuffles the corpus), one (cluster, dim)-key update aggregate with "
     "map-side partials.",

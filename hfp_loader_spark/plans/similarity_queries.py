@@ -678,9 +678,13 @@ _RP_SIGN_SQL = (
     "CASE WHEN substr(md5('rp' || j || 'd' || i), 2, 1) IN "
     "('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
 )
-_RP_VEC_SQL = f"""[ round(list_sum([ embedding[i+1]::DOUBLE * ({_RP_SIGN_SQL})
+# CASE guard: NULL/empty vectors project to NULL, matching the Spark
+# side's size()>0 gate (an unguarded comprehension yields a list of
+# NULLs for a NULL vector — a different value than NULL itself)
+_RP_VEC_SQL = f"""CASE WHEN len(embedding) > 0 THEN
+      [ round(list_sum([ embedding[i+1]::DOUBLE * ({_RP_SIGN_SQL})
          FOR i IN range(0, {_DIM}) ]) * 0.25, 4)
-      FOR j IN range(0, {_RP_DIM_OUT}) ]"""
+      FOR j IN range(0, {_RP_DIM_OUT}) ] END"""
 
 
 @defquery(
@@ -721,11 +725,22 @@ _RP_PAIR_CAP = 30  # 435 pairs — bounded instrument, same idea as _ALLPAIRS_CA
       SELECT vec_id, embedding::DOUBLE[] AS v
       FROM embeddings WHERE vec_id < {_RP_PAIR_CAP}
     )
+    -- lazy CASE guards: NULL/empty vectors yield NULL cosines on both
+    -- engines; a bare list_cosine_similarity ERRORS on NULL arguments
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(oa.v, ob.v), 3) AS cos_orig,
-           round(list_cosine_similarity(a.rp, b.rp), 3) AS cos_rp,
-           round(abs(round(list_cosine_similarity(oa.v, ob.v), 3)
-                     - round(list_cosine_similarity(a.rp, b.rp), 3)), 3)
+           round(CASE WHEN len(oa.v) > 0 AND len(ob.v) > 0
+                      THEN list_cosine_similarity(oa.v, ob.v) END, 3)
+             AS cos_orig,
+           round(CASE WHEN a.rp IS NOT NULL AND b.rp IS NOT NULL
+                      THEN list_cosine_similarity(a.rp, b.rp) END, 3)
+             AS cos_rp,
+           round(abs(round(CASE WHEN len(oa.v) > 0 AND len(ob.v) > 0
+                                THEN list_cosine_similarity(oa.v, ob.v)
+                           END, 3)
+                     - round(CASE WHEN a.rp IS NOT NULL
+                                   AND b.rp IS NOT NULL
+                                  THEN list_cosine_similarity(a.rp, b.rp)
+                             END, 3)), 3)
              AS abs_err
     FROM rp a JOIN rp b ON a.vec_id < b.vec_id
     JOIN orig oa ON oa.vec_id = a.vec_id
@@ -817,8 +832,13 @@ def _mmr_oracle() -> str:
       FROM cand JOIN embeddings e USING (vec_id)
     ),
     sims AS (
+      -- guarded like allcos: NULL-embedding candidates (possible when a
+      -- query's whole rel column is NULL and ranking falls back to the
+      -- id tiebreak) yield NULL sims instead of erroring
       SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
-             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+             round(CASE WHEN len(a.v) > 0 AND len(b.v) > 0
+                        THEN list_cosine_similarity(a.v, b.v) END, 4)
+               AS sim
       FROM cv a JOIN cv b
         ON a.query_id = b.query_id AND a.vec_id != b.vec_id
     ),
