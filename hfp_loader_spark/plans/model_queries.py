@@ -331,3 +331,82 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_fixed_point(emb, _KM_K, _KM_ITERS, scale=_KM_SCALE)
+
+
+def _calibration_oracle() -> str:
+    """Composes the classifier and Gopher-rules oracles as subqueries —
+    ONE definition of each scoring chain feeds both its own entry and
+    this calibration view, so they cannot drift apart."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    cls = REGISTRY["quality_hashed_classifier"].oracle
+    gop = REGISTRY["text_gopher_rules"].oracle
+    return f"""
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p), 4) AS avg_p,
+           round(avg(CASE WHEN gopher_keep THEN 1.0 ELSE 0.0 END), 4)
+             AS pos_rate,
+           round(abs(round(avg(p), 4)
+                     - round(avg(CASE WHEN gopher_keep THEN 1.0
+                                      ELSE 0.0 END), 4)), 4) AS abs_gap
+    FROM (
+      SELECT least(CAST(floor(c.p * 10) AS INT), 9) AS bin,
+             c.p, g.gopher_keep
+      FROM ({cls}) c JOIN ({gop}) g USING (doc_id)
+    )
+    GROUP BY bin
+    """
+
+
+@defquery(
+    "quality_calibration_bins",
+    _calibration_oracle(),
+    doc="Reliability diagram for the hashed quality classifier: decile "
+    "bins of predicted p vs the observed Gopher-rules keep rate in each "
+    "bin, plus the per-bin |gap| (the summand of expected calibration "
+    "error). The eval that decides whether a quality score can be used "
+    "as a sampling WEIGHT (needs calibration) or only as a threshold "
+    "GATE (needs ranking) — run before wiring any classifier into "
+    "temperature or mixture sampling. Both scoring chains are the "
+    "single definitions their own entries use (operators.ranking."
+    "hashed_linear_score, operators.text.gopher_quality_flags), joined "
+    "per doc and hash-aggregated into ≤ 10 rows; adds one broadcast "
+    "join and no new shuffle class.",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import gopher_quality_flags
+    from hfp_loader_spark.plans.text_queries import _GOPHER_STOPS
+
+    docs = _t(spark, sf_dir, "documents")
+    w = pseudo_weights(spark, _CLS_DIM, seed=_CLS_SEED, scale=_CLS_SCALE)
+    cls = hashed_linear_score(
+        docs, w, dim=_CLS_DIM, bias=_CLS_BIAS, threshold=_CLS_THRESH
+    ).select("doc_id", "p")
+    # same stopword list / thresholds as the text_gopher_rules entry —
+    # the composed oracle reuses that entry's SQL verbatim
+    flags = gopher_quality_flags(
+        F.coalesce(F.col("text"), F.lit("")),
+        stopwords=_GOPHER_STOPS,
+        min_stopwords=2,
+    )
+    gop = docs.select(
+        "doc_id", flags["gopher_keep"].alias("gopher_keep")
+    )
+    binned = cls.join(gop, "doc_id").select(
+        F.least(
+            F.floor(F.col("p") * 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+        "p",
+        "gopher_keep",
+    )
+    avg_p = F.round(F.avg("p"), 4)
+    pos = F.round(
+        F.avg(F.when(F.col("gopher_keep"), 1.0).otherwise(0.0)), 4
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        avg_p.alias("avg_p"),
+        pos.alias("pos_rate"),
+        F.round(F.abs(avg_p - pos), 4).alias("abs_gap"),
+    )
