@@ -449,3 +449,75 @@ def qhist_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
         .groupBy("q")
         .agg(F.min("bucket_lo").alias("q_est"))
     )
+
+
+def qhist_ks_drift(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    sub_bits: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Kolmogorov–Smirnov drift of each partition's value distribution
+    vs the REST of the corpus, computed entirely over histogram
+    sketches: ``(part_col, n_rows, ks_d)`` with ``D = max_b |CDF_part(b)
+    − CDF_rest(b)|`` evaluated at the shared log-linear bucket
+    boundaries.
+
+    The slice-audit question at 100 TB ("which source's length/score
+    distribution wandered?") without ever sorting data: exactness of
+    the per-bucket counts makes this the true KS statistic OF THE
+    BUCKETED distributions — discretization can only blur a shift
+    narrower than one bucket (relative width ≤ 2^-sub_bits), so a large
+    D is always real.  NULL and negative values are excluded
+    (:func:`qhist_build`'s declared domain); a partition that IS the
+    whole corpus has no rest-side and yields no row.
+
+    Scale shape: one sketch build (hash aggregate onto the bounded
+    (partition, bucket) domain), then every window/join runs on sketch
+    rows (P × ≤ ~2k), never on data — same bounded-reduction argument
+    as :func:`qhist_quantiles`."""
+    from pyspark.sql import Window
+
+    h = qhist_build(df, value_col, [part_col], sub_bits)
+    grid = (
+        h.select(part_col).distinct()
+        .crossJoin(h.select("bucket_lo").distinct())
+    )
+    filled = grid.join(h, [part_col, "bucket_lo"], "left").select(
+        part_col, "bucket_lo", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    w_part = (
+        Window.partitionBy(part_col)
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = filled.withColumn("cum", F.sum("cnt").over(w_part))
+    g = qhist_merge(h)
+    w_glob = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cg = g.withColumn("gcum", F.sum("cnt").over(w_glob)).select(
+        "bucket_lo", "gcum"
+    )
+    tot = h.groupBy(part_col).agg(F.sum("cnt").alias("n_rows"))
+    n = h.agg(F.sum("cnt").alias("_nn"))
+    return (
+        cs.join(cg, "bucket_lo")
+        .join(F.broadcast(tot), part_col)
+        .crossJoin(F.broadcast(n))
+        .where(F.col("_nn") > F.col("n_rows"))
+        .groupBy(part_col, "n_rows")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum") / F.col("n_rows").cast("double")
+                        - (F.col("gcum") - F.col("cum"))
+                        / (F.col("_nn") - F.col("n_rows")).cast("double")
+                    )
+                ),
+                round_to,
+            ).alias("ks_d")
+        )
+    )

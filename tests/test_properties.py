@@ -543,3 +543,28 @@ def test_qhist_quantile_bounds_and_mergeability(spark, vals, qs, sub_bits):
         true = xs[max(math.ceil(q * len(xs)), 1) - 1]
         assert est[q] <= true
         assert (true - est[q]) * (2**sub_bits) <= est[q] or est[q] == true
+
+
+def test_qhist_ks_drift_planted_shift(spark):
+    """Disjoint magnitude ranges → D = 1 (CDFs never overlap); an
+    identically-distributed source scores D ≈ 0 against the pooled
+    rest; the whole-corpus case yields no row (no rest side)."""
+    from hfp_loader_spark.operators.sketches import qhist_ks_drift
+
+    rows = (
+        [("low", v) for v in range(10, 30)]          # small values
+        + [("high", v * 100_000) for v in range(10, 30)]  # disjoint range
+    )
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {r["src"]: r["ks_d"] for r in qhist_ks_drift(df, "v", "src").collect()}
+    assert got["low"] == 1.0 and got["high"] == 1.0
+
+    same = spark.createDataFrame(
+        [("a", v) for v in range(100)] + [("b", v) for v in range(100)],
+        "src string, v long",
+    )
+    got2 = {r["src"]: r["ks_d"] for r in qhist_ks_drift(same, "v", "src").collect()}
+    assert got2["a"] == 0.0 and got2["b"] == 0.0
+
+    solo = spark.createDataFrame([("only", 5)], "src string, v long")
+    assert qhist_ks_drift(solo, "v", "src").count() == 0
