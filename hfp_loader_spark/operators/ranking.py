@@ -325,3 +325,52 @@ def hashed_linear_score(
         p.alias("p"),
         (p >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    topk: int,
+    k_rrf: int = 60,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rn",
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): merge any number of
+    per-query rankings into one by ``score(d) = Σ_r 1/(k_rrf +
+    rank_r(d))``, a document absent from a ranking contributing 0 — the
+    standard hybrid-retrieval combiner (lexical BM25 + dense cosine)
+    that needs NO score calibration because it only consumes RANKS.
+
+    Output: ``(qid_col, id_col, rrf, rn ≤ topk)``, ordered by rounded
+    rrf desc with id tiebreak.  Scale shape: each input ranking is
+    already a per-query top-k (bounded rows per query); the fusion is a
+    cascade of full-outer joins on (query, doc) over those bounded
+    lists plus one per-query top-k window — work proportional to
+    queries × k × len(rankings), independent of corpus size."""
+    from functools import reduce
+
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    sides = [
+        r.select(
+            qid_col,
+            id_col,
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col).cast("double")))
+            .alias(f"_c{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = reduce(
+        lambda a, b: a.join(b, [qid_col, id_col], "full"), sides
+    )
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    scored = fused.select(
+        qid_col, id_col, F.round(score, round_to).alias("rrf")
+    )
+    return top_k_per_group(
+        scored, [qid_col], [F.desc("rrf"), F.asc(id_col)], topk
+    )

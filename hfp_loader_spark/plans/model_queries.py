@@ -410,3 +410,93 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.alias("pos_rate"),
         F.round(F.abs(avg_p - pos), 4).alias("abs_gap"),
     )
+
+
+_RRF_QIDS, _RRF_CAND, _RRF_K, _RRF_C = (0, 1, 2, 3), 20, 10, 60
+
+
+def _rrf_oracle() -> str:
+    ids = ", ".join(str(i) for i in _RRF_QIDS)
+    bm25 = _bm25_core_sql(
+        "SELECT doc_id AS query_id, text AS query_text FROM documents "
+        f"WHERE doc_id IN ({ids})"
+    )
+    return f"""{bm25},
+    lex AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rn
+        FROM sc
+      ) WHERE rn <= {_RRF_CAND}
+    ),
+    qv AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    dcos AS (
+      SELECT qv.query_id, c.vec_id AS doc_id,
+             round(CASE WHEN len(qv.v) > 0 AND len(c.embedding) > 0
+                        THEN list_cosine_similarity(qv.v,
+                                                    c.embedding::DOUBLE[])
+                   END, 4) AS cos
+      FROM embeddings c CROSS JOIN qv
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS rn
+        FROM dcos
+      ) WHERE rn <= {_RRF_CAND}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(coalesce(1.0 / ({_RRF_C} + l.rn), 0.0)
+                   + coalesce(1.0 / ({_RRF_C} + d.rn), 0.0), 6) AS rrf
+      FROM lex l FULL JOIN dense d USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= {_RRF_K}
+    """
+
+
+@defquery(
+    "rank_rrf_fusion",
+    _rrf_oracle(),
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (operators.ranking."
+    "rrf_fuse; Cormack et al. 2009): per anchor document, the lexical "
+    "BM25 top-20 and the dense cosine top-20 (anchor's embedding, same "
+    "id) merged by Σ 1/(60+rank) — rank-only fusion, so the two "
+    "incomparable score scales need no calibration. The canonical "
+    "first-stage retriever for RAG-style data pipelines, composed "
+    "entirely from this catalog's own BM25 and cosine chains. Scale "
+    "shape: each side is already a bounded per-query top-k; fusion is "
+    "one full-outer join over queries × 20 rows plus a per-query "
+    "window — corpus-size independent beyond the input rankings.",
+)
+def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.ranking import bm25_topk, rrf_fuse
+    from hfp_loader_spark.operators.similarity import brute_force_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(_RRF_QIDS)
+    tq = docs.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    vq = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lex = bm25_topk(docs, tq, _RRF_CAND, k1=_K1, b=_B)
+    dense = brute_force_top_k(emb, vq, _RRF_CAND).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rn"
+    )
+    return rrf_fuse(
+        [lex, dense], topk=_RRF_K, k_rrf=_RRF_C
+    ).select(
+        "query_id", "doc_id", "rrf", F.col("rn").cast("long").alias("rn")
+    )

@@ -163,3 +163,24 @@ def test_bm25_query_side_broadcast(spark, tiny_corpus):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the only sort-merge-eligible join is tf ⋈ dl on doc_id
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_rrf_fuse_arithmetic_and_absent_sides(spark):
+    """d1 ranked 1st in both lists → 2/(61); d2 only lexical rank 2 →
+    1/62; d3 only dense rank 2 → 1/62 (tie broken by id); absent-from-
+    both never appears."""
+    from hfp_loader_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rn long"
+    )
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2)], "query_id long, doc_id long, rn long"
+    )
+    rows = rrf_fuse([lex, dense], topk=5).collect()
+    got = [(r["doc_id"], r["rrf"], r["rn"]) for r in sorted(rows, key=lambda r: r["rn"])]
+    assert got == [
+        (10, round(2 / 61, 6), 1),
+        (20, round(1 / 62, 6), 2),
+        (30, round(1 / 62, 6), 3),
+    ]
