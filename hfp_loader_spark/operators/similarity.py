@@ -1384,3 +1384,88 @@ def mmr_diversify(
         )
         sel = sel.unionByName(pick)
     return sel
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k_select: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal, the SelectKCenter data-selection strategy): start from
+    the lowest-id vector, then repeatedly pick the point whose cosine
+    distance to the ALREADY-SELECTED set is largest — a k-point subset
+    whose covering radius is within 2× of optimal, i.e. the most
+    geometry-covering k examples for budgeted annotation / eval-set
+    seeding.  NULL/empty vectors are unselectable and excluded.
+
+    Output: ``(id, sel_rank 1..k, min_dist)`` — ``min_dist`` is the
+    selected point's distance to the prior set at selection time
+    (rounded, maxmin-deterministic with id tiebreak; NULL for the
+    seed).  The sequence of min_dist values is the classic coverage
+    curve: it decreases, and where it plateaus is where more centers
+    stop buying coverage.
+
+    Scale shape: inherently k sequential rounds, each one corpus pass
+    scoring every remaining point against the ≤ k-row BROADCAST
+    selected set (map-side min over k distances, one top-1 reduction) —
+    farthest-point's canonical distributed form.  Each round's pick is
+    lazily checkpointed so the unrolled plan stays linear in k (the MMR
+    lesson); at real scale run it over cluster/IVF representatives, not
+    raw points."""
+    from hfp_loader_spark.operators.relational import global_top_k
+
+    pts = (
+        emb.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+        )
+        .withColumn("_n", norm(F.col("_v")))
+        .localCheckpoint(eager=False)
+    )
+    seed = (
+        pts.select(F.min(id_col).alias(id_col))
+        .join(pts, id_col)
+        .select(
+            id_col,
+            F.lit(1).alias("sel_rank"),
+            F.lit(None).cast("double").alias("min_dist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = seed
+    for t in range(2, k_select + 1):
+        sel_v = sel.join(pts, id_col).select(
+            F.col("_v").alias("_sv"), F.col("_n").alias("_sn")
+        )
+        cand = pts.join(sel.select(id_col), id_col, "left_anti")
+        scored = (
+            cand.crossJoin(F.broadcast(sel_v))
+            .select(
+                id_col,
+                F.round(
+                    F.lit(1.0)
+                    - cosine_prenormed(
+                        F.col("_v"), F.col("_sv"), F.col("_n"), F.col("_sn")
+                    ),
+                    round_to,
+                ).alias("_d"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("_d").alias("min_dist"))
+        )
+        # global argmax via TakeOrderedAndProject (per-partition heap +
+        # driver merge of 1 row) — NOT a single-partition window
+        pick = (
+            global_top_k(
+                scored, [F.desc("min_dist"), F.asc(id_col)], 1
+            )
+            .select(
+                id_col, F.lit(t).alias("sel_rank"), "min_dist"
+            )
+            .localCheckpoint(eager=False)
+        )
+        sel = sel.unionByName(pick)
+    return sel

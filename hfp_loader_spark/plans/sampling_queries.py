@@ -694,3 +694,74 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.md5(F.array_join(ordered_ids, ",")).alias("order_md5"),
     )
+
+
+_KC_K, _KC_CAP = 6, 150
+_KC_NORMSQ = "list_sum(list_transform({side}, x -> x * x)) > 0"
+
+
+def _kcenter_oracle() -> str:
+    """Gonzalez farthest-point traversal unrolled one CTE pair per
+    selection round — the same fixed recurrence the Spark plan unrolls,
+    with the cosine guarded exactly like the operator's NULL-safe
+    ``when(norm_a·norm_b > 0)``."""
+    ga = _KC_NORMSQ.format(side="c.v")
+    gb = _KC_NORMSQ.format(side="pe.v")
+    dist = (
+        f"round(1.0 - CASE WHEN {ga} AND {gb} "
+        "THEN list_cosine_similarity(c.v, pe.v) END, 4)"
+    )
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {_KC_CAP} AND len(embedding) > 0
+    ),
+    a1 AS (
+      SELECT vec_id, 1 AS sel_rank, CAST(NULL AS DOUBLE) AS min_dist
+      FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)
+    )"""
+    ]
+    for t in range(2, _KC_K + 1):
+        parts.append(f""",
+    d{t} AS (
+      SELECT c.vec_id, min({dist}) AS min_dist
+      FROM e c
+      JOIN a{t - 1} p ON true
+      JOIN e pe ON pe.vec_id = p.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM a{t - 1})
+      GROUP BY c.vec_id
+    ),
+    s{t} AS (
+      SELECT vec_id, {t} AS sel_rank, min_dist
+      FROM d{t} ORDER BY min_dist DESC, vec_id LIMIT 1
+    ),
+    a{t} AS (SELECT * FROM a{t - 1} UNION ALL SELECT * FROM s{t})""")
+    parts.append(f"""
+    SELECT vec_id, CAST(sel_rank AS INT) AS sel_rank, min_dist
+    FROM a{_KC_K}
+    """)
+    return "".join(parts)
+
+
+@defquery(
+    "sample_kcenter_coreset",
+    _kcenter_oracle(),
+    doc="Greedy k-center coreset selection (operators.similarity."
+    "kcenter_coreset; Gonzalez 1985): 6 farthest-point rounds over a "
+    "bounded instrument sample (vec_id < 150) — the diversity-first "
+    "data-selection strategy whose covering radius is provably within "
+    "2× of the optimal k-center, used to seed eval sets and annotation "
+    "budgets; the decreasing min_dist column IS the coverage curve. "
+    "Both engines unroll the same fixed recurrence (the oracle one CTE "
+    "pair per round). Scale shape per round: one corpus pass scoring "
+    "remaining points against the ≤ k-row broadcast selected set, "
+    "argmax via TakeOrderedAndProject, pick lazily checkpointed so the "
+    "unrolled plan stays linear in k; at real scale feed it cluster "
+    "representatives, not raw points.",
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _KC_CAP)
+    return kcenter_coreset(emb, _KC_K)

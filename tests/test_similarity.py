@@ -457,3 +457,47 @@ def test_mmr_diversifies_and_keeps_pure_argmax_first(emb, queries):
         ids = [ranks[t][0] for t in sorted(ranks)]
         assert len(set(ids)) == K  # no repeats
         assert max_pair_sim(ids) <= max_pair_sim(plain_ids[qid]) + 1e-9
+
+
+def test_kcenter_coverage_curve_and_exclusions(emb):
+    """The seed is the lowest id; min_dist is non-increasing (greedy
+    maxmin); selected ids are unique; NULL/empty vectors never get
+    picked; and the selection matches a hand-rolled greedy replica."""
+    from hfp_loader_spark.operators.similarity import kcenter_coreset
+
+    sub = emb.where(F.col("vec_id") < 60)
+    got = sorted(
+        kcenter_coreset(sub, 5).collect(), key=lambda r: r["sel_rank"]
+    )
+    ids = [r["vec_id"] for r in got]
+    assert len(set(ids)) == 5
+    assert ids[0] == sub.agg(F.min("vec_id")).collect()[0][0]
+    dists = [r["min_dist"] for r in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+    # greedy replica on collected vectors
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in sub.collect()
+        if r["embedding"]
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return num / (na * nb) if na * nb > 0 else None
+
+    sel = [min(vecs)]
+    for _ in range(4):
+        best = None
+        for c in sorted(vecs):
+            if c in sel:
+                continue
+            md = min(
+                round(1.0 - cos(vecs[c], vecs[s]), 4) for s in sel
+            )
+            if best is None or md > best[1]:
+                best = (c, md)
+        sel.append(best[0])
+    assert ids == sel
