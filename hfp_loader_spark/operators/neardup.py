@@ -1102,3 +1102,74 @@ def cross_source_overlap(
             ).alias("overlap"),
         )
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    round_to: int = 4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment join: ordered pairs where
+    ``|A∩B| / |A| ≥ threshold`` — the signal Jaccard structurally
+    misses: a short document quoted whole inside a much longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded
+    dedup keeps the duplicate.  Broder (1997) defines both measures;
+    curation pipelines need containment for quote/subset detection and
+    Jaccard for near-identity.
+
+    Output: ``(doc_a, doc_b, containment)`` — one row PER DIRECTION that
+    clears the threshold (doc_a is the contained side; ``doc_a ≠
+    doc_b``), so a mutual-containment (near-identical) pair appears
+    twice.  Documents with zero shingles never appear (0/0 has no
+    subset reading).
+
+    Scale shape: identical to :func:`jaccard_pairs` — one posting-list
+    self-join on the shingle with the SAME df-cap lever (the cap drops
+    stop-shingles before the join and recomputes |A| over retained
+    shingles, keeping the ratio exact over the filtered space)."""
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+        ex = (
+            ex.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+        posting = ex.withColumn(
+            "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+    else:
+        posting = shingled.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode("shingles").alias("shingle"),
+        )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("_inter"),
+            F.first(F.col("a.n_shingles")).alias("_na"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter") / F.col("_na").cast("double"), round_to
+            ).alias("containment"),
+        )
+    )
+    return pairs.where(F.col("containment") >= F.lit(float(threshold)))

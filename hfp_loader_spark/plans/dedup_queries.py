@@ -780,3 +780,39 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.neardup import cross_source_overlap
 
     return cross_source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@defquery(
+    "dedup_containment_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS g FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    i AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS ni
+      FROM s a JOIN s b ON a.g = b.g AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(ni / CAST(sz.n AS DOUBLE), 4) AS containment
+    FROM i JOIN sz ON sz.doc_id = i.doc_a
+    WHERE round(ni / CAST(sz.n AS DOUBLE), 4) >= 0.9
+    """,
+    doc="Asymmetric shingle-containment pairs |A∩B|/|A| ≥ 0.9 "
+    "(operators.neardup.containment_pairs; Broder 1997): the dedup "
+    "signal Jaccard structurally misses — a short document quoted "
+    "whole inside a long one has containment ≈ 1 but Jaccard ≈ "
+    "|A|/|B| ≈ 0, so Jaccard-only dedup keeps the duplicate. One row "
+    "per qualifying DIRECTION (doc_a is the contained side; mutual "
+    "containment appears twice). Scale shape: the same posting-list "
+    "self-join and df-cap lever as dedup_jaccard_pairs — stop-shingles "
+    "droppable before the join with |A| recomputed over the retained "
+    "space.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import containment_pairs
+
+    sh = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return containment_pairs(sh, threshold=0.9)

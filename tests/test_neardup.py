@@ -510,3 +510,29 @@ def test_cross_source_overlap_planted_matrix(spark):
         ("A", "C"): (0, 2, 0, None),
         ("B", "C"): (0, 3, 0, None),
     }
+
+
+def test_containment_asymmetry_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment(short →
+    long) = 1.0 while Jaccard stays far below any dedup threshold —
+    and the reverse direction is correctly weak."""
+    from hfp_loader_spark.operators.neardup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_docs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    longd = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, longd)], "doc_id long, text string"
+    )
+    sh = shingle_docs(df, "doc_id", "text")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(sh, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0          # short is fully contained
+    assert got[(2, 1)] < 0.1           # long is barely contained in short
+    # Jaccard on the same pair is far below a 0.8 dedup threshold
+    assert jaccard_pairs(sh, threshold=0.8).count() == 0
