@@ -1045,3 +1045,45 @@ def vocab_oov_rates(
             round_to,
         ).alias("oov_rate"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Within-document token-distribution Shannon entropy (nats):
+    ``H(d) = −Σ_t (c_t/n) ln(c_t/n)`` — the diversity twin of the
+    repetition fractions: near-zero H means the document is a handful
+    of tokens repeated (template junk, keyword stuffing) even when no
+    single n-gram dominates enough to trip a Gopher repetition
+    threshold; H ≈ ln(n_distinct) means tokens are used evenly.
+
+    Output: ``(id, n_tokens, n_distinct, entropy)``; zero-token
+    documents keep a row with NULL entropy (an empty distribution has
+    no entropy, not zero — a one-token doc is the H = 0 case).
+
+    Scale shape: explode → (doc, token) hash count with map-side
+    combine → one per-doc aggregate; ln runs on exact integer ratios
+    so both engines see identical doubles before the single round."""
+    dt = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    cnt = dt.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    per = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        # -Σ c·ln(c) aggregated exactly; H = ln(n) − (Σ c·ln c)/n
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("_clnc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("_clnc") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        F.round(h, round_to).alias("entropy"),
+    )

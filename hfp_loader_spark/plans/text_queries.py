@@ -968,3 +968,40 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.text import vocab_oov_rates
 
     return vocab_oov_rates(_t(spark, sf_dir, "documents"), _VOCAB_SIZE)
+
+
+@defquery(
+    "text_token_entropy",
+    f"""
+    WITH dt AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    cnt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+            FROM dt GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+      FROM cnt GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_distinct, 0) AS n_distinct,
+           -- same algebraic form as the Spark plan: ln(n) − (Σ c·ln c)/n
+           round(ln(CAST(p.n_tokens AS DOUBLE))
+                 - p.clnc / CAST(p.n_tokens AS DOUBLE), 4) AS entropy
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc="Within-document token-distribution Shannon entropy in nats "
+    "(operators.text.token_entropy): the diversity twin of the Gopher "
+    "repetition fractions — near-zero H flags template junk and "
+    "keyword stuffing that no single dominant n-gram betrays; H ≈ "
+    "ln(n_distinct) means even usage. Computed as ln(n) − (Σ c·ln c)/n "
+    "over exact integer counts, the same algebraic form on both "
+    "engines, rounded once. Zero-token documents keep a row with NULL "
+    "entropy. Scale shape: one (doc, token) map-side-combined count, "
+    "one per-doc aggregate — no corpus-global state at all.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))

@@ -390,3 +390,27 @@ def test_vocab_oov_rates_planted(spark):
         [(1, "ee ff ee ff gg")], "doc_id long, text string"
     )
     assert [r["term"] for r in vocab_top_terms(tie, 1).collect()] == ["ee"]
+
+
+def test_token_entropy_known_distributions(spark):
+    """Uniform over 4 tokens → ln 4; single repeated token → 0;
+    empty → NULL with a kept row."""
+    import math
+
+    from hfp_loader_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a b c d"),          # uniform: H = ln 4
+        (2, "x x x x x"),        # degenerate: H = 0
+        (3, "a a b b"),          # two evens: H = ln 2
+        (4, ""),                 # no tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy"])
+        for r in token_entropy(df).collect()
+    }
+    assert got[1] == (4, 4, round(math.log(4), 4))
+    assert got[2] == (5, 1, 0.0)
+    assert got[3] == (4, 2, round(math.log(2), 4))
+    assert got[4] == (0, 0, None)
