@@ -53,6 +53,11 @@ HEADLINE = [
     # data-selection tier has a measured representative (raises the
     # headline total by its own cost vs earlier rounds' 24-query sum).
     "sample_dsir_importance",
+    # round 9 session 2: the retrieval-fusion composition (BM25 chain +
+    # dense top-k + full-outer RRF merge) and the unrolled greedy MMR —
+    # the two heaviest new shapes; each adds its own cost to the total.
+    "rank_rrf_fusion",
+    "sim_mmr_rerank",
 ]
 
 
