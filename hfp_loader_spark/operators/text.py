@@ -674,6 +674,80 @@ def c4_line_filter(
     }
 
 
+def dedup_lines_crossdoc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication — the cross-DOCUMENT sibling
+    of ``c4_line_filter`` (C4, Raffel et al. 2020 §2.2: "we discarded all
+    but one of any three-sentence span occurring more than once", here at
+    line granularity like CCNet's paragraph dedup, Wenzek et al. 2020
+    §3.1).
+
+    Semantics: split each document on newlines (blank/whitespace-only
+    lines dropped), key each line by its md5, and keep a line iff its
+    (doc, position) IS the corpus-wide first occurrence of that key —
+    ``min(struct(id, line_no))``.  Every later occurrence, whether in
+    another document or a repeat inside the same one, is excised; each
+    surviving document is re-joined in original line order.  Documents
+    with zero non-empty lines produce no output row (nothing to dedup —
+    both engines agree by construction).
+
+    Output: ``(id_col, n_lines, n_kept, clean_hash)`` — md5 of the
+    rejoined text pins the reconstruction; a fully-duplicated document
+    keeps zero lines and hashes the empty string.
+
+    Scale shape: one explode to (id, line_no, 16-byte key) — the line
+    text rides only to the first aggregate, which folds it away into
+    constant per-key state (count + min-struct); the keep decision is an
+    equi-join of the occurrence stream back on the key (co-partitioned
+    with the aggregate's own shuffle, so AQE reuses the exchange); the
+    reconstruction is a per-document sort-free ``array_sort(collect_
+    list)`` bounded by the document's own line count.  No window over
+    the corpus, no cross join; all string/integer logic, so the SQL
+    oracle reproduces it bit-for-bit."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda l: F.length(F.trim(l)) > 0,
+            )
+        ).alias("line_no", "line"),
+    )
+    firsts = lines.groupBy(F.md5("line").alias("line_key")).agg(
+        F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("_first"),
+    )
+    kept = (
+        lines.withColumn("line_key", F.md5("line"))
+        .join(firsts, "line_key")
+        .where(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("line_no") == F.col("_first.line_no"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                ),
+                lambda s: s.getField("line"),
+            ).alias("_kl"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.coalesce(F.array_join(F.col("_kl"), "\n"), F.lit(""))
+        ).alias("clean_hash"),
+    )
+
+
 def _md5_bucket(tok: Column, num_buckets: int) -> Column:
     """One engine-portable hash bucket of a token: the first md5 byte
     (mod ``num_buckets``).  md5 is bit-identical in Spark and DuckDB, so

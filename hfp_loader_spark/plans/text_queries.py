@@ -725,6 +725,89 @@ def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "text_line_crossdoc_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    shaped AS (
+      -- fixture shaping (both engines identically): wrap tokens into
+      -- 6-word lines; exact-duplicate and containment-pair documents in
+      -- the corpus then collide on whole lines, which is the behavior
+      -- under test
+      SELECT doc_id,
+        list_transform(
+          range(0, CAST(ceil(len(toks) / 6.0) AS INT)),
+          j -> array_to_string(toks[(j*6+1):(j*6+6)], ' ')) AS lines
+      FROM t
+    ),
+    lx AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, len(lines))) AS INT) AS line_no,
+             unnest(lines) AS line
+      FROM shaped WHERE len(lines) > 0
+    ),
+    firsts AS (
+      SELECT md5(line) AS line_key,
+             min(struct_pack(d := doc_id, l := line_no)) AS f
+      FROM lx GROUP BY 1
+    ),
+    kept AS (
+      SELECT l.doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             list(l.line ORDER BY l.line_no) AS kl
+      FROM lx l JOIN firsts fs ON md5(l.line) = fs.line_key
+      WHERE l.doc_id = (fs.f).d AND l.line_no = (fs.f).l
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lx GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_lines,
+      coalesce(k.n_kept, 0) AS n_kept,
+      -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+      -- array_join([]) is '' — pin the all-duplicate page to md5('')
+      md5(coalesce(array_to_string(k.kl, chr(10)), '')) AS clean_hash
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="Corpus-wide cross-document line dedup (operators.text."
+    "dedup_lines_crossdoc; C4 §2.2 'all but one of any span occurring "
+    "more than once' at line granularity / CCNet §3.1 paragraph dedup): "
+    "every line keyed by md5, only the corpus-wide first (doc, position) "
+    "occurrence survives, documents re-joined in line order and pinned "
+    "by md5. The word-soup corpus is shaped into 6-word lines on both "
+    "engines so its exact-duplicate and containment documents collide "
+    "on whole lines. Scale shape: one explode to (id, pos, 16-byte "
+    "key), one constant-state aggregate per key, one co-partitioned "
+    "re-join, one doc-local reassembly — no corpus window, no cross "
+    "join.",
+)
+def text_line_crossdoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import dedup_lines_crossdoc
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(t):
+        nl = F.ceil(F.size(t) / F.lit(6.0)).cast("int")
+        return F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda j: F.array_join(F.slice(t, j * 6 + 1, 6), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bind the token array once (the word_shingles lesson: unbound,
+    # the tokenizer re-runs per line reference)
+    shaped = F.element_at(
+        F.transform(F.array(tokens(F.col("text"))), build), 1
+    )
+    pages = docs.select(
+        "doc_id", F.array_join(shaped, "\n").alias("text")
+    )
+    return dedup_lines_crossdoc(pages)
+
+
 # One md5-byte hash bucket of a token, mod 64 — the SQL twin of
 # operators.text._md5_bucket (the engine-portable hashed-feature trick;
 # see sample_dsir_importance for the 256-bucket variant).

@@ -384,3 +384,37 @@ def test_gopher_repetition_fractions_hand_checked(spark):
     # (an occurrence·len count would give 10/6 — the union is the test).
     assert out[5]["dup_ngram_frac_5"] == 1.0
     assert out[5]["dup_ngram_frac_6"] == 0.0
+
+
+def test_dedup_lines_crossdoc_hand_checked(spark):
+    from hfp_loader_spark.operators.text import dedup_lines_crossdoc
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: "shared" appears first here (line 0); internal
+            # repeat of "twice" keeps only the first copy
+            (1, "shared\ntwice\ntwice\nunique one"),
+            # doc 2: both lines are later occurrences → fully excised
+            (2, "shared\ntwice"),
+            # doc 3: blank/whitespace lines are dropped before dedup
+            (3, "  \n\nunique three\n   \n"),
+            # doc 4: no non-empty lines → no output row
+            (4, "  \n "),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_crossdoc(docs).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 3)
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 0)
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 1)
+    import hashlib
+
+    assert out[1]["clean_hash"] == hashlib.md5(
+        b"shared\ntwice\nunique one"
+    ).hexdigest()
+    # fully-duplicated page pins to md5('')
+    assert out[2]["clean_hash"] == hashlib.md5(b"").hexdigest()
