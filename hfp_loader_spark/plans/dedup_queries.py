@@ -34,6 +34,79 @@ _SHINGLES_SQL = f"""
 
 
 @defquery(
+    "dedup_split_leakage",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(coalesce(array_to_string(({_TOKS_SQL})[1:5], ' '), ''))
+               AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT fp,
+             array_to_string(list_sort(list(DISTINCT split)), '+')
+               AS splits,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS min_doc_id
+      FROM fp GROUP BY fp
+    )
+    SELECT splits,
+           CAST(count(*) AS BIGINT)    AS n_fingerprints,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           min(min_doc_id)             AS min_doc_id
+    FROM g WHERE contains(splits, '+')
+    GROUP BY splits
+    """,
+    doc="Train/test contamination audit: the sample_train_test_split "
+    "assignment joined against the exact-dedup content fingerprint — "
+    "any fingerprint whose duplicates straddle a split boundary is a "
+    "leak (eval examples the model saw in training). Grouped by the "
+    "sorted split-set ('test+train', 'train+val', …) with doc counts "
+    "and a min-doc-id pin. Scale shape: one 16-byte-key aggregate "
+    "folding splits into constant per-key state (collect_set over ≤3 "
+    "values), then a ≤7-row rollup — the same single exchange the "
+    "dedup itself pays, no join at all.",
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < "c000", "train")
+        .when(bucket < "e000", "val")
+        .otherwise("test")
+    )
+    per_fp = (
+        docs.select(
+            fingerprint(F.col("text")).alias("fp"),
+            split.alias("split"),
+            "doc_id",
+        )
+        .groupBy("fp")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("split")), "+"
+            ).alias("splits"),
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+    return (
+        per_fp.where(F.col("splits").contains("+"))
+        .groupBy("splits")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum("n_docs").alias("n_docs"),
+            F.min("min_doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@defquery(
     "dedup_exact_by_fingerprint",
     f"""
     WITH fp AS (
