@@ -1,0 +1,255 @@
+"""Decomposition catalog: exact fixed-point covariance / PCA over the
+``embeddings`` table (SURVEY §2.11 similarity tier; the reference has no
+vector surface — extension tier).
+
+Every entry rides ``operators.decomposition``'s integer arithmetic —
+quantize once, aggregate exactly, floor-normalize — so even the
+ITERATIVE eigensolver has a bit-exact unrolled SQL oracle (the
+``emb_kmeans_clusters`` recipe applied to linear algebra).  DuckDB runs
+the same recurrence in HUGEINT; Spark in DECIMAL(38,0); the module
+docstring in ``operators/decomposition.py`` carries the overflow audit
+(ten orders of margin at the corpus' |x| ≤ 0.6, d = 64).
+
+Float discipline: each output column is produced by ONE double division
+(exact-integer numerator / exact-integer denominator) + ONE round, the
+same expression shape on both engines, so IEEE correct rounding
+guarantees identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+_SCALE = 1_000_000
+_VSCALE = 1_000_000
+_ITERS = 3
+
+
+def _fd(a: str, b: str) -> str:
+    """DuckDB floor division of integer-valued HUGEINTs, b > 0 — the SQL
+    twin of ``operators.decomposition._floor_div`` (subtract canonical
+    remainder, then exact division; ``//`` alone truncates toward zero,
+    which differs on negatives)."""
+    return f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b}))"
+
+
+# Shared CTE chain: quantized vectors → sufficient statistics → centered
+# numerator.  One definition feeds all three oracles (the TOKS_SQL
+# single-source rule).
+_STATS_CTES = f"""
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                 * CAST({float(_SCALE)!r} AS DOUBLE))
+                           AS BIGINT)) AS q
+      FROM embeddings WHERE len(embedding) > 0
+    ),
+    x AS (
+      SELECT vec_id,
+             CAST(unnest(generate_series(1, len(q))) AS INT) AS pos,
+             CAST(unnest(q) AS HUGEINT) AS v
+      FROM e
+    ),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+    sm AS (SELECT pos, CAST(sum(v) AS HUGEINT) AS s FROM x GROUP BY pos),
+    mom AS (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(sum(a.v * b.v) AS HUGEINT) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+      GROUP BY 1, 2
+    ),
+    cen AS (
+      SELECT i, j, (st.n * mom.sxy - si.s * sj.s) AS nn, st.n AS n
+      FROM mom
+      CROSS JOIN st
+      JOIN sm si ON si.pos = mom.i
+      JOIN sm sj ON sj.pos = mom.j
+    )
+"""
+
+
+def _power_ctes() -> str:
+    """The unrolled power-iteration recurrence on the floor-divided
+    centered scatter — ``_ITERS`` matvec/normalize CTE pairs, mirroring
+    ``operators.decomposition.power_iteration_pc1`` step for step."""
+    parts = [
+        f""",
+    scat AS (
+      SELECT i, j, {_fd("nn", "n * n")} AS s FROM cen
+      UNION ALL
+      SELECT j AS i, i AS j, {_fd("nn", "n * n")} AS s
+      FROM cen WHERE i <> j
+    ),
+    v0 AS (
+      SELECT pos, CAST({_VSCALE} AS HUGEINT) AS v
+      FROM (SELECT DISTINCT i AS pos FROM scat)
+    )"""
+    ]
+    for t in range(1, _ITERS + 1):
+        parts.append(f""",
+    w{t} AS (
+      SELECT i AS pos, CAST(sum(s * v) AS HUGEINT) AS w
+      FROM scat JOIN v{t - 1} ON scat.j = v{t - 1}.pos
+      GROUP BY i
+    ),
+    m{t} AS (
+      SELECT greatest(max(abs(w)), CAST(1 AS HUGEINT)) AS m FROM w{t}
+    ),
+    v{t} AS (
+      SELECT pos,
+             {_fd(f"w * CAST({_VSCALE} AS HUGEINT)", "m")} AS v
+      FROM w{t} CROSS JOIN m{t}
+    )""")
+    return "".join(parts)
+
+
+@defquery(
+    "emb_scatter_covariance",
+    f"""
+    WITH {_STATS_CTES}
+    SELECT i, j,
+           round(CAST(nn AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 10)
+             AS cov
+    FROM cen
+    """,
+    doc="Exact distributed covariance matrix of the embedding corpus "
+    "(operators.decomposition.scatter_stats → centered_numerator): "
+    "vectors quantized once to int64, each Arrow batch folded by numpy "
+    "into a d(d+1)/2-entry partial Gram (XᵀX — the corpus never "
+    "shuffles; only #batches·d² partial rows reach one map-side-combined "
+    "aggregate), centering via the exact integer identity n·Σxy − Σx·Σy. "
+    "Upper triangle, one IEEE division + round per entry — bit-identical "
+    "on any engine. At 100 TB this is THE way to get a covariance: one "
+    "pass, no per-row Python, shuffle volume independent of corpus size.",
+)
+def emb_scatter_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.decomposition import (
+        centered_numerator,
+        scatter_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = centered_numerator(scatter_stats(emb, scale=_SCALE))
+    nd = F.col("n").cast("double")
+    return cen.select(
+        "i",
+        "j",
+        F.round(
+            F.col("nn").cast("double") / (nd * nd * F.lit(1e12)), 10
+        ).alias("cov"),
+    )
+
+
+@defquery(
+    "emb_power_iteration_pc1",
+    f"""
+    WITH {_STATS_CTES}{_power_ctes()},
+    num AS (
+      SELECT CAST(sum(s * vi.v * vj.v) AS HUGEINT) AS num
+      FROM scat
+      JOIN v{_ITERS} vi ON scat.i = vi.pos
+      JOIN v{_ITERS} vj ON scat.j = vj.pos
+    ),
+    den AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v{_ITERS})
+    SELECT pos, CAST(v AS BIGINT) AS v_q,
+           round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 1e12), 8)
+             AS eigenvalue
+    FROM v{_ITERS} CROSS JOIN num CROSS JOIN den
+    """,
+    doc="Dominant principal component by fixed-point power iteration "
+    "(operators.decomposition.power_iteration_pc1, 3 unrolled steps): "
+    "matvec on the integer centered scatter (pre-divided by n²), "
+    "re-normalized each step by flooring against max|component| — no "
+    "square root, so the ITERATIVE eigensolver trajectory stays in ℤ "
+    "and the SQL oracle replays it bit-for-bit (the kmeans recipe for "
+    "linear algebra). Rayleigh-quotient eigenvalue of the covariance, "
+    "one division + round. Scale shape: after the single corpus pass "
+    "(scatter_stats), every step is a d²-row × d-row broadcast join — "
+    "iteration cost independent of corpus size.",
+)
+def emb_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.decomposition import (
+        centered_scatter,
+        power_iteration_pc1,
+        scatter_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scat = centered_scatter(scatter_stats(emb, scale=_SCALE))
+    return power_iteration_pc1(scat, iters=_ITERS, vscale=_VSCALE)
+
+
+@defquery(
+    "emb_pc1_projection_by_label",
+    f"""
+    WITH {_STATS_CTES}{_power_ctes()},
+    pc AS (SELECT list(v ORDER BY pos) AS vec FROM v{_ITERS}),
+    proj AS (
+      SELECT e.label,
+             CAST(list_sum(list_transform(
+                 list_zip(e.q, pc.vec),
+                 p -> CAST(p[1] AS HUGEINT) * p[2])) AS HUGEINT) AS t
+      FROM e CROSS JOIN pc
+    ),
+    ag AS (
+      SELECT label, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(t) AS HUGEINT) AS s1,
+             CAST(sum(t * t) AS HUGEINT) AS s2
+      FROM proj GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 8)
+             AS avg_proj,
+           round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e24), 8)
+             AS var_proj
+    FROM ag
+    """,
+    doc="Per-label mean/variance of the exact integer projection onto "
+    "the fixed-point PC1 (operators.decomposition.project_pc1): the "
+    "d-row eigenvector broadcasts onto the corpus as one zip_with fold "
+    "(corpus touched once, never shuffled wider than (label, t)), "
+    "moments via the exact identity n·Σt² − (Σt)². The LLM-pipeline "
+    "use: a 1-D corpus map for embedding-drift / cluster-balance "
+    "audits — e.g. a label whose projection variance collapses is a "
+    "mode-collapsed source.",
+)
+def emb_pc1_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.decomposition import (
+        centered_scatter,
+        power_iteration_pc1,
+        project_pc1,
+        scatter_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scat = centered_scatter(scatter_stats(emb, scale=_SCALE))
+    pc1 = power_iteration_pc1(scat, iters=_ITERS, vscale=_VSCALE)
+    proj = project_pc1(
+        emb, pc1, scale=_SCALE, vscale=_VSCALE
+    ).join(_t(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id")
+    t20 = F.col("t").cast("decimal(20,0)")
+    ag = proj.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("s1"),
+        F.sum(t20 * t20).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    return ag.select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(F.col("s1").cast("double") / (nd * F.lit(1e12)), 8).alias(
+            "avg_proj"
+        ),
+        F.round(
+            (F.col("n").cast("decimal(38,0)") * F.col("s2")
+             - F.col("s1") * F.col("s1")).cast("double")
+            / (nd * nd * F.lit(1e24)),
+            8,
+        ).alias("var_proj"),
+    )

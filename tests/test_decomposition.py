@@ -1,0 +1,120 @@
+"""Fixed-point decomposition operators vs an exact Python-int replica."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.decomposition import (
+    _floor_div,
+    centered_scatter,
+    power_iteration_pc1,
+    project_pc1,
+    scatter_stats,
+)
+
+VECS = [
+    (1, [0.5, -0.25, 0.125]),
+    (2, [-0.3, 0.4, 0.2]),
+    (3, [0.1, 0.1, -0.5]),
+    (4, [0.25, -0.4, 0.3]),
+    (5, []),  # excluded: empty
+    (6, None),  # excluded: NULL
+]
+SCALE = 1_000_000
+VSCALE = 1_000_000
+
+
+def _replica(iters: int):
+    """The identical integer recurrence in arbitrary-precision Python
+    ints — if Spark's DECIMAL path diverges anywhere, this catches it."""
+    import math
+
+    rows = [v for _, v in VECS if v]
+    q = [[math.floor(x * SCALE) for x in r] for r in rows]
+    n, d = len(q), len(q[0])
+    sums = [sum(r[c] for r in q) for c in range(d)]
+    s_mat = [
+        [
+            (n * sum(r[i] * r[j] for r in q) - sums[i] * sums[j]) // (n * n)
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [VSCALE] * d
+    for _ in range(iters):
+        w = [sum(s_mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [(x * VSCALE) // m for x in w]
+    num = sum(
+        s_mat[i][j] * v[i] * v[j] for i in range(d) for j in range(d)
+    )
+    den = sum(x * x for x in v)
+    return q, s_mat, v, round(num / (den * 1e12), 8)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id int, embedding array<double>"
+    )
+
+
+def test_centered_scatter_matches_replica(emb):
+    _, s_mat, _, _ = _replica(1)
+    got = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in centered_scatter(scatter_stats(emb, scale=SCALE)).collect()
+    }
+    d = len(s_mat)
+    assert len(got) == d * d
+    for i in range(d):
+        for j in range(d):
+            assert got[(i + 1, j + 1)] == s_mat[i][j]
+
+
+def test_power_iteration_matches_replica(emb):
+    _, _, v_exp, eig_exp = _replica(3)
+    rows = power_iteration_pc1(
+        centered_scatter(scatter_stats(emb, scale=SCALE)),
+        iters=3,
+        vscale=VSCALE,
+    ).collect()
+    got = {r["pos"]: r["v_q"] for r in rows}
+    assert got == {p + 1: v_exp[p] for p in range(len(v_exp))}
+    assert rows[0]["eigenvalue"] == pytest.approx(eig_exp, abs=0)
+
+
+def test_projection_matches_replica(emb):
+    q, _, v_exp, _ = _replica(3)
+    pc1 = power_iteration_pc1(
+        centered_scatter(scatter_stats(emb, scale=SCALE)),
+        iters=3,
+        vscale=VSCALE,
+    )
+    got = {
+        r["vec_id"]: int(r["t"])
+        for r in project_pc1(emb, pc1, scale=SCALE, vscale=VSCALE).collect()
+    }
+    ids = [i for i, v in VECS if v]
+    exp = {
+        ids[r]: sum(q[r][c] * v_exp[c] for c in range(len(v_exp)))
+        for r in range(len(q))
+    }
+    assert got == exp  # NULL/empty vectors produce no row
+
+
+def test_floor_div_negative_operands(spark):
+    rows = spark.createDataFrame(
+        [(-7, 2), (7, 2), (-8, 2), (0, 3)], "a long, b long"
+    ).select(
+        _floor_div(
+            F.col("a").cast("decimal(38,0)"), F.col("b").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("fd"),
+        "a",
+        "b",
+    )
+    got = {(r["a"], r["b"]): r["fd"] for r in rows.collect()}
+    assert got == {(-7, 2): -4, (7, 2): 3, (-8, 2): -4, (0, 3): 0}
