@@ -177,6 +177,7 @@ def power_iteration_pc1(
     scatter: DataFrame,
     iters: int = 3,
     vscale: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Dominant eigenvector of the centered scatter by ``iters`` power-
     iteration steps, entirely in exact integers: start from the all-ones
@@ -194,7 +195,17 @@ def power_iteration_pc1(
     vᵀSv / (vᵀv·scale²) rounded once to 8 decimals (exact integer
     numerator and denominator; one IEEE division + one multiply, same on
     every engine).  Each step is a d²×d join + d-row aggregate —
-    no corpus access at all (that happened once, in ``scatter_stats``)."""
+    no corpus access at all (that happened once, in ``scatter_stats``).
+
+    ``materialize=True`` lazily localCheckpoints the d²-row scatter and
+    each iterate (the ``sim_mmr_rerank`` lesson: an unrolled recurrence
+    otherwise re-derives every prior step's subtree per reference —
+    ~250 joins / ~100 exchanges of pure scheduling overhead at d=64,
+    ~6 s of wall for a 64-row result; checkpointed it executes in
+    milliseconds past the stats scan).  Plan construction stays
+    job-free (``eager=False``)."""
+    if materialize:
+        scatter = scatter.localCheckpoint(eager=False)
     v = scatter.select(F.col("i").alias("pos")).distinct().select(
         "pos", F.lit(vscale).cast(_DEC).alias("v")
     )
@@ -217,6 +228,8 @@ def power_iteration_pc1(
                 F.col("w") * F.lit(vscale).cast(_DEC), F.col("m")
             ).alias("v"),
         )
+        if materialize:
+            v = v.localCheckpoint(eager=False)
     vi = v.select(F.col("pos").alias("i"), F.col("v").alias("vi"))
     vj = v.select(F.col("pos").alias("j"), F.col("v").alias("vj"))
     quad = (
