@@ -58,6 +58,10 @@ HEADLINE = [
     # the two heaviest new shapes; each adds its own cost to the total.
     "rank_rrf_fusion",
     "sim_mmr_rerank",
+    # round 9 session 3: fixed-point PCA — one Arrow partial-Gram corpus
+    # pass + checkpointed integer power iteration; the decomposition
+    # tier's measured representative (adds its own cost to the total).
+    "emb_power_iteration_pc1",
 ]
 
 
