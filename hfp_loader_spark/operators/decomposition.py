@@ -97,22 +97,32 @@ def scatter_stats(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for lo in range(0, len(pdf), _CHUNK):
-                chunk = pdf["q"].iloc[lo : lo + _CHUNK]
-                X = np.stack(chunk.to_numpy()).astype(np.int64)
-                d = X.shape[1]
-                G = X.T @ X
-                iu, ju = np.triu_indices(d)
-                s = X.sum(axis=0)
-                kind = np.concatenate(
-                    ([0], np.ones(d, np.int32), np.full(len(iu), 2, np.int32))
-                )
-                ii = np.concatenate(([0], np.arange(1, d + 1), iu + 1))
-                jj = np.concatenate(([0], np.zeros(d, np.int32), ju + 1))
-                vv = np.concatenate(([X.shape[0]], s, G[iu, ju]))
-                yield pd.DataFrame(
-                    {"kind": kind, "i": ii, "j": jj, "val": vv}
-                )
+            # group by vector length before stacking: a ragged corpus
+            # (mixed embedding versions) must not crash the fold, and
+            # per-length processing makes the Spark semantics equal the
+            # SQL oracle's (each vector contributes to exactly its own
+            # positions — generate_series does the same per row)
+            by_len = pdf.groupby(pdf["q"].apply(len), sort=False)
+            for _, grp in by_len:
+                yield from _fold_group(grp["q"], np, pd)
+
+    def _fold_group(series, np, pd):
+        for lo in range(0, len(series), _CHUNK):
+            chunk = series.iloc[lo : lo + _CHUNK]
+            X = np.stack(chunk.to_numpy()).astype(np.int64)
+            d = X.shape[1]
+            G = X.T @ X
+            iu, ju = np.triu_indices(d)
+            s = X.sum(axis=0)
+            kind = np.concatenate(
+                ([0], np.ones(d, np.int32), np.full(len(iu), 2, np.int32))
+            )
+            ii = np.concatenate(([0], np.arange(1, d + 1), iu + 1))
+            jj = np.concatenate(([0], np.zeros(d, np.int32), ju + 1))
+            vv = np.concatenate(([X.shape[0]], s, G[iu, ju]))
+            yield pd.DataFrame(
+                {"kind": kind, "i": ii, "j": jj, "val": vv}
+            )
 
     stats = (
         q.mapInPandas(fold, "kind int, i int, j int, val long")
@@ -120,6 +130,24 @@ def scatter_stats(
         .agg(F.sum(F.col("val").cast(_DEC)).alias("val"))
     )
     return stats.localCheckpoint(eager=False) if materialize else stats
+
+
+def merge_scatter_stats(*parts: DataFrame) -> DataFrame:
+    """Mergeable-aggregate algebra for ``scatter_stats`` output: count,
+    per-dim sums, and co-moments are all plain sums, so stats computed
+    over disjoint corpus deltas merge by union + re-aggregate — the
+    covariance/PCA of a growing corpus is maintained incrementally
+    (O(delta) per refresh, the ``incremental.py`` recipe applied to
+    linear algebra) instead of rescanning history.  Inputs must share
+    the quantization scale; the result is exactly ``scatter_stats`` of
+    the concatenated corpus, so every downstream consumer (centering,
+    power iteration) is oblivious to how the stats were produced."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("kind", "i", "j").agg(
+        F.sum("val").alias("val")
+    )
 
 
 def centered_numerator(stats: DataFrame, full: bool = False) -> DataFrame:

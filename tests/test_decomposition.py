@@ -118,3 +118,45 @@ def test_floor_div_negative_operands(spark):
     )
     got = {(r["a"], r["b"]): r["fd"] for r in rows.collect()}
     assert got == {(-7, 2): -4, (7, 2): 3, (-8, 2): -4, (0, 3): 0}
+
+
+def test_merge_scatter_stats_equals_full_recompute(spark):
+    from hfp_loader_spark.operators.decomposition import (
+        merge_scatter_stats,
+    )
+
+    full = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+    a = full.where(F.col("vec_id") <= 2)
+    b = full.where(F.col("vec_id") > 2)
+    merged = merge_scatter_stats(
+        scatter_stats(a, scale=SCALE, materialize=False),
+        scatter_stats(b, scale=SCALE, materialize=False),
+    )
+    exp = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in scatter_stats(full, scale=SCALE, materialize=False).collect()
+    }
+    got = {
+        (r["kind"], r["i"], r["j"]): int(r["val"]) for r in merged.collect()
+    }
+    assert got == exp
+
+
+def test_scatter_stats_ragged_dimensions_do_not_crash(spark):
+    """Mixed embedding widths (corpus spanning embedding-model versions)
+    fold per-length instead of crashing np.stack; each vector contributes
+    to exactly its own positions, like the oracle's generate_series."""
+    ragged = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [0.1, 0.2, 0.3]), (3, [-0.4, 0.6])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in scatter_stats(ragged, scale=SCALE, materialize=False).collect()
+    }
+    assert got[(0, 0, 0)] == 3  # all three vectors counted
+    # dim-3 position exists only via vec 2
+    assert got[(1, 3, 0)] == 300000
+    assert got[(2, 3, 3)] == 300000 * 300000
+    # dim-1 sum spans all vectors
+    assert got[(1, 1, 0)] == 500000 - 400000 + 100000
