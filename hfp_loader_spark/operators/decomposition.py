@@ -278,6 +278,55 @@ def power_iteration_pc1(
     )
 
 
+def deflate_scatter(scatter: DataFrame, pc: DataFrame) -> DataFrame:
+    """Integer Hotelling deflation: subtract the rank-1 component of an
+    extracted eigenvector from the scatter so the next power iteration
+    converges to the NEXT eigenpair —  S′ᵢⱼ = Sᵢⱼ − ⌊λ̂·vᵢ·vⱼ / vᵀv⌋
+    with λ̂ = ⌊vᵀSv / vᵀv⌋.  The two floors make S′ deterministic
+    integers (bit-exact on any engine) at the cost of a residual
+    leakage ≤ 1 ulp of the fixed-point grid per entry — orders below
+    the λ₁→λ₂ spectral gap, and identical on both engines either way.
+
+    Magnitude audit (continues the module docstring's): λ̂ ≈ λ₁·scale²
+    ≤ ~1e12; λ̂·vᵢ·vⱼ ≤ 1e12·vscale² = 1e24 — inside both DECIMAL(38,0)
+    and HUGEINT without the naive (vᵀSv)·vᵢ·vⱼ form's 1e39 blow-up
+    (which is WHY λ̂ is floored first).
+
+    ``pc`` is ``power_iteration_pc1`` output (``pos``, ``v_q``); the
+    result has the same ``(i, j, s)`` shape as the input, so the
+    extraction composes: deflate → power-iterate → deflate → …"""
+    v = pc.select("pos", F.col("v_q").cast(_DEC).alias("v"))
+    vj = v.select(F.col("pos").alias("j"), F.col("v").alias("vj"))
+    vi = v.select(F.col("pos").alias("i"), F.col("v").alias("vi"))
+    w = (
+        scatter.join(F.broadcast(vj), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("s") * F.col("vj")).alias("w"))
+    )
+    num = w.join(F.broadcast(vi), "i").agg(
+        F.sum(F.col("w") * F.col("vi")).alias("num")
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    lam = num.crossJoin(F.broadcast(den)).select(
+        _floor_div(F.col("num"), F.col("den")).alias("lam"), "den"
+    )
+    return (
+        scatter.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s")
+                - _floor_div(
+                    F.col("lam") * F.col("vi") * F.col("vj"), F.col("den")
+                )
+            ).alias("s"),
+        )
+    )
+
+
 def project_pc1(
     emb: DataFrame,
     pc1: DataFrame,

@@ -160,3 +160,33 @@ def test_scatter_stats_ragged_dimensions_do_not_crash(spark):
     assert got[(2, 3, 3)] == 300000 * 300000
     # dim-1 sum spans all vectors
     assert got[(1, 1, 0)] == 500000 - 400000 + 100000
+
+
+def test_deflation_matches_replica(spark):
+    from hfp_loader_spark.operators.decomposition import deflate_scatter
+
+    emb = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+    _, s_mat, v1, _ = _replica(3)
+    d = len(s_mat)
+    # python-int Hotelling deflation, floors in the operator's order
+    w = [sum(s_mat[i][j] * v1[j] for j in range(d)) for i in range(d)]
+    num = sum(w[i] * v1[i] for i in range(d))
+    den = sum(x * x for x in v1)
+    lam = num // den
+    s2 = [
+        [s_mat[i][j] - (lam * v1[i] * v1[j]) // den for j in range(d)]
+        for i in range(d)
+    ]
+    # second power iteration on the deflated matrix
+    u = [VSCALE] * d
+    for _ in range(3):
+        wu = [sum(s2[i][j] * u[j] for j in range(d)) for i in range(d)]
+        m = max(max(abs(x) for x in wu), 1)
+        u = [(x * VSCALE) // m for x in wu]
+    scat = centered_scatter(scatter_stats(emb, scale=SCALE))
+    pc1 = power_iteration_pc1(scat, iters=3, vscale=VSCALE)
+    pc2 = power_iteration_pc1(
+        deflate_scatter(scat, pc1), iters=3, vscale=VSCALE
+    )
+    got = {r["pos"]: r["v_q"] for r in pc2.collect()}
+    assert got == {p + 1: u[p] for p in range(d)}
