@@ -45,4 +45,12 @@ from hfp_loader_spark.operators.text import (  # noqa: F401
     tokens,
     word_shingles,
 )
+from hfp_loader_spark.operators.decomposition import (  # noqa: F401
+    centered_scatter,
+    deflate_scatter,
+    merge_scatter_stats,
+    power_iteration_pc1,
+    project_pc1,
+    scatter_stats,
+)
 from hfp_loader_spark.operators.transform import typed_projection  # noqa: F401

@@ -190,3 +190,80 @@ def test_deflation_matches_replica(spark):
     )
     got = {r["pos"]: r["v_q"] for r in pc2.collect()}
     assert got == {p + 1: u[p] for p in range(d)}
+
+
+def test_streaming_incremental_scatter_equals_batch(spark, tmp_path):
+    """Incremental PCA maintenance over a stream: each micro-batch folds
+    into scatter stats (foreachBatch) and merges with the running stats
+    via the mergeable-aggregate algebra; after the stream drains, the
+    accumulated stats equal a batch recompute over everything — so the
+    covariance/PC1 of a growing corpus never needs a history rescan."""
+    from hfp_loader_spark.operators.decomposition import (
+        merge_scatter_stats,
+    )
+
+    src = tmp_path / "src"
+    batches = [VECS[:2], VECS[2:4], VECS[4:]]
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        ).write.parquet(str(src / f"b{k}"))
+
+    acc: dict[tuple, int] = {}
+
+    def fold_batch(bdf, _bid):
+        part = {
+            (r["kind"], r["i"], r["j"]): int(r["val"])
+            for r in scatter_stats(
+                bdf, scale=SCALE, materialize=False
+            ).collect()
+        }
+        for key, val in part.items():
+            acc[key] = acc.get(key, 0) + val
+
+    stream = (
+        spark.readStream.schema("vec_id int, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+    exp = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in scatter_stats(full, scale=SCALE, materialize=False).collect()
+    }
+    assert acc == exp
+
+    # and the DataFrame-level merge agrees with the python fold
+    parts = [
+        scatter_stats(
+            spark.createDataFrame(
+                rows, "vec_id int, embedding array<double>"
+            ),
+            scale=SCALE,
+            materialize=False,
+        )
+        for rows in batches[:2]
+    ]
+    merged = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in merge_scatter_stats(*parts).collect()
+    }
+    exp2 = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in scatter_stats(
+            spark.createDataFrame(
+                VECS[:4], "vec_id int, embedding array<double>"
+            ),
+            scale=SCALE,
+            materialize=False,
+        ).collect()
+    }
+    assert merged == exp2
