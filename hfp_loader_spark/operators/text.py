@@ -678,6 +678,7 @@ def dedup_lines_crossdoc(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    return_text: bool = False,
 ) -> DataFrame:
     """Corpus-wide line-level deduplication — the cross-DOCUMENT sibling
     of ``c4_line_filter`` (C4, Raffel et al. 2020 §2.2: "we discarded all
@@ -696,7 +697,10 @@ def dedup_lines_crossdoc(
 
     Output: ``(id_col, n_lines, n_kept, clean_hash)`` — md5 of the
     rejoined text pins the reconstruction; a fully-duplicated document
-    keeps zero lines and hashes the empty string.
+    keeps zero lines and hashes the empty string.  ``return_text=True``
+    adds the rejoined text itself as ``clean_text`` (the pipeline-stage
+    form; the catalog entry ships only the hash to keep the compared
+    surface small).
 
     Scale shape: one explode to (id, line_no, 16-byte key) — the line
     text rides only to the first aggregate, which folds it away into
@@ -738,14 +742,16 @@ def dedup_lines_crossdoc(
         )
     )
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return totals.join(kept, id_col, "left").select(
-        id_col,
+    joined = F.coalesce(F.array_join(F.col("_kl"), "\n"), F.lit(""))
+    cols = [
+        F.col(id_col),
         F.col("n_lines").cast("long").alias("n_lines"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.md5(
-            F.coalesce(F.array_join(F.col("_kl"), "\n"), F.lit(""))
-        ).alias("clean_hash"),
-    )
+        F.md5(joined).alias("clean_hash"),
+    ]
+    if return_text:
+        cols.append(joined.alias("clean_text"))
+    return totals.join(kept, id_col, "left").select(*cols)
 
 
 def _md5_bucket(tok: Column, num_buckets: int) -> Column:

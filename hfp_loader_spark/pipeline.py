@@ -86,6 +86,14 @@ class PipelineConfig:
     # cleaned text).  Off by default: single-line corpora lose every
     # line to the punctuation rule.
     c4_clean: bool = False
+    # corpus-wide cross-document line dedup (C4 §2.2 span removal at
+    # line granularity / CCNet §3.1 paragraph dedup): only the
+    # corpus-wide FIRST occurrence of each line survives; documents
+    # whose every line was a duplicate are dropped.  Runs right after
+    # c4_clean (scores must see deduplicated text), before any
+    # whole-document gate.  Off by default: single-line corpora reduce
+    # it to whole-document exact dedup at explode cost.
+    crossdoc_line_dedup: bool = False
     # Gopher hard rule gates (Rae et al. §A1.1) folded into the quality
     # stage's filter; ``gopher_stopwords=None`` uses the paper's list —
     # pass a corpus-adapted tuple when the corpus vocabulary doesn't
@@ -229,6 +237,27 @@ def prepare_corpus(
             .drop("_c4_text")
         )
         docs = ledger.checkpoint(docs, "c4_clean", id_col)
+
+    if cfg.crossdoc_line_dedup:
+        # cross-document line dedup AFTER page cleaning, BEFORE scoring
+        # (the CCNet order: scores must see deduplicated text).  The
+        # inner join doubles as the drop gate: documents with no
+        # surviving line (n_kept = 0) or no lines at all produce no
+        # match and fall out here.
+        from hfp_loader_spark.operators.text import dedup_lines_crossdoc
+
+        ld = dedup_lines_crossdoc(
+            docs.where(F.col(text_col).isNotNull()),
+            id_col=id_col,
+            text_col=text_col,
+            return_text=True,
+        ).where(F.col("n_kept") > 0)
+        docs = (
+            docs.join(ld.select(id_col, "clean_text"), id_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+        )
+        docs = ledger.checkpoint(docs, "crossdoc_line_dedup", id_col)
 
     survivors = _gate_and_exact_dedup(docs, cfg, id_col, text_col, ledger)
 

@@ -512,3 +512,41 @@ def test_pipeline_ccnet_stage_gates_on_lm_perplexity(spark):
         assert "ccnet_perplexity" not in counts2
     finally:
         release2()
+
+
+def test_pipeline_crossdoc_line_dedup_stage(spark):
+    """crossdoc_line_dedup excises every later occurrence of a line
+    corpus-wide, drops fully-duplicated documents, and later stages see
+    the deduplicated text."""
+    from hfp_loader_spark.pipeline import PipelineConfig, prepare_corpus
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india."
+    uniq = [
+        f"unique{i} words{i} here{i} fill{i} the{i} line{i} out{i} ok{i}."
+        for i in range(4)
+    ]
+    rows = [
+        # doc 1 owns the shared line (first occurrence by (id, pos))
+        (1, shared + "\n" + uniq[0] + "\n" + uniq[1], "src0"),
+        # doc 2 repeats it → only its unique line survives
+        (2, shared + "\n" + uniq[2], "src0"),
+        # doc 3 is ONLY the shared line → fully duplicated → dropped
+        (3, shared, "src0"),
+        (4, uniq[3], "src0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    clean, counts, release = prepare_corpus(
+        spark,
+        docs,
+        config=PipelineConfig(min_quality=0.0, crossdoc_line_dedup=True),
+    )
+    try:
+        assert list(counts)[:2] == ["input", "crossdoc_line_dedup"]
+        assert counts["input"] == 4
+        assert counts["crossdoc_line_dedup"] == 3  # doc 3 dropped
+        out = {r["doc_id"]: r["text"] for r in clean.collect()}
+        assert shared in out[1]
+        assert shared not in out[2] and uniq[2].split()[0] in out[2]
+        assert 3 not in out
+    finally:
+        release()
