@@ -370,6 +370,54 @@ def merge_upsert(
     return kept.unionByName(source)
 
 
+def apply_changelog(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC changelog application with tombstones — the generalization of
+    :func:`merge_upsert` to full INSERT/UPDATE/DELETE streams (Debezium /
+    Delta CDF shape; the reference's loader is the degenerate
+    append-only case of this, `service/hfpTask.ts:96-118`).
+
+    Per key, the WINNING change is the max of ``struct(seq, op,
+    payload…)`` — highest sequence number wins; equal sequences break
+    ties lexicographically on (op, payload), deterministically on any
+    engine (prefer unique sequences upstream; the tiebreak exists so
+    malformed feeds still resolve reproducibly rather than
+    nondeterministically).  A winning ``'D'`` removes the key; any other
+    op replaces (or inserts) the full-row payload.  Untouched target
+    rows survive.
+
+    Scale shape: one key-grouped aggregate over the changeset (constant
+    per-key state), one anti-join of the target against the changed-key
+    set (broadcast when the changeset is small — the common CDC case),
+    one union.  No window over the target, no sort."""
+    payload = [c for c in target.columns if c not in keys]
+    missing = [c for c in target.columns if c not in changes.columns]
+    assert not missing, f"changes missing target columns: {missing}"
+    winners = (
+        changes.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload]
+                )
+            ).alias("_w")
+        )
+        .select(
+            *keys,
+            F.col(f"_w.{op_col}").alias("_op"),
+            *[F.col(f"_w.{c}").alias(c) for c in payload],
+        )
+    )
+    kept = target.join(winners.select(*keys), keys, "left_anti")
+    applied = winners.where(F.col("_op") != "D").select(*target.columns)
+    return kept.unionByName(applied)
+
+
 def scd2_intervals(
     df: DataFrame,
     key: str,

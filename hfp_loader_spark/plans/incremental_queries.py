@@ -73,6 +73,88 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "cdc_apply_changelog",
+    """
+    WITH chg AS (
+      SELECT o_orderkey, 1 AS seq, 'U' AS op, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 50 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_orderstatus, o_totalprice + 20.0
+      FROM orders WHERE o_orderkey % 50 = 0
+      UNION ALL
+      SELECT o_orderkey, 1, 'U', o_orderstatus, o_totalprice + 5.0
+      FROM orders WHERE o_orderkey % 70 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 70 = 0
+      UNION ALL
+      SELECT o_orderkey + 60000000, 1, 'I', o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 7
+    ),
+    w AS (
+      SELECT o_orderkey,
+             max(struct_pack(seq := seq, op := op, st := o_orderstatus,
+                             price := o_totalprice)) AS w
+      FROM chg GROUP BY 1
+    ),
+    fin AS (
+      SELECT o_orderkey, (w).st AS o_orderstatus, (w).price AS o_totalprice
+      FROM w WHERE (w).op <> 'D'
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS totalprice
+    FROM fin
+    """,
+    doc="CDC changelog application with tombstones "
+    "(operators.relational.apply_changelog — merge_upsert generalized "
+    "to Debezium/Delta-CDF-shaped I/U/D streams): per key the highest "
+    "sequence number wins (max(struct(seq, op, payload)) — equal "
+    "sequences resolve lexicographically, so keys hit by both the "
+    "update and delete feeds at seq 2 deterministically keep the 'U' "
+    "on BOTH engines), a winning 'D' removes the key, anything else "
+    "replaces or inserts the payload. One constant-state changeset "
+    "aggregate + one anti-join (changeset broadcasts in the common CDC "
+    "case) + one union — no window over the target.",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import apply_changelog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+
+    def chg(where, seq, op, price_expr, key_expr=k):
+        return orders.where(where).select(
+            key_expr.alias("o_orderkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            "o_orderstatus",
+            price_expr.alias("o_totalprice"),
+        )
+
+    changes = (
+        chg(k % 50 == 0, 1, "U", price + 10.0)
+        .unionByName(chg(k % 50 == 0, 2, "U", price + 20.0))
+        .unionByName(chg(k % 70 == 0, 1, "U", price + 5.0))
+        .unionByName(chg(k % 70 == 0, 2, "D", price))
+        .unionByName(chg(k % 1000 == 7, 1, "I", price, k + 60000000))
+    )
+    final = apply_changelog(orders, changes, keys=["o_orderkey"])
+    return final.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@defquery(
     "scd2_user_state_intervals",
     """
     WITH c AS (

@@ -542,3 +542,29 @@ def test_asof_join_carries_latest_event_even_with_null_fields(spark):
     }
     # probe 11 matches event 101 with its real NULL value — not 100/5.0
     assert out == {11: (101, None)}
+
+
+def test_apply_changelog_semantics(spark):
+    from hfp_loader_spark.operators.relational import apply_changelog
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a2", 11.0),   # updated …
+            (1, 2, "U", "a3", 12.0),   # … then updated again (wins)
+            (2, 1, "D", "b", 20.0),    # tombstone: key 2 removed
+            (4, 1, "I", "d", 40.0),    # brand-new key inserted
+            # equal-seq conflict: 'U' > 'D' lexicographically → survives
+            (3, 5, "D", "c", 30.0),
+            (3, 5, "U", "c2", 33.0),
+        ],
+        "k int, seq int, op string, s string, v double",
+    )
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in apply_changelog(target, changes, keys=["k"]).collect()
+    }
+    assert got == {1: ("a3", 12.0), 3: ("c2", 33.0), 4: ("d", 40.0)}
