@@ -296,3 +296,61 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@defquery(
+    "multimodal_dup_clusters",
+    f"""
+    WITH RECURSIVE {_PHASH_FP_SQL},
+    e0 AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    edges AS (
+      SELECT da AS s, db AS d FROM e0
+      UNION ALL
+      SELECT db AS s, da AS d FROM e0
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.id
+    ),
+    lab AS (
+      SELECT id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(id) AS BIGINT)  AS min_doc_id,
+           CAST(max(id) AS BIGINT)  AS max_doc_id
+    FROM lab GROUP BY cluster_id
+    """,
+    doc="Perceptual media duplicate GROUPS: the Hamming≤3 blockhash "
+    "pair graph's transitive closure via alternating large-star/"
+    "small-star CC — the media twin of sim_semantic_clusters, closing "
+    "the same pairs→clusters loop the text tier has (the view a "
+    "curation UI shows; downstream keeps one member per cluster). "
+    "Pair discovery is the pigeonhole band join (never all-pairs); the "
+    "CC is O(log n) rounds of join+aggregate. Oracle: brute xor+"
+    "bit_count pairs + recursive-CTE reachability with min-id labels.",
+)
+def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import (
+        connected_components_alternating,
+    )
+    from hfp_loader_spark.operators.multimodal import blockhash_fingerprints
+    from hfp_loader_spark.operators.neardup import simhash_near_pairs
+
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    fps = blockhash_fingerprints(docs).select(
+        "doc_id", F.col("phash").alias("simhash")
+    )
+    pairs = simhash_near_pairs(fps, max_hamming=3)
+    comp = connected_components_alternating(pairs, src="doc_a", dst="doc_b")
+    return comp.groupBy(F.col("component").cast("long").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("id").cast("long").alias("min_doc_id"),
+        F.max("id").cast("long").alias("max_doc_id"),
+    )
