@@ -318,6 +318,113 @@ def emb_power_iteration_pc2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "emb_class_separability",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT label,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                 * CAST({float(_SCALE)!r} AS DOUBLE))
+                           AS BIGINT)) AS q
+      FROM embeddings WHERE len(embedding) > 0
+    ),
+    x AS (
+      SELECT label,
+             CAST(unnest(generate_series(1, len(q))) AS INT) AS pos,
+             CAST(unnest(q) AS HUGEINT) AS v
+      FROM e
+    ),
+    nl AS (SELECT label, CAST(count(*) AS HUGEINT) AS n_l
+           FROM e GROUP BY label),
+    st AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+    per AS (
+      SELECT label, pos, CAST(sum(v) AS HUGEINT) AS s,
+             CAST(sum(v * v) AS HUGEINT) AS s2
+      FROM x GROUP BY 1, 2
+    ),
+    gl AS (SELECT pos, CAST(sum(s) AS HUGEINT) AS sg FROM per GROUP BY pos),
+    agg AS (
+      SELECT p.label,
+             CAST(sum(nl.n_l * p.s2 - p.s * p.s) AS HUGEINT) AS wn,
+             CAST(sum((p.s * st.n - gl.sg * nl.n_l)
+                      * (p.s * st.n - gl.sg * nl.n_l)) AS HUGEINT) AS bn
+      FROM per p
+      JOIN nl ON nl.label = p.label
+      JOIN gl ON gl.pos = p.pos
+      CROSS JOIN st
+      GROUP BY p.label
+    )
+    SELECT agg.label, CAST(nl.n_l AS BIGINT) AS n_vecs,
+           round(CAST(wn AS DOUBLE)
+                 / (CAST(nl.n_l AS DOUBLE) * CAST(nl.n_l AS DOUBLE)
+                    * 1e12), 8) AS within_var,
+           round(CAST(bn AS DOUBLE)
+                 / (CAST(nl.n_l AS DOUBLE) * CAST(nl.n_l AS DOUBLE)
+                    * CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)
+                    * 1e12), 8) AS between_sq
+    FROM agg JOIN nl ON nl.label = agg.label CROSS JOIN st
+    """,
+    doc="Fisher-style class separability of the embedding space: per "
+    "label, the within-class scatter (Σ_dims of the exact variance "
+    "identity n_ℓ·Σq² − (Σq)²) and the squared distance of the class "
+    "mean from the global mean (exact rational numerator (s_ℓ·n − "
+    "s_g·n_ℓ)², one division + round). High within / low between "
+    "flags labels whose embeddings don't separate — the cluster-"
+    "quality audit run before trusting label-conditioned sampling. "
+    "Scale shape: ONE (label, pos)-keyed aggregate with map-side "
+    "partials (key space = labels × d); everything after operates on "
+    "that bounded frame.",
+)
+def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.clustering import quantize_vec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    e = emb.where(F.size("embedding") > 0).select(
+        "label", quantize_vec(F.col("embedding"), _SCALE).alias("q")
+    )
+    x = e.select("label", F.posexplode("q").alias("pos0", "v"))
+    per = x.groupBy("label", "pos0").agg(
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("s2"),
+    )
+    nl = e.groupBy("label").agg(F.count("*").cast(dec).alias("n_l"))
+    st = e.agg(F.count("*").cast(dec).alias("n"))
+    gl = per.groupBy("pos0").agg(F.sum("s").alias("sg"))
+    bterm = F.col("s") * F.col("n") - F.col("sg") * F.col("n_l")
+    agg = (
+        per.join(F.broadcast(nl), "label")
+        .join(F.broadcast(gl), "pos0")
+        .crossJoin(F.broadcast(st))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.col("n_l") * F.col("s2") - F.col("s") * F.col("s")
+            ).alias("wn"),
+            F.sum(bterm * bterm).alias("bn"),
+        )
+    )
+    nld = F.col("n_l").cast("double")
+    nd = F.col("n").cast("double")
+    return (
+        agg.join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "label",
+            F.col("n_l").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("wn").cast("double") / (nld * nld * F.lit(1e12)), 8
+            ).alias("within_var"),
+            F.round(
+                F.col("bn").cast("double")
+                / (nld * nld * nd * nd * F.lit(1e12)),
+                8,
+            ).alias("between_sq"),
+        )
+    )
+
+
+@defquery(
     "emb_pc1_projection_by_label",
     f"""
     WITH {_STATS_CTES}{_power_ctes()},
