@@ -54,6 +54,44 @@ def text_token_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "text_zipf_spectrum",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY term)
+    SELECT CAST(length(bin(c)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT)    AS n_terms,
+           CAST(sum(c) AS BIGINT)      AS n_occurrences,
+           min(term)                   AS example_term
+    FROM tf GROUP BY 1
+    """,
+    doc="Zipf frequency-of-frequencies spectrum: term occurrence counts "
+    "bucketed by binary magnitude (length(bin(c)) — an INTEGER log2, "
+    "immune to the libm log2(2^k) boundary ulp that a float bucket "
+    "would gamble on), with term and occurrence mass per bucket. "
+    "Bucket 1 is the hapax legomena count — the classic corpus-health "
+    "signal (a scraped corpus with a collapsed hapax fraction is "
+    "boilerplate-heavy; an inflated one is OCR noise). Scale shape: "
+    "explode → map-side-combined term count → ≤64-row rollup.",
+)
+def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tf.groupBy(F.length(F.bin("c")).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("c").alias("n_occurrences"),
+            F.min("term").alias("example_term"),
+        )
+    )
+
+
+@defquery(
     "text_doc_token_stats",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
