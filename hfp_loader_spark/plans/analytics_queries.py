@@ -852,3 +852,112 @@ def dq_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qhist_ks_drift(
         _t(spark, sf_dir, "documents"), "n_chars", "source"
     )
+
+
+@defquery(
+    "events_ab_conversion_lift",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fv.t
+    ),
+    armed AS (
+      SELECT fv.user_id,
+             CASE WHEN substr(md5(CAST(fv.user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS base_a,
+        CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS base_b,
+        CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT) AS conv_b
+      FROM armed
+    )
+    SELECT base_a, conv_a,
+           round(CAST(conv_a AS DOUBLE) / CAST(base_a AS DOUBLE), 6)
+             AS rate_a,
+           base_b, conv_b,
+           round(CAST(conv_b AS DOUBLE) / CAST(base_b AS DOUBLE), 6)
+             AS rate_b,
+           round(CAST(conv_a * base_b AS DOUBLE)
+                 / CAST(nullif(conv_b * base_a, 0) AS DOUBLE), 6) AS lift
+    FROM s
+    """,
+    doc="A/B experiment readout: users split into deterministic arms by "
+    "an md5 first-hex-digit coin (engine-portable, stable under data "
+    "growth — the sampling tier's hash-threshold trick applied to "
+    "experimentation), conversion = a purchase STRICTLY AFTER the "
+    "user's first view (the funnel tier's anchor semantics), lift "
+    "computed from exact integer counts with ONE division + round "
+    "(conv_a·base_b / conv_b·base_a — never a ratio of two rounded "
+    "rates; nullif guards the degenerate arm). Scale shape: one "
+    "per-user min, one type-filtered join back, one conditional "
+    "aggregate to a single row.",
+)
+def events_ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("t"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    armed = fv.join(conv, "user_id", "left").select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        F.coalesce(F.col("_c"), F.lit(0)).alias("c"),
+    )
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("base_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("base_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return s.select(
+        "base_a",
+        "conv_a",
+        F.round(
+            F.col("conv_a").cast("double") / F.col("base_a").cast("double"),
+            6,
+        ).alias("rate_a"),
+        "base_b",
+        "conv_b",
+        F.round(
+            F.col("conv_b").cast("double") / F.col("base_b").cast("double"),
+            6,
+        ).alias("rate_b"),
+        F.round(
+            (F.col("conv_a") * F.col("base_b")).cast("double")
+            / F.nullif(
+                (F.col("conv_b") * F.col("base_a")), F.lit(0)
+            ).cast("double"),
+            6,
+        ).alias("lift"),
+    )
