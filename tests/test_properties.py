@@ -568,3 +568,97 @@ def test_qhist_ks_drift_planted_shift(spark):
 
     solo = spark.createDataFrame([("only", 5)], "src string, v long")
     assert qhist_ks_drift(solo, "v", "src").count() == 0
+
+
+# --- r9 session-3 operator invariants: apply_changelog / line dedup ---
+
+_cdc_target = st.lists(
+    st.tuples(st.integers(0, 12), st.text("xy", min_size=1, max_size=2)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+_cdc_changes = st.lists(
+    st.tuples(
+        st.integers(0, 12),                 # key
+        st.integers(0, 5),                  # seq
+        st.sampled_from(["I", "U", "D"]),   # op
+        st.text("xy", min_size=1, max_size=2),
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1], r[2], r[3]),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=_cdc_target, changes=_cdc_changes)
+def test_apply_changelog_matches_dict_replay(spark, target, changes):
+    """apply_changelog == the obvious dict model: per key the max
+    (seq, op, payload) change wins; 'D' deletes, else the payload lands;
+    untouched keys survive."""
+    from hfp_loader_spark.operators.relational import apply_changelog
+
+    t = spark.createDataFrame(target, ["k", "v"])
+    c = (
+        spark.createDataFrame(changes, ["k", "seq", "op", "v"])
+        if changes
+        else spark.createDataFrame([], "k int, seq int, op string, v string")
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(t, c, keys=["k"]).collect()
+    }
+    want = dict(target)
+    winners: dict[int, tuple] = {}
+    for k, seq, op, v in changes:
+        cand = (seq, op, v)
+        if k not in winners or cand > winners[k]:
+            winners[k] = cand
+    for k, (_, op, v) in winners.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+_linedoc = st.lists(
+    st.tuples(
+        st.integers(1, 8),
+        st.lists(
+            st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", ""]),
+            min_size=0,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_linedoc)
+def test_dedup_lines_crossdoc_is_idempotent(spark, docs):
+    """After one pass every surviving line is corpus-unique, so a second
+    pass keeps everything (n_kept == n_lines for every document)."""
+    from hfp_loader_spark.operators.text import dedup_lines_crossdoc
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in docs],
+        "doc_id int, text string",
+    )
+    once = dedup_lines_crossdoc(df, return_text=True).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = dedup_lines_crossdoc(once).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in twice)
