@@ -64,7 +64,66 @@ def make_sink(spec: str):
     return ParquetSink(spec)
 
 
+def build_query_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hfp_loader_spark query",
+        description="Run a catalog query (SURVEY §2 inventory) by name.",
+    )
+    p.add_argument(
+        "name",
+        nargs="?",
+        help="catalog entry name (omit with --list to enumerate)",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="parquet table dir (default: $SPARK_GRAFT_SF_DIR or sf0.01)",
+    )
+    p.add_argument("--show", type=int, default=20, help="rows to print")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+    p.add_argument(
+        "--list", action="store_true", help="list catalog entry names"
+    )
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def query_main(argv: list[str]) -> int:
+    args = build_query_parser().parse_args(argv)
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    if args.list:
+        for name, spec in REGISTRY.items():
+            mark = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{mark}\t{spec.module}")
+        return 0
+    if not args.name:
+        print("query name required (or --list)", file=sys.stderr)
+        return 2
+    if args.name not in REGISTRY:
+        print(f"unknown query: {args.name!r} (try --list)", file=sys.stderr)
+        return 2
+
+    from hfp_loader_spark.session import get_spark
+
+    spark = get_spark(app_name=f"query_{args.name}", master=args.master)
+    df = REGISTRY[args.name].builder(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from hfp_loader_spark.job import hfp_load, validate_date

@@ -27,3 +27,13 @@ def test_parser_defaults(monkeypatch):
     assert args.storage_root == "/data/hfp"
     assert args.sink == "parquet:/data/stage"
     assert not args.streaming
+
+
+def test_cli_query_list_and_unknown(capsys):
+    from hfp_loader_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in out
+    assert main(["query", "no_such_query"]) == 2
+    assert main(["query"]) == 2
