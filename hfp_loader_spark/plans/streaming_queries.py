@@ -402,3 +402,63 @@ def streaming_followup_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             stream, probe_mod=89, horizon="2 hours", how="left_outer"
         )
     )
+
+
+from hfp_loader_spark.plans.decomposition_queries import (  # noqa: E402
+    _STATS_CTES as _SCATTER_CTES,
+)
+
+
+@defquery(
+    "streaming_scatter_covariance",
+    # the SAME oracle text as emb_scatter_covariance (built from the
+    # shared CTE constant): a stateless fold + running aggregate is
+    # micro-batch-invariant, so the streaming final state must equal
+    # the batch computation exactly
+    f"""
+    WITH {_SCATTER_CTES}
+    SELECT i, j,
+           round(CAST(nn AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 10)
+             AS cov
+    FROM cen
+    """,
+    doc="GENUINE streaming execution of the scatter/covariance fold: "
+    "readStream over the embeddings parquet (maxFilesPerTrigger=1) → "
+    "the same Arrow partial-Gram mapInPandas → running (kind,i,j) "
+    "aggregate in COMPLETE mode → availableNow; the final state feeds "
+    "the identical centering/rounding as emb_scatter_covariance, whose "
+    "oracle this entry reuses verbatim (registered below) — "
+    "micro-batch boundaries cannot perturb an integer sum. The "
+    "incremental-PCA maintenance path, executed as an actual stream.",
+)
+def streaming_scatter_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.decomposition import (
+        centered_numerator,
+        scatter_stats,
+    )
+
+    from hfp_loader_spark.streaming.jobs import _as_source_dir
+
+    path = _as_source_dir(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    stats = run_available_now(
+        scatter_stats(stream, materialize=False), output_mode="complete"
+    )
+    cen = centered_numerator(stats.localCheckpoint(eager=False))
+    nd = F.col("n").cast("double")
+    return cen.select(
+        "i",
+        "j",
+        F.round(
+            F.col("nn").cast("double") / (nd * nd * F.lit(1e12)), 10
+        ).alias("cov"),
+    )
+

@@ -232,18 +232,26 @@ def followup_join(
     )
 
 
-def run_available_now(streaming_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
+def run_available_now(
+    streaming_df: DataFrame,
+    timeout_sec: int = 300,
+    output_mode: str = "append",
+) -> DataFrame:
     """Execute a streaming DataFrame to completion with availableNow
     into an in-memory table; returns the materialized result.
 
-    Append mode: only windows fully below the final watermark are emitted
-    — the streaming-semantics tail truncation the oracle must replicate.
+    Append mode (default): only windows fully below the final watermark
+    are emitted — the streaming-semantics tail truncation the oracle
+    must replicate.  ``output_mode="complete"`` emits the full final
+    aggregate state instead (no watermark needed) — for running
+    aggregates whose final value must equal the batch computation,
+    e.g. the streaming scatter-stats fold.
     """
     name = f"stream_sink_{next(_sink_counter)}"
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
