@@ -521,3 +521,123 @@ def qhist_ks_drift(
             ).alias("ks_d")
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct sketches -------------------------
+
+# 13 hex digits = 52 bits: fits exactly in both a BIGINT and an IEEE
+# double mantissa, so the [0,1) fraction below is exact on every engine
+_KMV_HEX_DIGITS = 13
+_KMV_SPACE = 16**_KMV_HEX_DIGITS
+
+
+def kmv_hash(key: Column) -> Column:
+    """The KMV hash of a key: the first 13 hex digits of its md5 as a
+    BIGINT — engine-portable (md5 is bit-identical everywhere; the SQL
+    twin folds the same digits with literal powers of 16)."""
+    return F.conv(F.substring(F.md5(key), 1, _KMV_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the ``k`` smallest
+    distinct md5-derived hash values of ``key_col`` (Bar-Yossef et al.
+    2002).  Output ``(group_col, h)`` — ≤ k rows per group.
+
+    Unlike HLL, a KMV sketch supports set INTERSECTION (and so Jaccard)
+    by combining sketches, and — because "k smallest distinct hashes" is
+    a pure function of the data — the sketch and every estimate built
+    from it are deterministic and hash-match an independent SQL oracle
+    exactly (no tolerance bands, unlike the HLL/CMS contracts).
+
+    Mergeable: union two groups' sketches, dedup h, keep the k smallest
+    — ``kmv_merge``.  Scale shape: one distinct on (group, h) — the
+    shuffle carries 8-byte hashes — then a per-group top-k heap
+    (row_number over a k-bounded frame), never a global sort."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col), kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: with a full
+    sketch, D̂ = (k−1) / (h_k / 16¹³); a sketch smaller than k IS the
+    distinct set, so the estimate is its exact size.  One k-bounded
+    aggregate per group."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    )
+    frac = F.col("_hk").cast("double") / F.lit(float(_KMV_SPACE))
+    return agg.select(
+        group_col,
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise((F.lit(k) - F.lit(1)).cast("double") / frac)
+        .alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard estimates between groups from their KMV sketches
+    (Beyer et al. 2007): for groups (a, b), take the k smallest hashes
+    of the UNION of their sketches; the fraction of those present in
+    BOTH sketches estimates |A∩B| / |A∪B|.  Deterministic — exact SQL
+    parity.  Scale shape: sketches are ≤ k rows per group, so the pair
+    expansion is (groups² · k) sketch rows — independent of data size."""
+    from pyspark.sql import Window
+
+    a = sketch.select(
+        F.col(group_col).alias("ga"), F.col("h").alias("h")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("gb"), F.col("h").alias("h")
+    )
+    pairs = (
+        a.select("ga")
+        .distinct()
+        .join(b.select("gb").distinct(), F.col("ga") < F.col("gb"))
+    )
+    un = (
+        pairs.join(a, "ga")
+        .select("ga", "gb", "h")
+        .unionByName(pairs.join(b, "gb").select("ga", "gb", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = un.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    in_a = a.withColumn("_ia", F.lit(1))
+    in_b = b.withColumn("_ib", F.lit(1))
+    marked = (
+        topk.join(in_a, ["ga", "h"], "left")
+        .join(in_b, ["gb", "h"], "left")
+        .groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("_m"),
+            F.sum(
+                F.when(
+                    F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("_both"),
+        )
+    )
+    return marked.select(
+        "ga",
+        "gb",
+        (F.col("_both").cast("double") / F.col("_m").cast("double")).alias(
+            "est_jaccard"
+        ),
+    )

@@ -1363,3 +1363,202 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_prefix")
     )
+
+
+# --- KMV distinct sketches (deterministic → full value-hash oracles) ---
+
+_KMV_K = 64
+
+
+def _kmv_h_sql(col: str) -> str:
+    """13 md5 hex digits → BIGINT by positional fold with LITERAL powers
+    of 16 (DuckDB has no conv(); float 16**i would lose exactness) —
+    the SQL twin of operators.sketches.kmv_hash."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+# word BIGRAMS as the sketched key: per-source distinct bigrams (~700 at
+# sf0.01) far exceed k=64, so the (k-1)/r_k ESTIMATOR branch is what the
+# oracle checks — unigram vocabulary (~31) would degenerate to the
+# exact-set branch and never exercise the estimator
+_KMV_TOKS_CTE = """
+    tk0 AS (
+      SELECT source, list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 0) AS tk
+      FROM documents
+    ),
+    toks AS (
+      SELECT source, tk[i] || ' ' || tk[i + 1] AS term
+      FROM tk0, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2
+    )
+"""
+
+
+@defquery(
+    "sketch_kmv_distinct",
+    f"""
+    WITH {_KMV_TOKS_CTE},
+    hs AS (SELECT DISTINCT source, {_kmv_h_sql("term")} AS h FROM toks),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS r
+           FROM hs),
+    sk AS (SELECT source, h FROM rk WHERE r <= {_KMV_K}),
+    ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+           FROM sk GROUP BY 1),
+    ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+                    AS exact_distinct
+           FROM toks GROUP BY 1)
+    SELECT ag.source, ex.exact_distinct,
+           round(CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                 ELSE {float(_KMV_K - 1)!r}
+                      / (CAST(hk AS DOUBLE) / {float(16**13)!r}) END, 4)
+             AS est_distinct
+    FROM ag JOIN ex ON ag.source = ex.source
+    """,
+    doc="K-minimum-values distinct sketch (Bar-Yossef et al. 2002; "
+    "operators.sketches.kmv_sketch, k=64): per-source distinct-token "
+    "estimates (k−1)/r_k from the k smallest md5-derived hashes, "
+    "against the exact count. Because 'k smallest distinct hashes' is "
+    "a pure function of the data, the ESTIMATE itself hash-matches the "
+    "SQL oracle exactly — no tolerance band, unlike HLL/CMS. The 13-"
+    "hex-digit hash fits both BIGINT and a double mantissa, so the "
+    "[0,1) fraction is exact on every engine. Scale shape: one "
+    "distinct on (source, 8-byte h), one per-group top-k heap; the "
+    "persisted sketch is ≤ k rows per source and merges by "
+    "union+dedup+re-rank.",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+    from hfp_loader_spark.operators.text import tokens, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("term"),
+    )
+    sk = kmv_sketch(toks, "source", "term", k=_KMV_K)
+    est = kmv_distinct_estimate(sk, "source", k=_KMV_K)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("term").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        F.round("est_distinct", 4).alias("est_distinct"),
+    )
+
+
+@defquery(
+    "sketch_kmv_jaccard_sources",
+    f"""
+    WITH {_KMV_TOKS_CTE},
+    hs AS (SELECT DISTINCT source, {_kmv_h_sql("term")} AS h FROM toks),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS r
+           FROM hs),
+    sk AS (SELECT source, h FROM rk WHERE r <= {_KMV_K}),
+    prs AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    un AS (
+      SELECT DISTINCT prs.ga, prs.gb, s.h
+      FROM prs JOIN sk s ON s.source = prs.ga OR s.source = prs.gb
+    ),
+    tk AS (
+      SELECT ga, gb, h,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+      FROM un
+    ),
+    est AS (
+      SELECT t.ga, t.gb,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM tk t
+      LEFT JOIN sk ia ON ia.source = t.ga AND ia.h = t.h
+      LEFT JOIN sk ib ON ib.source = t.gb AND ib.h = t.h
+      WHERE t.r <= {_KMV_K}
+      GROUP BY 1, 2
+    ),
+    dt AS (SELECT DISTINCT source, term FROM toks),
+    ovl AS (
+      SELECT a.source AS ga, b.source AS gb,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM dt a JOIN dt b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1)
+    SELECT est.ga AS source_a, est.gb AS source_b,
+           round(CAST(coalesce(ovl.inter, 0) AS DOUBLE)
+                 / CAST(na.n + nb.n - coalesce(ovl.inter, 0) AS DOUBLE), 4)
+             AS exact_jaccard,
+           round(CAST(n_both AS DOUBLE) / CAST(m AS DOUBLE), 4)
+             AS est_jaccard
+    FROM est
+    LEFT JOIN ovl ON ovl.ga = est.ga AND ovl.gb = est.gb
+    JOIN nd na ON na.source = est.ga
+    JOIN nd nb ON nb.source = est.gb
+    """,
+    doc="KMV set-operation estimates (Beyer et al. 2007; "
+    "operators.sketches.kmv_jaccard): pairwise source-vocabulary "
+    "Jaccard from the k smallest hashes of each pair's UNION sketch — "
+    "the set-intersection capability HLL lacks — alongside the exact "
+    "Jaccard. Deterministic → exact SQL parity on the estimate itself. "
+    "Scale shape: the pair expansion touches only the ≤ k-row sketches "
+    "(groups²·k rows, independent of corpus size); the exact side is "
+    "the audit instrument, one (term)-keyed equi-join on distinct "
+    "vocabulary.",
+)
+def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sketches import kmv_jaccard, kmv_sketch
+    from hfp_loader_spark.operators.text import tokens, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("term"),
+    )
+    sk = kmv_sketch(toks, "source", "term", k=_KMV_K)
+    est = kmv_jaccard(sk, "source", k=_KMV_K)
+    dt = toks.distinct()
+    nd = dt.groupBy("source").agg(F.count("*").alias("n"))
+    a = dt.select(F.col("source").alias("ga"), "term")
+    b = dt.select(F.col("source").alias("gb"), "term")
+    ovl = (
+        a.join(b, ["term"])
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = nd.select(F.col("source").alias("ga"), F.col("n").alias("na"))
+    nb = nd.select(F.col("source").alias("gb"), F.col("n").alias("nb"))
+    return (
+        est.join(ovl, ["ga", "gb"], "left")
+        .join(na, "ga")
+        .join(nb, "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("na") + F.col("nb")
+                    - F.coalesce(F.col("inter"), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+        )
+    )
