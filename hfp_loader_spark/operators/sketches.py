@@ -641,3 +641,25 @@ def kmv_jaccard(
             "est_jaccard"
         ),
     )
+
+
+def kmv_merge(
+    parts: list[DataFrame], group_col: str, k: int = 64
+) -> DataFrame:
+    """Merge KMV sketches: union, dedup (group, h), keep the k smallest
+    per group — by construction identical to sketching the concatenated
+    inputs (min-k of a union is the min-k of the mins), so partitioned
+    corpora sketch independently and roll up without a rescan, like the
+    CMS/HLL/qhist members of the persisted-sketch family."""
+    from pyspark.sql import Window
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        merged.distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(group_col, "h")
+    )

@@ -440,3 +440,25 @@ def test_shuffle_shards_stability_and_write(spark, tmp_path):
             assert keys == sorted(keys)
             seen += len(keys)
     assert seen == 200
+
+
+def test_kmv_merge_equals_full_sketch(spark):
+    from hfp_loader_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    rows = [("g%d" % (i % 3), "key%d" % (i % 40)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    a = df.where(F.md5("key") < "8")
+    b = df.where(F.md5("key") >= "8")
+    full = {
+        (r["g"], r["h"])
+        for r in kmv_sketch(df, "g", "key", k=16).collect()
+    }
+    merged = {
+        (r["g"], r["h"])
+        for r in kmv_merge(
+            [kmv_sketch(a, "g", "key", k=16), kmv_sketch(b, "g", "key", k=16)],
+            "g",
+            k=16,
+        ).collect()
+    }
+    assert merged == full
