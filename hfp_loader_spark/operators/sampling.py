@@ -11,6 +11,8 @@ itself).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -464,4 +466,92 @@ def write_shards(
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+# Cumulative Poisson(1) CDF — the SAME Python doubles are injected into
+# the Spark plan (F.lit) and the SQL oracle (repr), so the weight
+# thresholds are bit-identical on both engines.
+POISSON1_CDF = tuple(
+    sum(math.exp(-1) / math.factorial(j) for j in range(n + 1))
+    for n in range(6)
+)
+
+
+def poisson_weight(key: Column, salt: str) -> Column:
+    """Deterministic Poisson(1) draw for a key: invert the CDF at the
+    md5-derived uniform (``_unit_uniform``) — the per-row resample
+    weight of the Poisson bootstrap (each replicate observes each row
+    0, 1, 2, … times with the multinomial-bootstrap's limiting
+    distribution).  Truncated at 6 (P ≈ 6e-5), identically on every
+    engine."""
+    u = _unit_uniform(key, salt)
+    w: Column | None = None
+    for n, c in enumerate(POISSON1_CDF):
+        w = (
+            F.when(u < F.lit(c), n)
+            if w is None
+            else w.when(u < F.lit(c), n)
+        )
+    return w.otherwise(len(POISSON1_CDF))
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    cents_col: str,
+    n_replicates: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int = 31,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for a mean, in ONE
+    pass with NO row replication: every replicate's Σw and Σw·x are
+    conditional sums inside a single aggregate (2·B running sums per
+    partition), so the corpus is scanned once and nothing is exploded —
+    the Poisson bootstrap is THE scalable bootstrap (Chamandy et al.
+    2012, 'Estimating Uncertainty for Massive Data Streams').
+
+    ``cents_col`` must be an integer-valued column (quantize upstream):
+    integer sums are exact, so replicate means are single
+    divisions of exact integers and the whole CI is reproducible
+    bit-for-bit on any engine — a float-valued bootstrap would diverge
+    in partition order.
+
+    Output: one row — ``point_mean``, ``ci_lo``, ``ci_hi`` (the
+    ``lo_rank``-th / ``hi_rank``-th order statistics of the B replicate
+    means; defaults ≈ a 91% interval at B=32), ``n_rows``."""
+    key = F.col(key_col)
+    x = F.col(cents_col)
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum(x).alias("_sx"),
+    ]
+    for b in range(n_replicates):
+        w = poisson_weight(key, f"boot{b}:")
+        aggs.append(F.sum(w * x).alias(f"_wx{b}"))
+        aggs.append(F.sum(w).alias(f"_w{b}"))
+    row = df.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.round(
+                    F.col(f"_wx{b}").cast("double")
+                    / F.col(f"_w{b}").cast("double")
+                    / F.lit(100.0),
+                    4,
+                )
+                for b in range(n_replicates)
+            ]
+        )
+    )
+    return row.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.round(
+            F.col("_sx").cast("double")
+            / F.col("_n").cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("point_mean"),
+        F.element_at(means, lo_rank).alias("ci_lo"),
+        F.element_at(means, hi_rank).alias("ci_hi"),
     )

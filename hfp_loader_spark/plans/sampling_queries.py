@@ -765,3 +765,87 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _KC_CAP)
     return kcenter_coreset(emb, _KC_K)
+
+
+# --- Poisson bootstrap CI (Chamandy et al. 2012) -----------------------
+
+_BOOT_B = 32
+
+
+def _boot_oracle() -> str:
+    """64 conditional sums — one (Σw, Σw·x) pair per replicate — over
+    md5-derived Poisson(1) weights; the exact SQL twin of
+    operators.sampling.poisson_bootstrap_ci with the SAME CDF doubles."""
+    from hfp_loader_spark.operators.sampling import POISSON1_CDF
+
+    def w_sql(b: int) -> str:
+        u = (
+            "(("
+            + _hex_int_sql(
+                f"md5('boot{b}:' || CAST(o_orderkey AS VARCHAR))", 12
+            )
+            + " + 0.5) / 16.0 ** 12)"
+        )
+        branches = " ".join(
+            f"WHEN {u} < {c!r} THEN {n}"
+            for n, c in enumerate(POISSON1_CDF)
+        )
+        return f"(CASE {branches} ELSE {len(POISSON1_CDF)} END)"
+
+    sums = ",\n      ".join(
+        f"CAST(sum({w_sql(b)} * cents) AS BIGINT) AS wx{b},\n      "
+        f"CAST(sum({w_sql(b)}) AS BIGINT) AS w{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(
+        f"round(CAST(wx{b} AS DOUBLE) / CAST(w{b} AS DOUBLE) / 100.0, 4)"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+      {sums}
+      FROM src
+    ),
+    m AS (SELECT *, list_sort([{means}]) AS means FROM agg)
+    SELECT n AS n_rows,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+             AS point_mean,
+           means[2]  AS ci_lo,
+           means[31] AS ci_hi
+    FROM m
+    """
+
+
+@defquery(
+    "agg_bootstrap_ci_totalprice",
+    _boot_oracle(),
+    doc="Distributed Poisson-bootstrap confidence interval for the mean "
+    "order price (operators.sampling.poisson_bootstrap_ci; Chamandy et "
+    "al. 2012): 32 resample replicates in ONE corpus pass with NO row "
+    "replication — each replicate is a pair of conditional sums inside "
+    "a single aggregate, weights drawn by inverting the Poisson(1) CDF "
+    "at an md5 uniform (same literal CDF doubles on both engines). "
+    "Prices quantized to integer cents so every replicate sum is "
+    "exact and the whole CI reproduces bit-for-bit — the uncertainty "
+    "quantification a 100 TB pipeline can actually afford (map-side "
+    "partials, 65 running sums, zero shuffle growth).",
+)
+def agg_bootstrap_ci_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sampling import poisson_bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return poisson_bootstrap_ci(
+        orders, "o_orderkey", "cents", n_replicates=_BOOT_B
+    )
