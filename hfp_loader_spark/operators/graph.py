@@ -400,3 +400,57 @@ def cluster_keepers_by_score(
         "n_members",
         (-F.col("_best._ns")).alias(f"keeper_{score_col}"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), made fully
+    deterministic: labels start as node ids, and each round every node
+    adopts the PLURALITY label among its neighbors, ties broken by the
+    smallest label — ``min(struct(−count, label))``, the same argmin
+    idiom as k-means assignment.  All updates in a round read the
+    PREVIOUS round's labels (synchronous), so the trajectory is a pure
+    function of the edge set and an unrolled SQL oracle replays it
+    exactly.  (Classic LPA randomizes update order precisely to escape
+    bipartite oscillation; determinism is the price of replayability —
+    callers clustering bipartite graphs should prefer
+    ``connected_components_alternating``.)
+
+    Output: ``(id, label)`` — nodes sharing a label after ``n_iter``
+    rounds are a community.  Scale shape per round: one join of the
+    (undirected) edge list with the d-col label frame + one
+    constant-state (node, label) count + one argmin aggregate — the
+    PageRank shuffle shape with labels instead of ranks;
+    ``materialize`` lazily localCheckpoints each round's labels (the
+    unrolled-recurrence lesson from MMR / power iteration)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    lab = und.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(n_iter):
+        nb = und.join(
+            lab.select(F.col("id").alias("b"), "label"), "b"
+        )
+        new = (
+            nb.groupBy("a", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("_m")
+            )
+            .select(
+                F.col("a").alias("id"), F.col("_m.label").alias("label")
+            )
+        )
+        lab = new.localCheckpoint(eager=False) if materialize else new
+    return lab

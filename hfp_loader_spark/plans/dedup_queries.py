@@ -889,3 +889,68 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = shingle_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return containment_pairs(sh, threshold=0.9)
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """The near-dup edge CTE chain (same derivation as the triangles
+    oracle) + synchronous label propagation unrolled one CTE pair per
+    round — the SQL twin of operators.graph.label_propagation."""
+    parts = [f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    prs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT da, db FROM prs
+          WHERE round(i * 1.0 / (na + nb - i), 4) >= 0.8),
+    und AS (SELECT da AS a, db AS b FROM e
+            UNION SELECT db AS a, da AS b FROM e),
+    l0 AS (SELECT DISTINCT a AS id, a AS label FROM und)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+    c{t} AS (
+      SELECT u.a, l.label, count(*) AS c
+      FROM und u JOIN l{t - 1} l ON u.b = l.id GROUP BY 1, 2
+    ),
+    l{t} AS (
+      SELECT a AS id,
+             (min(struct_pack(nc := -c, l := label))).l AS label
+      FROM c{t} GROUP BY a
+    )""")
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS community
+    FROM l{n_iter}
+    """)
+    return "".join(parts)
+
+
+@defquery(
+    "dedup_label_propagation",
+    _lpa_oracle(3),
+    doc="Synchronous label-propagation communities (Raghavan et al. "
+    "2007; operators.graph.label_propagation, 3 rounds) over the "
+    "Jaccard≥0.8 near-dup graph: every node adopts its neighbors' "
+    "plurality label, ties to the smallest — min(struct(−count, "
+    "label)), fully deterministic, so the unrolled SQL oracle replays "
+    "every round (classic LPA randomizes update order; determinism is "
+    "the price of replayability). Complements connected components: "
+    "LPA splits weakly-bridged clusters CC would merge. Per round: one "
+    "edge⋈label join + one constant-state count + one argmin — the "
+    "PageRank shuffle shape; labels localCheckpointed per round.",
+)
+def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import label_propagation
+
+    lab = label_propagation(
+        _dup_edges(spark, sf_dir), n_iter=3, src="doc_a", dst="doc_b"
+    )
+    return lab.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("community"),
+    )
