@@ -493,3 +493,74 @@ def emb_pc1_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("var_proj"),
     )
+
+
+@defquery(
+    "emb_projection_outliers",
+    f"""
+    WITH {_STATS_CTES}{_power_ctes()},
+    pc AS (SELECT list(v ORDER BY pos) AS vec FROM v{_ITERS}),
+    proj AS (
+      SELECT e.vec_id, e.label,
+             CAST(list_sum(list_transform(
+                 list_zip(e.q, pc.vec),
+                 p -> CAST(p[1] AS HUGEINT) * p[2])) AS HUGEINT) AS t
+      FROM e CROSS JOIN pc
+    ),
+    ag AS (
+      SELECT label, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(t) AS HUGEINT) AS s1,
+             CAST(sum(t * t) AS HUGEINT) AS s2
+      FROM proj GROUP BY label
+    )
+    SELECT p.vec_id, p.label,
+           round(CAST(p.t AS DOUBLE) / 1e12, 6) AS proj
+    FROM proj p JOIN ag ON ag.label = p.label
+    WHERE (p.t * ag.n - ag.s1) * (p.t * ag.n - ag.s1)
+          > 4 * (ag.n * ag.s2 - ag.s1 * ag.s1)
+    """,
+    doc="Per-label outliers on the PC1 projection with a ZERO-float "
+    "decision: (t−μ)² > k²σ² rewritten over exact integers as "
+    "(t·n − Σt)² > k²·(n·Σt² − (Σt)²) — no division, no sqrt, no "
+    "rounding anywhere in the flag (k=2), so both engines select the "
+    "identical rows by construction. The embedding-space anomaly gate: "
+    "a vector far from its label's projection band is a mislabeled or "
+    "corrupted example. Scale shape: the projection is the broadcast "
+    "zip_with fold; the moments are one label-keyed aggregate; the "
+    "flag joins the bounded per-label moment row back — corpus touched "
+    "twice, shuffled never wider than (label, t).",
+)
+def emb_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.decomposition import (
+        centered_scatter,
+        power_iteration_pc1,
+        project_pc1,
+        scatter_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scat = centered_scatter(scatter_stats(emb, scale=_SCALE))
+    pc1 = power_iteration_pc1(scat, iters=_ITERS, vscale=_VSCALE)
+    proj = project_pc1(emb, pc1, scale=_SCALE, vscale=_VSCALE).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    dec = "decimal(38,0)"
+    t20 = F.col("t").cast("decimal(20,0)")
+    ag = proj.groupBy("label").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("t").alias("s1"),
+        F.sum(t20 * t20).alias("s2"),
+    )
+    dev = F.col("t") * F.col("n") - F.col("s1")
+    spread = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        proj.join(F.broadcast(ag), "label")
+        .where(dev * dev > F.lit(4).cast(dec) * spread)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("t").cast("double") / F.lit(1e12), 6).alias(
+                "proj"
+            ),
+        )
+    )
