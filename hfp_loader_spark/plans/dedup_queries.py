@@ -954,3 +954,80 @@ def dedup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("community"),
     )
+
+
+@defquery(
+    "dedup_split_leakage_neardup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex AS (
+      SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex0
+      WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 128)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT doc_a, doc_b FROM pairs
+          WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.8),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(sa.split, sb.split)    AS split_x,
+           greatest(sa.split, sb.split) AS split_y,
+           CAST(count(*) AS BIGINT)     AS n_pairs,
+           CAST(min(e.doc_a) AS BIGINT) AS min_doc_a
+    FROM e
+    JOIN sp sa ON sa.doc_id = e.doc_a
+    JOIN sp sb ON sb.doc_id = e.doc_b
+    WHERE sa.split <> sb.split
+    GROUP BY 1, 2
+    """,
+    doc="NEAR-duplicate contamination across the train/val/test split — "
+    "the complement of dedup_split_leakage's exact-fingerprint audit "
+    "(decontamination folklore: paraphrased or lightly-edited eval "
+    "copies leak too; Lee et al. 2022 §6.2 measure exactly this): "
+    "Jaccard≥0.8 trigram pairs (the df-capped posting join) whose "
+    "members straddle a split boundary, grouped by the unordered split "
+    "pair. Scale path swaps the exact pair join for the banded LSH "
+    "discovery with identical downstream shape.",
+)
+def dedup_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _dup_edges(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < "c000", "train")
+        .when(bucket < "e000", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        e.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_x"),
+            F.greatest("sa", "sb").alias("split_y"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_a").alias("min_doc_a"),
+        )
+    )
