@@ -564,3 +564,78 @@ def emb_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@defquery(
+    "emb_explained_variance",
+    f"""
+    WITH {_STATS_CTES}{_power_ctes()},
+    num AS (
+      SELECT CAST(sum(s * vi.v * vj.v) AS HUGEINT) AS num
+      FROM scat
+      JOIN v{_ITERS} vi ON scat.i = vi.pos
+      JOIN v{_ITERS} vj ON scat.j = vj.pos
+    ),
+    den AS (SELECT CAST(sum(v * v) AS HUGEINT) AS den FROM v{_ITERS}),
+    tr AS (
+      SELECT CAST(sum(s) AS HUGEINT) AS trace_q FROM scat WHERE i = j
+    )
+    SELECT round(CAST(trace_q AS DOUBLE) / 1e12, 8) AS total_variance,
+           round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 1e12), 8)
+             AS pc1_eigenvalue,
+           round((CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 1e12))
+                 / (CAST(trace_q AS DOUBLE) / 1e12), 6)
+             AS explained_ratio
+    FROM num CROSS JOIN den CROSS JOIN tr
+    """,
+    doc="Explained-variance summary of the embedding spectrum: the "
+    "total variance (exact integer trace of the centered scatter), the "
+    "PC1 Rayleigh eigenvalue, and their ratio — the one-number answer "
+    "to 'is this embedding space effectively low-dimensional?' (a "
+    "near-zero ratio, as here on a near-flat synthetic spectrum, means "
+    "rank reduction would lose signal; a high one licenses aggressive "
+    "PCA compression before ANN indexing). One row; every input an "
+    "exact integer aggregate; divisions orchestrated identically on "
+    "both engines.",
+)
+def emb_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.decomposition import (
+        centered_scatter,
+        power_iteration_pc1,
+        scatter_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scat = centered_scatter(
+        scatter_stats(emb, scale=_SCALE)
+    ).localCheckpoint(eager=False)
+    pc1 = power_iteration_pc1(scat, iters=_ITERS, vscale=_VSCALE)
+    tr = scat.where(F.col("i") == F.col("j")).agg(
+        F.sum("s").alias("trace_q")
+    )
+    vi = pc1.select("pos", F.col("v_q").cast("decimal(38,0)").alias("v"))
+    num = (
+        scat.join(
+            F.broadcast(vi.select(F.col("pos").alias("i"), F.col("v").alias("vi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(vi.select(F.col("pos").alias("j"), F.col("v").alias("vj"))),
+            "j",
+        )
+        .agg(F.sum(F.col("s") * F.col("vi") * F.col("vj")).alias("num"))
+    )
+    den = vi.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    eig = F.col("num").cast("double") / (
+        F.col("den").cast("double") * F.lit(1e12)
+    )
+    tv = F.col("trace_q").cast("double") / F.lit(1e12)
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.round(tv, 8).alias("total_variance"),
+            F.round(eig, 8).alias("pc1_eigenvalue"),
+            F.round(eig / tv, 6).alias("explained_ratio"),
+        )
+    )
