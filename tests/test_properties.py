@@ -662,3 +662,74 @@ def test_dedup_lines_crossdoc_is_idempotent(spark, docs):
     )
     twice = dedup_lines_crossdoc(once).collect()
     assert all(r["n_kept"] == r["n_lines"] for r in twice)
+
+
+_lpa_edges = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda e: (min(e), max(e)),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_lpa_edges)
+def test_label_propagation_matches_python_model(spark, edges):
+    """Synchronous LPA with min-label ties is a pure function of the
+    edge set — replay it in plain Python and demand identical labels."""
+    from collections import Counter
+
+    from hfp_loader_spark.operators.graph import label_propagation
+
+    und: dict[int, set[int]] = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    lab = {v: v for v in und}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in und.items():
+            cnt = Counter(lab[u] for u in nbrs)
+            best = min(((-c, l) for l, c in cnt.items()))
+            new[v] = best[1]
+        lab = new
+    df = spark.createDataFrame(list(edges), "src int, dst int")
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, n_iter=3).collect()
+    }
+    assert got == lab
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.text("abcdef", min_size=1, max_size=4), min_size=1, max_size=30
+    )
+)
+def test_kmv_estimate_exact_below_k(spark, keys):
+    """A KMV sketch smaller than k IS the distinct set — the estimate
+    must equal the exact distinct count whenever n_distinct < k."""
+    from hfp_loader_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, key string")
+    n_distinct = len(set(keys))
+    k = 64
+    est = kmv_distinct_estimate(
+        kmv_sketch(df, "g", "key", k=k), "g", k=k
+    ).collect()
+    if n_distinct < k:
+        assert est[0]["est_distinct"] == float(n_distinct)
