@@ -364,3 +364,30 @@ def project_pc1(
             lambda acc, x: acc + x,
         ).alias("t"),
     )
+
+
+def top_p_components(
+    scatter: DataFrame,
+    p: int,
+    iters: int = 3,
+    vscale: int = 1_000_000,
+    materialize: bool = True,
+) -> list[DataFrame]:
+    """The top-``p`` spectral directions by the deflate → power-iterate
+    loop: component i is ``power_iteration_pc1`` on the scatter with
+    components 0..i−1 Hotelling-deflated out (``deflate_scatter``).
+    Returns ``p`` frames of ``(pos, v_q, eigenvalue)`` — the PCA
+    projection basis for rank reduction before ANN indexing.  Everything
+    stays exact integers; no additional corpus passes beyond the one
+    that built the scatter."""
+    out: list[DataFrame] = []
+    cur = scatter
+    for _ in range(p):
+        pc = power_iteration_pc1(
+            cur, iters=iters, vscale=vscale, materialize=materialize
+        )
+        out.append(pc)
+        cur = deflate_scatter(cur, pc)
+        if materialize:
+            cur = cur.localCheckpoint(eager=False)
+    return out

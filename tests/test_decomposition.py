@@ -267,3 +267,24 @@ def test_streaming_incremental_scatter_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert merged == exp2
+
+
+def test_top_p_components_compose_iterate_and_deflate(spark):
+    from hfp_loader_spark.operators.decomposition import (
+        deflate_scatter,
+        top_p_components,
+    )
+
+    emb = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+    scat = centered_scatter(scatter_stats(emb, scale=SCALE))
+    c1, c2 = top_p_components(scat, p=2, iters=3, vscale=VSCALE)
+    pc1 = power_iteration_pc1(scat, iters=3, vscale=VSCALE)
+    pc2 = power_iteration_pc1(
+        deflate_scatter(scat, pc1), iters=3, vscale=VSCALE
+    )
+    assert {r["pos"]: r["v_q"] for r in c1.collect()} == {
+        r["pos"]: r["v_q"] for r in pc1.collect()
+    }
+    assert {r["pos"]: r["v_q"] for r in c2.collect()} == {
+        r["pos"]: r["v_q"] for r in pc2.collect()
+    }
