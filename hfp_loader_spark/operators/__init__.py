@@ -20,6 +20,7 @@ from hfp_loader_spark.operators.neardup import (  # noqa: F401
 )
 from hfp_loader_spark.operators.relational import (  # noqa: F401
     anti_join,
+    apply_changelog,
     broadcast_join,
     global_top_k,
     salted_join,
@@ -52,5 +53,17 @@ from hfp_loader_spark.operators.decomposition import (  # noqa: F401
     power_iteration_pc1,
     project_pc1,
     scatter_stats,
+    top_p_components,
+)
+from hfp_loader_spark.operators.graph import (  # noqa: F401
+    connected_components_alternating,
+    label_propagation,
+    pagerank,
+)
+from hfp_loader_spark.operators.sketches import (  # noqa: F401
+    kmv_distinct_estimate,
+    kmv_jaccard,
+    kmv_merge,
+    kmv_sketch,
 )
 from hfp_loader_spark.operators.transform import typed_projection  # noqa: F401
