@@ -454,3 +454,77 @@ def label_propagation(
         )
         lab = new.localCheckpoint(eager=False) if materialize else new
     return lab
+
+
+def markov_stationary(
+    trans: DataFrame,
+    n_iter: int = 4,
+    pscale: int = 1_000_000,
+    src: str = "type_from",
+    dst: str = "type_to",
+    count_col: str = "n_trans",
+    materialize: bool = True,
+) -> DataFrame:
+    """Stationary distribution of an empirical Markov chain by
+    fixed-point power iteration — the integer recurrence of
+    ``decomposition.power_iteration_pc1`` applied to a (row-stochastic)
+    transition-count matrix, so the iterative computation replays
+    bit-for-bit on any engine.
+
+    The chain is restricted to states WITH outgoing transitions (both
+    endpoints in the from-set): an absorbing sink has no row to
+    normalize and would swallow probability mass with no outflow —
+    the restriction is deterministic and stated in the oracle.  Each
+    round computes rawₜ = Σₛ ⌊πₛ·C(s,t)/Rₛ⌋ (per-edge flooring against
+    the source's row sum — ≤1 ulp of the 1/pscale grid per edge), then
+    renormalizes π′ = ⌊raw·pscale/Σraw⌋.
+
+    Output: ``(state, pi_q)`` — ``pi_q/pscale`` sums to ~1.  Scale
+    shape: the transition matrix is |states|² rows, the iteration never
+    touches the event stream (that happened once, in the count
+    aggregate)."""
+    from hfp_loader_spark.operators.decomposition import _floor_div
+
+    dec = "decimal(38,0)"
+    states = trans.select(F.col(src).alias("state")).distinct()
+    c = (
+        trans.join(
+            states.select(F.col("state").alias(dst)), dst
+        )  # drop edges into absorbing sinks
+        .select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("t"),
+            F.col(count_col).cast(dec).alias("c"),
+        )
+    )
+    r = c.groupBy("s").agg(F.sum("c").alias("rsum"))
+    cm = c.join(F.broadcast(r), "s")
+    pi = states.select(
+        F.col("state").alias("s"), F.lit(pscale).cast(dec).alias("p")
+    )
+    for _ in range(n_iter):
+        raw = (
+            cm.join(F.broadcast(pi), "s")
+            .select(
+                F.col("t"),
+                _floor_div(F.col("p") * F.col("c"), F.col("rsum")).alias(
+                    "m"
+                ),
+            )
+            .groupBy("t")
+            .agg(F.sum("m").alias("raw"))
+        )
+        tot = raw.agg(
+            F.greatest(F.sum("raw"), F.lit(1).cast(dec)).alias("tot")
+        )
+        pi = raw.crossJoin(F.broadcast(tot)).select(
+            F.col("t").alias("s"),
+            _floor_div(
+                F.col("raw") * F.lit(pscale).cast(dec), F.col("tot")
+            ).alias("p"),
+        )
+        if materialize:
+            pi = pi.localCheckpoint(eager=False)
+    return pi.select(
+        F.col("s").alias("state"), F.col("p").cast("long").alias("pi_q")
+    )

@@ -961,3 +961,92 @@ def events_ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+def _markov_stationary_oracle(n_iter: int = 4) -> str:
+    """The transition-count CTE + the integer stationary recurrence
+    unrolled — SQL twin of operators.graph.markov_stationary."""
+    def fd(a: str, b: str) -> str:
+        return f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b}))"
+
+    parts = [f"""
+    WITH nxt AS (
+      SELECT event_type AS type_from,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS type_to
+      FROM events
+    ),
+    trans AS (
+      SELECT type_from, type_to, CAST(count(*) AS HUGEINT) AS n_trans
+      FROM nxt WHERE type_to IS NOT NULL
+      GROUP BY type_from, type_to
+    ),
+    states AS (SELECT DISTINCT type_from AS state FROM trans),
+    c AS (
+      SELECT type_from AS s, type_to AS t, n_trans AS c
+      FROM trans WHERE type_to IN (SELECT state FROM states)
+    ),
+    r AS (SELECT s, CAST(sum(c) AS HUGEINT) AS rsum FROM c GROUP BY s),
+    p0 AS (SELECT state AS s, CAST(1000000 AS HUGEINT) AS p FROM states)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+    raw{t} AS (
+      SELECT c.t AS t,
+             CAST(sum({fd("p * c", "rsum")}) AS HUGEINT) AS raw
+      FROM c
+      JOIN r ON r.s = c.s
+      JOIN p{t - 1} ON p{t - 1}.s = c.s
+      GROUP BY c.t
+    ),
+    tot{t} AS (
+      SELECT greatest(CAST(sum(raw) AS HUGEINT), CAST(1 AS HUGEINT))
+               AS tot
+      FROM raw{t}
+    ),
+    p{t} AS (
+      SELECT t AS s, {fd("raw * CAST(1000000 AS HUGEINT)", "tot")} AS p
+      FROM raw{t} CROSS JOIN tot{t}
+    )""")
+    parts.append(f"""
+    SELECT s AS event_type, CAST(p AS BIGINT) AS pi_q,
+           round(CAST(p AS DOUBLE) / 1e6, 6) AS pi
+    FROM p{n_iter}
+    """)
+    return "".join(parts)
+
+
+@defquery(
+    "events_markov_stationary",
+    _markov_stationary_oracle(4),
+    doc="Stationary distribution of the clickstream Markov chain "
+    "(operators.graph.markov_stationary, 4 fixed-point rounds): where "
+    "does a long random session SPEND its time — the chain-level "
+    "complement of events_transition_matrix's one-step view. The "
+    "integer power-iteration recurrence (per-edge floors against the "
+    "source row sum, renormalize by flooring against the total) "
+    "replays bit-for-bit in the unrolled SQL oracle. The event stream "
+    "is touched once (the lead() count aggregate); the iteration runs "
+    "on the |types|²-row matrix.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hfp_loader_spark.operators.graph import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("type_from"),
+            F.lead("event_type").over(w).alias("type_to"),
+        )
+        .where(F.col("type_to").isNotNull())
+        .groupBy("type_from", "type_to")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    pi = markov_stationary(trans, n_iter=4)
+    return pi.select(
+        F.col("state").alias("event_type"),
+        "pi_q",
+        F.round(F.col("pi_q").cast("double") / F.lit(1e6), 6).alias("pi"),
+    )
