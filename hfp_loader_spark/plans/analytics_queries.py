@@ -1050,3 +1050,81 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pi_q",
         F.round(F.col("pi_q").cast("double") / F.lit(1e6), 6).alias("pi"),
     )
+
+
+@defquery(
+    "agg_gini_revenue_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                           0) AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS i
+      FROM rev
+    ),
+    ag AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS HUGEINT)          AS n,
+             CAST(sum(cents) AS HUGEINT)        AS sx,
+             CAST(sum(i * cents) AS HUGEINT)    AS six
+      FROM rk GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_customers,
+           round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) AS gini
+    FROM ag JOIN nation ON n_nationkey = c_nationkey
+    """,
+    doc="Gini coefficient of customer revenue per nation — the "
+    "inequality / concentration audit (a data-mixture analogue: how "
+    "skewed is contribution across members of a group). Revenue "
+    "quantized to integer cents so the rank-weighted sums are exact; "
+    "G = (2Σi·xᵢ − (n+1)Σx) / (n·Σx) with deterministic (revenue, "
+    "custkey) tiebreaks — ONE division + round. Scale shape: the rank "
+    "window partitions by nation (per-group sort, never global), then "
+    "one constant-state aggregate per nation; customers without "
+    "orders count at zero revenue.",
+)
+def agg_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    dec = "decimal(38,0)"
+    rk = rev.withColumn("i", F.row_number().over(w).cast(dec))
+    ag = rk.groupBy("c_nationkey").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+        F.sum(F.col("i") * F.col("cents").cast(dec)).alias("six"),
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    two = F.lit(2).cast(dec)
+    one = F.lit(1).cast(dec)
+    return ag.join(
+        F.broadcast(nation), ag.c_nationkey == nation.n_nationkey
+    ).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (two * F.col("six") - (F.col("n") + one) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
