@@ -1126,3 +1126,72 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.text import token_entropy
 
     return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@defquery(
+    "text_term_burstiness",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tc AS (
+      SELECT term, doc_id, CAST(count(*) AS HUGEINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+    ag AS (
+      SELECT term,
+             CAST(sum(c) AS HUGEINT)     AS sc,
+             CAST(sum(c * c) AS HUGEINT) AS sc2,
+             CAST(count(*) AS BIGINT)    AS n_docs
+      FROM tc GROUP BY term
+    ),
+    top AS (
+      SELECT term, sc, sc2, n_docs FROM ag
+      ORDER BY sc DESC, term LIMIT 20
+    )
+    SELECT term, CAST(sc AS BIGINT) AS n_occurrences, n_docs,
+           -- docs WITHOUT the term count as zeros: n is the corpus size
+           round(CAST(nd.n * sc2 - sc * sc AS DOUBLE)
+                 / CAST(nd.n * sc AS DOUBLE), 6) AS burstiness
+    FROM top CROSS JOIN nd
+    """,
+    doc="Per-term burstiness (variance-to-mean ratio of per-document "
+    "counts, zeros included) for the 20 most frequent terms: VMR ≈ 1 "
+    "is Poisson scatter (function words), VMR ≫ 1 is topical "
+    "clustering — the Church & Gale (1995) term-distribution "
+    "diagnostic, and a boilerplate detector (a template phrase's "
+    "term has HIGH df and LOW burstiness). Exact integer moments via "
+    "n·Σc² − (Σc)² over (term, doc) counts, one division + round. "
+    "Scale shape: one (term, doc)-keyed count with map-side combine, "
+    "one term rollup, TakeOrderedAndProject for the top-20.",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import global_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    tc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast(dec).alias("c"))
+    )
+    ag = tc.groupBy("term").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    top = global_top_k(ag, [F.desc("sc"), F.asc("term")], 20)
+    nd = docs.agg(F.count("*").cast(dec).alias("n"))
+    return top.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.col("sc").cast("long").alias("n_occurrences"),
+        "n_docs",
+        F.round(
+            (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sc")).cast("double"),
+            6,
+        ).alias("burstiness"),
+    )
