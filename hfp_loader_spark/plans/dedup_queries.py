@@ -1031,3 +1031,56 @@ def dedup_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_a").alias("min_doc_a"),
         )
     )
+
+
+@defquery(
+    "dedup_graph_degree_spectrum",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    prs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT da, db FROM prs
+          WHERE round(i * 1.0 / (na + nb - i), 4) >= 0.8),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e)
+      GROUP BY v
+    )
+    SELECT CAST(length(bin(d)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT)    AS n_nodes,
+           CAST(sum(d) AS BIGINT)      AS sum_degree,
+           CAST(min(v) AS BIGINT)      AS min_doc_id
+    FROM deg GROUP BY 1
+    """,
+    doc="Degree spectrum of the near-dup graph (binary-magnitude "
+    "buckets, the text_zipf_spectrum integer-log2 trick): the graph-"
+    "health gauge for the dedup tier — a heavy high-degree tail means "
+    "template/boilerplate hubs that will chain unrelated documents "
+    "into one component (and blow up the CC's star rounds); the "
+    "mitigation is the df-cap / hub-excision this audit tells you to "
+    "apply. One union + count per node + ≤64-row rollup over the "
+    "persisted edge list.",
+)
+def dedup_graph_degree_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _dup_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionByName(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("d")).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("d").alias("sum_degree"),
+        F.min("v").alias("min_doc_id"),
+    )

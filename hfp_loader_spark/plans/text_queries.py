@@ -1195,3 +1195,45 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     )
+
+
+@defquery(
+    "text_good_turing_unseen",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE), 6) AS p_unseen
+    FROM tf GROUP BY source
+    """,
+    doc="Good–Turing unseen-vocabulary mass per source: P₀ = N₁/N (the "
+    "hapax count over total tokens) — the probability the NEXT token "
+    "drawn from this source is a word never seen before. The "
+    "per-source companion of text_zipf_spectrum's bucket 1: a source "
+    "whose p_unseen collapses is saturated/templated (stop crawling "
+    "it), one that stays high keeps contributing novel vocabulary — "
+    "the marginal-value signal for crawl budgeting. One "
+    "(source, term) count + one source rollup, exact integer inputs.",
+)
+def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        hap.cast("long").alias("n_hapax"),
+        F.round(
+            hap.cast("double") / F.sum("c").cast("double"), 6
+        ).alias("p_unseen"),
+    )
