@@ -391,3 +391,63 @@ def top_p_components(
         if materialize:
             cur = cur.localCheckpoint(eager=False)
     return out
+
+
+def save_scatter_stats(
+    spark,
+    stats: DataFrame,
+    root: str,
+    scale: int = 1_000_000,
+    meta: dict | None = None,
+) -> int:
+    """Persist scatter stats as a versioned-table snapshot — the
+    train-once/refresh-forever contract of the IVF/PQ codebooks applied
+    to the PCA sufficient statistics.  The quantization ``scale`` is
+    stamped into the snapshot meta (stats built at different scales
+    must never merge — the same class of silent corruption the
+    signature-index ``signature_params`` stamp guards against).
+
+    ``mode='append'`` on refresh: a delta's stats commit as a NEW dir
+    and readers re-aggregate on load (``load_scatter_stats``) — O(delta)
+    maintenance, O(1) commit, time-travel for free."""
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    out = stats.select(
+        "kind", "i", "j", F.col("val").cast("string").alias("val")
+    )
+    return commit_snapshot(
+        spark, out, root, mode="append",
+        meta={"scale": scale, **(meta or {})},
+    )
+
+
+def load_scatter_stats(
+    spark, root: str, scale: int = 1_000_000, version: int | None = None
+) -> DataFrame:
+    """Load (and merge) every committed scatter delta: the versioned
+    dirs union and re-aggregate by (kind, i, j) — exactly
+    ``merge_scatter_stats`` over the commit history, so downstream
+    centering/iteration sees the stats of the full corpus-so-far.
+    Refuses a scale mismatch (see ``save_scatter_stats``)."""
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        latest_version,
+        read_snapshot,
+    )
+
+    v = latest_version(spark, root) if version is None else version
+    meta = _read_manifest(spark, root, v).meta if v is not None else {}
+    stored = meta.get("scale")
+    if stored is not None and int(stored) != int(scale):
+        raise ValueError(
+            f"scatter stats at {root!r} were built with scale={stored}, "
+            f"requested {scale} — rebuild, don't mix quantization grids"
+        )
+    df = read_snapshot(spark, root, version)
+    return (
+        df.select(
+            "kind", "i", "j", F.col("val").cast(_DEC).alias("val")
+        )
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("val").alias("val"))
+    )

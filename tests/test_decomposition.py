@@ -288,3 +288,50 @@ def test_top_p_components_compose_iterate_and_deflate(spark):
     assert {r["pos"]: r["v_q"] for r in c2.collect()} == {
         r["pos"]: r["v_q"] for r in pc2.collect()
     }
+
+
+def test_scatter_stats_persist_and_incremental_refresh(spark, tmp_path):
+    from hfp_loader_spark.operators.decomposition import (
+        load_scatter_stats,
+        save_scatter_stats,
+    )
+
+    root = str(tmp_path / "scatter")
+    full = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+    a = full.where(F.col("vec_id") <= 2)
+    b = full.where(F.col("vec_id") > 2)
+    v1 = save_scatter_stats(
+        spark, scatter_stats(a, scale=SCALE, materialize=False), root,
+        scale=SCALE,
+    )
+    v2 = save_scatter_stats(
+        spark, scatter_stats(b, scale=SCALE, materialize=False), root,
+        scale=SCALE,
+    )
+    assert v2 > v1
+    got = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in load_scatter_stats(spark, root, scale=SCALE).collect()
+    }
+    exp = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in scatter_stats(full, scale=SCALE, materialize=False).collect()
+    }
+    assert got == exp
+    # time travel: version 1 sees only delta a
+    got1 = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in load_scatter_stats(
+            spark, root, scale=SCALE, version=v1
+        ).collect()
+    }
+    exp1 = {
+        (r["kind"], r["i"], r["j"]): int(r["val"])
+        for r in scatter_stats(a, scale=SCALE, materialize=False).collect()
+    }
+    assert got1 == exp1
+    # quantization-grid mismatch refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scale"):
+        load_scatter_stats(spark, root, scale=10_000)
