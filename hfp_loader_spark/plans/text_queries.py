@@ -1237,3 +1237,73 @@ def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             hap.cast("double") / F.sum("c").cast("double"), 6
         ).alias("p_unseen"),
     )
+
+
+@defquery(
+    "text_template_lines",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    shaped AS (
+      -- the SAME 6-word shaping as text_line_crossdoc_dedup: one
+      -- definition of "line" across the line-dedup pair of entries
+      SELECT doc_id,
+        list_transform(
+          range(0, CAST(ceil(len(toks) / 6.0) AS INT)),
+          j -> array_to_string(toks[(j*6+1):(j*6+6)], ' ')) AS lines
+      FROM t
+    ),
+    lx AS (
+      SELECT doc_id, unnest(lines) AS line
+      FROM shaped WHERE len(lines) > 0
+    ),
+    ag AS (
+      SELECT md5(line) AS line_key,
+             min(line) AS line,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM lx GROUP BY 1
+    )
+    SELECT line, n_occurrences, n_docs FROM ag
+    WHERE n_docs >= 2
+    ORDER BY n_occurrences DESC, line
+    LIMIT 20
+    """,
+    doc="Template/boilerplate line mining — the HUB view of "
+    "text_line_crossdoc_dedup (same 6-word line shaping): the 20 most "
+    "repeated cross-document lines with occurrence and document "
+    "counts. What a curation run eyeballs BEFORE turning on line "
+    "dedup: navigation chrome, cookie banners, and license blurbs "
+    "show up here first (C4 §2.2's motivating examples). One "
+    "16-byte-key aggregate + TakeOrderedAndProject.",
+)
+def text_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(t):
+        nl = F.ceil(F.size(t) / F.lit(6.0)).cast("int")
+        return F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda j: F.array_join(F.slice(t, j * 6 + 1, 6), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    shaped = F.element_at(
+        F.transform(F.array(tokens(F.col("text"))), build), 1
+    )
+    lx = docs.select(
+        "doc_id", F.explode(shaped).alias("line")
+    )
+    ag = lx.groupBy(F.md5("line").alias("line_key")).agg(
+        F.min("line").alias("line"),
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return global_top_k(
+        ag.where(F.col("n_docs") >= 2).select(
+            "line", "n_occurrences", "n_docs"
+        ),
+        [F.desc("n_occurrences"), F.asc("line")],
+        20,
+    )
