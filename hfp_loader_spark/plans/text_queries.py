@@ -1307,3 +1307,57 @@ def text_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("n_occurrences"), F.asc("line")],
         20,
     )
+
+
+@defquery(
+    "text_ngram_exclusivity",
+    f"""
+    WITH t AS (SELECT source, {_TOKS_SQL} AS tk FROM documents),
+    bg AS (
+      SELECT DISTINCT source, tk[i] || ' ' || tk[i + 1] AS b
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2
+    ),
+    srcs AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_sources FROM bg GROUP BY b
+    )
+    SELECT bg.source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN srcs.n_sources = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exclusive,
+           round(CAST(sum(CASE WHEN srcs.n_sources = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS exclusivity
+    FROM bg JOIN srcs ON srcs.b = bg.b
+    GROUP BY bg.source
+    """,
+    doc="Per-source bigram exclusivity: the fraction of a source's "
+    "distinct bigrams appearing in NO other source — the "
+    "cross-source-uniqueness complement of dedup_cross_source_overlap "
+    "(pairwise shared mass) and text_good_turing_unseen (within-source "
+    "novelty). A mirror or scrape-of-a-scrape collapses toward 0; a "
+    "genuinely independent source holds its exclusivity. One distinct "
+    "(source, bigram) projection, one bigram-keyed count, one re-join "
+    "co-partitioned with the count's own exchange.",
+)
+def text_ngram_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.text import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "source",
+        F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("b"),
+    ).distinct()
+    srcs = bg.groupBy("b").agg(F.count("*").alias("n_sources"))
+    excl = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    return (
+        bg.join(srcs, "b")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            excl.alias("n_exclusive"),
+            F.round(
+                excl.cast("double") / F.count("*").cast("double"), 6
+            ).alias("exclusivity"),
+        )
+    )
