@@ -1128,3 +1128,96 @@ def agg_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@defquery(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), mx.md) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, mx.md
+    ),
+    seg AS (
+      SELECT o_custkey,
+             CASE WHEN recency_days <= 365 THEN 'R1'
+                  WHEN recency_days <= 1095 THEN 'R2' ELSE 'R3' END
+               AS r_bin,
+             CASE WHEN frequency >= 20 THEN 'F1'
+                  WHEN frequency >= 10 THEN 'F2' ELSE 'F3' END AS f_bin,
+             CASE WHEN monetary_cents >= 300000000 THEN 'M1'
+                  WHEN monetary_cents >= 100000000 THEN 'M2'
+                  ELSE 'M3' END AS m_bin,
+             monetary_cents
+      FROM rfm
+    )
+    SELECT r_bin || f_bin || m_bin AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey
+    FROM seg GROUP BY 1
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation — "
+    "the canonical warehouse cohorting query: per customer, days since "
+    "last order vs the corpus max date, order count, and exact "
+    "integer-cent lifetime value, bucketed by FIXED literal edges "
+    "(data-derived quantile edges would need a global sort; fixed "
+    "edges keep segments stable across runs and scales — the "
+    "text_quality_bin_budget argument). One customer-keyed aggregate + "
+    "a ≤27-row rollup; the max-date scalar broadcasts.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("md"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "md")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("md"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_bin = (
+        F.when(F.col("recency_days") <= 365, "R1")
+        .when(F.col("recency_days") <= 1095, "R2")
+        .otherwise("R3")
+    )
+    f_bin = (
+        F.when(F.col("frequency") >= 20, "F1")
+        .when(F.col("frequency") >= 10, "F2")
+        .otherwise("F3")
+    )
+    m_bin = (
+        F.when(F.col("monetary_cents") >= 300000000, "M1")
+        .when(F.col("monetary_cents") >= 100000000, "M2")
+        .otherwise("M3")
+    )
+    return (
+        rfm.select(
+            "o_custkey",
+            F.concat(r_bin, f_bin, m_bin).alias("segment"),
+            "monetary_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("total_cents"),
+            F.min("o_custkey").alias("min_custkey"),
+        )
+    )
