@@ -1221,3 +1221,65 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_custkey").alias("min_custkey"),
         )
     )
+
+
+@defquery(
+    "events_bounce_rate_daily",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER win IS NULL
+                       OR date_diff('second', lag(ts) OVER win, ts) > 600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             CAST(min(ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+    doc="Daily bounce rate from batch sessionization "
+    "(operators.relational.sessionize, 10-min gap): fraction of "
+    "sessions with exactly one event, by session-start day — the "
+    "product-analytics health metric, and a worked example that the "
+    "islands session ids are TIE-INVARIANT (equal timestamps always "
+    "land in the same session whichever order the window visits them, "
+    "so the unordered-tie window is still deterministic in "
+    "aggregate). One user-keyed exchange shared by both window "
+    "passes, then two bounded rollups.",
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ses = sessionize(ev, "user_id", "ts", 600)
+    sessions = ses.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounces"),
+        F.round(
+            bounce.cast("double") / F.count("*").cast("double"), 4
+        ).alias("bounce_rate"),
+    )
