@@ -1283,3 +1283,110 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             bounce.cast("double") / F.count("*").cast("double"), 4
         ).alias("bounce_rate"),
     )
+
+
+@defquery(
+    "orders_cohort_ltv",
+    """
+    WITH first AS (
+      SELECT o_custkey,
+             CAST(min(year(o_orderdate)) AS INT) AS cohort_year
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_year,
+             CAST(year(o.o_orderdate) AS INT) - f.cohort_year AS age_years,
+             o.o_custkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort_year, age_years,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM rev GROUP BY 1, 2
+    """,
+    doc="Cohort lifetime value: customers grouped by first-order year, "
+    "revenue tracked by cohort age — the LTV triangle every "
+    "subscription/marketplace warehouse maintains (the orders twin of "
+    "cohort_weekly_retention's event-side view). Exact integer cents; "
+    "one customer-keyed min, one broadcast-able join back, one "
+    "(cohort, age) rollup.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("yr").alias("cohort_year")
+    )
+    rev = orders.join(first, "o_custkey").select(
+        "cohort_year",
+        (F.col("yr") - F.col("cohort_year")).alias("age_years"),
+        "o_custkey",
+        "cents",
+    )
+    return rev.groupBy("cohort_year", "age_years").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@defquery(
+    "events_dau_wau_stickiness",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY 1
+    ),
+    wau AS (
+      SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM days d JOIN active a
+        ON a.day BETWEEN d.day - INTERVAL '6 days' AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 4)
+             AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+    doc="DAU/WAU stickiness per day — the engagement-health ratio, "
+    "computed EXACTLY: distinct (day, user) once, daily actives by "
+    "count, trailing-7-day actives via a bounded day×active range "
+    "join (the day dimension is tiny — the join is broadcast — so "
+    "exactness is affordable; sketch_sliding_distinct is the same "
+    "question answered from mergeable HLL sketches when the day "
+    "dimension isn't small). One division + round.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    active = ev.distinct()
+    days = active.select("day").distinct()
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    d2 = days.select(F.col("day").alias("d"))
+    wau = (
+        F.broadcast(d2)
+        .join(
+            active,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, dau.day == wau.d).select(
+        "day",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+        ).alias("stickiness"),
+    )
