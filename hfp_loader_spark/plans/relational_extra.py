@@ -1562,3 +1562,51 @@ def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("est_jaccard", 4).alias("est_jaccard"),
         )
     )
+
+
+@defquery(
+    "orders_month_seasonality",
+    """
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    t AS (SELECT CAST(sum(cents) AS HUGEINT) AS total FROM m)
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS revenue_share
+    FROM m CROSS JOIN t
+    GROUP BY month, t.total
+    """,
+    doc="Revenue seasonality by calendar month: exact integer-cent "
+    "sums, share of annual-cycle revenue per month with one division "
+    "— the demand-curve view a forecasting pipeline calibrates "
+    "against. A 12-row rollup + a broadcast scalar total.",
+)
+def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").cast("int").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = m.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .groupBy("month", "total")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "revenue_cents",
+            F.round(
+                F.col("revenue_cents").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
