@@ -1610,3 +1610,59 @@ def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@defquery(
+    "supplier_balance_outliers",
+    """
+    WITH c AS (
+      SELECT s_suppkey, s_name, s_nationkey,
+             CAST(round(s_acctbal * 100) AS HUGEINT) AS cents
+      FROM supplier
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s1,
+             CAST(sum(cents * cents) AS HUGEINT) AS s2
+      FROM c
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS acctbal
+    FROM c CROSS JOIN ag
+    WHERE (cents * n - s1) * (cents * n - s1)
+          > 4 * (n * s2 - s1 * s1)
+    """,
+    doc="Account-balance outliers with the ZERO-float decision rule "
+    "(the emb_projection_outliers idiom on relational data): "
+    "(x·n − Σx)² > k²·(n·Σx² − (Σx)²) over exact integer cents, k=2 — "
+    "no division, sqrt, or rounding anywhere in the flag, so both "
+    "engines select identical rows by construction. The anomalous-"
+    "balance audit (fraud/typo screening) a finance warehouse runs "
+    "nightly. One global-moment aggregate broadcast back over the "
+    "scan.",
+)
+def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    c = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100).cast(dec).alias("cents"),
+    )
+    ag = c.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    dev = F.col("cents") * F.col("n") - F.col("s1")
+    spread = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        c.crossJoin(F.broadcast(ag))
+        .where(dev * dev > F.lit(4).cast(dec) * spread)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(
+                F.col("cents").cast("double") / F.lit(100.0), 2
+            ).alias("acctbal"),
+        )
+    )
