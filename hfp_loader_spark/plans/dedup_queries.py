@@ -1084,3 +1084,69 @@ def dedup_graph_degree_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").alias("sum_degree"),
         F.min("v").alias("min_doc_id"),
     )
+
+
+@defquery(
+    "dedup_lsh_design_curve",
+    """
+    WITH s AS (SELECT unnest(generate_series(1, 9)) AS k),
+    terms AS (
+      SELECT k,
+             CAST(10000 AS HUGEINT) AS denom4,
+             CAST(10000 AS HUGEINT)
+               - CAST(k AS HUGEINT) * k * k * k AS miss4
+      FROM s
+    ),
+    powed AS (
+      -- (1 - s^4)^8 as an exact rational: miss4^8 / 10000^8
+      SELECT k,
+             miss4 * miss4 * miss4 * miss4
+               * miss4 * miss4 * miss4 * miss4 AS missnum,
+             denom4 * denom4 * denom4 * denom4
+               * denom4 * denom4 * denom4 * denom4 AS den
+      FROM terms
+    )
+    SELECT round(k / 10.0, 1) AS jaccard,
+           round(CAST(den - missnum AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             AS p_candidate
+    FROM powed
+    """,
+    doc="The MinHash-LSH design curve for the shipped (b=8 bands, r=4 "
+    "rows) configuration: P[candidate] = 1 − (1 − s⁴)⁸ at Jaccard s — "
+    "computed as an EXACT RATIONAL ((10⁴)⁸ − (10⁴−k⁴)⁸) / (10⁴)⁸ in "
+    "HUGEINT/DECIMAL (libm pow is not correctly-rounded across "
+    "engines; integer powers are), one division + round. This is the "
+    "table that justifies dedup_minhash_lsh's parameters: ~0.039 at "
+    "s=0.5 (near-dup misses cheap to verify away) rising to ~0.98 at "
+    "s=0.9 — the S-curve's knee sits at the 0.8 threshold the "
+    "pipeline dedups at. Pure math, zero data access — the design "
+    "artifact as a first-class, oracle-checked query.",
+)
+def dedup_lsh_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    s = spark.range(1, 10).select(F.col("id").cast(dec).alias("k"))
+    t = s.select(
+        "k",
+        F.lit(10000).cast(dec).alias("d4"),
+        (
+            F.lit(10000).cast(dec)
+            - F.col("k") * F.col("k") * F.col("k") * F.col("k")
+        ).alias("m4"),
+    )
+
+    def pow8(c):
+        c2 = c * c
+        c4 = c2 * c2
+        return c4 * c4
+
+    p = t.select(
+        "k", pow8(F.col("m4")).alias("missnum"), pow8(F.col("d4")).alias("den")
+    )
+    return p.select(
+        F.round(F.col("k").cast("double") / F.lit(10.0), 1).alias("jaccard"),
+        F.round(
+            (F.col("den") - F.col("missnum")).cast("double")
+            / F.col("den").cast("double"),
+            6,
+        ).alias("p_candidate"),
+    )
