@@ -1390,3 +1390,102 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("wau").cast("double"), 4
         ).alias("stickiness"),
     )
+
+
+@defquery(
+    "events_hourly_reliability",
+    """
+    WITH h AS (
+      SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    )
+    SELECT hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_err) AS BIGINT) AS n_errors,
+           round(CAST(sum(is_err) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS error_rate
+    FROM h GROUP BY hour_of_day
+    """,
+    doc="Diurnal reliability profile: error share of the event stream "
+    "per hour-of-day — the ops dashboard row that separates load-"
+    "correlated failures (rate tracks traffic peaks) from scheduled-"
+    "job breakage (a fixed-hour spike). One conditional 24-row "
+    "aggregate, hour extraction fused into the scan.",
+)
+def events_hourly_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    err = F.sum("is_err")
+    return ev.groupBy("hour_of_day").agg(
+        F.count("*").alias("n_events"),
+        err.cast("long").alias("n_errors"),
+        F.round(
+            err.cast("double") / F.count("*").cast("double"), 6
+        ).alias("error_rate"),
+    )
+
+
+@defquery(
+    "customer_segment_value_matrix",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, n.n_name,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    t AS (SELECT CAST(sum(cents) AS HUGEINT) AS total FROM rev)
+    SELECT c_mktsegment, n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS revenue_share
+    FROM rev CROSS JOIN t
+    GROUP BY c_mktsegment, n_name, t.total
+    """,
+    doc="Market-segment × nation revenue matrix with exact integer-cent "
+    "shares — the GTM planning cut (which segment carries which "
+    "geography). Two broadcast dimension joins onto the fact scan, one "
+    "(segment, nation)-keyed rollup, one broadcast scalar total; "
+    "Q5's join tree re-aimed at a marketing question.",
+)
+def customer_segment_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rev = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    t = rev.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total")
+    )
+    return (
+        rev.crossJoin(F.broadcast(t))
+        .groupBy("c_mktsegment", "n_name", "total")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_name",
+            "n_orders",
+            "revenue_cents",
+            F.round(
+                F.col("revenue_cents").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
