@@ -1451,8 +1451,9 @@ def events_hourly_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Market-segment × nation revenue matrix with exact integer-cent "
     "shares — the GTM planning cut (which segment carries which "
-    "geography). Two broadcast dimension joins onto the fact scan, one "
-    "(segment, nation)-keyed rollup, one broadcast scalar total; "
+    "geography). Customer joins with NO forced hint (SF-proportional — "
+    "AQE broadcasts at gate scale only), the 25-row nation broadcasts, "
+    "one (segment, nation)-keyed rollup, one broadcast scalar total; "
     "Q5's join tree re-aimed at a marketing question.",
 )
 def customer_segment_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,8 +1465,10 @@ def customer_segment_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    # customer is SF-proportional — no forced hint (AQE broadcasts at
+    # gate scale, shuffles at 100 TB); the 25-row nation keeps its hint.
     rev = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     t = rev.agg(
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("total")

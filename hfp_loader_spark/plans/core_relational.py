@@ -95,12 +95,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
     """,
-    doc="TPC-H Q5-like local-supplier revenue: 6-table join. The dim chain "
-    "region→nation→supplier collapses into ONE broadcast onto lineitem "
-    "(region filter applied before the broadcast, so only ASIA suppliers "
-    "ship); the only fact-fact shuffle is lineitem⋈orders⋈customer on "
-    "their keys. The c_nationkey = s_nationkey residual rides the "
-    "broadcast join condition — no extra exchange.",
+    doc="TPC-H Q5-like local-supplier revenue: 6-table join. The fixed-size "
+    "region→nation chain broadcasts onto supplier; the region-filtered "
+    "supplier side is SF-proportional, so it carries NO forced hint — AQE "
+    "broadcasts it at gate scale and falls back to a shuffled hash join "
+    "at 100 TB instead of failing on the 8 GB broadcast cap. The only "
+    "guaranteed fact-fact shuffle is lineitem⋈orders⋈customer on their "
+    "keys; the c_nationkey = s_nationkey residual rides the join "
+    "condition — no extra exchange.",
 )
 def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -123,7 +125,7 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (F.col("c_nationkey") == supp.s_nationkey),
         )
@@ -148,8 +150,9 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q14-like promotion revenue share: date-pruned lineitem scan "
     "(shipdate predicate pushed into the parquet reader via the raw-domain "
-    "rewrite) ⋈ broadcast part, conditional aggregate to a single row — "
-    "the fact table never shuffles.",
+    "rewrite) ⋈ part (no forced hint — part is SF-proportional, AQE "
+    "broadcasts at gate scale only), conditional aggregate to a single "
+    "row.",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.plans.catalog import load_table
@@ -165,10 +168,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = broadcast_join(
-        li.select("l_partkey", "l_extendedprice", "l_discount"),
-        part,
-        F.col("l_partkey") == F.col("p_partkey"),
+    # ``part`` is SF-proportional — no forced broadcast; AQE picks
+    # broadcast at gate scale, shuffled hash join at 100 TB.
+    joined = li.select("l_partkey", "l_extendedprice", "l_discount").join(
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     return joined.agg(
         F.round(
@@ -204,8 +207,9 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    joined = broadcast_join(
-        orders, cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey")
+    # Segment-filtered customer is still SF-proportional — AQE decides.
+    joined = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey")
     ).join(li, li.l_orderkey == orders.o_orderkey)
     agg = (
         joined.where(F.col("l_shipdate") > F.col("o_orderdate"))
@@ -636,7 +640,7 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < F.col("half_avg_qty")
     )
     return (
-        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        small.join(part, small.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),

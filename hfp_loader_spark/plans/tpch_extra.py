@@ -90,10 +90,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
     """,
     doc="TPC-H Q7 volume shipping: nation appears TWICE under different "
-    "roles (supplier's vs customer's), each a broadcast; the symmetric "
-    "pair-disjunction filters after both joins. lineitem⋈orders is the one "
-    "real shuffle; customer and supplier broadcast at these scales "
-    "(dimension tables stay ≪ fact at any SF).",
+    "roles (supplier's vs customer's), each a 25-row broadcast; the "
+    "symmetric pair-disjunction filters after both joins. customer and "
+    "supplier are SF-proportional, so they carry NO forced hint — AQE "
+    "broadcasts them at gate scale and shuffles at 100 TB; lineitem⋈"
+    "orders is the one guaranteed shuffle.",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(
@@ -117,8 +118,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
     )
@@ -166,8 +167,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 national market share: eight-table join (nation twice, "
     "region gating the customer side, part-type gating the fact rows) "
     "feeding a conditional-aggregation ratio sum(CASE)/sum — one pass, no "
-    "self-join. Dims broadcast; the only shuffles are lineitem⋈orders and "
-    "the final year aggregate.",
+    "self-join. Fixed-size nation dims broadcast; the SF-proportional "
+    "part/customer/supplier sides are un-hinted (AQE decides); the only "
+    "guaranteed shuffles are lineitem⋈orders and the final year "
+    "aggregate.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -196,11 +199,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     j = (
-        li.join(F.broadcast(promo_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(promo_parts, li.l_partkey == F.col("p_partkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(euro_nations), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -242,9 +245,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue without ps_supplycost — adaptation documented): LIKE "
     "'%bolt%' (the spec's '%green%' matches zero synthetic part names — a "
     "0-row comparison proves nothing, VERDICT r3 #6) prunes part before "
-    "its broadcast (a contains filter can't "
-    "reach parquet stats but runs codegen-side on the tiny dim), supplier→"
-    "nation chain broadcast, grouped by (nation, ship year).",
+    "its join (a contains filter can't reach parquet stats but runs "
+    "codegen-side before the join; part/supplier are SF-proportional so "
+    "neither is hint-forced — AQE decides), nation chain broadcast, "
+    "grouped by (nation, ship year).",
 )
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -258,8 +262,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (
-        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -351,7 +355,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("total_revenue") == F.col("_max_rev"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return top.join(
-        F.broadcast(supp), top.l_suppkey == supp.s_suppkey
+        supp, top.l_suppkey == supp.s_suppkey
     ).select("s_suppkey", "s_name", "total_revenue")
 
 
@@ -371,7 +375,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16-like supplier-part relationships (partsupp stood in by "
     "lineitem's observed (partkey, suppkey) pairs — adaptation "
     "documented): negated-predicate part pruning + NOT IN as a LEFT ANTI "
-    "broadcast against negative-balance suppliers (keys are non-null so "
+    "join against negative-balance suppliers (keys are non-null so "
     "NOT IN ≡ anti-join), then count(DISTINCT suppkey) per brand/type/"
     "size — Spark expands the distinct inside the aggregate, one shuffle.",
 )
@@ -393,7 +397,7 @@ def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     kept = anti_join(li, bad_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     return (
-        kept.join(F.broadcast(parts), kept.l_partkey == parts.p_partkey)
+        kept.join(parts, kept.l_partkey == parts.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -415,7 +419,8 @@ def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="TPC-H Q20-like qualifying suppliers: two-level nested IN — parts "
-    "by name prefix (broadcast semi onto lineitem), year-scoped shipments "
+    "by name prefix (semi-join onto lineitem, strategy AQE-chosen), "
+    "year-scoped shipments "
     "aggregated per supplier with a HAVING volume floor, then supplier "
     "LEFT SEMI against the qualifying keys. Both INs become semi-joins; "
     "no correlated re-execution anywhere.",
@@ -437,7 +442,7 @@ def q20_qualifying_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_partkey", "l_suppkey", "l_quantity")
     qualifying = (
         li.join(
-            F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+            small_parts, li.l_partkey == F.col("p_partkey"), "left_semi"
         )
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
@@ -581,7 +586,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        kept.join(F.broadcast(supp), kept.l_suppkey == supp.s_suppkey)
+        kept.join(supp, kept.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -625,8 +630,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "offers joined back on (partkey, min_cost) equality — min returns an "
     "actual element of a deterministic IEEE double division, so the "
     "equality is exact in both engines. Offers computed once, persisted "
-    "for both roles; region→nation→supplier reduces to a broadcast "
-    "keep-list before the offers aggregate. LIMIT tiebreaks to a unique "
+    "for both roles; region→nation (fixed-size, broadcast) gates "
+    "supplier into an un-hinted keep-list semi-join before the offers "
+    "aggregate. LIMIT tiebreaks to a unique "
     "(acctbal desc, nation, name, partkey) total order.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +656,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
         .join(
-            F.broadcast(euro_supp.select("s_suppkey")),
+            euro_supp.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -674,8 +680,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("_mpk"))
             & (F.col("unit_cost") == F.col("_min_cost")),
         )
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal",
             "s_name",
