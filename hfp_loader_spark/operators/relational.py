@@ -748,3 +748,46 @@ def ewma(
         num = num + F.coalesce(tap, F.lit(0)) * (decay**j)
         den = den + F.when(tap.isNull(), 0.0).otherwise(decay**j)
     return df.withColumn(out_col, F.round(num / den, round_to))
+
+
+def integer_sigma_outliers(
+    df: DataFrame,
+    cents_col: str,
+    keep_cols: list[str],
+    k: int = 2,
+) -> DataFrame:
+    """Exact k-sigma outlier flag over integer-quantized values with a
+    ZERO-float decision rule: flag x where
+
+        (x·n − Σx)² > k² · (n·Σx² − (Σx)²)
+
+    — algebraically |x − mean| > k·stddev_pop, but cross-multiplied so
+    the comparison runs entirely in ``decimal(38,0)``: no division,
+    sqrt, or rounding anywhere in the flag, so any two engines select
+    identical rows by construction (the emb_projection_outliers idiom
+    generalized to relational data).
+
+    ``k`` must be a positive int (the rule compares against k² exactly).
+    Overflow margin: |cents| ≤ 2e12 and n ≤ 1e9 keeps every product
+    within decimal(38,0) — holds for TPC-H balances at any SF.
+
+    Scale shape: ONE global-moment aggregate (count/sum/sum-of-squares,
+    map-side combinable) broadcast back over the scan — the fact table
+    never shuffles. The anomalous-balance audit a finance warehouse
+    runs nightly.
+    """
+    assert isinstance(k, int) and k >= 1, "k must be a positive int"
+    dec = "decimal(38,0)"
+    c = df.select(*keep_cols, F.col(cents_col).cast(dec).alias("_cents"))
+    ag = c.agg(
+        F.count("*").cast(dec).alias("_n"),
+        F.sum("_cents").alias("_s1"),
+        F.sum(F.col("_cents") * F.col("_cents")).alias("_s2"),
+    )
+    dev = F.col("_cents") * F.col("_n") - F.col("_s1")
+    spread = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    return (
+        c.crossJoin(F.broadcast(ag))
+        .where(dev * dev > F.lit(k * k).cast(dec) * spread)
+        .select(*keep_cols, F.col("_cents").alias(cents_col))
+    )

@@ -568,3 +568,51 @@ def test_apply_changelog_semantics(spark):
         for r in apply_changelog(target, changes, keys=["k"]).collect()
     }
     assert got == {1: ("a3", 12.0), 3: ("c2", 33.0), 4: ("d", 40.0)}
+
+
+def test_integer_sigma_outliers_fires_on_planted_outlier(spark):
+    """VERDICT r9 #1: the k=2 rule is structurally empty on uniform TPC-H
+    balances, so the positive path needs a planted extreme value — one
+    row far outside a tight cluster must be flagged, and ONLY that row."""
+    from hfp_loader_spark.operators.relational import integer_sigma_outliers
+
+    rows = [(i, f"s{i}", 1000 + (i % 5)) for i in range(1, 50)]
+    rows.append((99, "whale", 10_000_000))
+    df = spark.createDataFrame(rows, "id int, name string, cents long")
+    out = integer_sigma_outliers(df, "cents", ["id", "name"], k=2).collect()
+    assert [(r["id"], r["name"]) for r in out] == [(99, "whale")]
+    assert int(out[0]["cents"]) == 10_000_000
+
+
+def test_integer_sigma_outliers_matches_float_sigma_rule(spark):
+    """The cross-multiplied integer rule must agree with the plain
+    |x − mean| > k·stddev_pop float rule on data with a clear margin —
+    and flipping the inequality (k huge) must flag nothing."""
+    import statistics
+
+    from hfp_loader_spark.operators.relational import integer_sigma_outliers
+
+    vals = [100, 102, 98, 101, 99, 100, 103, 97, 500, 100, 101, -300]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, cents long"
+    )
+    mean = statistics.fmean(vals)
+    sd = statistics.pstdev(vals)
+    expect = sorted(i for i, v in enumerate(vals) if abs(v - mean) > 2 * sd)
+    got = sorted(
+        r["id"] for r in integer_sigma_outliers(df, "cents", ["id"], k=2).collect()
+    )
+    assert got == expect and got  # non-empty by construction
+    assert (
+        integer_sigma_outliers(df, "cents", ["id"], k=1000).count() == 0
+    )
+
+
+def test_integer_sigma_outliers_rejects_bad_k(spark):
+    import pytest
+
+    from hfp_loader_spark.operators.relational import integer_sigma_outliers
+
+    df = spark.createDataFrame([(1, 10)], "id int, cents long")
+    with pytest.raises(AssertionError):
+        integer_sigma_outliers(df, "cents", ["id"], k=0)
