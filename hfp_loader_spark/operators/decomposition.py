@@ -206,6 +206,7 @@ def power_iteration_pc1(
     iters: int = 3,
     vscale: int = 1_000_000,
     materialize: bool = True,
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Dominant eigenvector of the centered scatter by ``iters`` power-
     iteration steps, entirely in exact integers: start from the all-ones
@@ -222,7 +223,11 @@ def power_iteration_pc1(
     max-normalized component, ``eigenvalue`` the Rayleigh quotient
     vᵀSv / (vᵀv·scale²) rounded once to 8 decimals (exact integer
     numerator and denominator; one IEEE division + one multiply, same on
-    every engine).  Each step is a d²×d join + d-row aggregate —
+    every engine).  ``scale`` MUST equal the quantization scale the
+    scatter was built with (``scatter_stats(scale=…)``) — the Rayleigh
+    denominator de-quantizes by scale²; a mismatch keeps ``v_q`` valid
+    but reports the eigenvalue off by (scale_built/scale)² (ADVICE r9).
+    Each step is a d²×d join + d-row aggregate —
     no corpus access at all (that happened once, in ``scatter_stats``).
 
     ``materialize=True`` lazily localCheckpoints the d²-row scatter and
@@ -269,7 +274,7 @@ def power_iteration_pc1(
     rho = quad.crossJoin(F.broadcast(den)).select(
         F.round(
             F.col("num").cast("double")
-            / (F.col("den").cast("double") * F.lit(1e12)),
+            / (F.col("den").cast("double") * F.lit(float(scale) ** 2)),
             8,
         ).alias("eigenvalue")
     )
@@ -372,6 +377,7 @@ def top_p_components(
     iters: int = 3,
     vscale: int = 1_000_000,
     materialize: bool = True,
+    scale: int = 1_000_000,
 ) -> list[DataFrame]:
     """The top-``p`` spectral directions by the deflate → power-iterate
     loop: component i is ``power_iteration_pc1`` on the scatter with
@@ -384,7 +390,8 @@ def top_p_components(
     cur = scatter
     for _ in range(p):
         pc = power_iteration_pc1(
-            cur, iters=iters, vscale=vscale, materialize=materialize
+            cur, iters=iters, vscale=vscale, materialize=materialize,
+            scale=scale,
         )
         out.append(pc)
         cur = deflate_scatter(cur, pc)

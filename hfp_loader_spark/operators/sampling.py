@@ -434,14 +434,18 @@ def shuffle_shards(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     k = F.col(key_col).cast("string")
+    # 12 hex digits = 48 hash bits (the _unit_uniform width): modulo
+    # bias is ≤ n_shards/2^48 (immeasurable) and the shard-count ceiling
+    # is 2.8e14 — 4 digits (16 bits) gave visible bias whenever n_shards
+    # didn't divide 65536 and empty shards past 65536 (ADVICE r9).
     shard = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + "shard:"), k)), 1, 4),
+            F.substring(F.md5(F.concat(F.lit(salt + "shard:"), k)), 1, 12),
             16,
             10,
-        ).cast("int")
+        ).cast("long")
         % n_shards
-    )
+    ).cast("int")
     order = F.md5(F.concat(F.lit(salt + "order:"), k))
     return df.withColumn("shard", shard).withColumn("sort_key", order)
 
@@ -519,7 +523,14 @@ def poisson_bootstrap_ci(
 
     Output: one row — ``point_mean``, ``ci_lo``, ``ci_hi`` (the
     ``lo_rank``-th / ``hi_rank``-th order statistics of the B replicate
-    means; defaults ≈ a 91% interval at B=32), ``n_rows``."""
+    means; defaults ≈ a 91% interval at B=32), ``n_rows``.
+
+    Degenerate-replicate guard (ADVICE r9): on small inputs a
+    replicate's Poisson(1) weights can all be 0 (P ≈ e^−n per
+    replicate — negligible past n ≈ 30, the implicit minimum-n for a
+    meaningful bootstrap anyway); such a replicate's mean coalesces to
+    the point estimate instead of poisoning the sorted order statistics
+    with NULL/NaN, deterministically on every engine."""
     key = F.col(key_col)
     x = F.col(cents_col)
     aggs = [
@@ -531,15 +542,22 @@ def poisson_bootstrap_ci(
         aggs.append(F.sum(w * x).alias(f"_wx{b}"))
         aggs.append(F.sum(w).alias(f"_w{b}"))
     row = df.agg(*aggs)
+    point = F.round(
+        F.col("_sx").cast("double") / F.col("_n").cast("double") / F.lit(100.0),
+        4,
+    )
     means = F.array_sort(
         F.array(
             *[
-                F.round(
-                    F.col(f"_wx{b}").cast("double")
-                    / F.col(f"_w{b}").cast("double")
-                    / F.lit(100.0),
-                    4,
-                )
+                F.when(
+                    F.col(f"_w{b}") > 0,
+                    F.round(
+                        F.col(f"_wx{b}").cast("double")
+                        / F.col(f"_w{b}").cast("double")
+                        / F.lit(100.0),
+                        4,
+                    ),
+                ).otherwise(point)
                 for b in range(n_replicates)
             ]
         )

@@ -649,7 +649,7 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARD_ID = (
     "CAST("
-    + _hex_int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 4)
+    + _hex_int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 12)
     + " % 8 AS INT)"
 )
 
@@ -797,8 +797,12 @@ def _boot_oracle() -> str:
         f"CAST(sum({w_sql(b)}) AS BIGINT) AS w{b}"
         for b in range(_BOOT_B)
     )
+    # degenerate-replicate guard mirrors the operator (ADVICE r9): an
+    # all-zero-weight replicate coalesces to the point estimate
     means = ", ".join(
-        f"round(CAST(wx{b} AS DOUBLE) / CAST(w{b} AS DOUBLE) / 100.0, 4)"
+        f"CASE WHEN w{b} > 0 THEN "
+        f"round(CAST(wx{b} AS DOUBLE) / CAST(w{b} AS DOUBLE) / 100.0, 4) "
+        f"ELSE round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) END"
         for b in range(_BOOT_B)
     )
     return f"""

@@ -117,23 +117,35 @@ def to_parquet_stage(
     The 100 TB pattern: JSON decode is the most expensive scan Spark
     does (every byte of every line, no pushdown) — pay it exactly once,
     then every downstream query gets columnar pruning, predicate
-    pushdown, and splittable files.  Counts ride the write via
-    ``observe`` — no second pass."""
+    pushdown, and splittable files.  BOTH counts ride the clean write
+    via ONE ``observe`` placed ABOVE the corrupt filter (CollectMetrics
+    is a pushdown barrier, so every parsed row — clean and corrupt —
+    flows through the metric before the filter drops the corrupt ones).
+    The clean path is therefore exactly one JSON decode; only when
+    corrupt lines exist does the quarantine write pay a second decode
+    of the input (ADVICE r9: the old shape paid up to three — a
+    ``bad.count()`` pass plus the quarantine write, unconditionally)."""
     from pyspark.sql import Observation
 
     raw = read_jsonl(spark, paths, schema)
-    clean, bad = split_corrupt(raw)
     obs = Observation()
-    writer = clean.observe(
-        obs, F.count(F.lit(1)).alias("n")
-    ).write.mode("overwrite")
+    observed = raw.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.coalesce(
+            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")), F.lit(0)
+        ).alias("n_bad"),
+    )
+    clean, _ = split_corrupt(observed)
+    writer = clean.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{out_dir.rstrip('/')}/clean")
-    n_clean = int(obs.get["n"])
-    n_bad = bad.count()
+    n_total = int(obs.get["n_total"])
+    n_bad = int(obs.get["n_bad"])
     if n_bad:
+        _, bad = split_corrupt(raw)
         bad.write.mode("overwrite").parquet(
             f"{out_dir.rstrip('/')}/_quarantine"
         )
-    return n_clean, n_bad
+    return n_total - n_bad, n_bad

@@ -462,3 +462,21 @@ def test_kmv_merge_equals_full_sketch(spark):
         ).collect()
     }
     assert merged == full
+
+
+def test_poisson_bootstrap_ci_degenerate_replicates_never_null(spark):
+    """ADVICE r9: with n=1 each replicate's weights are all-zero with
+    P=1/e, so over 32 replicates several are degenerate — their means
+    must coalesce to the point estimate, never NULL/NaN, keeping the
+    sorted order statistics finite."""
+    import math
+
+    from hfp_loader_spark.operators.sampling import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(1, 500)], "k int, cents long")
+    row = poisson_bootstrap_ci(df, "k", "cents", n_replicates=32).collect()[0]
+    assert row["n_rows"] == 1
+    assert row["point_mean"] == 5.0
+    for v in (row["ci_lo"], row["ci_hi"]):
+        assert v is not None and not math.isnan(v)
+        assert v == 5.0  # every non-degenerate replicate sees the one row
