@@ -1,0 +1,156 @@
+"""Plan-invariant regression tests (VERDICT r9 #3).
+
+Correctness hashes can't see plan regressions: a dropped ts_pushdown, a
+re-introduced broadcast hint on an SF-proportional table, or an
+accidental cartesian product all return identical rows — they only die
+at 100 TB.  These tests promote the PERF.md hand-audits into CI:
+
+- every catalog entry is checked for broadcast hints sitting on raw
+  fact-table scans (the fail-at-scale shape the r9 de-hint sweep
+  removed);
+- every non-streaming bench headline query is executed and its
+  AQE-final physical plan held to per-query invariants (exchange caps,
+  required pushed filters, zero cartesian products, zero row-at-a-time
+  Python evals).
+
+Deliberately breaking a plan (e.g. removing a ``ts_pushdown`` from
+q6_forecast_revenue, or wrapping ``part`` in ``F.broadcast`` in Q17)
+fails these tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hfp_loader_spark.audit import hinted_fact_scans, physical_profile
+
+#: Catalog entries allowed to hold a broadcast hint over a fact-table
+#: scan: in each, the hinted side is a QUERY SET bounded by a literal
+#: key filter (vec_id < 5 / doc_id IN (...)) — constant-size at any SF,
+#: which the mechanical walk can't prove (a Filter is not a structural
+#: bound the way Aggregate/Limit/Deduplicate are).  Grown entries must
+#: be justified here explicitly; removed hints must be deleted here.
+ALLOWED_HINTED_QUERY_SETS = {
+    "sim_cosine_topk": ["embeddings"],
+    "sim_ann_signlsh": ["embeddings"],
+    "sim_ann_ivf": ["embeddings"],
+    "sim_ann_pq": ["embeddings"],
+    "sim_ann_signlsh_recall": ["embeddings"],
+    "sim_ann_ivf_recall": ["embeddings"],
+    "sim_ann_pq_recall": ["embeddings"],
+    "rank_hard_negatives": ["documents"],
+    "rank_rrf_fusion": ["documents", "embeddings"],
+}
+
+#: Per-headline-query physical invariants, measured at sf0.001 with a
+#: +2 exchange margin for AQE variation.  ``bnlj`` is the count of
+#: BroadcastNestedLoopJoin allowed — nonzero only for broadcast-scalar
+#: crossJoins (1-row totals / bounded query sets), never a real
+#: cartesian.  ``pushed`` substrings must appear in some parquet
+#: PushedFilters — the pruning evidence.
+HEADLINE_INVARIANTS = {
+    "q1_pricing_summary": dict(max_exchanges=3, bnlj=0, pushed=["l_shipdate"]),
+    "q3_top_unshipped_orders": dict(
+        max_exchanges=4, bnlj=0, pushed=["EqualTo(c_mktsegment,BUILDING)"]
+    ),
+    "q5_local_supplier_revenue": dict(max_exchanges=8, bnlj=0),
+    "q6_forecast_revenue": dict(
+        max_exchanges=2, bnlj=0, pushed=["l_shipdate", "l_discount"]
+    ),
+    "merge_upsert_orders": dict(max_exchanges=2, bnlj=0),
+    "scd2_user_state_intervals": dict(max_exchanges=4, bnlj=0),
+    "window_lag_lead_running": dict(
+        max_exchanges=4, bnlj=0, pushed=["LessThan(user_id"]
+    ),
+    "hfp_typed_coercion_net": dict(max_exchanges=2, bnlj=0),
+    "dedup_minhash_lsh": dict(max_exchanges=26, bnlj=0),
+    "text_tfidf_top_terms": dict(
+        max_exchanges=10, bnlj=0, pushed=["LessThan(doc_id"]
+    ),
+    "sim_cosine_topk": dict(
+        max_exchanges=4, bnlj=2, pushed=["LessThan(vec_id,5)"]
+    ),
+    "sim_ann_signlsh": dict(
+        max_exchanges=4, bnlj=0, pushed=["LessThan(vec_id,5)"]
+    ),
+    "sim_ann_ivf": dict(
+        max_exchanges=4, bnlj=0, pushed=["LessThan(vec_id,5)"]
+    ),
+    "sim_ann_pq": dict(
+        max_exchanges=4, bnlj=2, pushed=["LessThan(vec_id,5)"]
+    ),
+    "events_funnel_windowed": dict(max_exchanges=4, bnlj=0),
+    "dedup_duplicate_clusters": dict(max_exchanges=6, bnlj=0),
+    "graph_khop_reachability": dict(max_exchanges=2, bnlj=0),
+    "graph_pagerank_cust_supp": dict(max_exchanges=2, bnlj=0),
+    "semdedup_keep_list": dict(max_exchanges=4, bnlj=0),
+    "decontaminate_ngram_overlap": dict(max_exchanges=10, bnlj=0),
+    "sample_dsir_importance": dict(
+        max_exchanges=12, bnlj=4, pushed=["EqualTo(lang,fr)"]
+    ),
+    "rank_rrf_fusion": dict(max_exchanges=22, bnlj=6),
+    "sim_mmr_rerank": dict(max_exchanges=4, bnlj=0),
+    "emb_power_iteration_pc1": dict(max_exchanges=2, bnlj=4),
+}
+
+
+def test_no_broadcast_hint_on_unbounded_fact_scans(spark, sf_dir):
+    """Every registered entry: a broadcast hint may not sit on a raw
+    SF-proportional scan (8 GB-cap job killer at 100 TB).  Exact match
+    against the allow-list so both regressions AND stale allowances
+    fail."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    flagged = {}
+    for name, ent in REGISTRY.items():
+        if name.startswith("stream"):
+            continue
+        hinted = hinted_fact_scans(ent.builder(spark, sf_dir))
+        if hinted:
+            flagged[name] = hinted
+    assert flagged == ALLOWED_HINTED_QUERY_SETS
+
+
+def test_headline_plan_invariants(spark, sf_dir):
+    """Execute each non-streaming headline query and hold its AQE-final
+    plan to the measured invariants."""
+    from bench import HEADLINE
+
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    failures = []
+    for name in HEADLINE:
+        if name.startswith("stream") or name not in HEADLINE_INVARIANTS:
+            continue
+        inv = HEADLINE_INVARIANTS[name]
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.collect()  # let AQE finalize the plan
+        p = physical_profile(df)
+        if p["cartesian_products"]:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if p["python_row_evals"]:
+            failures.append(f"{name}: row-at-a-time Python eval in plan")
+        if p["exchanges"] > inv["max_exchanges"]:
+            failures.append(
+                f"{name}: {p['exchanges']} exchanges > cap {inv['max_exchanges']}"
+            )
+        if p["broadcast_nested_loop_joins"] > inv["bnlj"]:
+            failures.append(
+                f"{name}: {p['broadcast_nested_loop_joins']} BNLJ > allowed {inv['bnlj']}"
+            )
+        for needle in inv.get("pushed", []):
+            if not any(needle in f for f in p["pushed_filters"]):
+                failures.append(f"{name}: '{needle}' not in PushedFilters")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.parametrize(
+    "entry,table",
+    [("q17_small_quantity_avg", "part"), ("customer_segment_value_matrix", "customer")],
+)
+def test_r9_weak_entries_are_dehinted(spark, sf_dir, entry, table):
+    """The two entries VERDICT r9 marked perf-weak must never regain a
+    forced broadcast of their SF-proportional side."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    assert table not in hinted_fact_scans(REGISTRY[entry].builder(spark, sf_dir))

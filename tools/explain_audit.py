@@ -33,6 +33,7 @@ MARKERS = [
 def main() -> None:
     from bench import HEADLINE
 
+    from hfp_loader_spark.audit import hinted_fact_scans, physical_profile
     from hfp_loader_spark.plans.catalog import REGISTRY
     from hfp_loader_spark.session import get_spark
 
@@ -42,18 +43,18 @@ def main() -> None:
     spark = get_spark(app_name="explain_audit")
     for name in names:
         df = REGISTRY[name].builder(spark, sf_dir)
+        hinted = hinted_fact_scans(df)
         df.collect()  # let AQE finalize
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        p = physical_profile(df)
+        plan = p.pop("plan")
         print(f"\n=== {name} ===")
         counts = {m: plan.count(m) for m in MARKERS if plan.count(m)}
         print("  operators:", counts or "(projection/aggregate only)")
-        spans = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)) | set(
-            re.findall(r"\*\((\d+)\)", plan)
-        )
-        print("  codegen spans:", len(spans))
-        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-            if m.group(1):
-                print("  pushed:", m.group(1)[:120])
+        print("  codegen spans:", p["codegen_spans"])
+        if hinted:
+            print("  !! broadcast hint on fact scan:", hinted)
+        for f in p["pushed_filters"]:
+            print("  pushed:", f[:120])
         for m in re.finditer(r"ReadSchema: (struct<[^>]{0,120})", plan):
             print("  read:", m.group(1))
 
