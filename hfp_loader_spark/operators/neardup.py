@@ -720,7 +720,11 @@ def decontaminate(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over token hashes.
 
@@ -729,6 +733,12 @@ def simhash_fingerprints(
     projection per document — aggregate over the in-row token array, no
     explode.  64 bits (not 32) keeps unrelated documents far apart even on
     small vocabularies.
+
+    ``token_hash`` (Column → Column) overrides the default ``xxhash64``
+    token hash.  The md5-48-bit variant (``conv(substr(md5(t),1,12),16,
+    10)`` with ``bits=48``) produces fingerprints DuckDB can recompute
+    exactly — the cross-engine-reproducible provenance fingerprint; keep
+    the xxhash64 default on the hot path (one hash vs md5's full digest).
     """
     from hfp_loader_spark.operators.text import tokens
 
@@ -758,7 +768,7 @@ def simhash_fingerprints(
             F.lit(0).cast("long"),
         )
 
-    th_expr = F.transform(toks, lambda t: F.xxhash64(t))
+    th_expr = F.transform(toks, token_hash or (lambda t: F.xxhash64(t)))
     fingerprint = F.element_at(
         F.transform(F.array(th_expr), lambda th: fp_given(th)), 1
     )

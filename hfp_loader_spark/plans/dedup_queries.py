@@ -247,19 +247,71 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BITS = 48  # md5 48-bit token hashes → DuckDB-recomputable
+
+
+def _simhash_oracle(bits: int, max_hamming: int) -> str:
+    """DuckDB twin of the FULL simhash pair search (r10: upgraded from
+    rows-only) — the catalog entry hashes tokens with md5-48-bit
+    (exactly recomputable here) instead of the hot path's xxhash64.
+    The oracle discovers pairs all-pairs (bit_count(xor) ≤ h over
+    ~N²/2 fingerprint pairs — fine for an oracle at gate scale); the
+    Spark side uses the pigeonhole band join, so value equality also
+    proves the banding loses no pair."""
+    th = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1)"
+            f" * {16 ** (11 - i)}"
+            for i in range(12)
+        )
+        + ")"
+    )
+    fp = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN "
+        f"(h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents
+    ),
+    th AS (SELECT doc_id, list_transform(toks, t -> {th}) AS hs FROM d),
+    fp AS (SELECT doc_id, ({fp}) AS simhash FROM th)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 @defquery(
     "dedup_simhash",
-    None,  # Spark xxhash64 token hashes → rows-only check (tests assert
-    # near-dup pairs land within the Hamming radius).
-    doc="SimHash(64-bit) fingerprints + pigeonhole-banded Hamming≤3 pair "
-    "search: per-bit vote over token hashes, byte-band equality join — "
-    "no all-pairs product at any scale.",
+    _simhash_oracle(_SIMHASH_BITS, 3),
+    doc="SimHash fingerprints + pigeonhole-banded Hamming≤3 pair search: "
+    "per-bit vote over token hashes, band equality join — no all-pairs "
+    "product at any scale. FULL oracle (r10): the entry hashes tokens "
+    "with md5-48-bit (conv(substr(md5,1,12),16,10) — recomputable in "
+    "DuckDB digit-by-digit), so the pair list itself is value-checked; "
+    "the all-pairs oracle also proves the (h+1)-band pigeonhole join "
+    "drops no pair. The hot path keeps xxhash64 (operator default).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md5_48 = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t), 1, 12), 16, 10
+    ).cast("long")
     fps = simhash_fingerprints(
-        _t(spark, sf_dir, "documents"), "doc_id", "text"
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=_SIMHASH_BITS,
+        token_hash=md5_48,
     )
-    return simhash_near_pairs(fps, max_hamming=3)
+    return simhash_near_pairs(fps, max_hamming=3, bits=_SIMHASH_BITS)
 
 
 def _simhash_self_offset(docs) -> int:

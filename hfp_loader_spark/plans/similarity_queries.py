@@ -148,15 +148,73 @@ def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _signlsh_oracle(n_planes: int, n_probes: int, dim: int, k: int) -> str:
+    """DuckDB twin of the FULL sign-LSH search (r10: upgraded from
+    rows-only) — possible because the hyperplanes are md5-derived
+    (operators.similarity._hyperplane), not engine-random: the same ±1
+    sign arrays are regenerated here and embedded as SQL literals, so
+    DuckDB computes the identical buckets, the identical probe set, and
+    the identical candidate-restricted exact-cosine top-k."""
+    import hashlib
+
+    def plane_lit(p: int) -> str:
+        signs = (
+            "1.0"
+            if hashlib.md5(f"p{p}d{d}".encode()).digest()[0] % 2 == 0
+            else "-1.0"
+            for d in range(dim)
+        )
+        return "[" + ",".join(signs) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probes = ", ".join(
+        ["CAST(qb AS BIGINT)"]
+        + [
+            f"xor(CAST(qb AS BIGINT), {1 << p})"
+            for p in range(min(n_probes, n_planes))
+        ]
+    )
+    return f"""
+    WITH cb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ({bucket}) AS qb
+      FROM (SELECT vec_id, embedding,
+                   embedding::DOUBLE[] AS v FROM embeddings)
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv,
+             unnest([{probes}]) AS bucket
+      FROM cb WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(CASE WHEN len(p.qv) > 0 AND len(c.v) > 0
+                        THEN list_cosine_similarity(p.qv, c.v)
+                   END, 4) AS cos
+      FROM probes p JOIN cb c ON CAST(c.qb AS BIGINT) = p.bucket
+    )
+    SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
 @defquery(
     "sim_ann_signlsh",
-    None,  # bucket hash has no DuckDB twin → rows-only; recall vs
-    # sim_cosine_topk asserted in tests/test_similarity.py.
+    _signlsh_oracle(n_planes=5, n_probes=5, dim=_DIM, k=5),
     doc="Approximate top-5 via sign-LSH (deterministic hyperplanes, 1-bit "
     "multi-probe): corpus bucketed in one narrow pass, candidates joined "
     "on bucket equality — (1+probes)/2^planes of the corpus scored per "
     "query. Planes sized IVF-style to the corpus (~log2(N/bucket)); "
-    "the 100 TB ANN path.",
+    "the 100 TB ANN path. FULL oracle (r10): the md5-derived hyperplane "
+    "signs are re-embedded as DuckDB literals, so the approximate "
+    "neighbor list itself is value-checked, not just its recall floor.",
 )
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
