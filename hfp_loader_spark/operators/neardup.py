@@ -1183,3 +1183,98 @@ def containment_pairs(
         )
     )
     return pairs.where(F.col("containment") >= F.lit(float(threshold)))
+
+
+def weighted_jaccard_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-source WEIGHTED Jaccard matrix over token frequencies:
+
+        wj(a, b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t))
+                 = Σmin / (T_a + T_b − Σmin)
+
+    The multiset companion to :func:`source_containment_matrix`'s
+    set-overlap view: set overlap says two sources share VOCABULARY,
+    weighted Jaccard says they share the same text in the same
+    PROPORTIONS — a mirror scores near 1 here even when both sources
+    also carry large distinct tails that dilute plain Jaccard.
+
+    The Σmax denominator never materializes: over the term union,
+    Σmax = T_a + T_b − Σmin (token totals minus the overlap), so only
+    terms present in BOTH sources are ever paired.
+
+    Scale shape: one (source, term) count aggregate — corpus-sized,
+    map-side combined — then a posting-list self-join ON THE TERM
+    (per-term fanout ≤ C(S,2); the stop-term df-cap lever applies when
+    S is large), per-source totals and the final S² matrix broadcast
+    (Aggregate-bounded frames).  Pairs sharing nothing still get a row
+    (wj 0); a tokenless source pairs with NULL wj (0/0 unmeasured)."""
+    from hfp_loader_spark.operators.text import tokens
+
+    tf = (
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "_t"
+            ),
+        )
+        .groupBy("_src", "_t")
+        .agg(F.count("*").alias("_tf"))
+    )
+    totals = tf.groupBy("_src").agg(F.sum("_tf").alias("_tot"))
+    shared = (
+        tf.select(F.col("_src").alias("source_a"), "_t", F.col("_tf").alias("_fa"))
+        .join(
+            tf.select(
+                F.col("_src").alias("source_b"),
+                F.col("_t").alias("_tb"),
+                F.col("_tf").alias("_fb"),
+            ),
+            F.col("_t") == F.col("_tb"),
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("_fa", "_fb")).alias("_smin"))
+    )
+    srcs = docs.select(F.col(source_col).alias("_s")).distinct()
+    matrix = srcs.select(F.col("_s").alias("source_a")).join(
+        F.broadcast(srcs.select(F.col("_s").alias("source_b"))),
+        F.col("source_a") < F.col("source_b"),
+    )
+    smin = F.coalesce(F.col("_smin"), F.lit(0)).cast("double")
+    ta = F.coalesce(F.col("_ta"), F.lit(0)).cast("double")
+    tb = F.coalesce(F.col("_tb_tot"), F.lit(0)).cast("double")
+    denom = ta + tb - smin
+    return (
+        matrix.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("_src").alias("source_a"), F.col("_tot").alias("_ta")
+                )
+            ),
+            "source_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("_src").alias("source_b"),
+                    F.col("_tot").alias("_tb_tot"),
+                )
+            ),
+            "source_b",
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            smin.cast("long").alias("shared_weight"),
+            F.when(denom > 0, F.round(smin / denom, round_to)).alias(
+                "weighted_jaccard"
+            ),
+        )
+    )

@@ -374,3 +374,70 @@ def rrf_fuse(
     return top_k_per_group(
         scored, [qid_col], [F.desc("rrf"), F.asc(id_col)], topk
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank statistic, computed from
+    the SCORE HISTOGRAM rather than a global sort:
+
+        AUC = (Σ_{positives} avgrank(score) − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+
+    with average ranks for ties (the textbook tie correction — without
+    it a constant classifier scores 0 instead of 0.5).
+
+    Scale shape: one ``groupBy(score)`` aggregate over the corpus (the
+    only corpus-sized pass, map-side combinable), then the rank algebra
+    runs on the DISTINCT-SCORE frame — bounded by the score's rounded
+    domain (≤ 10^d + 1 rows for d-decimal scores), the same bounded-
+    rollup argument as the day-spine windows.  The global window orders
+    that bounded frame, never the corpus.  One row out: n_pos, n_neg,
+    auc, gini (= 2·AUC − 1).
+
+    Output is NULL-auc when either class is empty (AUC undefined), with
+    the counts still reported — the caller's signal to fix labels, not
+    a silent 0.5.
+    """
+    from pyspark.sql import Window
+
+    g = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("double")
+        .alias("_npos"),
+    )
+    w = (
+        Window.orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.select(
+        "_npos",
+        "_n",
+        (
+            F.coalesce(F.sum("_n").over(w), F.lit(0.0))
+            + (F.col("_n") + 1.0) / 2.0
+        ).alias("_avgrank"),
+    )
+    agg = ranked.agg(
+        F.sum("_npos").alias("np"),
+        (F.sum("_n") - F.sum("_npos")).alias("nn"),
+        F.sum(F.col("_npos") * F.col("_avgrank")).alias("rsum"),
+    )
+    auc = F.when(
+        (F.col("np") > 0) & (F.col("nn") > 0),
+        F.round(
+            (F.col("rsum") - F.col("np") * (F.col("np") + 1.0) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            round_to,
+        ),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        auc.alias("auc"),
+        F.round(auc * 2.0 - 1.0, round_to).alias("gini"),
+    )

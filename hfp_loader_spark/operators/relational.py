@@ -791,3 +791,136 @@ def integer_sigma_outliers(
         .where(dev * dev > F.lit(k * k).cast(dec) * spread)
         .select(*keep_cols, F.col("_cents").alias(cents_col))
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Market-basket pair association: for every unordered item pair
+    (a < b) co-occurring in at least one basket —
+
+        support   = n_ab / N          (pair frequency)
+        conf_a_b  = n_ab / n_a        (P(b | a))
+        conf_b_a  = n_ab / n_b
+        lift      = N·n_ab / (n_a·n_b)  (>1 ⇒ positive association)
+
+    Scale shape: shuffle 1 groups rows into per-basket DISTINCT item
+    arrays (map-side combinable collect_set); the pair expansion is
+    IN-ROW over the sorted array — bounded by (items-per-basket choose
+    2), never a basket self-join, so a 10-item basket emits 45 pairs
+    regardless of corpus size.  Shuffle 2 counts pairs over the ≤|I|²
+    key domain.  Item counts and the basket total are Aggregate-bounded
+    side frames (broadcast-safe at any SF for a catalog-bounded item
+    domain — the premise of basket analysis).
+    """
+    b = F.col(basket_col)
+    baskets = (
+        df.where(b.isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(F.array_sort(F.collect_set(item_col)).alias("_items"))
+    )
+    arr = F.col("_items")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("_p")).groupBy(
+        F.col("_p.item_a").alias("item_a"),
+        F.col("_p.item_b").alias("item_b"),
+    ).agg(F.count("*").alias("n_ab"))
+    items = (
+        baskets.select(F.explode(arr).alias("_i"))
+        .groupBy("_i")
+        .agg(F.count("*").alias("_ni"))
+    )
+    total = baskets.agg(F.count("*").alias("_nb"))
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb_i").cast("double")
+    nab = F.col("n_ab").cast("double")
+    n = F.col("_nb").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(
+                items.select(
+                    F.col("_i").alias("item_a"), F.col("_ni").alias("_na")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                items.select(
+                    F.col("_i").alias("item_b"), F.col("_ni").alias("_nb_i")
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(nab / n, round_to).alias("support"),
+            F.round(nab / na, round_to).alias("conf_a_b"),
+            F.round(nab / nb, round_to).alias("conf_b_a"),
+            F.round(n * nab / (na * nb), round_to).alias("lift"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    cents_col: str,
+    keep_cols: list[str],
+    k_tenths: int = 19,
+) -> DataFrame:
+    """Robust outliers by median absolute deviation with an exact
+    integer-comparison decision rule: flag x where
+
+        |x − median| > (k_tenths/10) · MAD
+
+    The moment-free sibling of :func:`integer_sigma_outliers` — median/
+    MAD have a 50% breakdown point, so the rule still stands when the
+    contamination itself inflates the spread (the case that blinds a
+    sigma rule).
+
+    Exactness: over integer ``cents`` the interpolated median is integer
+    or half-integer, so ``d2 = |2·x − 2·med|`` is integer-valued, MAD of
+    the halves doubles back to the integer-valued ``m4 = 2·(2·MAD)``,
+    and the flag compares ``20·d2 > k_tenths·m4`` — integer-valued
+    doubles throughout (exact ≤ 2^53), identical on every engine; k in
+    tenths keeps the threshold rational without a float multiply.
+
+    Scale shape: two exact percentile aggregates (median, then MAD of
+    the deviations) + one broadcast scalar each — the gate-exact form;
+    at 100 TB swap ``percentile`` for ``approx_percentile`` (t-digest)
+    or the repo's qhist sketch, same plan shape (the agg_percentiles
+    precedent).  All-equal inputs give MAD = 0 and flag nothing — by
+    construction, since 20·d2 = 0 is never > 0.
+    """
+    assert isinstance(k_tenths, int) and k_tenths >= 1
+    x2 = (F.col(cents_col) * 2).cast("double")
+    med2 = df.agg(
+        (F.percentile(F.col(cents_col), F.lit(0.5)) * 2.0).alias("_m2")
+    )
+    dev = df.crossJoin(F.broadcast(med2)).select(
+        *keep_cols,
+        F.col(cents_col),
+        F.abs(x2 - F.col("_m2")).alias("_d2"),
+    )
+    m4 = dev.agg(
+        (F.percentile(F.col("_d2"), F.lit(0.5)) * 2.0).alias("_m4")
+    )
+    return (
+        dev.crossJoin(F.broadcast(m4))
+        .where(F.col("_d2") * 20.0 > F.lit(float(k_tenths)) * F.col("_m4"))
+        .select(*keep_cols, cents_col)
+    )

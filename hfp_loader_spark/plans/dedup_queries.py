@@ -1202,3 +1202,55 @@ def dedup_lsh_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_candidate"),
     )
+
+
+@defquery(
+    "dedup_weighted_jaccard_sources",
+    f"""
+    WITH tf AS (
+      SELECT src, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT source AS src, unnest({_TOKS_SQL}) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT src, sum(tf) AS tot FROM tf GROUP BY 1),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             sum(least(a.tf, b.tf)) AS smin
+      FROM tf a JOIN tf b ON a.term = b.term AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source AS s FROM documents),
+    matrix AS (
+      SELECT a.s AS source_a, b.s AS source_b
+      FROM srcs a JOIN srcs b ON a.s < b.s
+    )
+    SELECT m.source_a, m.source_b,
+           CAST(coalesce(sh.smin, 0) AS BIGINT) AS shared_weight,
+           CASE WHEN ta.tot + tb.tot - coalesce(sh.smin, 0) > 0
+                THEN round(coalesce(sh.smin, 0)
+                           / (CAST(ta.tot AS DOUBLE) + tb.tot
+                              - coalesce(sh.smin, 0)), 6)
+           END AS weighted_jaccard
+    FROM matrix m
+    LEFT JOIN shared sh USING (source_a, source_b)
+    LEFT JOIN totals ta ON ta.src = m.source_a
+    LEFT JOIN totals tb ON tb.src = m.source_b
+    """,
+    doc="Cross-source WEIGHTED Jaccard matrix over token frequencies "
+    "(operators.neardup.weighted_jaccard_matrix): Σmin(tf_a,tf_b) / "
+    "Σmax per source pair, with Σmax never materialized (= T_a + T_b − "
+    "Σmin). The multiset companion to dedup_cross_source_overlap's "
+    "set view: shared VOCABULARY vs shared text in the same "
+    "PROPORTIONS — a mirror with large distinct tails still scores "
+    "near 1 here. One (source, term) count aggregate, a posting-list "
+    "self-join ON THE TERM (fanout ≤ C(S,2) per term), bounded "
+    "broadcast side frames, complete S² matrix out (190 rows at 20 "
+    "sources, any SF).",
+)
+def dedup_weighted_jaccard_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import weighted_jaccard_matrix
+
+    return weighted_jaccard_matrix(_t(spark, sf_dir, "documents"))

@@ -500,3 +500,83 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "doc_id", "rrf", F.col("rn").cast("long").alias("rn")
     )
+
+
+def _auc_oracle() -> str:
+    """Composes the classifier and Gopher oracles (single definitions,
+    same as the calibration entry) into the Mann–Whitney rank form with
+    average-rank ties — the oracle states the identical histogram
+    algebra over DuckDB windows."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    cls = REGISTRY["quality_hashed_classifier"].oracle
+    gop = REGISTRY["text_gopher_rules"].oracle
+    return f"""
+    WITH j AS (
+      SELECT c.p, g.gopher_keep
+      FROM ({cls}) c JOIN ({gop}) g USING (doc_id)
+    ),
+    g AS (
+      SELECT p,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (gopher_keep) AS DOUBLE) AS npos
+      FROM j GROUP BY p
+    ),
+    r AS (
+      SELECT npos, n,
+             coalesce(sum(n) OVER (ORDER BY p
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+             + (n + 1.0) / 2.0 AS avgrank
+      FROM g
+    ),
+    a AS (
+      SELECT sum(npos) AS np, sum(n) - sum(npos) AS nn,
+             sum(npos * avgrank) AS rsum
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND nn > 0
+                THEN round((rsum - np * (np + 1.0) / 2.0) / (np * nn), 6)
+           END AS auc,
+           CASE WHEN np > 0 AND nn > 0
+                THEN round(CASE WHEN np > 0 AND nn > 0
+                           THEN round((rsum - np * (np + 1.0) / 2.0)
+                                      / (np * nn), 6) END * 2.0 - 1.0, 6)
+           END AS gini
+    FROM a
+    """
+
+
+@defquery(
+    "quality_classifier_auc",
+    _auc_oracle(),
+    doc="Exact ROC-AUC of the hashed quality classifier against the "
+    "Gopher-rules labels (operators.ranking.roc_auc): Mann–Whitney "
+    "rank statistic with average-rank ties, computed from the SCORE "
+    "HISTOGRAM — one groupBy(p) corpus aggregate, then the rank "
+    "algebra runs on the bounded distinct-score frame (≤ 10⁴+1 rows "
+    "at 4-decimal scores), never a corpus sort. The ranking-quality "
+    "companion to quality_calibration_bins: calibration says whether "
+    "p can be a sampling WEIGHT, AUC says whether it can be a "
+    "threshold GATE at all. Both scoring chains are the single "
+    "definitions their own entries use.",
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.ranking import roc_auc
+    from hfp_loader_spark.operators.text import gopher_quality_flags
+    from hfp_loader_spark.plans.text_queries import _GOPHER_STOPS
+
+    docs = _t(spark, sf_dir, "documents")
+    w = pseudo_weights(spark, _CLS_DIM, seed=_CLS_SEED, scale=_CLS_SCALE)
+    cls = hashed_linear_score(
+        docs, w, dim=_CLS_DIM, bias=_CLS_BIAS, threshold=_CLS_THRESH
+    ).select("doc_id", "p")
+    flags = gopher_quality_flags(
+        F.coalesce(F.col("text"), F.lit("")),
+        stopwords=_GOPHER_STOPS,
+        min_stopwords=2,
+    )
+    gop = docs.select("doc_id", flags["gopher_keep"].alias("gopher_keep"))
+    return roc_auc(cls.join(gop, "doc_id"), "p", "gopher_keep")

@@ -1713,3 +1713,92 @@ def supplier_balance_outliers_k1(
             "acctbal"
         ),
     )
+
+
+@defquery(
+    "orders_basket_brand_rules",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM ob),
+    items AS (SELECT item, CAST(count(*) AS BIGINT) AS ni
+              FROM ob GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, bb.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob bb ON a.b = bb.b AND a.item < bb.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / nb, 6)              AS support,
+           round(CAST(n_ab AS DOUBLE) / ia.ni, 6)           AS conf_a_b,
+           round(CAST(n_ab AS DOUBLE) / ib.ni, 6)           AS conf_b_a,
+           round(CAST(nb AS DOUBLE) * n_ab / (ia.ni * ib.ni), 6) AS lift
+    FROM pairs
+    JOIN items ia ON ia.item = pairs.item_a
+    JOIN items ib ON ib.item = pairs.item_b
+    CROSS JOIN n
+    """,
+    doc="Market-basket association rules over order baskets of part "
+    "brands (operators.relational.association_rules): per unordered "
+    "brand pair, co-occurrence count, support, both conditional "
+    "confidences, and lift — the assortment/cross-sell screen. The "
+    "Spark side groups each order into a sorted DISTINCT-brand array "
+    "and expands pairs IN-ROW (≤ C(items-per-basket, 2) per order, "
+    "never a basket self-join), then one bounded pair-count shuffle; "
+    "the oracle states the same statistics via the plain self-join. "
+    "Output bounded by the 25-brand domain: ≤ 300 rows at any SF.",
+)
+def orders_basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return association_rules(ob, "l_orderkey", "p_brand")
+
+
+@defquery(
+    "orders_price_mad_outliers",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (SELECT quantile_cont(cents, 0.5) * 2.0 AS m2 FROM c),
+    d AS (
+      SELECT o_orderkey, cents,
+             abs(2.0 * cents - m.m2) AS d2
+      FROM c CROSS JOIN m
+    ),
+    s AS (SELECT quantile_cont(d2, 0.5) * 2.0 AS m4 FROM d)
+    SELECT o_orderkey, cents
+    FROM d CROSS JOIN s
+    WHERE d2 * 20.0 > 19.0 * s.m4
+    """,
+    doc="Robust order-price outliers by median/MAD with an exact "
+    "integer-comparison rule (operators.relational.mad_outliers, "
+    "k = 1.9): |x − med| > 1.9·MAD over integer cents — the median is "
+    "integer-or-half so 2·x − 2·med and 2·(2·MAD) are integer-valued "
+    "doubles and the 20·d2 > 19·m4 comparison is exact on both "
+    "engines. The 50%-breakdown sibling of the sigma rule (which a "
+    "heavy contamination inflates into silence); on TPC-H's uniform "
+    "prices the flag fires on the P(dev > 1.9·MAD) = 1 − 1.9/2 = 5% "
+    "tails, so the entry is NON-EMPTY at every SF — falsifiable by "
+    "construction. Two exact percentile aggregates + broadcast "
+    "scalars; at 100 TB the percentiles swap to t-digest/qhist with "
+    "the same plan shape.",
+)
+def orders_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import mad_outliers
+
+    c = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(c, "cents", ["o_orderkey"], k_tenths=19)

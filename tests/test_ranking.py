@@ -184,3 +184,31 @@ def test_rrf_fuse_arithmetic_and_absent_sides(spark):
         (20, round(1 / 62, 6), 2),
         (30, round(1 / 62, 6), 3),
     ]
+
+
+def test_roc_auc_separation_inversion_ties_and_degenerate(spark):
+    """Textbook AUC properties: perfect separation → 1, inversion → 0,
+    constant score → 0.5 (tie correction), single-class → NULL auc with
+    counts still reported."""
+    from hfp_loader_spark.operators.ranking import roc_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        r = roc_auc(df, "score", "label").collect()[0]
+        return r["auc"], r["n_pos"], r["n_neg"]
+
+    sep = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    assert auc_of(sep) == (1.0, 2, 2)
+    inv = [(s, not l) for s, l in sep]
+    assert auc_of(inv)[0] == 0.0
+    const = [(0.5, True), (0.5, False), (0.5, True), (0.5, False)]
+    assert auc_of(const)[0] == 0.5
+    one_class = [(0.9, True), (0.1, True)]
+    a, np_, nn = auc_of(one_class)
+    assert a is None and np_ == 2 and nn == 0
+
+    # hand-computable mixed case with a cross-class tie:
+    # scores: pos {0.8, 0.5}, neg {0.5, 0.2}  → pairs: (0.8 beats both)
+    # + (0.5 vs 0.5 = half) + (0.5 beats 0.2) → (2 + 0.5 + 1)/4 = 0.875
+    mixed = [(0.8, True), (0.5, True), (0.5, False), (0.2, False)]
+    assert auc_of(mixed)[0] == 0.875

@@ -616,3 +616,57 @@ def test_integer_sigma_outliers_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 10)], "id int, cents long")
     with pytest.raises(AssertionError):
         integer_sigma_outliers(df, "cents", ["id"], k=0)
+
+
+def test_association_rules_hand_computed(spark):
+    """3 baskets: {a,b}, {a,b,c}, {a,c}.  n_a=3 n_b=2 n_c=2, N=3;
+    ab: n=2 → support 2/3, conf_a_b 2/3, conf_b_a 1, lift 3·2/(3·2)=1;
+    ac: n=2 → conf_a_c 2/3, conf_c_a 1, lift 1; bc: n=1 → lift 3/4.
+    Duplicate item rows in a basket must not double-count."""
+    from hfp_loader_spark.operators.relational import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),      # dup 'a' in basket 1
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "b int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "b", "item").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert (ab["n_ab"], ab["support"], ab["conf_a_b"], ab["conf_b_a"],
+            ab["lift"]) == (2, 0.666667, 0.666667, 1.0, 1.0)
+    bc = got[("b", "c")]
+    assert (bc["n_ab"], bc["lift"]) == (1, 0.75)
+
+
+def test_mad_outliers_fires_on_planted_and_silent_on_constant(spark):
+    """A tight cluster + one extreme value: only the extreme flags at
+    k=1.9; an all-equal input has MAD 0 and flags nothing (0 > 0 never
+    holds); and the sigma-blinding case — contamination inflating the
+    spread — still flags under MAD."""
+    from hfp_loader_spark.operators.relational import (
+        integer_sigma_outliers,
+        mad_outliers,
+    )
+
+    rows = [(i, 1000 + (i % 3)) for i in range(30)] + [(99, 10_000_000)]
+    df = spark.createDataFrame(rows, "id int, cents long")
+    got = mad_outliers(df, "cents", ["id"], k_tenths=19).collect()
+    assert [r["id"] for r in got] == [99]
+
+    const = spark.createDataFrame([(i, 500) for i in range(9)], "id int, cents long")
+    assert mad_outliers(const, "cents", ["id"], k_tenths=19).count() == 0
+
+    # breakdown: 40% contamination at one extreme inflates stddev until
+    # the sigma rule at k=2 goes silent, while median/MAD still flag it
+    contaminated = [(i, 100) for i in range(12)] + [
+        (100 + i, 10_000_000) for i in range(8)
+    ]
+    cdf = spark.createDataFrame(contaminated, "id int, cents long")
+    assert integer_sigma_outliers(cdf, "cents", ["id"], k=2).count() == 0
+    flagged = {r["id"] for r in mad_outliers(cdf, "cents", ["id"], 19).collect()}
+    assert flagged == {100 + i for i in range(8)}
