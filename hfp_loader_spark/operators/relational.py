@@ -924,3 +924,79 @@ def mad_outliers(
         .where(F.col("_d2") * 20.0 > F.lit(float(k_tenths)) * F.col("_m4"))
         .select(*keep_cols, cents_col)
     )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution in ONE window
+    pass: for every conversion event, the earliest and the latest
+    touchpoint the same user produced at-or-before it (ties broken on
+    ``id_col``, so same-timestamp rows attribute deterministically),
+    rolled up to per-(model, touch_type) conversion counts and shares.
+
+    Conversions with no prior touchpoint attribute to ``'(none)'`` —
+    reported, never dropped: the un-attributable share is exactly the
+    number a marketing-mix model needs to see.
+
+    Scale shape: both running extrema share ONE shuffle + local sort on
+    the user key (the sessionize argument); the rollup output is
+    bounded by 2·(|touch_types|+1) rows; the share denominator is a
+    1-row broadcast."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
+    conv = (
+        df.select(
+            F.col(type_col),
+            F.first(touch, ignorenulls=True).over(w).alias("_first"),
+            F.last(touch, ignorenulls=True).over(w).alias("_last"),
+        )
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("first_touch").alias("model"),
+                        F.coalesce("_first", F.lit("(none)")).alias(
+                            "touch_type"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("last_touch").alias("model"),
+                        F.coalesce("_last", F.lit("(none)")).alias(
+                            "touch_type"
+                        ),
+                    ),
+                )
+            ).alias("_m")
+        )
+        .select("_m.model", "_m.touch_type")
+    )
+    total = conv.where(F.col("model") == "first_touch").agg(
+        F.count("*").alias("_n_conv")
+    )
+    return (
+        conv.groupBy("model", "touch_type")
+        .agg(F.count("*").alias("n_conversions"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "model",
+            "touch_type",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double") / F.col("_n_conv"),
+                round_to,
+            ).alias("share"),
+        )
+    )

@@ -1492,3 +1492,64 @@ def customer_segment_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("revenue_share"),
         )
     )
+
+
+@defquery(
+    "events_conversion_attribution",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             first_value(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ft,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lt
+      FROM events
+    ),
+    conv AS (
+      SELECT model, touch_type FROM (
+        SELECT 'first_touch' AS model,
+               coalesce(ft, '(none)') AS touch_type
+        FROM seq WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'last_touch', coalesce(lt, '(none)')
+        FROM seq WHERE event_type = 'purchase'
+      )
+    ),
+    n AS (SELECT count(*) / 2 AS n_conv FROM conv)
+    SELECT model, touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(count(*) / CAST(n.n_conv AS DOUBLE), 6) AS share
+    FROM conv CROSS JOIN n
+    GROUP BY model, touch_type, n.n_conv
+    """,
+    doc="First-touch vs last-touch conversion attribution "
+    "(operators.relational.conversion_attribution): per purchase, the "
+    "earliest and latest click/view the same user produced at-or-"
+    "before it (ties broken on event_id → deterministic), rolled up to "
+    "per-(model, touch_type) counts and shares; un-attributable "
+    "purchases report as '(none)' rather than vanishing. Both running "
+    "extrema share ONE user-keyed shuffle + local sort; the rollup is "
+    "≤ 2·3 rows + a 1-row broadcast denominator — the marketing-mix "
+    "input a warehouse derives from the same clickstream the funnel "
+    "and markov entries read.",
+)
+def events_conversion_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hfp_loader_spark.operators.relational import conversion_attribution
+
+    return conversion_attribution(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        touch_types=["click", "view"],
+        conversion_type="purchase",
+    )

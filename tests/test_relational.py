@@ -670,3 +670,40 @@ def test_mad_outliers_fires_on_planted_and_silent_on_constant(spark):
     assert integer_sigma_outliers(cdf, "cents", ["id"], k=2).count() == 0
     flagged = {r["id"] for r in mad_outliers(cdf, "cents", ["id"], 19).collect()}
     assert flagged == {100 + i for i in range(8)}
+
+
+def test_conversion_attribution_models_and_none_bucket(spark):
+    """user 1: view → click → purchase (first=view, last=click);
+    user 2: purchase with no prior touch → '(none)' in both models;
+    user 3: touch at the SAME ts as the purchase but a smaller event_id
+    counts (deterministic id tiebreak)."""
+    from datetime import datetime
+
+    from hfp_loader_spark.operators.relational import conversion_attribution
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), "view", 10),
+        (1, t(2), "click", 11),
+        (1, t(3), "purchase", 12),
+        (2, t(1), "purchase", 20),
+        (3, t(5), "click", 30),
+        (3, t(5), "purchase", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    got = {
+        (r["model"], r["touch_type"]): (r["n_conversions"], r["share"])
+        for r in conversion_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            ["click", "view"], "purchase",
+        ).collect()
+    }
+    assert got == {
+        ("first_touch", "view"): (1, 0.333333),
+        ("first_touch", "click"): (1, 0.333333),
+        ("first_touch", "(none)"): (1, 0.333333),
+        ("last_touch", "click"): (2, 0.666667),
+        ("last_touch", "(none)"): (1, 0.333333),
+    }
