@@ -1000,3 +1000,51 @@ def conversion_attribution(
             ).alias("share"),
         )
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ordinary least squares fit of y on x as ONE aggregate pass —
+    the cross-engine-exact regression primitive:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r2        = (n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+
+    Spelled out as sums (not an engine's ``regr_*``) so the arithmetic
+    is the identical expression tree on every engine — same doubles,
+    same single rounding at the end.  NULL slope/r2 on degenerate
+    inputs (n < 2 or zero x-variance); a zero y-variance series fits
+    slope 0 with NULL r2 (0/0).
+
+    Scale shape: five map-side-combinable sums + one row out — use it
+    on bounded frames (rollups, top-k) or the full corpus alike."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    a = df.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when((F.col("n") >= 2) & (dx > 0), num / dx)
+    return a.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to
+        ).alias("intercept"),
+        F.when(
+            (F.col("n") >= 2) & (dx > 0) & (dy > 0),
+            F.round(num * num / (dx * dy), round_to),
+        ).alias("r2"),
+    )

@@ -1553,3 +1553,56 @@ def events_conversion_attribution(
         touch_types=["click", "view"],
         conversion_type="purchase",
     )
+
+
+@defquery(
+    "orders_revenue_trend_fit",
+    """
+    WITH m AS (
+      SELECT (CAST(year(o_orderdate) AS INT) - 1992) * 12
+             + CAST(month(o_orderdate) AS INT) - 1 AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS y
+      FROM orders GROUP BY 1
+    ),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x::DOUBLE) AS sx,
+             sum(y) AS sy, sum(x::DOUBLE * x) AS sxx, sum(y * y) AS syy,
+             sum(x::DOUBLE * y) AS sxy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM a
+    """,
+    doc="Monthly revenue linear trend (operators.relational.linear_fit): "
+    "exact integer-cent monthly sums indexed by months-since-1992, OLS "
+    "slope/intercept/R² — the demand-growth number a capacity plan "
+    "extrapolates from, and the regression twin of "
+    "orders_month_seasonality's share view. Bounded ~84-month rollup "
+    "then five OLS sums; identical expression tree in the oracle.",
+)
+def orders_revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.relational import linear_fit
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).cast("int").alias("x")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("y")
+        )
+    )
+    return linear_fit(m, "x", "y")

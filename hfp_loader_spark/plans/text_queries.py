@@ -1361,3 +1361,68 @@ def text_ngram_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exclusivity"),
         )
     )
+
+
+@defquery(
+    "text_zipf_fit",
+    f"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+      GROUP BY term
+    ),
+    top AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                 AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM tf ORDER BY freq DESC, term LIMIT 500
+    ),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM a
+    """,
+    doc="Zipf rank-frequency fit (operators.relational.linear_fit): OLS "
+    "of ln(freq) on ln(rank) over the top-500 terms (deterministic "
+    "freq-desc/term-asc rank). Natural text slopes near −1 with high "
+    "R²; templated or machine-generated corpora bend the curve — the "
+    "corpus-health diagnostic next to burstiness and Good–Turing. "
+    "Scale shape: term-count aggregate → TakeOrderedAndProject top-500 "
+    "(per-task heaps, no global sort) → rank window and five OLS sums "
+    "on the 500-row frame; identical expression tree in the oracle so "
+    "the doubles agree exactly.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hfp_loader_spark.operators.relational import global_top_k, linear_fit
+    from hfp_loader_spark.operators.text import tokens
+
+    tf = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = global_top_k(tf, [F.desc("freq"), F.asc("term")], 500)
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return linear_fit(ranked, "x", "y")

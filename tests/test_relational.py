@@ -707,3 +707,42 @@ def test_conversion_attribution_models_and_none_bucket(spark):
         ("last_touch", "click"): (2, 0.666667),
         ("last_touch", "(none)"): (1, 0.333333),
     }
+
+
+def test_linear_fit_exact_line_noise_and_degenerate(spark):
+    """A perfect line recovers slope/intercept with r2=1; degenerate
+    inputs (single point, zero x-variance) yield NULLs, a flat series
+    fits slope 0 with NULL r2."""
+    from hfp_loader_spark.operators.relational import linear_fit
+
+    line = [(float(x), 3.0 * x - 2.0) for x in range(10)]
+    r = linear_fit(
+        spark.createDataFrame(line, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert (r["n_points"], r["slope"], r["intercept"], r["r2"]) == (
+        10, 3.0, -2.0, 1.0,
+    )
+
+    single = linear_fit(
+        spark.createDataFrame([(1.0, 5.0)], "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert single["slope"] is None and single["r2"] is None
+
+    samex = linear_fit(
+        spark.createDataFrame(
+            [(2.0, 1.0), (2.0, 9.0)], "x double, y double"
+        ),
+        "x",
+        "y",
+    ).collect()[0]
+    assert samex["slope"] is None
+
+    flat = linear_fit(
+        spark.createDataFrame(
+            [(float(x), 7.0) for x in range(5)], "x double, y double"
+        ),
+        "x",
+        "y",
+    ).collect()[0]
+    assert flat["slope"] == 0.0 and flat["intercept"] == 7.0
+    assert flat["r2"] is None
