@@ -1719,8 +1719,10 @@ def supplier_balance_outliers_k1(
     "orders_basket_brand_rules",
     """
     WITH ob AS (
+      -- NULL baskets/items dropped exactly as the operator drops them
       SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
     ),
     n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM ob),
     items AS (SELECT item, CAST(count(*) AS BIGINT) AS ni

@@ -166,8 +166,14 @@ def _signlsh_oracle(n_planes: int, n_probes: int, dim: int, k: int) -> str:
         )
         return "[" + ",".join(signs) + "]"
 
+    # Spark's fold pads length-mismatched zips with NULL → every bit's
+    # dot goes NULL → bucket 0 for NULL/empty/ragged vectors.  DuckDB's
+    # list_dot_product ERRORS on empty/mismatched lists — and CASE does
+    # NOT lazily protect vectorized list functions — so bad vectors are
+    # nullified FIRST (``vv``): list_dot_product(NULL) is NULL, the
+    # NULL ≥ 0 comparison falls to ELSE 0, bucket 0, same as Spark.
     bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) >= 0 "
+        f"(CASE WHEN list_dot_product(vv, {plane_lit(p)}) >= 0 "
         f"THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
@@ -180,21 +186,25 @@ def _signlsh_oracle(n_planes: int, n_probes: int, dim: int, k: int) -> str:
     )
     return f"""
     WITH cb AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             ({bucket}) AS qb
-      FROM (SELECT vec_id, embedding,
-                   embedding::DOUBLE[] AS v FROM embeddings)
+      -- ``vv`` nullifies NULL/empty/ragged vectors BEFORE any list
+      -- function touches them: DuckDB list kernels error on empty or
+      -- mismatched lists and vectorized CASE does not protect them,
+      -- while a NULL list flows through as NULL — matching Spark's
+      -- NULL-padded fold (cos NULL, bucket 0) on the same rows.
+      SELECT vec_id, ({bucket}) AS qb, vv
+      FROM (SELECT vec_id,
+                   CASE WHEN len(embedding) = {dim}
+                        THEN embedding::DOUBLE[] END AS vv
+            FROM embeddings)
     ),
     probes AS (
-      SELECT vec_id AS query_id, v AS qv,
+      SELECT vec_id AS query_id, vv AS qv,
              unnest([{probes}]) AS bucket
       FROM cb WHERE vec_id < {_N_QUERIES}
     ),
     scored AS (
       SELECT p.query_id, c.vec_id,
-             round(CASE WHEN len(p.qv) > 0 AND len(c.v) > 0
-                        THEN list_cosine_similarity(p.qv, c.v)
-                   END, 4) AS cos
+             round(list_cosine_similarity(p.qv, c.vv), 4) AS cos
       FROM probes p JOIN cb c ON CAST(c.qb AS BIGINT) = p.bucket
     )
     SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
