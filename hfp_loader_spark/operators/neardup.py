@@ -1278,3 +1278,144 @@ def weighted_jaccard_matrix(
             ),
         )
     )
+
+
+def weighted_minhash_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    tf_cap: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weighted-Jaccard ESTIMATES between sources via bag-expansion
+    MinHash, next to the exact value — the sketch path for
+    :func:`weighted_jaccard_matrix` at scales where the exact Σmin join
+    is too hot, plus its own accuracy readout:
+
+    - each (source, term) with capped frequency tf emits occurrence
+      tokens ``term:1 … term:tf`` (the classic multiset-as-set
+      expansion: plain MinHash over the expanded set estimates exactly
+      the weighted Jaccard of the capped tf vectors);
+    - ``num_hashes`` independent md5 families (``j:term:i``) reduce to
+      per-source min-hash signatures — md5-derived, so ANY engine
+      recomputes the identical sketch (full oracle, not a contract);
+    - est = fraction of agreeing signature slots per source pair;
+      exact = Σmin/Σmax of the SAME capped tf vectors, so est→exact as
+      k grows and the pair (est, exact) exposes the estimator error
+      directly in the output.
+
+    ``tf_cap`` bounds the expansion: an uncapped heavy term (tf 10⁶)
+    would explode a million rows alone; capping at 64 keeps the
+    expansion ≤ 64 rows per (source, term) while preserving the
+    measure on capped weights — both columns use the SAME cap, so the
+    comparison stays apples-to-apples (the standard BM25-style tf
+    saturation argument).
+
+    Scale shape: one (source, term) count, a ≤``tf_cap``-way in-row
+    sequence explode, ``num_hashes`` min-aggregates into one
+    |sources|-row signature frame, then the exact-Σmin term join (cap
+    applied) and a broadcast signature cross-pair.  Output: complete
+    S² matrix (source_a, source_b, est_wj, exact_wj)."""
+    from hfp_loader_spark.operators.text import tokens
+
+    def h48(col: F.Column | str, prefix) -> F.Column:  # 48-bit md5 int
+        return F.conv(
+            F.substring(F.md5(F.concat(prefix, col)), 1, 12), 16, 10
+        ).cast("long")
+
+    tf = (
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(
+                tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_t"),
+        )
+        .groupBy("_src", "_t")
+        .agg(F.least(F.count("*"), F.lit(tf_cap)).alias("_tf"))
+    )
+    occ = tf.select(
+        "_src",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_tf")),
+                lambda i: F.concat(
+                    F.col("_t"), F.lit(":"), i.cast("string")
+                ),
+            )
+        ).alias("_occ"),
+    )
+    sigs = occ.groupBy("_src").agg(
+        *[
+            F.min(h48(F.col("_occ"), F.lit(f"{j}:"))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    a = sigs.select(
+        F.col("_src").alias("source_a"),
+        *[F.col(f"_m{j}").alias(f"_a{j}") for j in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("_src").alias("source_b"),
+        *[F.col(f"_m{j}").alias(f"_b{j}") for j in range(num_hashes)],
+    )
+    agree = None
+    for j in range(num_hashes):
+        m = F.when(F.col(f"_a{j}") == F.col(f"_b{j}"), 1).otherwise(0)
+        agree = m if agree is None else agree + m
+    est = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).select(
+        "source_a",
+        "source_b",
+        F.round(
+            agree.cast("double") / F.lit(float(num_hashes)), round_to
+        ).alias("est_wj"),
+    )
+    totals = tf.groupBy("_src").agg(F.sum("_tf").alias("_tot"))
+    shared = (
+        tf.select(F.col("_src").alias("source_a"), "_t", F.col("_tf").alias("_fa"))
+        .join(
+            tf.select(
+                F.col("_src").alias("source_b"),
+                F.col("_t").alias("_tb"),
+                F.col("_tf").alias("_fb"),
+            ),
+            F.col("_t") == F.col("_tb"),
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("_fa", "_fb")).alias("_smin"))
+    )
+    smin = F.coalesce(F.col("_smin"), F.lit(0)).cast("double")
+    denom = (
+        F.col("_ta").cast("double") + F.col("_tb_tot").cast("double") - smin
+    )
+    return (
+        est.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("_src").alias("source_a"), F.col("_tot").alias("_ta")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("_src").alias("source_b"),
+                    F.col("_tot").alias("_tb_tot"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "est_wj",
+            F.when(denom > 0, F.round(smin / denom, round_to)).alias(
+                "exact_wj"
+            ),
+        )
+    )

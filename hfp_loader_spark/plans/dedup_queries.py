@@ -1254,3 +1254,98 @@ def dedup_weighted_jaccard_sources(
     from hfp_loader_spark.operators.neardup import weighted_jaccard_matrix
 
     return weighted_jaccard_matrix(_t(spark, sf_dir, "documents"))
+
+
+def _wmh_oracle(num_hashes: int, tf_cap: int) -> str:
+    """DuckDB twin of the FULL bag-expansion weighted MinHash: the same
+    md5-48-bit families over the same occurrence tokens reduce to the
+    identical signatures, so est_wj itself is value-checked (no
+    tolerance band), and exact_wj is the Σmin/Σmax of the same capped
+    tf vectors."""
+
+    def f_md5(j: int) -> str:
+        return f"md5('{j}:' || occ)"
+
+    def h48(expr: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+                f" * {16 ** (11 - i)}"
+                for i in range(12)
+            )
+            + ")"
+        )
+
+    mins = ",\n             ".join(
+        f"min({h48(f_md5(j))}) AS m{j}" for j in range(num_hashes)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH tf AS (
+      SELECT src, term,
+             least(CAST(count(*) AS BIGINT), {tf_cap}) AS tf
+      FROM (SELECT source AS src, unnest({_TOKS_SQL}) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    occ AS (
+      SELECT src, term || ':' || CAST(i AS VARCHAR) AS occ
+      FROM tf, unnest(generate_series(1, tf)) AS t(i)
+    ),
+    sigs AS (
+      SELECT src,
+             {mins}
+      FROM occ GROUP BY src
+    ),
+    est AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             round(({agree}) / CAST({num_hashes} AS DOUBLE), 6) AS est_wj
+      FROM sigs a JOIN sigs b ON a.src < b.src
+    ),
+    totals AS (SELECT src, sum(tf) AS tot FROM tf GROUP BY 1),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             sum(least(a.tf, b.tf)) AS smin
+      FROM tf a JOIN tf b ON a.term = b.term AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.est_wj,
+           CASE WHEN ta.tot + tb.tot - coalesce(sh.smin, 0) > 0
+                THEN round(coalesce(sh.smin, 0)
+                           / (CAST(ta.tot AS DOUBLE) + tb.tot
+                              - coalesce(sh.smin, 0)), 6)
+           END AS exact_wj
+    FROM est e
+    LEFT JOIN shared sh USING (source_a, source_b)
+    JOIN totals ta ON ta.src = e.source_a
+    JOIN totals tb ON tb.src = e.source_b
+    """
+
+
+@defquery(
+    "dedup_weighted_minhash_sources",
+    _wmh_oracle(16, 64),
+    doc="Bag-expansion weighted MinHash between sources "
+    "(operators.neardup.weighted_minhash_matrix, k=16, tf cap 64): "
+    "each (source, term) emits capped occurrence tokens term:1…term:tf "
+    "and 16 md5-48-bit hash families reduce to per-source min-hash "
+    "signatures — md5-derived, so the SKETCH ITSELF is value-checked "
+    "by the oracle (no tolerance band), alongside the exact Σmin/Σmax "
+    "weighted Jaccard of the same capped vectors. The est/exact pair "
+    "exposes the estimator error per pair in the output — the sketch "
+    "path for cross-source weighted similarity when the exact term "
+    "join is too hot, with tf saturation bounding the expansion at 64 "
+    "rows per (source, term).",
+)
+def dedup_weighted_minhash_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hfp_loader_spark.operators.neardup import weighted_minhash_matrix
+
+    return weighted_minhash_matrix(
+        _t(spark, sf_dir, "documents"), num_hashes=16, tf_cap=64
+    )

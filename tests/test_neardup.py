@@ -536,3 +536,29 @@ def test_containment_asymmetry_catches_quoted_subset(spark):
     assert got[(2, 1)] < 0.1           # long is barely contained in short
     # Jaccard on the same pair is far below a 0.8 dedup threshold
     assert jaccard_pairs(sh, threshold=0.8).count() == 0
+
+
+def test_weighted_minhash_identical_and_disjoint_sources(spark):
+    """Identical sources must sketch to est_wj = exact_wj = 1; disjoint
+    vocabularies to 0/0 — and the estimate sits within binomial noise
+    of the exact value on a partial overlap."""
+    from hfp_loader_spark.operators.neardup import weighted_minhash_matrix
+
+    rows = [
+        (1, "alpha beta gamma alpha", "s1"),
+        (2, "alpha beta gamma alpha", "s2"),      # mirror of s1
+        (3, "delta epsilon zeta eta", "s3"),       # disjoint from s1/s2
+        (4, "alpha beta delta delta", "s4"),       # partial overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["est_wj"], r["exact_wj"])
+        for r in weighted_minhash_matrix(df, num_hashes=16).collect()
+    }
+    assert got[("s1", "s2")] == (1.0, 1.0)
+    assert got[("s1", "s3")] == (0.0, 0.0)
+    est, exact = got[("s1", "s4")]
+    # s1: alpha 2, beta 1, gamma 1 (T=4); s4: alpha 1, beta 1, delta 2
+    # (T=4); smin = 1+1 = 2 -> exact = 2/(4+4-2) = 1/3
+    assert exact == 0.333333
+    assert abs(est - exact) <= 0.35  # 16-slot binomial noise bound
