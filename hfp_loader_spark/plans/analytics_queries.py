@@ -1606,3 +1606,72 @@ def orders_revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return linear_fit(m, "x", "y")
+
+
+@defquery(
+    "events_time_to_conversion",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             min(CASE WHEN event_type IN ('click', 'view') THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_touch_ts
+      FROM events
+    ),
+    conv AS (
+      SELECT CAST(epoch(ts) - epoch(first_touch_ts) AS BIGINT) AS lag_s
+      FROM seq
+      WHERE event_type = 'purchase' AND first_touch_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lag_s, 0.5), 4) AS p50_sec,
+           round(quantile_cont(lag_s, 0.9), 4) AS p90_sec,
+           CAST(max(lag_s) AS BIGINT) AS max_sec
+    FROM conv
+    """,
+    doc="Time-to-conversion distribution: per purchase, seconds since "
+    "the user's FIRST touchpoint at-or-before it (the running-min "
+    "window the funnel entries use, event_id-tiebroken), then exact "
+    "interpolated p50/p90/max over the integer second lags (the "
+    "percentile ≡ quantile_cont parity of agg_percentiles). "
+    "Un-touched purchases are excluded here — they carry no defined "
+    "lag — and are counted instead by events_conversion_attribution's "
+    "'(none)' bucket, so the two entries jointly cover every "
+    "conversion. One user-keyed shuffle + a single-row summary; at "
+    "100 TB the exact percentile swaps to approx_percentile/qhist.",
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch_ts = F.when(
+        F.col("event_type").isin("click", "view"), F.col("ts")
+    )
+    lags = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "ts",
+            F.min(touch_ts).over(w).alias("first_touch_ts"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_touch_ts").isNotNull()
+        )
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("first_touch_ts")
+            ).alias("lag_s")
+        )
+    )
+    return lags.agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.percentile(F.col("lag_s"), F.lit(0.5)), 4).alias("p50_sec"),
+        F.round(F.percentile(F.col("lag_s"), F.lit(0.9)), 4).alias("p90_sec"),
+        F.max("lag_s").alias("max_sec"),
+    )
