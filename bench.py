@@ -62,6 +62,12 @@ HEADLINE = [
     # pass + checkpointed integer power iteration; the decomposition
     # tier's measured representative (adds its own cost to the total).
     "emb_power_iteration_pc1",
+    # round 10: the two new plan shapes — in-row basket pair expansion
+    # (association mining) and the bag-expansion weighted-MinHash sketch
+    # (16 min-aggregates over an occurrence explode); each adds its own
+    # cost to the total vs r9's 28-query sum.
+    "orders_basket_brand_rules",
+    "dedup_weighted_minhash_sources",
 ]
 
 

@@ -1620,14 +1620,16 @@ def orders_revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     conv AS (
-      SELECT CAST(epoch(ts) - epoch(first_touch_ts) AS BIGINT) AS lag_s
+      -- exact integer microseconds: the timestamps carry sub-second
+      -- precision, and truncate-then-diff vs diff-then-round diverge
+      SELECT epoch_us(ts) - epoch_us(first_touch_ts) AS lag_us
       FROM seq
       WHERE event_type = 'purchase' AND first_touch_ts IS NOT NULL
     )
     SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           round(quantile_cont(lag_s, 0.5), 4) AS p50_sec,
-           round(quantile_cont(lag_s, 0.9), 4) AS p90_sec,
-           CAST(max(lag_s) AS BIGINT) AS max_sec
+           round(quantile_cont(lag_us, 0.5) / 1000000.0, 4) AS p50_sec,
+           round(quantile_cont(lag_us, 0.9) / 1000000.0, 4) AS p90_sec,
+           round(CAST(max(lag_us) AS DOUBLE) / 1000000.0, 4) AS max_sec
     FROM conv
     """,
     doc="Time-to-conversion distribution: per purchase, seconds since "
@@ -1665,13 +1667,18 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             (
-                F.unix_timestamp("ts") - F.unix_timestamp("first_touch_ts")
-            ).alias("lag_s")
+                F.unix_micros("ts") - F.unix_micros("first_touch_ts")
+            ).alias("lag_us")
         )
     )
+    us = 1_000_000.0
     return lags.agg(
         F.count("*").alias("n_conversions"),
-        F.round(F.percentile(F.col("lag_s"), F.lit(0.5)), 4).alias("p50_sec"),
-        F.round(F.percentile(F.col("lag_s"), F.lit(0.9)), 4).alias("p90_sec"),
-        F.max("lag_s").alias("max_sec"),
+        F.round(F.percentile(F.col("lag_us"), F.lit(0.5)) / us, 4).alias(
+            "p50_sec"
+        ),
+        F.round(F.percentile(F.col("lag_us"), F.lit(0.9)) / us, 4).alias(
+            "p90_sec"
+        ),
+        F.round(F.max("lag_us").cast("double") / us, 4).alias("max_sec"),
     )

@@ -1804,3 +1804,43 @@ def orders_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return mad_outliers(c, "cents", ["o_orderkey"], k_tenths=19)
+
+
+@defquery(
+    "plan_join_strategy_orders_customer",
+    """
+    SELECT 'broadcast' AS strategy,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS dim_rows,
+           TRUE AS broadcast_eligible
+    """,
+    doc="The pre-flight join planner surfaced as a checked entry "
+    "(operators.relational.choose_join_strategy): plan orders ⋈ "
+    "customer and report the decision — at every tested SF the "
+    "customer dim sits under the 500k-row broadcast ceiling, so the "
+    "planner short-circuits to 'broadcast' after ONE bounded count "
+    "and the oracle can state the decision exactly (the skew/CMS "
+    "branches only engage past the ceiling — sf ≳ 3.3 — where a "
+    "driver gate never runs). The planner's decision dict is the "
+    "audit line a 100 TB pipeline logs next to its chosen plan; this "
+    "entry keeps the instrument itself inside the correctness gate.",
+)
+def plan_join_strategy_orders_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hfp_loader_spark.operators.relational import choose_join_strategy
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    _, decision = choose_join_strategy(orders, cust, ["o_custkey"])
+    return spark.createDataFrame(
+        [
+            (
+                decision["strategy"],
+                decision["dim_rows"],
+                decision["dim_rows"] <= 500_000,
+            )
+        ],
+        "strategy string, dim_rows long, broadcast_eligible boolean",
+    )

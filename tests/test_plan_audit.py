@@ -91,6 +91,8 @@ HEADLINE_INVARIANTS = {
     "rank_rrf_fusion": dict(max_exchanges=22, bnlj=6),
     "sim_mmr_rerank": dict(max_exchanges=4, bnlj=0),
     "emb_power_iteration_pc1": dict(max_exchanges=2, bnlj=4),
+    "orders_basket_brand_rules": dict(max_exchanges=14, bnlj=2),
+    "dedup_weighted_minhash_sources": dict(max_exchanges=21, bnlj=2),
 }
 
 
