@@ -156,3 +156,44 @@ def derive_salt_factor(
     if ratio < engage_at:
         return 1
     return max(1, min(max_salts, math.ceil(ratio)))
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile in ONE scan: per column, row count,
+    NULL count, exact distinct count, and min/max (cast to string for a
+    uniform tall schema — lexicographic ordering is NOT implied; the
+    values are the column's own type ordering, stringified for
+    transport).
+
+    The stats a cost-based planner, a data contract, or a layout
+    decision (bucket count, z-order column choice) feeds on.  All
+    aggregates ride one pass over the scan; the exact distinct counts
+    expand the aggregate (one shuffle per distinct in Spark's plan) —
+    at 100 TB swap ``count_distinct`` for ``approx_count_distinct``
+    (HLL) with the same output shape, the usual exactness/one-pass
+    trade.  Output: |cols| rows (column, n_rows, n_nulls, ndv,
+    min_value, max_value)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_ndv_{c}").alias("ndv"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select("_r.*")

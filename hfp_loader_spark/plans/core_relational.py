@@ -1074,3 +1074,58 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_rows", F.lit("except_all").alias("label"))
     )
     return ia.unionByName(ea)
+
+
+@defquery(
+    "dq_column_profile_orders",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT p.column, n.n_rows, p.n_nulls, p.ndv, p.min_value, p.max_value
+    FROM n, (
+      SELECT 'o_orderkey' AS column,
+             CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS VARCHAR),
+             CAST(max(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(count(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(min(o_orderpriority) AS VARCHAR),
+             CAST(max(o_orderpriority) AS VARCHAR)
+      FROM orders
+    ) p
+    """,
+    doc="ANALYZE-style column profile (operators.quality.profile_columns) "
+    "over four orders columns: per column, row/NULL/exact-distinct "
+    "counts and stringified min/max in ONE scan — the stats a "
+    "cost-based planner, a data contract, or a bucket/z-order layout "
+    "decision feeds on (and the exact twin of what "
+    "choose_join_strategy's instruments estimate). At 100 TB the "
+    "count_distincts swap to approx_count_distinct with the same "
+    "output shape. Timestamp columns are excluded from the entry only "
+    "because engines stringify timestamps differently — the operator "
+    "itself profiles any column.",
+)
+def dq_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.quality import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

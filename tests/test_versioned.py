@@ -160,3 +160,49 @@ def test_schema_evolution_added_column_reads_back_null(spark, tmp_path):
     # time travel to v1: the old snapshot never saw the new column
     old = read_snapshot(spark, root, version=1, merge_schema=True)
     assert set(old.columns) == {"id", "val"}
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark, tmp_path):
+    """A→D→U classification between two committed versions, and the
+    inverse property: applying the diff as a changelog onto v_from
+    reproduces v_to exactly."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.relational import apply_changelog
+    from hfp_loader_spark.versioned import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "diff_table")
+    v1_rows = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    v2_rows = [(2, "b", 20), (3, "cc", 31), (4, "d", 40)]  # del 1, upd 3, add 4
+    schema = "id int, name string, val int"
+    v1 = commit_snapshot(
+        spark, spark.createDataFrame(v1_rows, schema), root, mode="overwrite"
+    )
+    v2 = commit_snapshot(
+        spark, spark.createDataFrame(v2_rows, schema), root, mode="overwrite"
+    )
+
+    diff = snapshot_diff(spark, root, ["id"], v_from=v1, v_to=v2)
+    got = {r["id"]: (r["op"], r["name"], r["val"]) for r in diff.collect()}
+    assert got == {
+        1: ("D", "a", 10),
+        3: ("U", "cc", 31),
+        4: ("A", "d", 40),
+    }
+
+    # inverse: diff applied as a changelog onto v1 == v2
+    changes = diff.select(
+        "id", "name", "val",
+        F.col("op").alias("op"), F.lit(1).alias("seq"),
+    )
+    replayed = apply_changelog(
+        read_snapshot(spark, root, version=v1), changes, ["id"]
+    )
+    assert sorted(map(tuple, replayed.collect())) == sorted(v2_rows)
+
+    # unchanged versions diff to zero rows
+    assert snapshot_diff(spark, root, ["id"], v_from=v2, v_to=v2).count() == 0
