@@ -733,3 +733,86 @@ def test_kmv_estimate_exact_below_k(spark, keys):
     ).collect()
     if n_distinct < k:
         assert est[0]["est_distinct"] == float(n_distinct)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_association_rules_matches_python_model(spark, baskets):
+    """support/confidence/lift agree with a brute-force Python model on
+    arbitrary basket streams (dup item rows collapse to sets)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from hfp_loader_spark.operators.relational import association_rules
+
+    sets = defaultdict(set)
+    for b, item in baskets:
+        sets[b].add(item)
+    n = len(sets)
+    item_n = defaultdict(int)
+    pair_n = defaultdict(int)
+    for items in sets.values():
+        for i in items:
+            item_n[i] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] += 1
+
+    df = spark.createDataFrame(baskets, "b int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "b", "item").collect()
+    }
+    assert set(got) == set(pair_n)
+    for (a, b), nab in pair_n.items():
+        r = got[(a, b)]
+        assert r["n_ab"] == nab
+        assert r["support"] == round(nab / n, 6)
+        assert r["conf_a_b"] == round(nab / item_n[a], 6)
+        assert r["conf_b_a"] == round(nab / item_n[b], 6)
+        assert r["lift"] == round(n * nab / (item_n[a] * item_n[b]), 6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.1, 0.25, 0.5, 0.5, 0.75, 0.9]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_roc_auc_matches_pairwise_model(spark, rows):
+    """AUC equals the tie-aware pairwise probability
+    P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) on arbitrary inputs."""
+    from hfp_loader_spark.operators.ranking import roc_auc
+
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = roc_auc(df, "score", "label").collect()[0]
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    wins = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    assert got["auc"] == round(wins / (len(pos) * len(neg)), 6)
