@@ -17,17 +17,27 @@ from hfp_loader_spark.operators.neardup import (  # noqa: F401
     minhash_signatures,
     simhash_fingerprints,
     simhash_near_pairs,
+    weighted_jaccard_matrix,
+    weighted_minhash_matrix,
 )
+from hfp_loader_spark.operators.ranking import roc_auc  # noqa: F401
 from hfp_loader_spark.operators.relational import (  # noqa: F401
     anti_join,
     apply_changelog,
+    association_rules,
     broadcast_join,
+    choose_join_strategy,
+    conversion_attribution,
     global_top_k,
+    integer_sigma_outliers,
+    linear_fit,
+    mad_outliers,
     salted_join,
     semi_join,
     sessionize,
     top_k_per_group,
 )
+from hfp_loader_spark.operators.quality import profile_columns  # noqa: F401
 from hfp_loader_spark.operators.routing import (  # noqa: F401
     routed_tables,
     with_target_table,
