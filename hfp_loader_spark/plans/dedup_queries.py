@@ -1,9 +1,12 @@
 """Dedup query catalog over ``documents`` (SURVEY §2.11 dedup tier).
 
 Exact dedup (hash-groupBy), n-gram Jaccard near-dup join (oracle-checked),
-and the scale-path MinHash+LSH / SimHash variants (engine-specific hash
-functions → rows-only driver check; recall/precision vs the exact join is
-asserted in tests/test_neardup.py).
+and the scale-path MinHash+LSH / SimHash variants.  Since r10 the SimHash
+entry runs on md5-48-bit token hashes and is FULLY oracle-checked (the
+all-pairs oracle also proves the pigeonhole banding lossless), as are the
+weighted Jaccard / weighted MinHash source matrices; only the xxhash64
+MinHash+LSH pair list remains rows-only (recall/precision vs the exact
+join is asserted by `dedup_minhash_recall` and tests/test_neardup.py).
 """
 
 from __future__ import annotations
