@@ -663,3 +663,74 @@ def kmv_merge(
         .where(F.col("_r") <= k)
         .select(group_col, "h")
     )
+
+
+def key_bitmaps(
+    df: DataFrame,
+    dim_col: str,
+    key_col: str,
+    word_bits: int = 63,
+) -> DataFrame:
+    """Bitmap index of a non-negative integer key per dimension value:
+    one ``(dim, word_idx, word)`` row per occupied 63-bit word, built by
+    a single ``bit_or`` aggregate — the audience-segmentation structure
+    (roaring-bitmap-style, fixed words instead of RLE) that answers
+    repeated set intersections WITHOUT a distinct-join per question:
+    |A ∩ B| over pre-built bitmaps is a word-aligned join + popcount,
+    ~8 bytes per 63 present keys instead of 8 bytes per key per query.
+
+    63-bit words (not 64): ``1 << 63`` overflows a signed BIGINT —
+    Spark wraps silently, DuckDB raises — so the top bit is simply
+    never used and every engine computes identical words.  Keys must be
+    non-negative integers (ids); NULL keys are dropped.
+
+    Scale shape: one (dim, word_idx) hash aggregate, map-side
+    combinable; the bitmap is ~n_keys/63 rows per dim — dense id spaces
+    compress 63×, and every downstream intersection/union/difference is
+    a co-partitioned equi-join on (dim, word_idx)."""
+    d = df.select(
+        F.col(dim_col).alias("dim"), F.col(key_col).alias("_k")
+    ).where(F.col("_k").isNotNull())
+    return (
+        d.select(
+            "dim",
+            F.expr(f"_k div {word_bits}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(_k % {word_bits} as int))"
+            ).alias("_bit"),
+        )
+        .groupBy("dim", "word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bitmap_cardinality(bitmaps: DataFrame) -> DataFrame:
+    """(dim, n_keys): exact distinct-key count per dimension from a
+    :func:`key_bitmaps` frame — Σ popcount(word), one tiny aggregate."""
+    return bitmaps.groupBy("dim").agg(
+        F.sum(F.bit_count("word")).alias("n_keys")
+    )
+
+
+def bitmap_intersect_cardinality(
+    a: DataFrame, b: DataFrame
+) -> DataFrame:
+    """(dim_a, dim_b, n_common): exact |A ∩ B| for every (dim_a, dim_b)
+    pair present in both frames — word-aligned inner join + popcount of
+    the AND.  Words absent on either side intersect to nothing, so the
+    inner join IS the intersection; no outer handling needed."""
+    aw = a.select(
+        F.col("dim").alias("dim_a"), "word_idx", F.col("word").alias("_wa")
+    )
+    bw = b.select(
+        F.col("dim").alias("dim_b"), "word_idx", F.col("word").alias("_wb")
+    )
+    return (
+        aw.join(bw, "word_idx")
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("_wa").bitwiseAND(F.col("_wb")))
+            ).alias("n_common")
+        )
+    )

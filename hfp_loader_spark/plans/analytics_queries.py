@@ -1682,3 +1682,91 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("lag_us").cast("double") / us, 4).alias("max_sec"),
     )
+
+
+@defquery(
+    "events_retention_bitmap",
+    """
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day, user_id // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT day, CAST(sum(bit_count(word)) AS BIGINT) AS n FROM b
+      GROUP BY day
+    ),
+    ret AS (
+      SELECT a.day AS day,
+             CAST(sum(bit_count(a.word & n.word)) AS BIGINT) AS n_retained
+      FROM b a JOIN b n ON n.day = a.day + INTERVAL 1 DAY
+                       AND n.word_idx = a.word_idx
+      GROUP BY a.day
+    )
+    SELECT t.day, t.n AS n_users, tn.n AS n_next_day,
+           coalesce(r.n_retained, 0) AS n_retained,
+           round(coalesce(r.n_retained, 0) / CAST(t.n AS DOUBLE), 6)
+             AS retention_rate
+    FROM tot t
+    JOIN tot tn ON tn.day = t.day + INTERVAL 1 DAY
+    LEFT JOIN ret r ON r.day = t.day
+    """,
+    doc="Next-day retention via BITMAP INDEXES "
+    "(operators.sketches.key_bitmaps / bitmap_intersect_cardinality "
+    "family): per day, users packed into 63-bit words by one bit_or "
+    "aggregate (63 not 64 — 1<<63 overflows signed BIGINT: Spark wraps "
+    "silently, DuckDB raises; the top bit is never used so both "
+    "engines hold identical words), then |day ∩ next-day| is a "
+    "word-aligned join + popcount — no distinct-join per day pair, "
+    "~8 bytes per 63 users of state. The mechanism-diverse exact twin "
+    "of events_dau_wau_stickiness (distinct counts) and "
+    "sketch_sliding_distinct (HLL): three routes to the same retention "
+    "numbers, each with a different cost curve — bitmaps win when the "
+    "id space is dense and MANY pairwise intersections are asked of "
+    "the same index.",
+)
+def events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.sketches import (
+        bitmap_cardinality,
+        key_bitmaps,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    bm = key_bitmaps(ev, "day", "user_id")
+    tot = bitmap_cardinality(bm)
+    nxt = bm.select(
+        F.date_sub(F.col("dim"), 1).alias("dim"),
+        "word_idx",
+        F.col("word").alias("_wn"),
+    )
+    ret = (
+        bm.join(nxt, ["dim", "word_idx"])
+        .groupBy("dim")
+        .agg(
+            F.sum(F.bit_count(F.col("word").bitwiseAND(F.col("_wn")))).alias(
+                "n_retained"
+            )
+        )
+    )
+    tot_next = tot.select(
+        F.date_sub(F.col("dim"), 1).alias("dim"),
+        F.col("n_keys").alias("n_next_day"),
+    )
+    return (
+        tot.join(tot_next, "dim")
+        .join(ret, "dim", "left")
+        .select(
+            F.col("dim").alias("day"),
+            F.col("n_keys").alias("n_users"),
+            "n_next_day",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                / F.col("n_keys").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )

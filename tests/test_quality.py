@@ -53,3 +53,47 @@ def test_constraints_all_green_on_clean_data(spark):
         for r in run_constraints(df, suite).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_key_bitmaps_match_distinct_counts(spark, sf_dir):
+    """Bitmap popcounts must equal exact count_distinct per dim, and the
+    word-aligned intersection must equal the exact distinct-join — on
+    real event days AND a planted frame crossing word boundaries."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.sketches import (
+        bitmap_cardinality,
+        bitmap_intersect_cardinality,
+        key_bitmaps,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    bm = key_bitmaps(ev, "d", "user_id")
+    got = {
+        r["dim"]: r["n_keys"] for r in bitmap_cardinality(bm).collect()
+    }
+    want = {
+        r["d"]: r["n"]
+        for r in ev.groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # planted: keys straddling word boundaries (62, 63, 64, 126, 127)
+    rows = [("a", k) for k in [0, 62, 63, 64, 126, 127, 63]] + [
+        ("b", k) for k in [63, 64, 1000, 0]
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    pb = key_bitmaps(df, "g", "k")
+    card = {r["dim"]: r["n_keys"] for r in bitmap_cardinality(pb).collect()}
+    assert card == {"a": 6, "b": 4}  # dup 63 in 'a' collapses
+    inter = bitmap_intersect_cardinality(
+        pb.where(F.col("dim") == "a"), pb.where(F.col("dim") == "b")
+    ).collect()
+    assert [(r["dim_a"], r["dim_b"], r["n_common"]) for r in inter] == [
+        ("a", "b", 3)  # {0, 63, 64}
+    ]
