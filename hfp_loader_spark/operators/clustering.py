@@ -83,6 +83,27 @@ def kmeans_fixed_point(
     iteration counts; the default keeps plan construction job-free so
     catalog builders stay lazy (iteration depth here is small and
     Catalyst handles the nested-join plan fine)."""
+    assign, _ = kmeans_fixed_point_model(
+        emb, k, iters, id_col, vec_col, scale, checkpoint
+    )
+    return assign
+
+
+def kmeans_fixed_point_model(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    checkpoint: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`kmeans_fixed_point` returning the MODEL too:
+    ``(assign, centroids)`` where ``centroids`` is the k-row
+    ``(cluster, cq)`` frame AFTER the final update (one update past the
+    returned assignment — the centroids a subsequent probe or an
+    incremental re-assignment would use).  Same exact fixed-point
+    trajectory, so both frames have bit-exact SQL twins."""
     # NULL/empty vectors are unclusterable and EXCLUDED (no output row):
     # kept in, a NULL vector poisons any centroid seeded from it and an
     # empty one folds to distance 0 against every centroid (while SQL
@@ -142,7 +163,7 @@ def kmeans_fixed_point(
         )
         if checkpoint:
             cent = cent.localCheckpoint(eager=False)
-    return assign
+    return assign, cent
 
 
 def kmeans_cluster_profile(assign: DataFrame, id_col: str = "vec_id") -> DataFrame:

@@ -1469,3 +1469,85 @@ def kcenter_coreset(
         )
         sel = sel.unionByName(pick)
     return sel
+
+
+def ivf_exact_cells_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int,
+    nprobe: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k whose ENTIRE index is bit-exact across
+    engines: cells come from the fixed-point integer k-means
+    (``clustering.kmeans_fixed_point_model``) instead of the float
+    spherical training — so cell assignment, the probe set, and the
+    candidate list all have SQL twins and the approximate neighbor list
+    itself is value-checkable, not just its recall floor.
+
+    Trade vs :func:`ivf_top_k`: training is corpus-scale (``iters``
+    broadcast-join rounds over the full corpus) instead of a bounded
+    driver sample — pay it when cross-engine reproducibility of the
+    INDEX matters (provenance, incremental re-assignment, audited
+    dedup); the float spherical path stays the cheap-training default.
+    Queries probe the post-final-update centroids (c_iters) while
+    candidates carry the final assignment (a_iters vs c_{iters-1}) —
+    the standard one-step lag of any trained-then-served index,
+    identical on both engines.
+
+    Scale shape: k-means' per-round broadcast join + (cluster, dim)
+    update aggregate; then probing is a |queries|×nlist broadcast
+    cross, candidates a cluster-equi join (~nprobe/nlist of the corpus
+    per query), exact cosine rerank on candidates only."""
+    from hfp_loader_spark.operators.clustering import (
+        _sq_dist,
+        kmeans_fixed_point_model,
+        quantize_vec,
+    )
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    assign, cent = kmeans_fixed_point_model(
+        corpus, nlist, iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    qq = queries.where(F.size(F.col(vec_col)) > 0).select(
+        F.col(query_id_col),
+        quantize_vec(F.col(vec_col), scale).alias("_q"),
+        as_double_array(F.col(vec_col)).alias("_qvec"),
+    )
+    qd = qq.crossJoin(F.broadcast(cent)).select(
+        query_id_col,
+        "_qvec",
+        F.col("cluster"),
+        _sq_dist(F.col("_q"), F.col("cq")).alias("_d"),
+    )
+    probes = top_k_per_group(
+        qd, [query_id_col], [F.asc("_d"), F.asc("cluster")], nprobe
+    ).select(query_id_col, "_qvec", "cluster")
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
+    cand = probes.join(
+        assign.select(id_col, "cluster"), "cluster"
+    ).join(c, id_col)
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_prenormed(
+                F.col("_qvec"),
+                F.col("_cvec"),
+                norm(F.col("_qvec")),
+                F.col("_cnorm"),
+            ),
+            round_to,
+        ).alias("cos"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )

@@ -245,12 +245,16 @@ def rank_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_SCALE = 8, 3, 1_000_000
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes(final_centroids: bool = False) -> str:
     """Unrolled Lloyd's recurrence (``_KM_ITERS`` assignment/update CTE
     pairs) — expressible in plain SQL precisely BECAUSE the operator is
     fixed-point: every distance is an exact BIGINT and every centroid
     update an exact integer-rational round, so engine summation order
-    cannot perturb the trajectory."""
+    cannot perturb the trajectory.  Returns the WITH-body through
+    ``a{_KM_ITERS}`` (and ``c{_KM_ITERS}`` when ``final_centroids`` —
+    the post-final-update model frame an IVF probe serves from); both
+    the k-means entry and the exact-cell IVF compose it, so the two
+    oracles share ONE definition of the trajectory."""
     dist = (
         "CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
         "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
@@ -285,7 +289,7 @@ def _kmeans_oracle() -> str:
              (min(struct_pack(d := d, c := cluster))).d AS dist_q
       FROM p{i} GROUP BY vec_id
     )""")
-        if i < _KM_ITERS:
+        if i < _KM_ITERS or final_centroids:
             parts.append(f""",
     u{i} AS (
       SELECT cluster, pos,
@@ -302,10 +306,16 @@ def _kmeans_oracle() -> str:
       SELECT c.cluster, coalesce(n.nq, c.cq) AS cq
       FROM c{i - 1} c LEFT JOIN n{i} n USING (cluster)
     )""")
-    parts.append(f"""
-    SELECT vec_id, cluster, dist_q FROM a{_KM_ITERS}
-    """)
     return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _kmeans_ctes()
+        + f"""
+    SELECT vec_id, cluster, dist_q FROM a{_KM_ITERS}
+    """
+    )
 
 
 @defquery(
@@ -580,3 +590,89 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gop = docs.select("doc_id", flags["gopher_keep"].alias("gopher_keep"))
     return roc_auc(cls.join(gop, "doc_id"), "p", "gopher_keep")
+
+
+_IVF_EX_NQ, _IVF_EX_NPROBE, _IVF_EX_K = 5, 4, 5
+
+
+def _ivf_exact_oracle() -> str:
+    """Exact-cell IVF search composed onto the shared k-means CTEs:
+    probe the post-final-update centroids (c3), take nprobe nearest
+    cells per query by exact integer distance (cluster-asc tiebreak),
+    candidates = final assignment rows in probed cells, exact cosine
+    rerank — every stage value-identical to the Spark operator."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    return (
+        _kmeans_ctes(final_centroids=True)
+        + f""",
+    qd AS (
+      SELECT e.vec_id AS query_id, c.cluster, {dist} AS d
+      FROM e CROSS JOIN c{_KM_ITERS} c
+      WHERE e.vec_id < {_IVF_EX_NQ}
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cluster) AS rn
+        FROM qd
+      ) WHERE rn <= {_IVF_EX_NPROBE}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv
+      FROM embeddings WHERE len(embedding) > 0
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_cosine_similarity(qv.vv, cv.vv), 4) AS cos
+      FROM probes p
+      JOIN a{_KM_ITERS} a ON a.cluster = p.cluster
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v cv ON cv.vec_id = a.vec_id
+    )
+    SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_IVF_EX_K}
+    """
+    )
+
+
+@defquery(
+    "sim_ann_ivf_exact_cells",
+    _ivf_exact_oracle(),
+    doc="IVF approximate top-5 whose ENTIRE index is value-checked "
+    "(operators.similarity.ivf_exact_cells_top_k): cells from the "
+    "fixed-point integer k-means (the emb_kmeans_clusters trajectory — "
+    "the two oracles compose ONE shared CTE definition), nprobe=4 of 8 "
+    "cells probed per query against the post-final-update centroids, "
+    "exact cosine rerank of cell-equal candidates only. Unlike "
+    "sim_ann_ivf (float spherical training on a bounded driver sample "
+    "→ rows-only + recall contract), every stage here — assignment, "
+    "probe set, candidate list, neighbor list — hash-matches the SQL "
+    "oracle: the cross-engine-reproducible index for provenance-"
+    "audited dedup, at the cost of corpus-scale training rounds. Both "
+    "IVF flavors share the serve-time plan shape (~nprobe/nlist of the "
+    "corpus scored per query; cell column → partition pruning at "
+    "100 TB).",
+)
+def sim_ann_ivf_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import ivf_exact_cells_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _IVF_EX_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_exact_cells_top_k(
+        emb,
+        queries,
+        k=_IVF_EX_K,
+        nlist=_KM_K,
+        nprobe=_IVF_EX_NPROBE,
+        iters=_KM_ITERS,
+        scale=_KM_SCALE,
+    )
