@@ -174,3 +174,96 @@ def kmeans_cluster_profile(assign: DataFrame, id_col: str = "vec_id") -> DataFra
         F.count("*").alias("n_members"),
         F.sum("dist_q").alias("inertia_q"),
     )
+
+
+def kmeans_fixed_point_grouped(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    group_col: str = "grp",
+    id_col: str = "vec_id",
+    qvec_col: str = "q",
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-point Lloyd's k-means run INDEPENDENTLY per group in ONE
+    plan — G parallel clusterings (one per ``group_col`` value) whose
+    trajectories are each bit-exact across engines, exactly like
+    :func:`kmeans_fixed_point` (same seeds-by-lowest-id, min-struct
+    argmin, exact integer-rational centroid rounds, empty clusters
+    keep their centroid).
+
+    ``vecs`` carries ALREADY-QUANTIZED vectors (``qvec_col``
+    array<long> — quantize upstream with :func:`quantize_vec`; callers
+    like product quantization slice before quantizing).  Rows with
+    empty/NULL ``qvec_col`` are excluded.
+
+    Returns ``(assign, centroids)``: ``(group, id, cluster, dist_q)``
+    and the post-final-update ``(group, cluster, cq)``.
+
+    Per-group clustering is the PQ training step (one group per
+    subspace) and the per-language/per-source corpus-partition
+    clustering; a single plan trains all groups, so the G clusterings
+    share every shuffle.  Scale shape per iteration: broadcast of the
+    G·k centroid frame joined on the group key, then one
+    (group, cluster, pos) update aggregate."""
+    q = vecs.where(F.size(F.col(qvec_col)) > 0).select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(qvec_col).alias("_q"),
+    )
+    w = Window.partitionBy("_g").orderBy("_id")
+    cent = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "_g",
+            (F.col("_rn") - 1).alias("cluster"),
+            F.col("_q").alias("cq"),
+        )
+    )
+    assign = None
+    for _ in range(iters):
+        pairs = q.join(F.broadcast(cent), "_g").select(
+            "_g",
+            "_id",
+            "cluster",
+            _sq_dist(F.col("_q"), F.col("cq")).alias("d"),
+        )
+        assign = (
+            pairs.groupBy("_g", "_id")
+            .agg(F.min(F.struct(F.col("d"), F.col("cluster"))).alias("_m"))
+            .select(
+                "_g",
+                "_id",
+                F.col("_m.cluster").alias("cluster"),
+                F.col("_m.d").alias("dist_q"),
+            )
+        )
+        upd = (
+            assign.join(q, ["_g", "_id"])
+            .select("_g", "cluster", F.posexplode("_q").alias("pos", "v"))
+            .groupBy("_g", "cluster", "pos")
+            .agg(F.round(F.sum("v") / F.count("*")).cast("long").alias("v"))
+            .groupBy("_g", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("v")))
+                    ),
+                    lambda s: s.getField("v"),
+                ).alias("nq")
+            )
+        )
+        cent = cent.join(upd, ["_g", "cluster"], "left").select(
+            "_g",
+            "cluster",
+            F.coalesce(F.col("nq"), F.col("cq")).alias("cq"),
+        )
+    return (
+        assign.select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            "cluster",
+            "dist_q",
+        ),
+        cent.select(F.col("_g").alias(group_col), "cluster", "cq"),
+    )

@@ -1551,3 +1551,115 @@ def ivf_exact_cells_top_k(
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
     )
+
+
+def pq_exact_codes_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    shortlist: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Product-quantization top-k whose ENTIRE index is value-checked:
+    per-subspace codebooks from the grouped fixed-point k-means
+    (``clustering.kmeans_fixed_point_grouped`` — one plan trains all m
+    subspaces), integer ADC over exact quantized distances, exact
+    cosine rerank of the shortlist.  The exact-arithmetic sibling of
+    :func:`pq_top_k_rerank` (float driver-trained codebooks → rows-only
+    + contracts): codes, LUTs, ADC distances, shortlist, and the final
+    neighbor list all reproduce bit-for-bit on any engine.
+
+    ``dim`` must be divisible by ``m``; vectors of any other length
+    (and NULL/empty) are excluded on both engines.
+
+    Scale shape: training = ``iters`` rounds of an (m·ksub)-row
+    broadcast join + (subspace, cluster, pos) update aggregate over the
+    N·m sliced rows; serving = codes (m small ints per vector) join the
+    m·ksub-row per-query LUT on (subspace, code) — the
+    memory-bandwidth-bound ADC pattern — then one shortlist top-k and a
+    ``shortlist``-bounded rerank."""
+    from hfp_loader_spark.operators.clustering import (
+        _sq_dist,
+        kmeans_fixed_point_grouped,
+        quantize_vec,
+    )
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+
+    def sliced(df: DataFrame, key_out: str, key_in) -> DataFrame:
+        base = df.where(F.size(F.col(vec_col)) == dim).select(
+            key_in.alias(key_out),
+            quantize_vec(F.col(vec_col), scale).alias("_q"),
+        )
+        return base.select(
+            key_out,
+            F.posexplode(
+                F.array(
+                    *[F.slice("_q", j * sub + 1, sub) for j in range(m)]
+                )
+            ).alias("grp", "q"),
+        )
+
+    codes, books = kmeans_fixed_point_grouped(
+        sliced(corpus, id_col, F.col(id_col)),
+        ksub,
+        iters,
+        group_col="grp",
+        id_col=id_col,
+        qvec_col="q",
+    )
+    lut = (
+        sliced(queries, query_id_col, F.col(query_id_col))
+        .join(F.broadcast(books), "grp")
+        .select(
+            query_id_col,
+            "grp",
+            "cluster",
+            _sq_dist(F.col("q"), F.col("cq")).alias("_d"),
+        )
+    )
+    adc = (
+        codes.select(id_col, "grp", "cluster")
+        .join(F.broadcast(lut), ["grp", "cluster"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_d").alias("_adc"))
+    )
+    short = top_k_per_group(
+        adc, [query_id_col], [F.asc("_adc"), F.asc(id_col)], shortlist
+    ).select(query_id_col, id_col)
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qvec")
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
+    scored = (
+        short.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_prenormed(
+                    F.col("_qvec"),
+                    F.col("_cvec"),
+                    F.col("_qnorm"),
+                    F.col("_cnorm"),
+                ),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )

@@ -676,3 +676,145 @@ def sim_ann_ivf_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_KM_ITERS,
         scale=_KM_SCALE,
     )
+
+
+_PQ_EX_M, _PQ_EX_KSUB, _PQ_EX_SHORT, _PQ_EX_DIM = 8, 16, 100, 64
+
+
+def _pq_exact_oracle() -> str:
+    """Grouped (per-subspace) fixed-point k-means unrolled once for all
+    m subspaces — ``grp`` rides every key of the same Lloyd recurrence
+    the k-means/IVF oracles use — then integer ADC, deterministic
+    shortlist, exact cosine rerank.  Every stage value-identical to
+    ``similarity.pq_exact_codes_top_k``."""
+    sub = _PQ_EX_DIM // _PQ_EX_M
+    quant = (
+        "x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* CAST({float(_KM_SCALE)!r} AS DOUBLE)) AS BIGINT)"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, g.grp,
+             list_transform(
+                 embedding[g.grp * {sub} + 1 : g.grp * {sub} + {sub}],
+                 {quant}) AS q
+      FROM embeddings,
+           (SELECT unnest(generate_series(0, {_PQ_EX_M - 1})) AS grp) g
+      WHERE len(embedding) = {_PQ_EX_DIM}
+    ),
+    c0 AS (
+      SELECT grp, CAST(rn - 1 AS INTEGER) AS cluster, q AS cq
+      FROM (SELECT grp, q,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY vec_id) AS rn
+            FROM e)
+      WHERE rn <= {_PQ_EX_KSUB}
+    )"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT e.vec_id, e.grp, c.cluster, {dist} AS d
+      FROM e JOIN c{i - 1} c USING (grp)
+    ),
+    a{i} AS (
+      SELECT vec_id, grp,
+             (min(struct_pack(d := d, c := cluster))).c AS cluster
+      FROM p{i} GROUP BY vec_id, grp
+    ),
+    u{i} AS (
+      SELECT grp, cluster, pos,
+             CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      FROM (SELECT a.grp, a.cluster,
+                   unnest(generate_series(1, len(e.q))) AS pos,
+                   unnest(e.q) AS v
+            FROM a{i} a JOIN e ON e.vec_id = a.vec_id AND e.grp = a.grp)
+      GROUP BY 1, 2, 3
+    ),
+    n{i} AS (SELECT grp, cluster, list(v ORDER BY pos) AS nq
+             FROM u{i} GROUP BY grp, cluster),
+    c{i} AS (
+      SELECT c.grp, c.cluster, coalesce(n.nq, c.cq) AS cq
+      FROM c{i - 1} c LEFT JOIN n{i} n USING (grp, cluster)
+    )""")
+    parts.append(f""",
+    lut AS (
+      SELECT e.vec_id AS query_id, e.grp, c.cluster, {dist} AS d
+      FROM e JOIN c{_KM_ITERS} c USING (grp)
+      WHERE e.vec_id < {_IVF_EX_NQ}
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id, sum(l.d) AS adc_d
+      FROM a{_KM_ITERS} a
+      JOIN lut l ON l.grp = a.grp AND l.cluster = a.cluster
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, vec_id) AS srn
+        FROM adc
+      ) WHERE srn <= {_PQ_EX_SHORT}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv
+      FROM embeddings WHERE len(embedding) = {_PQ_EX_DIM}
+    ),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_cosine_similarity(qv.vv, cv.vv), 4) AS cos
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_IVF_EX_K}
+    """)
+    return "".join(parts)
+
+
+@defquery(
+    "sim_ann_pq_exact_codes",
+    _pq_exact_oracle(),
+    doc="Product-quantization top-5 whose ENTIRE index is value-checked "
+    "(operators.similarity.pq_exact_codes_top_k): per-subspace "
+    "codebooks from the grouped fixed-point k-means "
+    "(clustering.kmeans_fixed_point_grouped — ONE plan trains all 8 "
+    "subspaces; grp rides every key of the same Lloyd recurrence the "
+    "k-means and exact-cell IVF oracles unroll), integer ADC over "
+    "exact quantized distances, deterministic 100-candidate shortlist "
+    "(adc asc, vec_id tiebreak), exact cosine rerank. The "
+    "exact-arithmetic sibling of sim_ann_pq (float driver-trained "
+    "codebooks → rows-only + recall/distortion contracts): codes, "
+    "LUTs, ADC distances, shortlist, and neighbor list all reproduce "
+    "bit-for-bit on any engine — the provenance-grade PQ. Serving "
+    "shape is unchanged (codes join an m·ksub per-query LUT); training "
+    "pays iters corpus-scale rounds instead of a driver sample.",
+)
+def sim_ann_pq_exact_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import pq_exact_codes_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _IVF_EX_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_exact_codes_top_k(
+        emb,
+        queries,
+        k=_IVF_EX_K,
+        m=_PQ_EX_M,
+        ksub=_PQ_EX_KSUB,
+        iters=_KM_ITERS,
+        shortlist=_PQ_EX_SHORT,
+        dim=_PQ_EX_DIM,
+        scale=_KM_SCALE,
+    )

@@ -501,3 +501,33 @@ def test_kcenter_coverage_curve_and_exclusions(emb):
                 best = (c, md)
         sel.append(best[0])
     assert ids == sel
+
+
+def test_pq_exact_codes_recall_vs_exact_topk(spark, sf_dir):
+    """The value-checked PQ variant must also be a GOOD index: recall@5
+    vs the exact cosine top-5 stays above the same 0.6 floor the float
+    PQ contract asserts (the 100-candidate shortlist dominates the
+    error, not the codebook flavor)."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.similarity import (
+        brute_force_top_k,
+        pq_exact_codes_top_k,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_exact_codes_top_k(emb, queries, k=5).collect()
+    }
+    assert len(exact) == 25
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
