@@ -681,21 +681,61 @@ def sim_ann_ivf_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_EX_M, _PQ_EX_KSUB, _PQ_EX_SHORT, _PQ_EX_DIM = 8, 16, 100, 64
 
 
+_GK_DIST = (
+    "CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
+    "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+)
+
+
+def _grouped_kmeans_iter_ctes() -> str:
+    """The grouped Lloyd recurrence blocks (p/a/u/n/c per iteration)
+    over ANY ``e(vec_id, grp, q)`` + ``c0(grp, cluster, cq)`` prefix —
+    ``grp`` rides every key of the same trajectory the scalar k-means /
+    IVF oracles unroll.  Shared by the exact-code PQ (grp = subspace)
+    and the per-label clustering entry (grp = label): one definition of
+    the grouped recurrence for every consumer."""
+    parts = []
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(f""",
+    p{i} AS (
+      SELECT e.vec_id, e.grp, c.cluster, {_GK_DIST} AS d
+      FROM e JOIN c{i - 1} c USING (grp)
+    ),
+    a{i} AS (
+      SELECT vec_id, grp,
+             (min(struct_pack(d := d, c := cluster))).c AS cluster,
+             (min(struct_pack(d := d, c := cluster))).d AS dist_q
+      FROM p{i} GROUP BY vec_id, grp
+    ),
+    u{i} AS (
+      SELECT grp, cluster, pos,
+             CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      FROM (SELECT a.grp, a.cluster,
+                   unnest(generate_series(1, len(e.q))) AS pos,
+                   unnest(e.q) AS v
+            FROM a{i} a JOIN e ON e.vec_id = a.vec_id AND e.grp = a.grp)
+      GROUP BY 1, 2, 3
+    ),
+    n{i} AS (SELECT grp, cluster, list(v ORDER BY pos) AS nq
+             FROM u{i} GROUP BY grp, cluster),
+    c{i} AS (
+      SELECT c.grp, c.cluster, coalesce(n.nq, c.cq) AS cq
+      FROM c{i - 1} c LEFT JOIN n{i} n USING (grp, cluster)
+    )""")
+    return "".join(parts)
+
+
 def _pq_exact_oracle() -> str:
     """Grouped (per-subspace) fixed-point k-means unrolled once for all
-    m subspaces — ``grp`` rides every key of the same Lloyd recurrence
-    the k-means/IVF oracles use — then integer ADC, deterministic
-    shortlist, exact cosine rerank.  Every stage value-identical to
+    m subspaces, then integer ADC, deterministic shortlist, exact
+    cosine rerank.  Every stage value-identical to
     ``similarity.pq_exact_codes_top_k``."""
     sub = _PQ_EX_DIM // _PQ_EX_M
     quant = (
         "x -> CAST(floor(CAST(x AS DOUBLE) "
         f"* CAST({float(_KM_SCALE)!r} AS DOUBLE)) AS BIGINT)"
     )
-    dist = (
-        "CAST(list_sum(list_transform(list_zip(e.q, c.cq), "
-        "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
-    )
+    dist = _GK_DIST
     parts = [
         f"""
     WITH e AS (
@@ -714,34 +754,9 @@ def _pq_exact_oracle() -> str:
                                       ORDER BY vec_id) AS rn
             FROM e)
       WHERE rn <= {_PQ_EX_KSUB}
-    )"""
+    )""",
+        _grouped_kmeans_iter_ctes(),
     ]
-    for i in range(1, _KM_ITERS + 1):
-        parts.append(f""",
-    p{i} AS (
-      SELECT e.vec_id, e.grp, c.cluster, {dist} AS d
-      FROM e JOIN c{i - 1} c USING (grp)
-    ),
-    a{i} AS (
-      SELECT vec_id, grp,
-             (min(struct_pack(d := d, c := cluster))).c AS cluster
-      FROM p{i} GROUP BY vec_id, grp
-    ),
-    u{i} AS (
-      SELECT grp, cluster, pos,
-             CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-      FROM (SELECT a.grp, a.cluster,
-                   unnest(generate_series(1, len(e.q))) AS pos,
-                   unnest(e.q) AS v
-            FROM a{i} a JOIN e ON e.vec_id = a.vec_id AND e.grp = a.grp)
-      GROUP BY 1, 2, 3
-    ),
-    n{i} AS (SELECT grp, cluster, list(v ORDER BY pos) AS nq
-             FROM u{i} GROUP BY grp, cluster),
-    c{i} AS (
-      SELECT c.grp, c.cluster, coalesce(n.nq, c.cq) AS cq
-      FROM c{i - 1} c LEFT JOIN n{i} n USING (grp, cluster)
-    )""")
     parts.append(f""",
     lut AS (
       SELECT e.vec_id AS query_id, e.grp, c.cluster, {dist} AS d
@@ -817,4 +832,85 @@ def sim_ann_pq_exact_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_PQ_EX_SHORT,
         dim=_PQ_EX_DIM,
         scale=_KM_SCALE,
+    )
+
+
+_LBL_K = 4  # sub-clusters per label
+
+
+def _label_kmeans_oracle() -> str:
+    """Per-label grouped k-means profile: the shared grouped recurrence
+    with grp = label, rolled up to (label, cluster) sizes and exact
+    integer inertia."""
+    quant = (
+        "x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* CAST({float(_KM_SCALE)!r} AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS grp,
+             list_transform(embedding, {quant}) AS q
+      FROM embeddings
+      WHERE len(embedding) > 0 AND label IS NOT NULL
+    ),
+    c0 AS (
+      SELECT grp, CAST(rn - 1 AS INTEGER) AS cluster, q AS cq
+      FROM (SELECT grp, q,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY vec_id) AS rn
+            FROM e)
+      WHERE rn <= {_LBL_K}
+    )"""
+        + _grouped_kmeans_iter_ctes()
+        + f"""
+    SELECT grp AS label, cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(dist_q) AS BIGINT) AS inertia_q
+    FROM a{_KM_ITERS}
+    GROUP BY 1, 2
+    """
+    )
+
+
+@defquery(
+    "emb_kmeans_by_label",
+    _label_kmeans_oracle(),
+    doc="Per-label sub-clustering in ONE plan "
+    "(clustering.kmeans_fixed_point_grouped, grp = label, k=4): ten "
+    "independent exact Lloyd clusterings — the per-corpus-partition "
+    "structure pass (per language / per source / per topic) that finds "
+    "sub-modes inside each partition without launching a job per "
+    "group. Same bit-exact fixed-point trajectory as "
+    "emb_kmeans_clusters; the oracle composes the SAME grouped "
+    "recurrence CTEs as the exact-code PQ (one shared definition). "
+    "Output: (label, cluster) sizes + exact integer inertia — the "
+    "within-partition dispersion a curriculum or mixture designer "
+    "reads. Scale: all groups share every shuffle; per iteration one "
+    "broadcast of the G·k centroid frame + one (group, cluster, pos) "
+    "update aggregate.",
+)
+def emb_kmeans_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.clustering import (
+        kmeans_fixed_point_grouped,
+        quantize_vec,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") > 0) & F.col("label").isNotNull()
+    )
+    vecs = emb.select(
+        F.col("label").cast("long").alias("grp"),
+        "vec_id",
+        quantize_vec(F.col("embedding"), _KM_SCALE).alias("q"),
+    )
+    assign, _ = kmeans_fixed_point_grouped(
+        vecs, _LBL_K, _KM_ITERS, group_col="grp", id_col="vec_id",
+        qvec_col="q",
+    )
+    return assign.groupBy(
+        F.col("grp").alias("label"), "cluster"
+    ).agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist_q").alias("inertia_q"),
     )

@@ -462,3 +462,50 @@ def streaming_scatter_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cov"),
     )
 
+
+
+@defquery(
+    "streaming_bitmap_dau",
+    """
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day, user_id // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT day, CAST(sum(bit_count(word)) AS BIGINT) AS n_users
+    FROM b GROUP BY day
+    """,
+    doc="GENUINE streaming daily-active-users over BITMAP state "
+    "(operators.sketches.key_bitmaps as a streaming aggregate): "
+    "readStream over the events archive → (day, word) bit_or in "
+    "COMPLETE mode → availableNow; bit_or is commutative/associative, "
+    "so micro-batch boundaries cannot perturb the words and the final "
+    "state hash-matches the batch bitmap exactly — the same "
+    "micro-batch-invariance argument as streaming_scatter_covariance, "
+    "on a different mergeable structure. State is ~8 bytes per 63 "
+    "distinct users per day (vs one row per (day, user) for streaming "
+    "dropDuplicates-then-count), and the SAME state answers any later "
+    "intersection question (retention, audience overlap) without "
+    "re-reading the stream — the streaming build path of the "
+    "events_retention_bitmap index.",
+)
+def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.sketches import (
+        bitmap_cardinality,
+        key_bitmaps,
+    )
+    from hfp_loader_spark.streaming.jobs import run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    bm = key_bitmaps(
+        stream.select(F.col("ts").cast("date").alias("day"), "user_id"),
+        "day",
+        "user_id",
+    )
+    final = run_available_now(bm, output_mode="complete")
+    return bitmap_cardinality(final).select(
+        F.col("dim").alias("day"), F.col("n_keys").cast("long").alias("n_users")
+    )
