@@ -40,6 +40,13 @@ ALLOWED_HINTED_QUERY_SETS = {
     "sim_ann_pq_recall": ["embeddings"],
     "rank_hard_negatives": ["documents"],
     "rank_rrf_fusion": ["documents", "embeddings"],
+    # grouped fixed-point k-means broadcasts its centroid frame, which
+    # is bounded by a per-group row_number() <= k FILTER (G·k rows by
+    # construction) rather than a structural GlobalLimit the walker can
+    # prove (the scalar k-means path uses orderBy().limit() and does
+    # not flag) — bounded query-set-style justification, k=16×8 / 4×10.
+    "sim_ann_pq_exact_codes": ["embeddings"],
+    "emb_kmeans_by_label": ["embeddings"],
 }
 
 #: Per-headline-query physical invariants, measured at sf0.001 with a
