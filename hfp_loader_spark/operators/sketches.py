@@ -734,3 +734,64 @@ def bitmap_intersect_cardinality(
             ).alias("n_common")
         )
     )
+
+
+def save_bitmap_index(
+    spark,
+    df: DataFrame,
+    root: str,
+    dim_col: str,
+    key_col: str,
+    word_bits: int = 63,
+    mode: str = "append",
+) -> int:
+    """Persist (or append to) a versioned bitmap index: the batch's
+    :func:`key_bitmaps` rows committed as a snapshot, manifest-stamped
+    with ``word_bits`` so a later reader refuses to OR words of a
+    different width (same fail-loud stamping as the signature index).
+
+    Appends are O(delta): each ingest commits only ITS batch's words;
+    :func:`load_bitmap_index` merges on read with one ``bit_or`` —
+    valid precisely because bit_or is idempotent/commutative/
+    associative, so delta-commits OR-merged equal the full recompute
+    bit-for-bit (the mergeable-aggregate argument every structure in
+    this module leans on).  Returns the committed version."""
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        commit_snapshot,
+        latest_version,
+    )
+
+    head = latest_version(spark, root)
+    if head is not None and mode == "append":
+        meta = _read_manifest(spark, root, head).meta or {}
+        stored = (meta.get("bitmap_params") or {}).get("word_bits")
+        if stored is not None and stored != word_bits:
+            raise ValueError(
+                f"bitmap index at {root!r} uses word_bits={stored}; "
+                f"appending word_bits={word_bits} words would corrupt "
+                "every merged popcount — rebuild, don't mix"
+            )
+    bm = key_bitmaps(df, dim_col, key_col, word_bits=word_bits)
+    return commit_snapshot(
+        spark,
+        bm,
+        root,
+        mode=mode,
+        meta={"bitmap_params": {"word_bits": word_bits}},
+    )
+
+
+def load_bitmap_index(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read a versioned bitmap index, OR-merging the per-commit delta
+    words into one row per (dim, word_idx) — the merged frame is
+    identical to :func:`key_bitmaps` over the union of every ingested
+    batch, and feeds :func:`bitmap_cardinality` /
+    :func:`bitmap_intersect_cardinality` directly."""
+    from hfp_loader_spark.versioned import read_snapshot
+
+    return (
+        read_snapshot(spark, root, version=version)
+        .groupBy("dim", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

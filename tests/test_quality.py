@@ -97,3 +97,46 @@ def test_key_bitmaps_match_distinct_counts(spark, sf_dir):
     assert [(r["dim_a"], r["dim_b"], r["n_common"]) for r in inter] == [
         ("a", "b", 3)  # {0, 63, 64}
     ]
+
+
+def test_bitmap_index_incremental_merge_equals_full(spark, sf_dir, tmp_path):
+    """Two O(delta) appends OR-merged on load must equal key_bitmaps
+    over the full input (the mergeable-aggregate property), and a
+    mismatched word width must be refused at append time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.sketches import (
+        bitmap_cardinality,
+        key_bitmaps,
+        load_bitmap_index,
+        save_bitmap_index,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    b1 = ev.where("user_id % 2 = 0")
+    b2 = ev.where("user_id % 2 = 1")
+    root = str(tmp_path / "bitmap_index")
+    v1 = save_bitmap_index(spark, b1, root, "d", "user_id")
+    v2 = save_bitmap_index(spark, b2, root, "d", "user_id")
+    assert v2 == v1 + 1
+
+    merged = load_bitmap_index(spark, root)
+    full = key_bitmaps(ev, "d", "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {r["dim"]: r["n_keys"] for r in bitmap_cardinality(merged).collect()}
+    want = {
+        r["d"]: r["n"]
+        for r in ev.groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="word_bits"):
+        save_bitmap_index(spark, b1, root, "d", "user_id", word_bits=31)
