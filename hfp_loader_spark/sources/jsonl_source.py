@@ -149,3 +149,27 @@ def to_parquet_stage(
             f"{out_dir.rstrip('/')}/_quarantine"
         )
     return n_total - n_bad, n_bad
+
+
+def write_jsonl(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+    compression: str = "gzip",
+) -> None:
+    """Export a frame as JSON-Lines — the interchange counterpart of
+    :func:`read_jsonl` (annotation hand-off, cross-org corpus delivery,
+    loaders that read text, not parquet).
+
+    Defaults to gzip: at 100 TB the export is network-bound and JSONL
+    compresses 5-10×; note gzip parts are NOT splittable, so size the
+    upstream partitioning to the ~100 MB-per-file rule the module
+    docstring gives for the read side (the writer emits one file per
+    partition — ``repartition`` first to control part count/size).
+    ``partition_by`` lays out ``col=value/`` directories exactly like
+    the parquet writers, so the same partition pruning applies when the
+    export is read back."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(out_dir.rstrip("/"))

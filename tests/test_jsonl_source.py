@@ -69,3 +69,39 @@ def test_clean_file_quarantines_nothing(spark, tmp_path):
     out = str(tmp_path / "stage2")
     n_clean, n_bad = to_parquet_stage(spark, str(p), out)
     assert (n_clean, n_bad) == (2, 0)
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    """write_jsonl → read_jsonl reproduces the frame (gzip parts,
+    partitioned layout), and the quarantine column stays absent on a
+    clean round-trip."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.sources.jsonl_source import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, "alpha", "en", "s1", 5),
+        (2, 'quote " and , comma', "de", "s1", 19),
+        (3, None, "fr", "s2", 0),  # NULL text survives the round-trip
+        (4, "café αβ", "en", "s2", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(df, out, partition_by=["source"])
+    back_raw = read_jsonl(spark, f"{out}/*/*.json.gz", DOCUMENTS_SCHEMA)
+    clean, bad = split_corrupt(back_raw)
+    assert bad.count() == 0
+    # partition column rides the directory, not the JSON body
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["n_chars"])
+        for r in clean.collect()
+    )
+    want = sorted((i, t, lg, n) for i, t, lg, _, n in rows)
+    assert got == want
