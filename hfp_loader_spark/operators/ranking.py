@@ -344,32 +344,42 @@ def rrf_fuse(
 
     Output: ``(qid_col, id_col, rrf, rn ≤ topk)``, ordered by rounded
     rrf desc with id tiebreak.  Scale shape: each input ranking is
-    already a per-query top-k (bounded rows per query); the fusion is a
-    cascade of full-outer joins on (query, doc) over those bounded
-    lists plus one per-query top-k window — work proportional to
-    queries × k × len(rankings), independent of corpus size."""
+    already a per-query top-k (bounded rows per query); the fusion is
+    ONE union + ONE (query, doc) aggregate + the per-query top-k
+    window — work proportional to queries × k × len(rankings),
+    independent of corpus size.  (r10: previously a cascade of R−1
+    full-outer joins — each a shuffle of both sides; the union+agg form
+    measures 20 → 8 exchanges on the rank_rrf_fusion entry with
+    identical values.)
+
+    Determinism under floats: the per-doc contributions are summed by
+    an IN-ROW fold over the contributions SORTED BY RANKING INDEX —
+    float addition is commutative but not associative, so a plain
+    ``sum()`` over the union would add in partition order and could
+    drift a last ulp across runs/engines at R ≥ 3; the sorted fold
+    reproduces the cascade's fixed left-to-right order exactly."""
     from functools import reduce
 
     from hfp_loader_spark.operators.relational import top_k_per_group
 
     sides = [
         r.select(
-            qid_col,
-            id_col,
+            F.col(qid_col),
+            F.col(id_col),
+            F.lit(i).alias("_ri"),
             (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col).cast("double")))
-            .alias(f"_c{i}"),
+            .alias("_c"),
         )
         for i, r in enumerate(rankings)
     ]
-    fused = reduce(
-        lambda a, b: a.join(b, [qid_col, id_col], "full"), sides
+    allc = reduce(lambda a, b: a.unionByName(b), sides)
+    score = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("_ri"), F.col("_c")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s.getField("_c"),
     )
-    score = None
-    for i in range(len(rankings)):
-        c = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
-        score = c if score is None else score + c
-    scored = fused.select(
-        qid_col, id_col, F.round(score, round_to).alias("rrf")
+    scored = allc.groupBy(qid_col, id_col).agg(
+        F.round(score, round_to).alias("rrf")
     )
     return top_k_per_group(
         scored, [qid_col], [F.desc("rrf"), F.asc(id_col)], topk

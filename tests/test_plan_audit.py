@@ -95,7 +95,9 @@ HEADLINE_INVARIANTS = {
     "sample_dsir_importance": dict(
         max_exchanges=12, bnlj=4, pushed=["EqualTo(lang,fr)"]
     ),
-    "rank_rrf_fusion": dict(max_exchanges=22, bnlj=6),
+    # r10: union+agg fusion replaced the full-outer cascade (20 → 14
+    # exchanges, SMJs eliminated); cap tightened to pin the win.
+    "rank_rrf_fusion": dict(max_exchanges=16, bnlj=6),
     "sim_mmr_rerank": dict(max_exchanges=4, bnlj=0),
     "emb_power_iteration_pc1": dict(max_exchanges=2, bnlj=4),
     "orders_basket_brand_rules": dict(max_exchanges=14, bnlj=2),
