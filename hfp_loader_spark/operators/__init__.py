@@ -71,9 +71,23 @@ from hfp_loader_spark.operators.graph import (  # noqa: F401
     pagerank,
 )
 from hfp_loader_spark.operators.sketches import (  # noqa: F401
+    bitmap_cardinality,
+    bitmap_intersect_cardinality,
+    key_bitmaps,
     kmv_distinct_estimate,
     kmv_jaccard,
     kmv_merge,
     kmv_sketch,
+    load_bitmap_index,
+    save_bitmap_index,
+)
+from hfp_loader_spark.operators.clustering import (  # noqa: F401
+    kmeans_fixed_point,
+    kmeans_fixed_point_grouped,
+    kmeans_fixed_point_model,
+)
+from hfp_loader_spark.operators.similarity import (  # noqa: F401
+    ivf_exact_cells_top_k,
+    pq_exact_codes_top_k,
 )
 from hfp_loader_spark.operators.transform import typed_projection  # noqa: F401
