@@ -179,7 +179,7 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 32
+    shingled: DataFrame, num_hashes: int = 32, shingle_hash=None
 ) -> DataFrame:
     """(doc_id, sig array<long>): k independent min-hashes per document.
 
@@ -189,20 +189,35 @@ def minhash_signatures(
     in-row `transform` per hash would let Catalyst inline — and thus
     recompute — the shingling k times), and map-side partial mins mean
     the shuffle carries k longs per doc per partition, not shingles.
+
+    ``shingle_hash`` ((shingle Column, j int) → Column) overrides the
+    default family per permutation — the md5-48-bit variant makes the
+    signatures DuckDB-recomputable (see ``dedup_minhash_lsh_exact``);
+    keep the xxhash64 default on the hot path (one string hash + k
+    long hashes vs k full md5 digests per shingle).
     """
     ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    # Hash the (variable-length) shingle string ONCE; derive the k
-    # permutation hashes from the resulting 8-byte long — xxhash64 over a
-    # long + seed literal costs a fixed few ns vs re-hashing (and
-    # re-concatenating) the string k times.
-    base = ex.select("doc_id", F.xxhash64("shingle").alias("_h"))
-    hashed = base.select(
-        "doc_id",
-        *[
-            F.xxhash64(F.col("_h"), F.lit(j)).alias(f"_h{j}")
-            for j in range(num_hashes)
-        ],
-    )
+    if shingle_hash is not None:
+        hashed = ex.select(
+            "doc_id",
+            *[
+                shingle_hash(F.col("shingle"), j).alias(f"_h{j}")
+                for j in range(num_hashes)
+            ],
+        )
+    else:
+        # Hash the (variable-length) shingle string ONCE; derive the k
+        # permutation hashes from the resulting 8-byte long — xxhash64
+        # over a long + seed literal costs a fixed few ns vs re-hashing
+        # (and re-concatenating) the string k times.
+        base = ex.select("doc_id", F.xxhash64("shingle").alias("_h"))
+        hashed = base.select(
+            "doc_id",
+            *[
+                F.xxhash64(F.col("_h"), F.lit(j)).alias(f"_h{j}")
+                for j in range(num_hashes)
+            ],
+        )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"_h{j}").alias(f"_h{j}") for j in range(num_hashes)]
     )
@@ -213,21 +228,28 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 32, num_bands: int = 8
+    signatures: DataFrame,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    band_hash=None,
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs sharing ≥ 1 LSH band.
 
     Bands hash the signature slice to one long; the bucket join shuffles
     (band, bucket) keys only.  Candidates must be verified (e.g. with
     `jaccard_pairs`-style exact similarity) downstream.
-    """
+
+    ``band_hash`` (concatenated-slice Column → Column) overrides the
+    default xxhash64 bucket hash (md5-48-bit for the DuckDB-twin
+    variant)."""
     rows_per_band = num_hashes // num_bands
+    bh = band_hash or F.xxhash64
     bands = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    bh(
                         F.concat_ws(
                             ",",
                             *[
@@ -270,6 +292,8 @@ def minhash_lsh_pairs(
     num_bands: int = 8,
     reuse_shingles: bool = True,
     cache_registry: list[DataFrame] | None = None,
+    shingle_hash=None,
+    band_hash=None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup join, exact-Jaccard verified.
 
@@ -302,7 +326,7 @@ def minhash_lsh_pairs(
         shingled.count()
         if cache_registry is not None:
             cache_registry.append(shingled)
-    sigs = minhash_signatures(shingled, num_hashes)
+    sigs = minhash_signatures(shingled, num_hashes, shingle_hash=shingle_hash)
     if reuse_shingles:
         from pyspark import StorageLevel
 
@@ -313,7 +337,7 @@ def minhash_lsh_pairs(
         sigs.count()
         if cache_registry is not None:
             cache_registry.append(sigs)
-    cands = lsh_candidate_pairs(sigs, num_hashes, num_bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, num_bands, band_hash=band_hash)
     sets_a = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )

@@ -1352,3 +1352,110 @@ def dedup_weighted_minhash_sources(
     return weighted_minhash_matrix(
         _t(spark, sf_dir, "documents"), num_hashes=16, tf_cap=64
     )
+
+
+def f_md5(j: int) -> str:  # shared by the minhash-exact oracle
+    return f"md5('{j}:' || s)"
+
+
+def _minhash_exact_oracle(
+    num_hashes: int, num_bands: int, threshold: float
+) -> str:
+    """DuckDB twin of the FULL MinHash+LSH near-dup join for the
+    md5-48-bit hash family: the same signatures, the same band buckets,
+    the same candidate set, the same exact-Jaccard verification — so
+    the discovery path's output (not just its recall) is value-checked.
+    The xxhash64 entry (dedup_minhash_lsh) stays the hot path."""
+
+    def h48(expr: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+                f" * {16 ** (11 - i)}"
+                for i in range(12)
+            )
+            + ")"
+        )
+
+    rows_per_band = num_hashes // num_bands
+    mins = ",\n             ".join(
+        f"min({h48(f_md5(j))}) AS m{j}" for j in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h48(
+            "md5("
+            + " || ',' || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + ")"
+        )
+        + " AS bucket FROM sigs"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))),
+                   4) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+@defquery(
+    "dedup_minhash_lsh_exact",
+    _minhash_exact_oracle(32, 8, 0.8),
+    doc="MinHash(32)+LSH(8 bands) near-dup join with a FULLY "
+    "value-checked discovery path: the md5-48-bit hash family "
+    "(minhash_signatures(shingle_hash=…) / "
+    "lsh_candidate_pairs(band_hash=…)) makes signatures, band buckets, "
+    "the candidate set, AND the exact-Jaccard-verified pair list all "
+    "DuckDB-recomputable — completing the exact-sibling set: every "
+    "remaining rows-only sketch entry (xxhash64 LSH, float IVF/PQ) now "
+    "has a bit-exact twin beside its fast default. Same banded bucket "
+    "join, never all-pairs; the hot path stays dedup_minhash_lsh "
+    "(one xxhash64 + k long hashes per shingle vs k md5 digests "
+    "here).",
+)
+def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md5_48 = lambda col, j: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 12), 16, 10
+    ).cast("long")
+    band_md5 = lambda col: F.conv(  # noqa: E731
+        F.substring(F.md5(col), 1, 12), 16, 10
+    ).cast("long")
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        shingle_hash=md5_48,
+        band_hash=band_md5,
+    )
