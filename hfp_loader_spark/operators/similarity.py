@@ -1663,3 +1663,68 @@ def pq_exact_codes_top_k(
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
     )
+
+
+def semantic_dedup_exact_cells(
+    corpus: DataFrame,
+    threshold: float,
+    nlist: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """:func:`semantic_dedup` with cells from the fixed-point integer
+    k-means instead of the float spherical trainer — the SemDeDup
+    variant whose ENTIRE result (cells, in-cell pair set, keep/prune
+    flags) reproduces bit-for-bit on any engine, completing the
+    exact-sibling set for the similarity tier.  Same rule: a vector is
+    pruned when a smaller-id same-cell vector scores
+    round(cos, round_to) ≥ threshold; NULL/empty vectors are outside
+    the universe on both paths.
+
+    Trade: training pays ``iters`` corpus-scale rounds (vs a bounded
+    driver sample); the within-cell pair join and its Σ|cell|² cost
+    are identical to the float path's expression mode."""
+    from hfp_loader_spark.operators.clustering import kmeans_fixed_point
+
+    assign = kmeans_fixed_point(
+        corpus, nlist, iters, id_col=id_col, vec_col=vec_col, scale=scale
+    ).select(F.col(id_col), F.col("cluster").alias("cell"))
+    c = (
+        corpus.where(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .join(assign, id_col)
+    )
+    a = c.select(
+        F.col(id_col).alias("_ia"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cell",
+    )
+    b = c.select(
+        F.col(id_col).alias("_ib"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        F.col("cell").alias("_cb"),
+    )
+    removed = (
+        a.join(b, (F.col("cell") == F.col("_cb")) & (F.col("_ia") < F.col("_ib")))
+        .where(
+            F.round(
+                cosine_prenormed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                round_to,
+            )
+            >= threshold
+        )
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return assign.join(removed, id_col, "left").select(
+        id_col, "cell", F.col("_rm").isNull().alias("kept")
+    )

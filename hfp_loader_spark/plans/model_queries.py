@@ -914,3 +914,62 @@ def emb_kmeans_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("dist_q").alias("inertia_q"),
     )
+
+
+_SEMDEDUP_EX_T = 0.35  # same threshold rationale as semdedup_keep_list
+
+
+def _semdedup_exact_oracle() -> str:
+    """Exact-cell SemDeDup on the shared k-means CTEs: within-cell
+    smaller-id pruning at round(cos,4) ≥ t, every stage value-identical
+    to ``similarity.semantic_dedup_exact_cells``."""
+    return (
+        _kmeans_ctes()
+        + f""",
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv
+      FROM embeddings WHERE len(embedding) > 0
+    ),
+    rem AS (
+      SELECT b.vec_id AS vid
+      FROM a{_KM_ITERS} a
+      JOIN a{_KM_ITERS} b ON a.cluster = b.cluster
+                         AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(va.vv, vb.vv), 4)
+            >= {_SEMDEDUP_EX_T!r}
+      GROUP BY b.vec_id
+    )
+    SELECT a.vec_id, a.cluster AS cell, r.vid IS NULL AS kept
+    FROM a{_KM_ITERS} a LEFT JOIN rem r ON r.vid = a.vec_id
+    """
+    )
+
+
+@defquery(
+    "semdedup_keep_list_exact",
+    _semdedup_exact_oracle(),
+    doc="SemDeDup keep-list whose ENTIRE result is value-checked "
+    "(operators.similarity.semantic_dedup_exact_cells): cells from the "
+    "fixed-point k-means (the same shared trajectory CTEs as "
+    "emb_kmeans_clusters / the exact-cell IVF), within-cell smaller-id "
+    "pruning at round(cos,4) ≥ 0.35 — cells, pair set, and keep/prune "
+    "flags all hash-match the oracle. The exact sibling of "
+    "semdedup_keep_list (float spherical cells → rows-only + "
+    "contract), completing the exact-sibling set: EVERY rows-only "
+    "entry now stands next to a bit-exact twin of the same mechanism. "
+    "Same Σ|cell|²-bounded pair work; never all-pairs.",
+)
+def semdedup_keep_list_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import (
+        semantic_dedup_exact_cells,
+    )
+
+    return semantic_dedup_exact_cells(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_EX_T,
+        nlist=_KM_K,
+        iters=_KM_ITERS,
+        scale=_KM_SCALE,
+    )
