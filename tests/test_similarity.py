@@ -531,3 +531,33 @@ def test_pq_exact_codes_recall_vs_exact_topk(spark, sf_dir):
     assert len(exact) == 25
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivf_exact_cells_recall_vs_exact_topk(spark, sf_dir):
+    """The value-checked IVF variant must also be a GOOD index: with
+    nprobe=4 of 8 cells probed, recall@5 vs the exact cosine top-5
+    stays at or above the 0.6 floor the float IVF contract asserts."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.similarity import (
+        brute_force_top_k,
+        ivf_exact_cells_top_k,
+    )
+    from hfp_loader_spark.plans.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_top_k(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_exact_cells_top_k(
+            emb, queries, k=5, nlist=8, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
