@@ -68,6 +68,16 @@ HEADLINE = [
     # cost to the total vs r9's 28-query sum.
     "orders_basket_brand_rules",
     "dedup_weighted_minhash_sources",
+    # round 11 (VERDICT r10 #1): the exact-index trilogy — the ONLY
+    # catalog entries that TRAIN at corpus scale (fixed-point Lloyd
+    # rounds as unrolled broadcast-join plans: IVF cell assignment, PQ
+    # sub-space codebooks + integer ADC, G-grouped k-means in one
+    # plan).  Until now a training-cost regression was invisible to
+    # BENCH_r*.json; each adds its own cost to the total vs r10's
+    # 31-query sum, and tests/test_plan_audit.py caps their exchanges.
+    "sim_ann_ivf_exact_cells",
+    "sim_ann_pq_exact_codes",
+    "emb_kmeans_by_label",
 ]
 
 
@@ -84,9 +94,11 @@ CALIB_REF = 1.60
 
 def _calibrate(spark) -> float:
     """Fixed CPU-bound measurement, independent of sf_dir and of every
-    catalog plan: an 8M-row md5 chain reduced to one row.  Pure codegen
+    catalog plan: a 48M-row md5 chain reduced to one row.  Pure codegen
     arithmetic → scales with host CPU speed exactly like the query
-    plans' compute; min-of-3 strips scheduler jitter."""
+    plans' compute; min-of-3 strips scheduler jitter.  CALIB_REF was
+    measured against THIS exact workload (48M rows, double-md5, max
+    aggregate) — changing the row count or expression invalidates it."""
     from pyspark.sql import functions as F
 
     def once() -> float:
@@ -104,6 +116,23 @@ def _calibrate(spark) -> float:
         return time.perf_counter() - t0
 
     return min(once() for _ in range(3))
+
+
+def normalize_total(total: float, calib: float) -> tuple[float, str | None]:
+    """Host-normalize the headline total with a sanity clamp (VERDICT
+    r10 #8): a broken calibration silently rescaling the whole total is
+    the failure mode normalization introduces.  A probe reading more
+    than 5× off the reference host is outside the fleet's plausible
+    range — treat it as a probe defect, publish the RAW total as
+    normalized, and return the rejection note for the JSON.  Documented
+    in BASELINE.md §Host-speed calibration."""
+    if calib <= 0 or not (CALIB_REF / 5.0 <= calib <= CALIB_REF * 5.0):
+        return total, (
+            f"calib_sec {calib} outside [{CALIB_REF / 5.0:.3g}, "
+            f"{CALIB_REF * 5.0:.3g}] — normalization skipped, "
+            "value_normalized = raw"
+        )
+    return round(total * CALIB_REF / calib, 3), None
 
 
 def _hfp_day_dir(rows_per_group: int) -> str:
@@ -204,20 +233,20 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     calib = round(_calibrate(spark), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-                "calib_sec": calib,
-                "calib_ref_sec": CALIB_REF,
-                "value_normalized": round(total * CALIB_REF / calib, 3),
-            }
-        )
-    )
+    normalized, rejected = normalize_total(total, calib)
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "calib_sec": calib,
+        "calib_ref_sec": CALIB_REF,
+        "value_normalized": normalized,
+    }
+    if rejected:
+        out["calib_rejected"] = rejected
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

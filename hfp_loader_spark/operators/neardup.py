@@ -1340,7 +1340,12 @@ def weighted_minhash_matrix(
     sequence explode, ``num_hashes`` min-aggregates into one
     |sources|-row signature frame, then the exact-Σmin term join (cap
     applied) and a broadcast signature cross-pair.  Output: complete
-    S² matrix (source_a, source_b, est_wj, exact_wj)."""
+    S² matrix (source_a, source_b, est_wj, exact_wj) — built from the
+    DISTINCT sources of ``docs`` (like :func:`weighted_jaccard_matrix`),
+    so a source whose documents tokenize to NOTHING still appears:
+    est_wj/exact_wj = 0.0 against a non-empty source (the true weighted
+    Jaccard of an empty bag) and NULL when both sides are empty (0/0
+    undefined), mirroring the exact sibling's NULL-denominator rule."""
     from hfp_loader_spark.operators.text import tokens
 
     def h48(col: F.Column | str, prefix) -> F.Column:  # 48-bit md5 int
@@ -1377,24 +1382,45 @@ def weighted_minhash_matrix(
     )
     a = sigs.select(
         F.col("_src").alias("source_a"),
+        F.lit(1).alias("_hasa"),
         *[F.col(f"_m{j}").alias(f"_a{j}") for j in range(num_hashes)],
     )
     b = sigs.select(
         F.col("_src").alias("source_b"),
+        F.lit(1).alias("_hasb"),
         *[F.col(f"_m{j}").alias(f"_b{j}") for j in range(num_hashes)],
     )
     agree = None
     for j in range(num_hashes):
         m = F.when(F.col(f"_a{j}") == F.col(f"_b{j}"), 1).otherwise(0)
         agree = m if agree is None else agree + m
-    est = a.join(
-        F.broadcast(b), F.col("source_a") < F.col("source_b")
-    ).select(
-        "source_a",
-        "source_b",
-        F.round(
-            agree.cast("double") / F.lit(float(num_hashes)), round_to
-        ).alias("est_wj"),
+    srcs = docs.select(F.col(source_col).alias("_s")).distinct()
+    pairs = srcs.select(F.col("_s").alias("source_a")).join(
+        F.broadcast(srcs.select(F.col("_s").alias("source_b"))),
+        F.col("source_a") < F.col("source_b"),
+    )
+    est = (
+        pairs.join(F.broadcast(a), "source_a", "left")
+        .join(F.broadcast(b), "source_b", "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("_hasa").isNull() & F.col("_hasb").isNull(),
+                F.lit(None).cast("double"),
+            )
+            .when(
+                F.col("_hasa").isNull() | F.col("_hasb").isNull(),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    agree.cast("double") / F.lit(float(num_hashes)),
+                    round_to,
+                )
+            )
+            .alias("est_wj"),
+        )
     )
     totals = tf.groupBy("_src").agg(F.sum("_tf").alias("_tot"))
     shared = (
@@ -1413,7 +1439,9 @@ def weighted_minhash_matrix(
     )
     smin = F.coalesce(F.col("_smin"), F.lit(0)).cast("double")
     denom = (
-        F.col("_ta").cast("double") + F.col("_tb_tot").cast("double") - smin
+        F.coalesce(F.col("_ta"), F.lit(0)).cast("double")
+        + F.coalesce(F.col("_tb_tot"), F.lit(0)).cast("double")
+        - smin
     )
     return (
         est.join(F.broadcast(shared), ["source_a", "source_b"], "left")
@@ -1424,6 +1452,7 @@ def weighted_minhash_matrix(
                 )
             ),
             "source_a",
+            "left",
         )
         .join(
             F.broadcast(
@@ -1433,6 +1462,7 @@ def weighted_minhash_matrix(
                 )
             ),
             "source_b",
+            "left",
         )
         .select(
             "source_a",

@@ -391,6 +391,7 @@ def roc_auc(
     score_col: str,
     label_col: str,
     round_to: int = 6,
+    score_round_to: int = 6,
 ) -> DataFrame:
     """Exact ROC-AUC via the Mann–Whitney rank statistic, computed from
     the SCORE HISTOGRAM rather than a global sort:
@@ -402,19 +403,29 @@ def roc_auc(
 
     Scale shape: one ``groupBy(score)`` aggregate over the corpus (the
     only corpus-sized pass, map-side combinable), then the rank algebra
-    runs on the DISTINCT-SCORE frame — bounded by the score's rounded
-    domain (≤ 10^d + 1 rows for d-decimal scores), the same bounded-
-    rollup argument as the day-spine windows.  The global window orders
-    that bounded frame, never the corpus.  One row out: n_pos, n_neg,
-    auc, gini (= 2·AUC − 1).
+    runs on the DISTINCT-SCORE frame.  The score is ROUNDED to
+    ``score_round_to`` decimals INSIDE the groupBy, so the distinct
+    frame is provably bounded for ANY caller — ≤ (hi−lo)·10^d + 1 rows
+    for scores in [lo, hi] — not just callers that pre-round; without
+    this, unrounded random doubles would put a corpus-sized frame
+    through the single global rank sort (rounding at d decimals is the
+    histogram-AUC trade: scores within 10^-d become ties, which the
+    tie correction handles exactly).  The global window orders that
+    bounded frame, never the corpus.  One row out: n_pos, n_neg, auc,
+    gini (= 2·AUC − 1).
 
-    Output is NULL-auc when either class is empty (AUC undefined), with
-    the counts still reported — the caller's signal to fix labels, not
-    a silent 0.5.
+    NULL scores are EXCLUDED before the groupBy (n_pos/n_neg count only
+    scored rows): Spark's rank window orders NULLs first, so including
+    them would silently shift every rank — an unscorable row is not a
+    worst-ranked row.  Output is NULL-auc when either class is empty
+    (AUC undefined), with the counts still reported — the caller's
+    signal to fix labels, not a silent 0.5.
     """
     from pyspark.sql import Window
 
-    g = scored.groupBy(F.col(score_col).alias("_s")).agg(
+    g = scored.where(F.col(score_col).isNotNull()).groupBy(
+        F.round(F.col(score_col).cast("double"), score_round_to).alias("_s")
+    ).agg(
         F.count("*").cast("double").alias("_n"),
         F.sum(F.when(F.col(label_col), 1).otherwise(0))
         .cast("double")

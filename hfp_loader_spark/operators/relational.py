@@ -768,8 +768,17 @@ def integer_sigma_outliers(
     generalized to relational data).
 
     ``k`` must be a positive int (the rule compares against k² exactly).
-    Overflow margin: |cents| ≤ 2e12 and n ≤ 1e9 keeps every product
-    within decimal(38,0) — holds for TPC-H balances at any SF.
+    Overflow envelope (enforced, not assumed): the hottest products are
+    dev² = (x·n − Σx)² ≤ (2·max|x|·n)² and k²·spread ≤ k²·n·Σx², so the
+    rule fits decimal(38,0) iff  2·max|cents|·n < 10¹⁹  and
+    k²·n·Σx² < 10³⁸; enforced one decade tighter (10¹⁸ / 10³⁷) because
+    the guard runs in double (TPC-H balances: |cents| < 10⁹, safe past
+    n = 10⁸ rows — every SF this engine targets).
+    Both bounds are CHECKED from the same moment aggregate and the plan
+    raises (``assert_true`` inside the filter — ANSI on or off) instead
+    of silently NULL-dropping outliers on overflow; verified by planted
+    2e12-cent / 1e7-row cases that DO overflow the old documented
+    "|cents| ≤ 2e12 and n ≤ 1e9" envelope.
 
     Scale shape: ONE global-moment aggregate (count/sum/sum-of-squares,
     map-side combinable) broadcast back over the scan — the fact table
@@ -783,12 +792,31 @@ def integer_sigma_outliers(
         F.count("*").cast(dec).alias("_n"),
         F.sum("_cents").alias("_s1"),
         F.sum(F.col("_cents") * F.col("_cents")).alias("_s2"),
+        F.max(F.abs(F.col("_cents"))).alias("_mx"),
     )
     dev = F.col("_cents") * F.col("_n") - F.col("_s1")
     spread = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    # Headroom guard in DOUBLE (exactness irrelevant — order-of-magnitude
+    # check with a 10× safety factor below decimal(38,0)'s 1e38 ceiling).
+    n_d = F.col("_n").cast("double")
+    fits = (
+        (F.lit(2.0) * F.col("_mx").cast("double") * n_d < F.lit(1.0e18))
+        & (
+            F.lit(float(k * k)) * n_d * F.col("_s2").cast("double")
+            < F.lit(1.0e37)
+        )
+    )
+    guard = F.assert_true(
+        fits,
+        F.lit(
+            "integer_sigma_outliers: decimal(38,0) overflow — need "
+            "2*max|cents|*n < 1e18 and k^2*n*sum(cents^2) < 1e37; "
+            "rescale cents (divide by a power of 10) and retry"
+        ),
+    )
     return (
         c.crossJoin(F.broadcast(ag))
-        .where(dev * dev > F.lit(k * k).cast(dec) * spread)
+        .where(guard.isNull() & (dev * dev > F.lit(k * k).cast(dec) * spread))
         .select(*keep_cols, F.col("_cents").alias(cents_col))
     )
 

@@ -682,7 +682,11 @@ def key_bitmaps(
     63-bit words (not 64): ``1 << 63`` overflows a signed BIGINT —
     Spark wraps silently, DuckDB raises — so the top bit is simply
     never used and every engine computes identical words.  Keys must be
-    non-negative integers (ids); NULL keys are dropped.
+    non-negative integers (ids); NULL keys are dropped, NEGATIVE keys
+    RAISE (``assert_true`` in the plan): a negative key would shift by
+    a negative count and land in a negative word_idx — silently corrupt
+    words, with Spark and DuckDB additionally disagreeing on negative
+    ``%`` — so the precondition is enforced, not trusted.
 
     Scale shape: one (dim, word_idx) hash aggregate, map-side
     combinable; the bitmap is ~n_keys/63 rows per dim — dense id spaces
@@ -691,10 +695,18 @@ def key_bitmaps(
     d = df.select(
         F.col(dim_col).alias("dim"), F.col(key_col).alias("_k")
     ).where(F.col("_k").isNotNull())
+    word_idx = F.when(
+        F.col("_k") < 0,
+        F.raise_error(
+            F.lit(
+                "key_bitmaps: negative key — keys must be non-negative ids"
+            )
+        ).cast("long"),
+    ).otherwise(F.expr(f"_k div {word_bits}"))
     return (
         d.select(
             "dim",
-            F.expr(f"_k div {word_bits}").alias("word_idx"),
+            word_idx.alias("word_idx"),
             F.expr(
                 f"shiftleft(cast(1 as bigint), cast(_k % {word_bits} as int))"
             ).alias("_bit"),

@@ -1304,10 +1304,17 @@ def _wmh_oracle(num_hashes: int, tf_cap: int) -> str:
              {mins}
       FROM occ GROUP BY src
     ),
+    srcs AS (SELECT DISTINCT source AS src FROM documents),
     est AS (
-      SELECT a.src AS source_a, b.src AS source_b,
-             round(({agree}) / CAST({num_hashes} AS DOUBLE), 6) AS est_wj
-      FROM sigs a JOIN sigs b ON a.src < b.src
+      SELECT m.source_a, m.source_b,
+             CASE WHEN a.src IS NULL AND b.src IS NULL THEN NULL
+                  WHEN a.src IS NULL OR b.src IS NULL THEN 0.0
+                  ELSE round(({agree}) / CAST({num_hashes} AS DOUBLE), 6)
+             END AS est_wj
+      FROM (SELECT x.src AS source_a, y.src AS source_b
+            FROM srcs x JOIN srcs y ON x.src < y.src) m
+      LEFT JOIN sigs a ON a.src = m.source_a
+      LEFT JOIN sigs b ON b.src = m.source_b
     ),
     totals AS (SELECT src, sum(tf) AS tot FROM tf GROUP BY 1),
     shared AS (
@@ -1317,15 +1324,17 @@ def _wmh_oracle(num_hashes: int, tf_cap: int) -> str:
       GROUP BY 1, 2
     )
     SELECT e.source_a, e.source_b, e.est_wj,
-           CASE WHEN ta.tot + tb.tot - coalesce(sh.smin, 0) > 0
+           CASE WHEN coalesce(ta.tot, 0) + coalesce(tb.tot, 0)
+                     - coalesce(sh.smin, 0) > 0
                 THEN round(coalesce(sh.smin, 0)
-                           / (CAST(ta.tot AS DOUBLE) + tb.tot
+                           / (CAST(coalesce(ta.tot, 0) AS DOUBLE)
+                              + coalesce(tb.tot, 0)
                               - coalesce(sh.smin, 0)), 6)
            END AS exact_wj
     FROM est e
     LEFT JOIN shared sh USING (source_a, source_b)
-    JOIN totals ta ON ta.src = e.source_a
-    JOIN totals tb ON tb.src = e.source_b
+    LEFT JOIN totals ta ON ta.src = e.source_a
+    LEFT JOIN totals tb ON tb.src = e.source_b
     """
 
 

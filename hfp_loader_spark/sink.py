@@ -106,9 +106,17 @@ class JdbcSink:
         # cross the wire (utils/getEvents.ts:10-15).  The date is re-parsed
         # here (not only at the hfp_load entry) so a caller reaching this
         # directly cannot interpolate arbitrary SQL.
+        return spark.read.jdbc(
+            self.url, self._keys_query(table, date), properties=self.properties
+        )
+
+    @staticmethod
+    def _keys_query(table: str, date: str) -> str:
+        """The exact pushed-down remote query (golden-locked in
+        tests/test_jdbc.py against utils/getEvents.ts:10-15 semantics:
+        uuid-only projection, one day's partition)."""
         date = datetime.date.fromisoformat(date).isoformat()
-        query = f"(SELECT uuid FROM public.{table} WHERE oday = DATE '{date}') q"
-        return spark.read.jdbc(self.url, query, properties=self.properties)
+        return f"(SELECT uuid FROM public.{table} WHERE oday = DATE '{date}') q"
 
 
 class VersionedParquetSink:
@@ -216,19 +224,29 @@ class JdbcUpsertSink(JdbcSink):
         out = with_id_column(df)
         spark = out.sparkSession
         stage = f"{table}__stage_{_uuid.uuid4().hex[:12]}"
-        cols = ", ".join(f'"{c}"' for c in out.columns)
-        conflict = ", ".join(f'"{c}"' for c in self.conflict_cols)
         (
             out.coalesce(self.num_partitions)
             .write.mode("overwrite")
             .jdbc(self.url, f"public.{stage}", properties=self.properties)
         )
         try:
-            self._exec_sql(
-                spark,
-                f'INSERT INTO public."{table}" ({cols}) '
-                f'SELECT {cols} FROM public."{stage}" '
-                f"ON CONFLICT ({conflict}) DO NOTHING",
-            )
+            self._exec_sql(spark, self._promote_sql(table, stage, out.columns))
         finally:
-            self._exec_sql(spark, f'DROP TABLE IF EXISTS public."{stage}"')
+            self._exec_sql(spark, self._drop_sql(stage))
+
+    def _promote_sql(self, table: str, stage: str, columns: list[str]) -> str:
+        """The set-based promotion statement (golden-locked in
+        tests/test_jdbc.py against utils/upsert.ts:49-52: same INSERT …
+        ON CONFLICT DO NOTHING semantics, set-based instead of batched
+        VALUES)."""
+        cols = ", ".join(f'"{c}"' for c in columns)
+        conflict = ", ".join(f'"{c}"' for c in self.conflict_cols)
+        return (
+            f'INSERT INTO public."{table}" ({cols}) '
+            f'SELECT {cols} FROM public."{stage}" '
+            f"ON CONFLICT ({conflict}) DO NOTHING"
+        )
+
+    @staticmethod
+    def _drop_sql(stage: str) -> str:
+        return f'DROP TABLE IF EXISTS public."{stage}"'

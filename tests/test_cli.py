@@ -37,3 +37,23 @@ def test_cli_query_list_and_unknown(capsys):
     assert "q1_pricing_summary\toracle" in out
     assert main(["query", "no_such_query"]) == 2
     assert main(["query"]) == 2
+
+
+def test_bench_calibration_clamp():
+    """VERDICT r10 #8: normalization must refuse a >5×-off calibration
+    probe (broken probe silently rescaling the total is the new failure
+    mode) and fall back to the raw total, flagged."""
+    from bench import CALIB_REF, normalize_total
+
+    # sane probe: exact rescale
+    v, note = normalize_total(100.0, CALIB_REF * 2)
+    assert (v, note) == (50.0, None)
+    # identity at the reference host
+    assert normalize_total(46.26, CALIB_REF) == (46.26, None)
+    # rejected: too slow, too fast, degenerate
+    for bad in (CALIB_REF * 5.01, CALIB_REF / 5.01, 0.0, -1.0):
+        v, note = normalize_total(100.0, bad)
+        assert v == 100.0 and note and "normalization skipped" in note
+    # boundary values are accepted
+    assert normalize_total(100.0, CALIB_REF * 5.0)[1] is None
+    assert normalize_total(100.0, CALIB_REF / 5.0)[1] is None

@@ -170,3 +170,35 @@ def test_jdbc_upsert_round_trip_rerun_inserts_zero(
         for t in report2.inserted_by_table
     }
     assert before == after
+
+
+def test_jdbc_upsert_sql_golden():
+    """VERDICT r10 #7: no Postgres exists in this sandbox, so the
+    exactly-once sink's server-side SQL is GOLDEN-LOCKED as text —
+    pinned to utils/upsert.ts:49-52 semantics (INSERT … ON CONFLICT
+    (uuid) DO NOTHING), set-based over the staging table instead of the
+    reference's batched VALUES, with every identifier double-quoted."""
+    from hfp_loader_spark.sink import JdbcUpsertSink
+
+    sink = JdbcUpsertSink("jdbc:postgresql://example/db")
+    assert sink._promote_sql(
+        "vehicleposition", "vehicleposition__stage_abc123", ["id", "uuid", "tst"]
+    ) == (
+        'INSERT INTO public."vehicleposition" ("id", "uuid", "tst") '
+        'SELECT "id", "uuid", "tst" FROM public."vehicleposition__stage_abc123" '
+        "ON CONFLICT (\"uuid\") DO NOTHING"
+    )
+    # widened conflict target for tables keyed differently
+    wide = JdbcUpsertSink(
+        "jdbc:postgresql://example/db", conflict_cols=("uuid", "oday")
+    )
+    assert wide._promote_sql("t", "t__stage_x", ["uuid", "oday"]).endswith(
+        'ON CONFLICT ("uuid", "oday") DO NOTHING'
+    )
+    assert sink._drop_sql("t__stage_x") == (
+        'DROP TABLE IF EXISTS public."t__stage_x"'
+    )
+    # the staging write + promotion never interpolate an unvalidated
+    # table name (defense-in-depth check stays in write())
+    with pytest.raises(ValueError, match="suspicious"):
+        sink.write(None, 'bad"; DROP')

@@ -562,3 +562,36 @@ def test_weighted_minhash_identical_and_disjoint_sources(spark):
     # (T=4); smin = 1+1 = 2 -> exact = 2/(4+4-2) = 1/3
     assert exact == 0.333333
     assert abs(est - exact) <= 0.35  # 16-slot binomial noise bound
+
+
+def test_weighted_minhash_tokenless_sources_present(spark):
+    """ADVICE r10 #4: the matrix is built from DISTINCT sources (like the
+    exact sibling), so a source whose documents tokenize to nothing still
+    appears — 0.0/0.0 against a non-empty source (the true weighted
+    Jaccard of an empty bag) and NULL/NULL when BOTH sides are empty."""
+    from hfp_loader_spark.operators.neardup import (
+        weighted_jaccard_matrix,
+        weighted_minhash_matrix,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "s1"),
+        (2, "", "s2"),          # tokenless
+        (3, None, "s3"),        # tokenless (NULL text)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["est_wj"], r["exact_wj"])
+        for r in weighted_minhash_matrix(df, num_hashes=16).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert got[("s1", "s2")] == (0.0, 0.0)
+    assert got[("s1", "s3")] == (0.0, 0.0)
+    assert got[("s2", "s3")] == (None, None)
+    # parity with the exact sibling's source enumeration
+    wj = {
+        (r["source_a"], r["source_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_matrix(df).collect()
+    }
+    assert set(wj) == set(got)
+    assert wj[("s1", "s2")] == 0.0 and wj[("s2", "s3")] is None

@@ -140,3 +140,28 @@ def test_bitmap_index_incremental_merge_equals_full(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="word_bits"):
         save_bitmap_index(spark, b1, root, "d", "user_id", word_bits=31)
+
+
+def test_key_bitmaps_negative_key_raises(spark):
+    """ADVICE r10 #2: a negative key would shift by a negative count and
+    land in a negative word_idx — silently corrupt words (with Spark and
+    DuckDB additionally disagreeing on negative %).  The plan must RAISE,
+    and NULL keys must still be quietly dropped."""
+    import pytest
+
+    from hfp_loader_spark.operators.sketches import (
+        bitmap_cardinality,
+        key_bitmaps,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", 1), ("a", -5), ("a", 2)], "g string, k long"
+    )
+    with pytest.raises(Exception, match="key_bitmaps"):
+        key_bitmaps(bad, "g", "k").collect()
+
+    ok = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2)], "g string, k long"
+    )
+    card = bitmap_cardinality(key_bitmaps(ok, "g", "k")).collect()
+    assert [(r["dim"], r["n_keys"]) for r in card] == [("a", 2)]

@@ -746,3 +746,30 @@ def test_linear_fit_exact_line_noise_and_degenerate(spark):
     ).collect()[0]
     assert flat["slope"] == 0.0 and flat["intercept"] == 7.0
     assert flat["r2"] is None
+
+def test_integer_sigma_outliers_overflow_guard_raises(spark):
+    """ADVICE r10 #1: the old documented envelope (|cents| ≤ 2e12,
+    n ≤ 1e9) was FALSE — dev² overflows decimal(38,0) well inside it
+    and, with ANSI off, silently NULL-drops every outlier.  The guard
+    must now RAISE on such inputs instead of returning an empty frame."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.relational import integer_sigma_outliers
+
+    # 300k rows at |cents| ≈ 2e12: 2·mx·n ≈ 1.2e18 ≥ 1e18 → must raise
+    df = spark.range(300_000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.lit(2_000_000_000_000) + F.col("id")).alias("cents"),
+    )
+    with pytest.raises(Exception, match="integer_sigma_outliers"):
+        integer_sigma_outliers(df, "cents", ["id"], k=2).count()
+
+    # and the guard is headroom-tight, not trigger-happy: the same
+    # magnitude at tiny n stays under both bounds and runs clean
+    small = spark.createDataFrame(
+        [(i, 2_000_000_000_000 + i) for i in range(20)],
+        "id int, cents long",
+    )
+    assert integer_sigma_outliers(small, "cents", ["id"], k=2).count() == 0
