@@ -1553,6 +1553,113 @@ def ivf_exact_cells_top_k(
     )
 
 
+def ivf_pretrained_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    cent_assign: list[tuple[int, list[int]]],
+    cent_probe: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Serve-stage IVF top-k over a PRE-TRAINED exact fixed-point index
+    — the production offline-train / online-serve split of
+    :func:`ivf_exact_cells_top_k`: the quantized integer centroids are
+    shipped as plan literals (trained once, e.g. via
+    ``clustering.kmeans_fixed_point_model``, and memoized / persisted),
+    so the query plan contains NO training rounds, only the serve path.
+
+    ``cent_assign`` must be the pre-final-update centroids
+    (c_{iters-1}) and ``cent_probe`` the post-final-update centroids
+    (c_iters): a trained-then-served index carries the standard
+    one-step lag — candidates sit in cells assigned against
+    c_{iters-1}, probes rank cells by distance to c_iters — and
+    reproducing BOTH frames bit-for-bit is what makes this serve path
+    value-identical to the inline-training twin (and to its SQL
+    oracle's CTEs).  All serve math is the twin's: exact integer
+    squared L2 with lowest-cluster tie-breaks, exact cosine rerank
+    rounded to ``round_to``.
+
+    Scale shape: cell assignment is ONE narrow no-shuffle expression
+    pass over the corpus (argmin over nlist literal centroids — no
+    join at all, cheaper than the broadcast join the trainer needs);
+    probes are an in-row sorted slice per query; candidates a
+    cluster-equi join against the bounded probe frame (~nprobe/nlist
+    of the corpus per query); top-k windows per query.  At 100 TB the
+    assignment column is the partition/cluster key, so probes prune
+    files."""
+    from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    def lit_vec(ints: list[int]):
+        return F.array(*[F.lit(int(v)).cast("long") for v in ints])
+
+    def dist_structs(qcol, cents):
+        return [
+            F.struct(
+                _sq_dist(qcol, lit_vec(cq)).alias("d"),
+                F.lit(int(cl)).cast("int").alias("cluster"),
+            )
+            for cl, cq in cents
+        ]
+
+    corp = (
+        corpus.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col),
+            as_double_array(F.col(vec_col)).alias("_cvec"),
+            quantize_vec(F.col(vec_col), scale).alias("_cq"),
+        )
+        .select(
+            id_col,
+            "_cvec",
+            F.array_min(F.array(*dist_structs(F.col("_cq"), cent_assign)))[
+                "cluster"
+            ].alias("cluster"),
+        )
+        .withColumn("_cnorm", norm(F.col("_cvec")))
+    )
+    qq = queries.where(F.size(F.col(vec_col)) > 0).select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_qvec"),
+        quantize_vec(F.col(vec_col), scale).alias("_qq"),
+    )
+    probes = qq.select(
+        query_id_col,
+        "_qvec",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array(*dist_structs(F.col("_qq"), cent_probe))
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("_p"),
+    ).select(query_id_col, "_qvec", F.col("_p.cluster").alias("cluster"))
+    cand = F.broadcast(probes).join(corp, "cluster")
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_prenormed(
+                F.col("_qvec"),
+                F.col("_cvec"),
+                norm(F.col("_qvec")),
+                F.col("_cnorm"),
+            ),
+            round_to,
+        ).alias("cos"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )
+
+
 def pq_exact_codes_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -234,38 +234,14 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signlsh_top_k(emb, queries, k=5, dim=_DIM, n_planes=5, n_probes=5)
 
 
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
-
-
-@defquery(
-    "sim_ann_ivf",
-    None,  # approximate index → rows-only; recall vs the exact top-k is
-    # asserted in tests/test_similarity.py::test_ivf_recall.
-    doc="Approximate top-5 via an IVF index: spherical-kmeans centroids "
-    "(driver-trained on a seeded bounded sample, shipped as plan "
-    "literals), nearest-cell tagging as pure expressions, nprobe-cell "
-    "candidate join. Cells adapt to the data distribution — better "
-    "recall than sign-LSH at the same candidate budget; at scale the "
-    "cell id becomes a partition/cluster column so probes prune files.",
-)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.similarity import (
-        ivf_top_k,
-        train_ivf_centroids,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    # An IVF index is trained once and reused across searches; memoize the
-    # centroids per corpus.  (fraction=1.0: driver tables are ≤ sample_cap
-    # at every tested SF → no count() job on the miss path either.)
-    cents = _IVF_CENTROIDS.get(sf_dir)
-    if cents is None:
-        cents = train_ivf_centroids(emb, nlist=8, fraction=1.0)
-        _IVF_CENTROIDS[sf_dir] = cents
-    return ivf_top_k(emb, queries, k=5, nlist=8, nprobe=4, centroids=cents)
+# sim_ann_ivf moved to plans/model_queries.py (r11, VERDICT r10 #5):
+# the catalog entry now serves the PRE-TRAINED exact fixed-point index
+# (memoized integer centroid literals; full oracle = the twin's
+# training CTEs), living next to its oracle generator.  The float
+# spherical path (train_ivf_centroids / ivf_top_k) stays the
+# cheap-training operator default — unit-tested in
+# tests/test_similarity.py and driver-visible through semdedup_contract,
+# which trains and oracle-checks the float spherical cells.
 
 
 _PQ_BOOKS: dict[str, list[list[list[float]]]] = {}
@@ -340,17 +316,19 @@ def _ann_recall_contract(
 @defquery(
     "sim_ann_ivf_recall",
     _ANN_ORACLE.format(floor_pct=60),
-    doc="Oracle-checked recall CONTRACT for the IVF index (the neighbor "
-    "list itself is rows-only): recall@5 of sim_ann_ivf vs the exact "
-    "top-5, asserted ≥ 0.6 — the candidate budget is nprobe/nlist = 1/2 "
-    "of the corpus, so beating 0.6 shows the cells adapt to the data "
-    "(random pruning would land at ≈0.5). Deterministic: seeded sample, "
-    "seeded k-means init, fixed tiebreaks.",
+    doc="Oracle-checked recall CONTRACT for the IVF index: recall@5 of "
+    "sim_ann_ivf (r11: the pre-trained exact-cell serve path) vs the "
+    "exact top-5, asserted ≥ 0.6 — the candidate budget is "
+    "nprobe/nlist = 1/2 of the corpus, so beating 0.6 shows the cells "
+    "adapt to the data (random pruning would land at ≈0.5). "
+    "Deterministic: fixed-point training, fixed tiebreaks.",
 )
 def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
     return _ann_recall_contract(
         sim_cosine_topk(spark, sf_dir),
-        sim_ann_ivf(spark, sf_dir),
+        REGISTRY["sim_ann_ivf"].builder(spark, sf_dir),
         floor=0.6,
         flag="recall_ge_60",
     )

@@ -595,3 +595,28 @@ def test_weighted_minhash_tokenless_sources_present(spark):
     }
     assert set(wj) == set(got)
     assert wj[("s1", "s2")] == 0.0 and wj[("s2", "s3")] is None
+
+
+def test_minhash_lsh_discovers_full_exact_pair_set(spark, sf_dir):
+    """The r11 full-oracle upgrade of dedup_minhash_lsh rests on a
+    measured property: the xxhash64 banding discovers EVERY pair with
+    exact Jaccard ≥ 0.8 on the gate corpora (recall 1.0), so the
+    verified output equals the SQL-expressible exact pair set.  Locked
+    here against both the md5-family twin and the all-pairs join; if a
+    hash/band/param change ever breaks the equality, this fails before
+    the driver gate does."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    lsh = sorted(
+        map(tuple, REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect())
+    )
+    twin = sorted(
+        map(
+            tuple,
+            REGISTRY["dedup_minhash_lsh_exact"].builder(spark, sf_dir).collect(),
+        )
+    )
+    allp = sorted(
+        map(tuple, REGISTRY["dedup_jaccard_pairs"].builder(spark, sf_dir).collect())
+    )
+    assert lsh == twin == allp and lsh  # non-empty at every gate sf

@@ -561,3 +561,25 @@ def test_ivf_exact_cells_recall_vs_exact_topk(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivf_pretrained_serve_equals_inline_training_twin(spark, sf_dir):
+    """The r11 full-oracle upgrade of sim_ann_ivf rests on this
+    identity: the serve-only plan over memoized integer centroid
+    literals (c_{iters-1} for assignment, c_iters for probes) must
+    reproduce the inline-training twin's neighbor list bit-for-bit —
+    same assignment argmin, same probe ranking, same rounded-cosine
+    rerank.  A drift in either trajectory breaks this before the
+    driver gate sees it."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    serve = sorted(
+        map(tuple, REGISTRY["sim_ann_ivf"].builder(spark, sf_dir).collect())
+    )
+    twin = sorted(
+        map(
+            tuple,
+            REGISTRY["sim_ann_ivf_exact_cells"].builder(spark, sf_dir).collect(),
+        )
+    )
+    assert serve == twin and len(serve) == 25
