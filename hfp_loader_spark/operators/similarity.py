@@ -465,55 +465,7 @@ def semantic_dedup(
         # numpy, so the norm column and the persist would be pure waste
         c = c.withColumn("_n", norm(F.col("_v"))).persist()
     if use_arrow:
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.types import (
-            BooleanType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        out_schema = StructType(
-            [
-                StructField(id_col, LongType()),
-                StructField("cell", IntegerType()),
-                StructField("kept", BooleanType()),
-            ]
-        )
-        thr = float(threshold)
-        nd = int(round_to)
-
-        def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf[id_col].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            ido = ids[order]
-            x = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
-            nrm = np.linalg.norm(x, axis=1)
-            nrm[nrm == 0] = 1.0
-            xn = x / nrm[:, None]
-            nloc = len(ido)
-            removed = np.zeros(nloc, dtype=bool)
-            # row-blocked S = Xn @ Xn.T: bound block memory ~256 MB of
-            # doubles regardless of cell size
-            blk = max(1, (1 << 25) // max(nloc, 1))
-            for s in range(0, nloc, blk):
-                e = min(s + blk, nloc)
-                sb = np.round(xn[s:e] @ xn.T, nd) >= thr
-                gi = np.arange(s, e)[:, None]
-                gj = np.arange(nloc)[None, :]
-                sb &= gi < gj  # only smaller-id rows remove j
-                removed |= sb.any(axis=0)
-            return pd.DataFrame(
-                {
-                    id_col: ido.astype("int64"),
-                    "cell": np.full(nloc, int(pdf["_cell"].iloc[0]), "int32"),
-                    "kept": ~removed,
-                }
-            )
-
-        return c.groupBy("_cell").applyInPandas(prune, out_schema)
+        return _blas_keep_list(c, id_col, "_cell", threshold, round_to)
     a = c.alias("a")
     b = c.alias("b")
     removed = (
@@ -540,6 +492,71 @@ def semantic_dedup(
         F.col("_cell").alias("cell"),
         F.coalesce(~F.col("_removed"), F.lit(True)).alias("kept"),
     )
+
+
+def _blas_keep_list(
+    c: DataFrame,
+    id_col: str,
+    cell_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """The per-cell BLAS prune shared by :func:`semantic_dedup` and
+    :func:`semantic_dedup_exact_cells` (``use_arrow=True``): ONE
+    ``applyInPandas`` per cell over ``(id_col, _v, cell_col)`` — a
+    row-blocked numpy matmul over the cell's matrix (≤~256 MB blocks,
+    never |cell|² at once), smaller-id rows remove larger ones at
+    ``np.round(cos, round_to) >= threshold``.  Output ``(id_col long,
+    cell int, kept bool)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cell", IntegerType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    thr = float(threshold)
+    nd = int(round_to)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ido = ids[order]
+        x = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0] = 1.0
+        xn = x / nrm[:, None]
+        nloc = len(ido)
+        removed = np.zeros(nloc, dtype=bool)
+        # row-blocked S = Xn @ Xn.T: bound block memory ~256 MB of
+        # doubles regardless of cell size
+        blk = max(1, (1 << 25) // max(nloc, 1))
+        for s in range(0, nloc, blk):
+            e = min(s + blk, nloc)
+            sb = np.round(xn[s:e] @ xn.T, nd) >= thr
+            gi = np.arange(s, e)[:, None]
+            gj = np.arange(nloc)[None, :]
+            sb &= gi < gj  # only smaller-id rows remove j
+            removed |= sb.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ido.astype("int64"),
+                "cell": np.full(nloc, int(pdf[cell_col].iloc[0]), "int32"),
+                "kept": ~removed,
+            }
+        )
+
+    return c.groupBy(cell_col).applyInPandas(prune, out_schema)
 
 
 def quantize_embedding(vec: Column, bits: int = 8) -> Column:
@@ -1772,6 +1789,205 @@ def pq_exact_codes_top_k(
     )
 
 
+def semantic_dedup_pretrained_cells(
+    corpus: DataFrame,
+    threshold: float,
+    cent_assign: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup keep-list over PRE-TRAINED exact cells with the BLAS
+    per-cell prune — the offline-train / online-serve split of
+    :func:`semantic_dedup_exact_cells`, mirroring
+    :func:`ivf_pretrained_top_k`: ``cent_assign`` must be the
+    pre-final-update centroids (c_{iters-1}), because the trained
+    index's cell column IS the final assignment a_iters = argmin
+    against c_{iters-1} — recomputed here as ONE narrow no-join
+    expression pass over the centroid literals, bit-identical to the
+    inline-training twin's cells.  The prune is the shared per-cell
+    Arrow/BLAS matmul (:func:`_blas_keep_list`), whose
+    ``round(cos, round_to)`` decisions match the expression twin's
+    (locked by tests).
+
+    Scale shape: one narrow assignment pass + one groupBy(cell)
+    applyInPandas — no training rounds, no self-join, Σ|cell|² pair
+    work inside the blocked matmul."""
+    from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
+
+    def lit_vec(ints: list[int]):
+        return F.array(*[F.lit(int(v)).cast("long") for v in ints])
+
+    assign = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("_cq"), lit_vec(cq)).alias("d"),
+                    F.lit(int(cl)).cast("int").alias("cluster"),
+                )
+                for cl, cq in cent_assign
+            ]
+        )
+    )["cluster"]
+    corp = (
+        corpus.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col),
+            as_double_array(F.col(vec_col)).alias("_v"),
+            quantize_vec(F.col(vec_col), scale).alias("_cq"),
+        )
+        .select(id_col, "_v", assign.alias("cell"))
+    )
+    return _blas_keep_list(corp, id_col, "cell", threshold, round_to)
+
+
+def pq_pretrained_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    books_assign: list[tuple[int, int, list[int]]],
+    books_probe: list[tuple[int, int, list[int]]],
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Serve-stage PQ top-k over PRE-TRAINED exact codebooks — the
+    offline-train / online-serve split of :func:`pq_exact_codes_top_k`,
+    mirroring :func:`ivf_pretrained_top_k`: the grouped fixed-point
+    k-means codebooks are trained once (``kmeans_fixed_point_grouped``
+    over the sliced corpus), collected as ``(grp, cluster,
+    quantized-subcentroid)`` triples (m·ksub bounded rows), and shipped
+    as plan literals, so the measured plan contains only the serve
+    path.
+
+    ``books_assign`` must be the pre-final-update codebooks
+    (c_{iters-1}) — corpus CODES are the trained assignment, which lags
+    the served codebooks by one Lloyd step — and ``books_probe`` the
+    post-final-update codebooks (c_iters) the per-query ADC LUT is
+    built from.  All serve math is the twin's: integer sub-distances,
+    integer ADC sums, (adc, id) shortlist ties, exact rounded-cosine
+    rerank — so the output is value-identical to the inline-training
+    twin and to its SQL oracle.
+
+    Scale shape: encoding is ONE narrow no-join expression pass
+    (m argmins over ksub literal sub-centroids per vector — no
+    broadcast join, no shuffle); the per-query LUT is m·ksub in-row
+    structs exploded from the bounded query set; ADC joins codes to the
+    broadcast LUT on (grp, cluster) and sums; then one
+    ``shortlist``-bounded rerank."""
+    from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+
+    def lit_vec(ints: list[int]):
+        return F.array(*[F.lit(int(v)).cast("long") for v in ints])
+
+    by_grp_assign: dict[int, list[tuple[int, list[int]]]] = {}
+    for g, cl, cq in books_assign:
+        by_grp_assign.setdefault(int(g), []).append((int(cl), cq))
+
+    def code_expr(qcol, g: int):
+        s = F.slice(qcol, g * sub + 1, sub)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(s, lit_vec(cq)).alias("d"),
+                        F.lit(cl).cast("int").alias("cluster"),
+                    )
+                    for cl, cq in by_grp_assign[g]
+                ]
+            )
+        )["cluster"]
+
+    codes = (
+        corpus.where(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("_q")
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.array(*[code_expr(F.col("_q"), g) for g in range(m)])
+            ).alias("grp", "cluster"),
+        )
+    )
+    lut = (
+        queries.where(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(query_id_col),
+            quantize_vec(F.col(vec_col), scale).alias("_q"),
+        )
+        .select(
+            query_id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(g)).cast("int").alias("grp"),
+                            F.lit(int(cl)).cast("int").alias("cluster"),
+                            _sq_dist(
+                                F.slice(F.col("_q"), int(g) * sub + 1, sub),
+                                lit_vec(cq),
+                            ).alias("_d"),
+                        )
+                        for g, cl, cq in books_probe
+                    ]
+                )
+            ).alias("_l"),
+        )
+        .select(
+            query_id_col,
+            F.col("_l.grp").alias("grp"),
+            F.col("_l.cluster").alias("cluster"),
+            F.col("_l._d").alias("_d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["grp", "cluster"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_d").alias("_adc"))
+    )
+    short = top_k_per_group(
+        adc, [query_id_col], [F.asc("_adc"), F.asc(id_col)], shortlist
+    ).select(query_id_col, id_col)
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
+    ).withColumn("_cnorm", norm(F.col("_cvec")))
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qvec")
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
+    scored = (
+        short.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_prenormed(
+                    F.col("_qvec"),
+                    F.col("_cvec"),
+                    F.col("_qnorm"),
+                    F.col("_cnorm"),
+                ),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )
+
+
 def semantic_dedup_exact_cells(
     corpus: DataFrame,
     threshold: float,
@@ -1781,6 +1997,7 @@ def semantic_dedup_exact_cells(
     vec_col: str = "embedding",
     scale: int = 1_000_000,
     round_to: int = 4,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """:func:`semantic_dedup` with cells from the fixed-point integer
     k-means instead of the float spherical trainer — the SemDeDup
@@ -1793,7 +2010,16 @@ def semantic_dedup_exact_cells(
 
     Trade: training pays ``iters`` corpus-scale rounds (vs a bounded
     driver sample); the within-cell pair join and its Σ|cell|² cost
-    are identical to the float path's expression mode."""
+    are identical to the float path's expression mode.
+
+    ``use_arrow=True`` routes the within-cell prune through the shared
+    per-cell BLAS ``applyInPandas`` (:func:`_blas_keep_list`) — the
+    production hot path — instead of the expression join.  The decision
+    rule is the same ``round(cos, round_to) >= threshold``; numpy's
+    round-half-even and Spark's HALF_UP can only diverge on a cosine
+    landing EXACTLY on a half at the (round_to+1)-th decimal, which
+    measure-zero doubles don't do — the BLAS/expression agreement is
+    locked bit-for-bit by tests on the gate corpora."""
     from hfp_loader_spark.operators.clustering import kmeans_fixed_point
 
     assign = kmeans_fixed_point(
@@ -1805,6 +2031,10 @@ def semantic_dedup_exact_cells(
         .withColumn("_n", norm(F.col("_v")))
         .join(assign, id_col)
     )
+    if use_arrow:
+        return _blas_keep_list(
+            c.select(id_col, "_v", "cell"), id_col, "cell", threshold, round_to
+        )
     a = c.select(
         F.col(id_col).alias("_ia"),
         F.col("_v").alias("_va"),

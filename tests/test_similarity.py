@@ -583,3 +583,64 @@ def test_ivf_pretrained_serve_equals_inline_training_twin(spark, sf_dir):
         )
     )
     assert serve == twin and len(serve) == 25
+
+
+def test_pq_pretrained_serve_equals_inline_training_twin(spark, sf_dir):
+    """Same identity lock as the IVF sibling: the PQ serve-only plan
+    over memoized integer codebook literals (books_{iters-1} for
+    encoding, books_iters for the ADC LUT) must reproduce the
+    inline-training twin's neighbor list bit-for-bit."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    serve = sorted(
+        map(tuple, REGISTRY["sim_ann_pq"].builder(spark, sf_dir).collect())
+    )
+    twin = sorted(
+        map(
+            tuple,
+            REGISTRY["sim_ann_pq_exact_codes"].builder(spark, sf_dir).collect(),
+        )
+    )
+    assert serve == twin and len(serve) == 25
+
+
+def test_semdedup_pretrained_blas_equals_expression_twin(spark, sf_dir):
+    """Lock for the r11 full-oracle upgrade of semdedup_keep_list (the
+    last rows-only entry): serve-style cells from memoized c_{iters-1}
+    literals + the BLAS per-cell prune must reproduce the
+    inline-training expression twin bit-for-bit — cells, keep flags,
+    and universe.  Also exercises semantic_dedup_exact_cells(use_arrow)
+    as the inline-training Arrow mode of the same identity."""
+    from hfp_loader_spark.operators.similarity import (
+        semantic_dedup_exact_cells,
+    )
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    serve = sorted(
+        map(
+            tuple,
+            REGISTRY["semdedup_keep_list"].builder(spark, sf_dir).collect(),
+        )
+    )
+    twin = sorted(
+        map(
+            tuple,
+            REGISTRY["semdedup_keep_list_exact"]
+            .builder(spark, sf_dir)
+            .collect(),
+        )
+    )
+    assert serve == twin and len(serve) == 500
+    inline_arrow = sorted(
+        map(
+            tuple,
+            semantic_dedup_exact_cells(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                threshold=0.35,
+                nlist=8,
+                iters=3,
+                use_arrow=True,
+            ).collect(),
+        )
+    )
+    assert inline_arrow == twin
