@@ -106,9 +106,10 @@ class JdbcSink:
         # cross the wire (utils/getEvents.ts:10-15).  The date is re-parsed
         # here (not only at the hfp_load entry) so a caller reaching this
         # directly cannot interpolate arbitrary SQL.
-        return spark.read.jdbc(
-            self.url, self._keys_query(table, date), properties=self.properties
-        )
+        # build (and date-validate) the query BEFORE touching the reader:
+        # a bad date must raise ValueError, never reach the wire
+        query = self._keys_query(table, date)
+        return spark.read.jdbc(self.url, query, properties=self.properties)
 
     @staticmethod
     def _keys_query(table: str, date: str) -> str:
