@@ -1609,20 +1609,8 @@ def ivf_pretrained_top_k(
     of the corpus per query); top-k windows per query.  At 100 TB the
     assignment column is the partition/cluster key, so probes prune
     files."""
-    from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
+    from hfp_loader_spark.operators.clustering import quantize_vec
     from hfp_loader_spark.operators.relational import top_k_per_group
-
-    def lit_vec(ints: list[int]):
-        return F.array(*[F.lit(int(v)).cast("long") for v in ints])
-
-    def dist_structs(qcol, cents):
-        return [
-            F.struct(
-                _sq_dist(qcol, lit_vec(cq)).alias("d"),
-                F.lit(int(cl)).cast("int").alias("cluster"),
-            )
-            for cl, cq in cents
-        ]
 
     corp = (
         corpus.where(F.size(F.col(vec_col)) > 0)
@@ -1634,9 +1622,7 @@ def ivf_pretrained_top_k(
         .select(
             id_col,
             "_cvec",
-            F.array_min(F.array(*dist_structs(F.col("_cq"), cent_assign)))[
-                "cluster"
-            ].alias("cluster"),
+            _int_argmin_cluster(F.col("_cq"), cent_assign).alias("cluster"),
         )
         .withColumn("_cnorm", norm(F.col("_cvec")))
     )
@@ -1645,17 +1631,26 @@ def ivf_pretrained_top_k(
         as_double_array(F.col(vec_col)).alias("_qvec"),
         quantize_vec(F.col(vec_col), scale).alias("_qq"),
     )
+    # probe ranking needs the FULL (score, cluster) order, not just the
+    # argmin — an in-row sorted slice over the bounded query set (the
+    # same Σc²−2qc exact rearrangement; ties by cluster id, matching
+    # the twin's (d, cluster) sort)
+    probe_c2 = _int_c2_lit(cent_probe)
+    probe_scores = F.transform(
+        _int_cents_lit(cent_probe),
+        lambda cw, i: F.struct(
+            (
+                F.element_at(probe_c2, i + 1)
+                - F.lit(2).cast("long") * _int_dot(F.col("_qq"), cw)
+            ).alias("t"),
+            i.cast("int").alias("cluster"),
+        ),
+    )
     probes = qq.select(
         query_id_col,
         "_qvec",
         F.explode(
-            F.slice(
-                F.array_sort(
-                    F.array(*dist_structs(F.col("_qq"), cent_probe))
-                ),
-                1,
-                nprobe,
-            )
+            F.slice(F.array_sort(probe_scores), 1, nprobe)
         ).alias("_p"),
     ).select(query_id_col, "_qvec", F.col("_p.cluster").alias("cluster"))
     cand = F.broadcast(probes).join(corp, "cluster")
@@ -1789,6 +1784,58 @@ def pq_exact_codes_top_k(
     )
 
 
+def _int_cents_lit(cents: list[tuple[int, list[int]]]) -> Column:
+    """Quantized centroids as ONE ``array<array<bigint>>`` Literal node,
+    ordered by cluster id (= array position − 1) — the plan-size /
+    eval-cost rationale of :func:`_pq_books_lit`: ``F.lit`` of nested
+    lists folds to a single Literal; per-cluster ``F.array(F.lit …)``
+    trees cost a tree walk per evaluation and megabytes of task
+    binary."""
+    ordered = [cq for _, cq in sorted(cents)]
+    return F.lit([[int(v) for v in cq] for cq in ordered]).cast(
+        "array<array<bigint>>"
+    )
+
+
+def _int_c2_lit(cents: list[tuple[int, list[int]]]) -> Column:
+    """Per-cluster ``Σc²`` as one bigint-array Literal, plan-time
+    precomputed (the `_pq_c2_lit` trick in exact integers)."""
+    ordered = [cq for _, cq in sorted(cents)]
+    return F.lit([int(sum(v * v for v in cq)) for cq in ordered]).cast(
+        "array<bigint>"
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _int_argmin_cluster(
+    q: Column, cents: list[tuple[int, list[int]]]
+) -> Column:
+    """Nearest cluster id (lowest-id tie-break) of a quantized vector
+    against literal centroids — EXACT squared-L2 ordering via the
+    rearrangement  argmin_c ‖q−c‖² = argmin_c (Σc² − 2·q·c)  (Σq² is
+    constant per row, so ordering AND ties are identical in int64);
+    ``array_position(array_min)`` returns the FIRST minimum = lowest
+    cluster, matching the trainer's min-struct rule.  One transform
+    over a single Literal node per row — the expression shape that
+    keeps the corpus-side assignment pass cheap (the struct-per-cluster
+    variant measured ~5× slower at sf0.1)."""
+    c2 = _int_c2_lit(cents)
+    t = F.transform(
+        _int_cents_lit(cents),
+        lambda cw, i: F.element_at(c2, i + 1)
+        - F.lit(2).cast("long") * _int_dot(q, cw),
+    )
+    return (F.array_position(t, F.array_min(t)) - 1).cast("int")
+
+
 def semantic_dedup_pretrained_cells(
     corpus: DataFrame,
     threshold: float,
@@ -1814,22 +1861,8 @@ def semantic_dedup_pretrained_cells(
     Scale shape: one narrow assignment pass + one groupBy(cell)
     applyInPandas — no training rounds, no self-join, Σ|cell|² pair
     work inside the blocked matmul."""
-    from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
+    from hfp_loader_spark.operators.clustering import quantize_vec
 
-    def lit_vec(ints: list[int]):
-        return F.array(*[F.lit(int(v)).cast("long") for v in ints])
-
-    assign = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("_cq"), lit_vec(cq)).alias("d"),
-                    F.lit(int(cl)).cast("int").alias("cluster"),
-                )
-                for cl, cq in cent_assign
-            ]
-        )
-    )["cluster"]
     corp = (
         corpus.where(F.size(F.col(vec_col)) > 0)
         .select(
@@ -1837,7 +1870,11 @@ def semantic_dedup_pretrained_cells(
             as_double_array(F.col(vec_col)).alias("_v"),
             quantize_vec(F.col(vec_col), scale).alias("_cq"),
         )
-        .select(id_col, "_v", assign.alias("cell"))
+        .select(
+            id_col,
+            "_v",
+            _int_argmin_cluster(F.col("_cq"), cent_assign).alias("cell"),
+        )
     )
     return _blas_keep_list(corp, id_col, "cell", threshold, round_to)
 
@@ -1877,85 +1914,83 @@ def pq_pretrained_top_k(
     twin and to its SQL oracle.
 
     Scale shape: encoding is ONE narrow no-join expression pass
-    (m argmins over ksub literal sub-centroids per vector — no
-    broadcast join, no shuffle); the per-query LUT is m·ksub in-row
-    structs exploded from the bounded query set; ADC joins codes to the
-    broadcast LUT on (grp, cluster) and sums; then one
-    ``shortlist``-bounded rerank."""
+    (m argmins over ksub literal sub-centroids per vector, in the
+    ``Σc²−2qc`` / single-Literal / array_position(array_min) shape —
+    no broadcast join, no shuffle); the per-query integer LUT rides the
+    bounded query broadcast as one nested-array column; ADC is m IN-ROW
+    array lookups per (candidate, query) — the memory-bandwidth PQ scan
+    — then one ``shortlist``-bounded rerank.  The exploded
+    (grp, cluster)-join ADC variant measured ~2× this whole query's
+    cost at sf0.1; the in-row form is the one that survives 10⁹
+    vectors."""
     from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
     from hfp_loader_spark.operators.relational import top_k_per_group
 
     assert dim % m == 0, "dim must divide into m subspaces"
     sub = dim // m
 
-    def lit_vec(ints: list[int]):
-        return F.array(*[F.lit(int(v)).cast("long") for v in ints])
+    def by_grp(
+        books: list[tuple[int, int, list[int]]],
+    ) -> dict[int, list[tuple[int, list[int]]]]:
+        out: dict[int, list[tuple[int, list[int]]]] = {}
+        for g, cl, cq in books:
+            out.setdefault(int(g), []).append((int(cl), cq))
+        return out
 
-    by_grp_assign: dict[int, list[tuple[int, list[int]]]] = {}
-    for g, cl, cq in books_assign:
-        by_grp_assign.setdefault(int(g), []).append((int(cl), cq))
-
-    def code_expr(qcol, g: int):
-        s = F.slice(qcol, g * sub + 1, sub)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist(s, lit_vec(cq)).alias("d"),
-                        F.lit(cl).cast("int").alias("cluster"),
-                    )
-                    for cl, cq in by_grp_assign[g]
-                ]
-            )
-        )["cluster"]
-
-    codes = (
-        corpus.where(F.size(F.col(vec_col)) == dim)
-        .select(
-            F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("_q")
-        )
-        .select(
-            id_col,
-            F.posexplode(
-                F.array(*[code_expr(F.col("_q"), g) for g in range(m)])
-            ).alias("grp", "cluster"),
-        )
-    )
-    lut = (
-        queries.where(F.size(F.col(vec_col)) == dim)
-        .select(
-            F.col(query_id_col),
-            quantize_vec(F.col(vec_col), scale).alias("_q"),
-        )
-        .select(
-            query_id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(g)).cast("int").alias("grp"),
-                            F.lit(int(cl)).cast("int").alias("cluster"),
-                            _sq_dist(
-                                F.slice(F.col("_q"), int(g) * sub + 1, sub),
-                                lit_vec(cq),
-                            ).alias("_d"),
-                        )
-                        for g, cl, cq in books_probe
-                    ]
+    grp_assign = by_grp(books_assign)
+    codes = corpus.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col),
+        quantize_vec(F.col(vec_col), scale).alias("_q"),
+    ).select(
+        id_col,
+        F.array(
+            *[
+                _int_argmin_cluster(
+                    F.slice(F.col("_q"), g * sub + 1, sub), grp_assign[g]
                 )
-            ).alias("_l"),
-        )
+                for g in range(m)
+            ]
+        ).alias("_codes"),
+    )
+    # per-query integer LUT as ONE array<array<bigint>> column —
+    # lut[j][c] = exact ‖q_sub_j − book_j[c]‖², the twin's LUT values
+    # bit-for-bit; rides the bounded query broadcast.  ADC is then m
+    # in-row array LOOKUPS per (candidate, query) — the float path's
+    # memory-bandwidth shape — instead of an exploded (grp, cluster)
+    # join + 2M-row re-aggregate (measured ~2× the whole query's cost
+    # at sf0.1)
+    ordered_books = [cq for _, _, cq in sorted(books_probe)]
+    books_lit = F.lit([[int(v) for v in cq] for cq in ordered_books]).cast(
+        "array<array<bigint>>"
+    )  # flat m·ksub rows, row (g·ksub + c) = book_g[c]
+    lut_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda g: F.transform(
+            F.slice(books_lit, g * ksub + 1, ksub),
+            lambda cw: _sq_dist(
+                F.slice(F.col("_q"), g * sub + F.lit(1), sub), cw
+            ),
+        ),
+    )
+    qlut = queries.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(query_id_col),
+        quantize_vec(F.col(vec_col), scale).alias("_q"),
+    ).select(query_id_col, lut_col.alias("_lut"))
+    adc = (
+        codes.crossJoin(F.broadcast(qlut))
         .select(
             query_id_col,
-            F.col("_l.grp").alias("grp"),
-            F.col("_l.cluster").alias("cluster"),
-            F.col("_l._d").alias("_d"),
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("_codes"),
+                    F.col("_lut"),
+                    lambda c, row: F.element_at(row, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("_adc"),
         )
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["grp", "cluster"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.sum("_d").alias("_adc"))
     )
     short = top_k_per_group(
         adc, [query_id_col], [F.asc("_adc"), F.asc(id_col)], shortlist

@@ -84,10 +84,12 @@ HEADLINE_INVARIANTS = {
         max_exchanges=4, bnlj=0, pushed=["LessThan(vec_id,5)"]
     ),
     # r11: pre-trained serve path (codes as one narrow argmin pass over
-    # literal codebooks + broadcast in-row LUT) — measured 4 exchanges,
-    # 0 BNLJ at sf0.001; +2 margin.
+    # literal codebooks; ADC = m in-row lookups against the broadcast
+    # per-query LUT crossJoin) — measured 2 exchanges, 2 BNLJ (the
+    # bounded-query-set broadcast crosses, same as the float path had)
+    # at sf0.001; +2 exchange margin.
     "sim_ann_pq": dict(
-        max_exchanges=6, bnlj=0, pushed=["LessThan(vec_id,5)"]
+        max_exchanges=4, bnlj=2, pushed=["LessThan(vec_id,5)"]
     ),
     "events_funnel_windowed": dict(max_exchanges=4, bnlj=0),
     "dedup_duplicate_clusters": dict(max_exchanges=6, bnlj=0),
