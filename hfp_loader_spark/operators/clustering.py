@@ -267,3 +267,30 @@ def kmeans_fixed_point_grouped(
         ),
         cent.select(F.col("_g").alias(group_col), "cluster", "cq"),
     )
+
+
+def cell_migration_matrix(
+    before: DataFrame,
+    after: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "cluster",
+) -> DataFrame:
+    """Re-tag audit between two cell assignments of the same corpus:
+    ``(cell_from, cell_to, n_vectors)`` for every observed transition —
+    the question an index owner asks before a rebuild ("how many of the
+    10⁹ stored tags would a retrained model actually move?").  A
+    diagonal-heavy matrix says serve on; a smeared one says re-tag.
+
+    Scale shape: ONE id-equi join (co-partitioned when both sides come
+    off the same scan) + ONE aggregate over the ≤ k² transition domain
+    — never corpus² ; the output is k²-bounded regardless of corpus
+    size.  Vectors present on only one side (newly ingested / deleted)
+    drop out of the inner join by design — migration is defined on the
+    shared universe."""
+    a = before.select(F.col(id_col), F.col(cell_col).alias("cell_from"))
+    b = after.select(F.col(id_col), F.col(cell_col).alias("cell_to"))
+    return (
+        a.join(b, id_col)
+        .groupBy("cell_from", "cell_to")
+        .agg(F.count("*").alias("n_vectors"))
+    )

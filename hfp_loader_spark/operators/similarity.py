@@ -1784,6 +1784,89 @@ def pq_exact_codes_top_k(
     )
 
 
+def save_fixed_point_model(
+    spark,
+    cent_assign: list[tuple[int, list[int]]],
+    cent_probe: list[tuple[int, list[int]]],
+    root: str,
+    scale: int,
+    meta: dict | None = None,
+) -> int:
+    """Persist a PRE-TRAINED exact IVF serve model — BOTH frames of the
+    one-step lag (``role='assign'`` = c_{iters-1}, the centroids the
+    trained cell tags argmin against; ``role='probe'`` = c_iters, the
+    post-final-update frame queries rank) — as one versioned-table
+    snapshot, manifest-stamped with the quantization ``scale`` so a
+    later reader REFUSES to argmin vectors quantized at a different
+    scale (the signature-index fail-loud stamping: a scale mismatch
+    would silently re-tag every vector into garbage cells).  The
+    operational conclusion of the offline-train / online-serve split:
+    train once, commit, serve and append (O(delta) assignment of new
+    batches via :func:`ivf_pretrained_top_k` /
+    :func:`semantic_dedup_pretrained_cells`) until a drift audit
+    (:func:`clustering.cell_migration_matrix`) justifies a rebuild."""
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    rows = [
+        ("assign", int(cl), [int(v) for v in cq])
+        for cl, cq in sorted(cent_assign)
+    ] + [
+        ("probe", int(cl), [int(v) for v in cq])
+        for cl, cq in sorted(cent_probe)
+    ]
+    df = spark.createDataFrame(rows, "role string, cluster int, cq array<long>")
+    return commit_snapshot(
+        spark,
+        df,
+        root,
+        mode="overwrite",
+        meta={
+            "kind": "ivf_fixed_point_model",
+            "scale": int(scale),
+            "nlist": len(cent_assign),
+            **(meta or {}),
+        },
+    )
+
+
+def load_fixed_point_model(
+    spark, root: str, expect_scale: int, version: int | None = None
+) -> tuple[list[tuple[int, list[int]]], list[tuple[int, list[int]]]]:
+    """Load a model stored by :func:`save_fixed_point_model` (latest by
+    default; ``version`` time-travels to an older index build).  Raises
+    on a quantization-scale mismatch or an incomplete frame — a serve
+    path must fail loudly, never tag cells against the wrong geometry."""
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        latest_version,
+        read_snapshot,
+    )
+
+    v = latest_version(spark, root) if version is None else version
+    if v is None:
+        raise ValueError(f"no fixed-point model committed at {root}")
+    info = _read_manifest(spark, root, v)
+    stored = info.meta.get("scale")
+    if stored != int(expect_scale):
+        raise ValueError(
+            f"fixed-point model at {root} v{v} was quantized at "
+            f"scale={stored}, caller expects {expect_scale} — re-train "
+            "or re-quantize; mixing scales silently corrupts every cell"
+        )
+    nlist = info.meta.get("nlist")
+    out: dict[str, list[tuple[int, list[int]]]] = {"assign": [], "probe": []}
+    for r in read_snapshot(spark, root, v).collect():
+        out[r["role"]].append((r["cluster"], list(r["cq"])))
+    for role, cents in out.items():
+        cents.sort()
+        if [c for c, _ in cents] != list(range(nlist)):
+            raise ValueError(
+                f"stored model {role} frame incomplete at {root} v{v}: "
+                f"want clusters 0..{nlist - 1}, got {[c for c, _ in cents][:6]}"
+            )
+    return out["assign"], out["probe"]
+
+
 def _int_cents_lit(cents: list[tuple[int, list[int]]]) -> Column:
     """Quantized centroids as ONE ``array<array<bigint>>`` Literal node,
     ordered by cluster id (= array position − 1) — the plan-size /

@@ -993,6 +993,40 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "emb_cell_drift_retrain",
+    _kmeans_ctes()
+    + f"""
+    SELECT a{_KM_ITERS - 1}.cluster AS cell_from,
+           a{_KM_ITERS}.cluster AS cell_to,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM a{_KM_ITERS - 1} JOIN a{_KM_ITERS} USING (vec_id)
+    GROUP BY 1, 2
+    """,
+    doc="Index-rebuild drift audit "
+    "(operators.clustering.cell_migration_matrix): the (cell_from, "
+    "cell_to, n_vectors) transition matrix between two consecutive "
+    "training states of the exact fixed-point index (Lloyd round "
+    f"{_KM_ITERS - 1} vs {_KM_ITERS} — the same shared trajectory CTEs "
+    "every k-means/IVF oracle unrolls). THE operational question for a "
+    "persisted serve model (save_fixed_point_model): how many of the "
+    "stored cell tags would a retrained model actually move? A "
+    "diagonal-heavy matrix says keep serving + O(delta) appends; a "
+    "smeared one justifies re-tagging the corpus. One id-equi join + "
+    "one k²-bounded aggregate — the matrix is ≤64 rows at any SF.",
+)
+def emb_cell_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.clustering import (
+        cell_migration_matrix,
+        kmeans_fixed_point,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = kmeans_fixed_point(emb, _KM_K, _KM_ITERS - 1, scale=_KM_SCALE)
+    new = kmeans_fixed_point(emb, _KM_K, _KM_ITERS, scale=_KM_SCALE)
+    return cell_migration_matrix(old, new)
+
+
 _LBL_K = 4  # sub-clusters per label
 
 

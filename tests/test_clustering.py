@@ -104,3 +104,35 @@ def test_kmeans_inertia_non_increasing(spark, sf_dir):
         ).collect()
         inertias.append(sum(r["inertia_q"] for r in prof))
     assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+def test_cell_migration_matrix_accounts_for_every_shared_vector(spark, sf_dir):
+    """The drift audit must conserve mass (Σ n_vectors = |shared
+    universe|), stay within the k² domain, and agree with a hand-built
+    transition count on a planted example."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.clustering import (
+        cell_migration_matrix,
+        kmeans_fixed_point,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = kmeans_fixed_point(emb, 8, 2)
+    new = kmeans_fixed_point(emb, 8, 3)
+    m = cell_migration_matrix(old, new).collect()
+    n_universe = emb.where(F.size("embedding") > 0).count()
+    assert sum(r["n_vectors"] for r in m) == n_universe
+    assert len(m) <= 64
+    # planted: ids 1..4 move deterministically
+    a = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "vec_id long, cluster int"
+    )
+    b = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1), (5, 0)], "vec_id long, cluster int"
+    )
+    got = {
+        (r["cell_from"], r["cell_to"]): r["n_vectors"]
+        for r in cell_migration_matrix(a, b).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 1): 1}  # id 4/5 not shared

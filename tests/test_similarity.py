@@ -644,3 +644,58 @@ def test_semdedup_pretrained_blas_equals_expression_twin(spark, sf_dir):
         )
     )
     assert inline_arrow == twin
+
+
+def test_fixed_point_model_store_roundtrip_and_stamp(spark, sf_dir, tmp_path):
+    """save_fixed_point_model / load_fixed_point_model: the persisted
+    serve model round-trips bit-for-bit (serving from disk equals the
+    inline-training twin), the scale stamp fails loudly on mismatch,
+    and an empty root raises instead of serving nothing."""
+    import pytest
+
+    from hfp_loader_spark.operators.similarity import (
+        ivf_pretrained_top_k,
+        load_fixed_point_model,
+        save_fixed_point_model,
+    )
+    from hfp_loader_spark.plans.catalog import REGISTRY
+    from hfp_loader_spark.plans.model_queries import _ivf_serve_model
+
+    root = str(tmp_path / "ivf_model")
+    with pytest.raises(ValueError, match="no fixed-point model"):
+        load_fixed_point_model(spark, root, expect_scale=1_000_000)
+
+    cent_assign, cent_probe = _ivf_serve_model(spark, sf_dir)
+    v = save_fixed_point_model(
+        spark, cent_assign, cent_probe, root, scale=1_000_000
+    )
+    assert v == 1
+    loaded_assign, loaded_probe = load_fixed_point_model(
+        spark, root, expect_scale=1_000_000
+    )
+    assert loaded_assign == sorted(cent_assign)
+    assert loaded_probe == sorted(cent_probe)
+
+    with pytest.raises(ValueError, match="scale"):
+        load_fixed_point_model(spark, root, expect_scale=1_000)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from_disk = sorted(
+        map(
+            tuple,
+            ivf_pretrained_top_k(
+                emb, queries, k=5, nprobe=4,
+                cent_assign=loaded_assign, cent_probe=loaded_probe,
+            ).collect(),
+        )
+    )
+    twin = sorted(
+        map(
+            tuple,
+            REGISTRY["sim_ann_ivf_exact_cells"].builder(spark, sf_dir).collect(),
+        )
+    )
+    assert from_disk == twin
