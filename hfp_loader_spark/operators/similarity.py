@@ -1867,6 +1867,97 @@ def load_fixed_point_model(
     return out["assign"], out["probe"]
 
 
+def _model_fingerprint(cents: list[tuple[int, list[int]]]) -> str:
+    """Deterministic identity of a centroid frame (md5 over the sorted
+    integer matrix) — stamped into tag-table manifests so an append
+    against a DIFFERENT model generation fails loudly instead of mixing
+    tag geometries."""
+    import hashlib
+
+    payload = ";".join(
+        f"{cl}:{','.join(str(int(v)) for v in cq)}" for cl, cq in sorted(cents)
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def append_cell_tags(
+    spark,
+    delta: DataFrame,
+    root: str,
+    cent_assign: list[tuple[int, list[int]]],
+    scale: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """O(delta) append to a persisted cell-tag table: assign ONLY the
+    new batch's vectors against the pinned model (the same narrow
+    literal-argmin pass the serve paths use) and commit the
+    ``(id, cell)`` rows as one versioned append — the ingest-time half
+    of the persisted IVF index (the model itself lives in
+    :func:`save_fixed_point_model`).
+
+    Every commit is manifest-stamped with the quantization ``scale``
+    AND the model fingerprint (:func:`_model_fingerprint`); an append
+    whose model differs from the table's existing stamp RAISES — cell
+    ids are only comparable within one model generation, and silently
+    mixing generations is exactly the corruption
+    :func:`clustering.cell_migration_matrix` exists to audit before a
+    deliberate re-tag.  Valid because assignment is per-row
+    deterministic: delta-appends equal the full recompute row-for-row
+    (the same mergeable-aggregate argument as the bitmap index's
+    bit_or).  Returns the committed version."""
+    from hfp_loader_spark.operators.clustering import quantize_vec
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        commit_snapshot,
+        latest_version,
+    )
+
+    fp = _model_fingerprint(cent_assign)
+    head = latest_version(spark, root)
+    if head is not None:
+        info = _read_manifest(spark, root, head)
+        stamped = info.meta.get("model_fingerprint")
+        if stamped != fp or info.meta.get("scale") != int(scale):
+            raise ValueError(
+                f"cell-tag table at {root} was built against model "
+                f"{stamped} (scale {info.meta.get('scale')}); this append "
+                f"uses model {fp} (scale {scale}) — re-tag the corpus "
+                "(see cell_migration_matrix) instead of mixing generations"
+            )
+    tags = (
+        delta.where(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col),
+            quantize_vec(F.col(vec_col), scale).alias("_cq"),
+        )
+        .select(
+            id_col,
+            _int_argmin_cluster(F.col("_cq"), cent_assign).alias("cell"),
+        )
+    )
+    return commit_snapshot(
+        spark,
+        tags,
+        root,
+        mode="append",
+        meta={
+            "kind": "ivf_cell_tags",
+            "scale": int(scale),
+            "model_fingerprint": fp,
+        },
+    )
+
+
+def load_cell_tags(spark, root: str, version: int | None = None) -> DataFrame:
+    """All committed ``(id, cell)`` tags as of ``version`` (latest by
+    default) — the union of every O(delta) append, equal row-for-row to
+    a full re-assignment under the pinned model."""
+    from hfp_loader_spark.versioned import read_snapshot
+
+    return read_snapshot(spark, root, version)
+
+
 def _int_cents_lit(cents: list[tuple[int, list[int]]]) -> Column:
     """Quantized centroids as ONE ``array<array<bigint>>`` Literal node,
     ordered by cluster id (= array position − 1) — the plan-size /

@@ -699,3 +699,43 @@ def test_fixed_point_model_store_roundtrip_and_stamp(spark, sf_dir, tmp_path):
         )
     )
     assert from_disk == twin
+
+
+def test_cell_tag_appends_equal_full_recompute_and_pin_the_model(
+    spark, sf_dir, tmp_path
+):
+    """O(delta) tag appends: two disjoint batches committed separately
+    must load back equal to one full assignment of the union (the
+    per-row-deterministic merge argument), and an append against a
+    DIFFERENT model generation must raise instead of mixing tag
+    geometries."""
+    import pytest
+
+    from hfp_loader_spark.operators.similarity import (
+        append_cell_tags,
+        load_cell_tags,
+    )
+    from hfp_loader_spark.plans.model_queries import _ivf_serve_model
+
+    cent_assign, _ = _ivf_serve_model(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "tags")
+
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    assert append_cell_tags(spark, b1, root, cent_assign, 1_000_000) == 1
+    assert append_cell_tags(spark, b2, root, cent_assign, 1_000_000) == 2
+
+    got = sorted(map(tuple, load_cell_tags(spark, root).collect()))
+    full_root = str(tmp_path / "tags_full")
+    append_cell_tags(spark, emb, full_root, cent_assign, 1_000_000)
+    full = sorted(map(tuple, load_cell_tags(spark, full_root).collect()))
+    assert got == full and len(got) == 500
+
+    # model-generation pin: a perturbed model must be refused
+    wrong = [(cl, [v + 1 for v in cq]) for cl, cq in cent_assign]
+    with pytest.raises(ValueError, match="mixing generations"):
+        append_cell_tags(spark, emb, root, wrong, 1_000_000)
+    # and a scale change is refused even with the same centroids
+    with pytest.raises(ValueError, match="mixing generations"):
+        append_cell_tags(spark, emb, root, cent_assign, 1_000)

@@ -37,16 +37,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: modules use line-count/3 as a proxy.
 WEIGHTS = {
     "test_differential_fuzz.py": 600,
-    "test_queries_oracle.py": 340,
-    "test_plan_audit.py": 270,
+    "test_queries_oracle.py": 420,
+    "test_plan_audit.py": 280,
+    "test_similarity.py": 280,  # r11: +7 twin-lock / model-store tests
     "test_properties.py": 180,
     "test_streaming.py": 150,
-    "test_similarity.py": 120,
-    "test_neardup.py": 110,
-    "test_relational.py": 90,
+    "test_neardup.py": 120,
+    "test_relational.py": 100,
     "test_pipeline.py": 90,
     "test_sampling_ops.py": 80,
     "test_hfp_stream.py": 80,
+    "test_clustering.py": 70,
     "test_analytics.py": 70,
 }
 
