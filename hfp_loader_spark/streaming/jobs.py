@@ -363,3 +363,71 @@ def stream_ingest_corpus(
         if q.isActive:  # pragma: no cover — safety on timeout
             q.stop()
     return reports
+
+
+def stream_ingest_cell_tags(
+    spark,
+    source_dir: str,
+    tags_root: str,
+    cent_assign: list[tuple[int, list[int]]],
+    scale: int = 1_000_000,
+    schema: str = "vec_id long, embedding array<float>",
+    timeout_sec: int = 300,
+) -> dict[int, int]:
+    """Streaming O(delta) cell tagging: every micro-batch of newly
+    landed embedding files is assigned against the PINNED serve model
+    (``similarity.append_cell_tags`` — the narrow literal-argmin pass)
+    and committed as one versioned append to the tag table.
+
+    The streaming half of the persisted-IVF-index story, the exact
+    analogue of :func:`stream_ingest_corpus` for the signature index:
+    foreachBatch micro-batches run sequentially so tag appends never
+    interleave; every commit is manifest-pinned to the model
+    fingerprint, so a model rebuild mid-stream FAILS the query instead
+    of silently mixing tag generations (restart after a deliberate
+    re-tag, not around it); the checkpoint lives next to the table so a
+    re-run resumes from the last committed file instead of
+    double-tagging batch 1.
+
+    Returns {batch_id: committed_version} — the per-batch audit trail.
+    """
+    import os
+
+    from hfp_loader_spark.operators.similarity import append_cell_tags
+
+    versions: dict[int, int] = {}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        versions[batch_id] = append_cell_tags(
+            spark, batch_df, tags_root, cent_assign, scale
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_source_dir(source_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(tags_root, "_stream_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream_ingest_cell_tags did not drain {source_dir!r} "
+                f"within {timeout_sec}s; {tags_root!r} holds only the "
+                "batches committed so far (resume by re-running — the "
+                "checkpoint skips completed files)"
+            )
+    finally:
+        if q.isActive:  # pragma: no cover — safety on timeout
+            q.stop()
+    return versions

@@ -816,3 +816,40 @@ def test_roc_auc_matches_pairwise_model(spark, rows):
         1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
     )
     assert got["auc"] == round(wins / (len(pos) * len(neg)), 6)
+
+
+@given(
+    st.lists(  # corpus of small int vectors
+        st.lists(st.integers(-50, 50), min_size=4, max_size=4),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # centroids — duplicates allowed, to exercise ties
+        st.lists(st.integers(-50, 50), min_size=4, max_size=4),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_int_argmin_cluster_matches_python_argmin(spark, vecs, cents):
+    """_int_argmin_cluster — the expression every r11 serve path rests
+    on — must equal the reference rule exactly on arbitrary integer
+    inputs: argmin of squared L2 with FIRST-minimum (lowest-cluster)
+    tie-break, via the Σc²−2qc rearrangement in int64."""
+    from hfp_loader_spark.operators.similarity import _int_argmin_cluster
+
+    cent_list = [(i, c) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(
+        [(i, [int(v) for v in q]) for i, q in enumerate(vecs)],
+        "id int, q array<long>",
+    )
+    got = {
+        r["id"]: r["cell"]
+        for r in df.select(
+            "id", _int_argmin_cluster(F.col("q"), cent_list).alias("cell")
+        ).collect()
+    }
+    for i, q in enumerate(vecs):
+        d = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in cents]
+        expect = d.index(min(d))  # first minimum = lowest cluster id
+        assert got[i] == expect

@@ -179,3 +179,56 @@ def test_stream_left_outer_join_emits_nulls_only_below_watermark(
     }
     assert {pid for pid, _ in got_null} <= all_null_probes
     assert len(all_null_probes) > len(got_null)
+
+
+def test_stream_ingest_cell_tags_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """Streaming O(delta) tagging: draining two embedding files through
+    availableNow foreachBatch must leave a tag table equal row-for-row
+    to one batch assignment of the union, each commit pinned to the
+    model fingerprint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.similarity import (
+        append_cell_tags,
+        load_cell_tags,
+    )
+    from hfp_loader_spark.plans.model_queries import _ivf_serve_model
+    from hfp_loader_spark.streaming.jobs import stream_ingest_cell_tags
+
+    cent_assign, _ = _ivf_serve_model(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the file stream source reads FILES in a directory (no recursion):
+    # stage each batch's single part file as landing/fN.parquet
+    import glob
+    import shutil
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    halves = (
+        ("f1", emb.where(F.col("vec_id") < 250)),
+        ("f2", emb.where(F.col("vec_id") >= 250)),
+    )
+    for name, frame in halves:
+        stage = tmp_path / f"_stage_{name}"
+        frame.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(os.path.join(str(stage), "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+    src = str(src)
+
+    tags_root = str(tmp_path / "tags")
+    versions = stream_ingest_cell_tags(
+        spark,
+        src,
+        tags_root,
+        cent_assign,
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    assert sorted(versions.values()) == [1, 2]
+
+    got = sorted(map(tuple, load_cell_tags(spark, tags_root).collect()))
+    full_root = str(tmp_path / "tags_full")
+    append_cell_tags(spark, emb, full_root, cent_assign, 1_000_000)
+    full = sorted(map(tuple, load_cell_tags(spark, full_root).collect()))
+    assert got == full and len(got) == 500
