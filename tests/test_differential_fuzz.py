@@ -35,10 +35,23 @@ def _all_oracle_entries() -> list[str]:
     and four unguarded list_cosine_similarity oracles along the way),
     so the harness now derives the set from the live registry: a future
     entry is fuzzed from the day it is registered, not when someone
-    remembers to list it."""
+    remembers to list it.
+
+    ``FUZZ_SHARD=i/n`` (env) restricts this to the i-th of n
+    round-robin slices of the sorted entry list — how
+    tools/run_tests_sharded.py splits the ~15-min whole-catalog sweep
+    across concurrent shards.  The union of slices 0..n-1 is exactly
+    the full set (and the default, no env, remains the full set), so
+    sharding changes scheduling, never coverage."""
     from hfp_loader_spark.plans.catalog import REGISTRY
 
-    return [n for n, s in REGISTRY.items() if s.oracle is not None]
+    names = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+    shard = os.environ.get("FUZZ_SHARD")
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        assert 0 <= i < n, f"bad FUZZ_SHARD {shard!r}"
+        names = names[i::n]
+    return names
 
 
 def _rows_only_entries() -> list[str]:

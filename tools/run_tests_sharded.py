@@ -52,7 +52,16 @@ WEIGHTS = {
 }
 
 
-def pack(files: list[str], shards: int) -> list[list[str]]:
+#: Module whose dominant test iterates the whole catalog and honors the
+#: FUZZ_SHARD=i/n env slice — scheduled as one slice per shard so the
+#: single biggest module no longer bounds the wall (at 237 entries the
+#: unsliced sweep alone runs ~17 min).
+FUZZ_MODULE = "test_differential_fuzz.py"
+
+
+def pack(
+    files: list[str], shards: int
+) -> list[tuple[list[str], dict[str, str]]]:
     def weight(path: str) -> float:
         name = os.path.basename(path)
         if name in WEIGHTS:
@@ -60,13 +69,29 @@ def pack(files: list[str], shards: int) -> list[list[str]]:
         with open(path) as fh:
             return sum(1 for _ in fh) / 3.0
 
-    buckets: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(shards)]
-    for f in sorted(files, key=weight, reverse=True):
-        w, members = min(buckets, key=lambda b: b[0])
-        buckets.remove((w, members))
+    fuzz = [f for f in files if os.path.basename(f) == FUZZ_MODULE]
+    rest = [f for f in files if os.path.basename(f) != FUZZ_MODULE]
+    buckets: list[tuple[float, list[str], dict[str, str]]] = [
+        (0.0, [], {}) for _ in range(shards)
+    ]
+    if fuzz and shards > 1:
+        # one registry slice per shard; the module's few fixed-list
+        # tests repeat per slice (cheap), the catalog sweep partitions
+        per = weight(fuzz[0]) / shards + 60
+        buckets = [
+            (per, [fuzz[0]], {"FUZZ_SHARD": f"{i}/{shards}"})
+            for i in range(shards)
+        ]
+    elif fuzz:
+        buckets[0] = (weight(fuzz[0]), [fuzz[0]], {})
+    for f in sorted(rest, key=weight, reverse=True):
+        w, members, env = min(buckets, key=lambda b: b[0])
+        buckets.remove((w, members, env))
         members.append(f)
-        buckets.append((w + weight(f), members))
-    return [members for _, members in sorted(buckets, reverse=True)]
+        buckets.append((w + weight(f), members, env))
+    return [(members, env) for _, members, env in sorted(
+        buckets, key=lambda b: b[0], reverse=True
+    )]
 
 
 def main() -> int:
@@ -78,13 +103,14 @@ def main() -> int:
     args = ap.parse_args()
 
     files = sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
-    groups = [g for g in pack(files, args.shards) if g]
+    groups = [g for g in pack(files, args.shards) if g[0]]
     per_shard_cpus = max(2, args.cpus // max(1, len(groups)))
 
     t0 = time.time()
     procs = []
-    for i, group in enumerate(groups):
+    for i, (group, extra_env) in enumerate(groups):
         env = dict(os.environ)
+        env.update(extra_env)
         env["SPARK_GRAFT_CPUS"] = str(per_shard_cpus)
         env.setdefault("SPARK_DRIVER_MEMORY", "8g")
         log = open(f"/tmp/test_shard_{i}.log", "w")
@@ -96,7 +122,8 @@ def main() -> int:
         procs.append((i, group, log,
                       subprocess.Popen(cmd, cwd=REPO, env=env,
                                        stdout=log, stderr=subprocess.STDOUT)))
-        print(f"shard {i}: {len(group)} modules "
+        tag = f" [{extra_env['FUZZ_SHARD']}]" if "FUZZ_SHARD" in extra_env else ""
+        print(f"shard {i}: {len(group)} modules{tag} "
               f"({', '.join(os.path.basename(g) for g in group[:4])}"
               f"{', …' if len(group) > 4 else ''})")
 
