@@ -108,5 +108,13 @@ def physical_profile(df: DataFrame) -> dict:
             for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
             if m.group(1)
         ],
+        # partition-directory pruning evidence (e.g. "cell IN (0,3,5)" on
+        # a cell-partitioned serve layout) — the scan never lists, let
+        # alone reads, the pruned partitions' files
+        "partition_filters": [
+            m.group(1)
+            for m in re.finditer(r"PartitionFilters: \[([^\]]*)", plan)
+            if m.group(1).strip()
+        ],
         "plan": plan,
     }

@@ -134,3 +134,67 @@ def compact_table(
         raise IOError(f"compaction swap failed for {path}; original restored")
     fs.delete(HPath(old), True)
     return plan
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_dirs: int = 8,
+    vacuum_after: bool = True,
+) -> int | None:
+    """Collapse a VERSIONED table's append chain (``versioned.py``) into
+    one compacted version — the maintenance valve for O(delta) append
+    logs like the IVF cell-tag table, where every streaming micro-batch
+    commits its own data directory (``stream_ingest_cell_tags``) and a
+    long-running ingest accretes unbounded small files/dirs (VERDICT
+    r11 #6).
+
+    Reads the LATEST snapshot, rewrites it sized by the same
+    byte-budget rule as :func:`compact_table`, and ``overwrite``-commits
+    it as a new version CARRYING THE PARENT'S MANIFEST META (model
+    fingerprint, scale, kind stamps survive — a compaction must never
+    launder a generation pin).  Readers are snapshot-isolated throughout:
+    anyone holding version N keeps scanning N's directories; only new
+    readers see the compacted head.  Nothing is deleted — the old data
+    dirs stay referenced by OLDER manifests, so time travel keeps
+    working; ``vacuum_after`` only reaps dirs orphaned by failed/raced
+    commits.  No-op (returns None) when the chain is shorter than
+    ``min_dirs`` directories — compacting a compact table forever is
+    its own small-file generator.
+
+    Returns the committed version, or None if skipped."""
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        commit_snapshot,
+        latest_version,
+        read_snapshot,
+        vacuum,
+    )
+
+    head = latest_version(spark, root)
+    if head is None:
+        return None
+    info = _read_manifest(spark, root, head)
+    if len(info.data_dirs) < min_dirs:
+        return None
+    df = read_snapshot(spark, root, head)
+    total = 0
+    fs, HPath = _fs(spark, root)
+    for d in info.data_dirs:
+        it = fs.listFiles(HPath(f"{root.rstrip('/')}/{d}"), False)
+        while it.hasNext():
+            status = it.next()
+            if status.getPath().getName().endswith(".parquet"):
+                total += status.getLen()
+    target_files = max(1, -(-total // target_file_bytes))
+    version = commit_snapshot(
+        spark,
+        df.repartition(target_files),
+        root,
+        mode="overwrite",
+        meta={**(info.meta or {}), "compacted_from": head},
+    )
+    if vacuum_after:
+        vacuum(spark, root)
+    return version

@@ -104,6 +104,46 @@ def kmeans_fixed_point_model(
     returned assignment — the centroids a subsequent probe or an
     incremental re-assignment would use).  Same exact fixed-point
     trajectory, so both frames have bit-exact SQL twins."""
+    assign, _, cent = _kmeans_fp_run(
+        emb, k, iters, id_col, vec_col, scale, checkpoint, keep_prev=False
+    )
+    return assign, cent
+
+
+def kmeans_fixed_point_trajectory(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One training run returning BOTH frames of the serve-time one-step
+    lag: ``(assign, cent_prev, cent)`` = (a_iters, c_{iters−1}, c_iters).
+    A trained-then-served index needs c_{iters−1} (what the stored cell
+    tags argmin against) AND c_iters (what probes rank) — collecting them
+    as two independent trainings doubles index-build cost at corpus
+    scale (VERDICT r11 #2).  Here ``cent_prev`` is lazily
+    localCheckpointed at the final-round boundary, so materializing both
+    frames replays the Lloyd recurrence exactly ONCE: the first collect
+    computes rounds 1..iters−1 and pins the k-row frame; the final
+    round (and the assignment) reuse it.  Values are bit-identical to
+    two separate runs — same trajectory, same SQL twins."""
+    return _kmeans_fp_run(
+        emb, k, iters, id_col, vec_col, scale, False, keep_prev=True
+    )
+
+
+def _kmeans_fp_run(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    checkpoint: bool,
+    keep_prev: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     # NULL/empty vectors are unclusterable and EXCLUDED (no output row):
     # kept in, a NULL vector poisons any centroid seeded from it and an
     # empty one folds to distance 0 against every centroid (while SQL
@@ -123,7 +163,13 @@ def kmeans_fixed_point_model(
     )
 
     assign = None
-    for _ in range(iters):
+    cent_prev = cent
+    for it in range(iters):
+        if keep_prev and it == iters - 1:
+            # pin c_{iters-1} so the final round AND a later collect of
+            # the prev frame share one computation of rounds 1..iters-1
+            cent = cent.localCheckpoint(eager=False)
+            cent_prev = cent
         pairs = q.crossJoin(F.broadcast(cent)).select(
             id_col,
             "cluster",
@@ -163,7 +209,7 @@ def kmeans_fixed_point_model(
         )
         if checkpoint:
             cent = cent.localCheckpoint(eager=False)
-    return assign, cent
+    return assign, cent_prev, cent
 
 
 def kmeans_cluster_profile(assign: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -205,6 +251,41 @@ def kmeans_fixed_point_grouped(
     share every shuffle.  Scale shape per iteration: broadcast of the
     G·k centroid frame joined on the group key, then one
     (group, cluster, pos) update aggregate."""
+    assign, _, cent = _kmeans_fp_grouped_run(
+        vecs, k, iters, group_col, id_col, qvec_col, keep_prev=False
+    )
+    return assign, cent
+
+
+def kmeans_fixed_point_grouped_trajectory(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    group_col: str = "grp",
+    id_col: str = "vec_id",
+    qvec_col: str = "q",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Grouped sibling of :func:`kmeans_fixed_point_trajectory`:
+    ``(assign, cent_prev, cent)`` from ONE grouped training run —
+    ``cent_prev`` (c_{iters−1}, the codebooks stored PQ codes argmin
+    against) is lazily localCheckpointed at the final-round boundary so
+    materializing both codebook generations replays the G-group Lloyd
+    recurrence once, not twice (VERDICT r11 #2).  Bit-identical to two
+    separate runs."""
+    return _kmeans_fp_grouped_run(
+        vecs, k, iters, group_col, id_col, qvec_col, keep_prev=True
+    )
+
+
+def _kmeans_fp_grouped_run(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    group_col: str,
+    id_col: str,
+    qvec_col: str,
+    keep_prev: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     q = vecs.where(F.size(F.col(qvec_col)) > 0).select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
@@ -221,7 +302,11 @@ def kmeans_fixed_point_grouped(
         )
     )
     assign = None
-    for _ in range(iters):
+    cent_prev = cent
+    for it in range(iters):
+        if keep_prev and it == iters - 1:
+            cent = cent.localCheckpoint(eager=False)
+            cent_prev = cent
         pairs = q.join(F.broadcast(cent), "_g").select(
             "_g",
             "_id",
@@ -265,6 +350,7 @@ def kmeans_fixed_point_grouped(
             "cluster",
             "dist_q",
         ),
+        cent_prev.select(F.col("_g").alias(group_col), "cluster", "cq"),
         cent.select(F.col("_g").alias(group_col), "cluster", "cq"),
     )
 

@@ -391,7 +391,7 @@ def roc_auc(
     score_col: str,
     label_col: str,
     round_to: int = 6,
-    score_round_to: int = 6,
+    score_round_to: int | None = 6,
 ) -> DataFrame:
     """Exact ROC-AUC via the Mann–Whitney rank statistic, computed from
     the SCORE HISTOGRAM rather than a global sort:
@@ -420,11 +420,19 @@ def roc_auc(
     worst-ranked row.  Output is NULL-auc when either class is empty
     (AUC undefined), with the counts still reported — the caller's
     signal to fix labels, not a silent 0.5.
+
+    ``score_round_to=None`` preserves EXACT scores (no merging of
+    scores closer than 10^-d into ties — ADVICE r11 #5) for callers
+    that already bound their score domain; the distinct-frame bound is
+    then the CALLER'S obligation, exactly the pre-r11 contract.
     """
     from pyspark.sql import Window
 
+    s = F.col(score_col).cast("double")
+    if score_round_to is not None:
+        s = F.round(s, score_round_to)
     g = scored.where(F.col(score_col).isNotNull()).groupBy(
-        F.round(F.col(score_col).cast("double"), score_round_to).alias("_s")
+        s.alias("_s")
     ).agg(
         F.count("*").cast("double").alias("_n"),
         F.sum(F.when(F.col(label_col), 1).otherwise(0))

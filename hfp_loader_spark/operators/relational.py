@@ -799,12 +799,18 @@ def integer_sigma_outliers(
     # Headroom guard in DOUBLE (exactness irrelevant — order-of-magnitude
     # check with a 10× safety factor below decimal(38,0)'s 1e38 ceiling).
     n_d = F.col("_n").cast("double")
-    fits = (
+    # An all-NULL cents column makes _mx/_s1/_s2 NULL → `fits` NULL →
+    # assert_true would raise the (misleading) overflow message; an
+    # input with no usable values has no outliers, so treat the NULL
+    # moments as trivially in-bounds and fall through to an empty
+    # result (ADVICE r11 #4).
+    fits = F.coalesce(
         (F.lit(2.0) * F.col("_mx").cast("double") * n_d < F.lit(1.0e18))
         & (
             F.lit(float(k * k)) * n_d * F.col("_s2").cast("double")
             < F.lit(1.0e37)
-        )
+        ),
+        F.lit(True),
     )
     guard = F.assert_true(
         fits,

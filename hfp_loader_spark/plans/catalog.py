@@ -19,6 +19,7 @@ Conventions that make that hold across engines:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -236,7 +237,28 @@ def defquery(name: str, oracle: str | None, doc: str):
     return wrap
 
 
-def _interleave_registry() -> None:
+def _registry_rotation() -> int:
+    """Per-round rotation offset for the sampled-prefix window (VERDICT
+    r11 #7): the external gate checks the FIRST 50 of ~237 entries, so a
+    fixed order leaves ~187 entries with no external signal, ever.  The
+    round number isn't passed in, but each completed round leaves a
+    ``CORRECTNESS_r*.json`` at the repo root — counting them is a
+    deterministic, monotone per-round clock.  ``SPARK_GRAFT_CATALOG_ROT``
+    overrides for reproducing a specific round's window (set it to the
+    round's file count).  Entirely cosmetic for semantics: name→spec
+    mapping, oracle pairing, and bench lookups are order-independent."""
+    env = os.environ.get("SPARK_GRAFT_CATALOG_ROT")
+    if env is not None:
+        return int(env)
+    import glob as _glob
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return len(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
+def _interleave_registry(rotation: int | None = None) -> None:
     """Rebuild REGISTRY round-robin across the defining plans modules.
 
     The external correctness gate samples the FIRST 50 registry entries;
@@ -248,13 +270,20 @@ def _interleave_registry() -> None:
     keep their DEFINITION order — oracle-checked and rows-only alike, so
     any sampled prefix carries its natural share of rows-only entries
     (an earlier oracle-first sort systematically pushed the rows-only
-    LSH/ANN entries out of the sampled window; that bias is removed).
-    Name→spec mapping and entry()/bench lookups are unaffected — only
-    iteration order changes."""
+    LSH/ANN entries out of the sampled window; that bias is removed) —
+    but each module's queue START is rotated by a per-round offset
+    (:func:`_registry_rotation`), so successive rounds' sampled prefixes
+    cover DIFFERENT entries while still spanning every tier.  Name→spec
+    mapping and entry()/bench lookups are unaffected — only iteration
+    order changes."""
+    r = _registry_rotation() if rotation is None else rotation
     by_mod: dict[str, list[QuerySpec]] = {}
     for spec in REGISTRY.values():
         by_mod.setdefault(spec.module, []).append(spec)
-    queues = {m: list(specs) for m, specs in by_mod.items()}
+    queues = {}
+    for m, specs in by_mod.items():
+        off = (r * 7) % len(specs)
+        queues[m] = specs[off:] + specs[:off]
     REGISTRY.clear()
     while queues:
         for m in list(queues):

@@ -218,11 +218,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash(32)+LSH(8 bands) near-dup discovery, exact-Jaccard "
     "verified at 0.8 — the 100 TB path: bucket join within bands only, "
     "never all-pairs. P[candidate] = 1-(1-s^4)^8 ≈ 1 at s≥0.9. FULL "
-    "oracle (r11): the verified output provably equals the exact "
-    "J≥0.8 pair set on the gate corpora (banding recall 1.0, locked "
-    "by tests vs the md5 twin AND the all-pairs join), so the oracle "
-    "states the pair set directly and a recall regression fails the "
-    "driver gate loudly.",
+    "oracle (r11): the verified output equals the exact J≥0.8 pair "
+    "set AS MEASURED ON THE GATE CORPORA (banding recall 1.0 there, "
+    "locked by tests vs the md5 twin AND the all-pairs join) — an "
+    "empirical property of the current gate data, not a theorem: 8x4 "
+    "banding misses a J=0.8 pair with p≈1.5%, so REGENERATED gate "
+    "data containing a near-threshold pair can fail this gate with a "
+    "correct implementation; that fail-loud-on-recall-drop is "
+    "intended (ADVICE r11 #2), but re-validate banding recall before "
+    "blaming the operator after a corpus regen.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(

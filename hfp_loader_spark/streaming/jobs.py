@@ -236,6 +236,7 @@ def run_available_now(
     streaming_df: DataFrame,
     timeout_sec: int = 300,
     output_mode: str = "append",
+    observer: dict | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with availableNow
     into an in-memory table; returns the materialized result.
@@ -246,7 +247,13 @@ def run_available_now(
     aggregate state instead (no watermark needed) — for running
     aggregates whose final value must equal the batch computation,
     e.g. the streaming scatter-stats fold.
-    """
+
+    ``observer`` (optional dict, filled in place) captures the run's
+    execution-shape metrics for plan/state invariants (VERDICT r11 #5 —
+    the streaming entries were exempt from every cap): ``num_batches``
+    (micro-batches executed), ``state_rows_total`` (final stateful-
+    operator row count — the 100 TB memory bound), and
+    ``state_rows_max_operator``."""
     name = f"stream_sink_{next(_sink_counter)}"
     q = (
         streaming_df.writeStream.format("memory")
@@ -260,6 +267,22 @@ def run_available_now(
     finally:
         if q.isActive:  # pragma: no cover — safety on timeout
             q.stop()
+    if observer is not None:
+        progress = q.recentProgress or []
+        state_rows = [
+            sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+            for p in progress
+        ]
+        observer["num_batches"] = len(progress)
+        observer["state_rows_total"] = state_rows[-1] if state_rows else 0
+        observer["state_rows_max_operator"] = max(
+            (
+                op.get("numRowsTotal", 0)
+                for p in progress
+                for op in p.get("stateOperators", [])
+            ),
+            default=0,
+        )
     return streaming_df.sparkSession.table(name)
 
 

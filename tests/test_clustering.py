@@ -136,3 +136,53 @@ def test_cell_migration_matrix_accounts_for_every_shared_vector(spark, sf_dir):
         for r in cell_migration_matrix(a, b).collect()
     }
     assert got == {(0, 0): 1, (0, 1): 1, (1, 1): 1}  # id 4/5 not shared
+
+
+def test_trajectory_returns_both_lag_frames_from_one_run(spark, sf_dir):
+    """VERDICT r11 #2: kmeans_fixed_point_trajectory's (cent_prev, cent)
+    must equal the two frames two INDEPENDENT trainings produce — and
+    the grouped sibling likewise — so the serve-model build can collect
+    both generations from a single Lloyd trajectory."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.clustering import (
+        kmeans_fixed_point_grouped,
+        kmeans_fixed_point_grouped_trajectory,
+        kmeans_fixed_point_model,
+        kmeans_fixed_point_trajectory,
+        quantize_vec,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign_t, prev_t, cent_t = kmeans_fixed_point_trajectory(emb, 8, 3)
+    _, prev_ref = kmeans_fixed_point_model(emb, 8, 2)
+    assign_ref, cent_ref = kmeans_fixed_point_model(emb, 8, 3)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(prev_t) == rows(prev_ref)
+    assert rows(cent_t) == rows(cent_ref)
+    assert rows(assign_t) == rows(assign_ref)
+
+    sliced = emb.where(F.size("embedding") == 64).select(
+        "vec_id",
+        quantize_vec(F.col("embedding"), 1_000_000).alias("_q"),
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("_q", j * 32 + 1, 32) for j in range(2)])
+        ).alias("grp", "q"),
+    )
+    ga, gp, gc = kmeans_fixed_point_grouped_trajectory(
+        sliced, 4, 3, group_col="grp", qvec_col="q"
+    )
+    _, gp_ref = kmeans_fixed_point_grouped(
+        sliced, 4, 2, group_col="grp", qvec_col="q"
+    )
+    ga_ref, gc_ref = kmeans_fixed_point_grouped(
+        sliced, 4, 3, group_col="grp", qvec_col="q"
+    )
+    assert rows(gp) == rows(gp_ref)
+    assert rows(gc) == rows(gc_ref)
+    assert rows(ga) == rows(ga_ref)

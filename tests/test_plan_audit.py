@@ -80,16 +80,25 @@ HEADLINE_INVARIANTS = {
     "sim_ann_signlsh": dict(
         max_exchanges=4, bnlj=0, pushed=["LessThan(vec_id,5)"]
     ),
+    # r12: served FROM the persisted cell-partitioned index (VERDICT r11
+    # #1) — the corpus is never scanned; the index scan must carry the
+    # probed-cell partition filter (the file-pruning evidence; statically
+    # planned from the collected probe set).  Measured 2 exchanges,
+    # 0 BNLJ at sf0.001.
     "sim_ann_ivf": dict(
-        max_exchanges=4, bnlj=0, pushed=["LessThan(vec_id,5)"]
+        max_exchanges=4,
+        bnlj=0,
+        pushed=["LessThan(vec_id,5)"],
+        part_pushed=["cell", " IN "],
     ),
-    # r11: pre-trained serve path (codes as one narrow argmin pass over
-    # literal codebooks; ADC = m in-row lookups against the broadcast
-    # per-query LUT crossJoin) — measured 2 exchanges, 2 BNLJ (the
-    # bounded-query-set broadcast crosses, same as the float path had)
-    # at sf0.001; +2 exchange margin.
+    # r12: served FROM the persisted code table (VERDICT r11 #2) — ADC
+    # reads codes only; the full-width rerank fetch must be an
+    # In(vec_id, …)-pushed point read of the bounded shortlist, never a
+    # full vector scan.  Measured 2 exchanges, 0 BNLJ at sf0.001.
     "sim_ann_pq": dict(
-        max_exchanges=4, bnlj=2, pushed=["LessThan(vec_id,5)"]
+        max_exchanges=4,
+        bnlj=0,
+        pushed=["LessThan(vec_id,5)", "In(vec_id, ["],
     ),
     "events_funnel_windowed": dict(max_exchanges=4, bnlj=0),
     "dedup_duplicate_clusters": dict(max_exchanges=6, bnlj=0),
@@ -171,6 +180,11 @@ def test_headline_plan_invariants(spark, sf_dir):
         for needle in inv.get("pushed", []):
             if not any(needle in f for f in p["pushed_filters"]):
                 failures.append(f"{name}: '{needle}' not in PushedFilters")
+        for needle in inv.get("part_pushed", []):
+            if not any(needle in f for f in p["partition_filters"]):
+                failures.append(
+                    f"{name}: '{needle}' not in PartitionFilters"
+                )
     assert not failures, "\n".join(failures)
 
 
@@ -214,3 +228,62 @@ def test_q5_broadcasts_bounded_supplier_at_gate_scale(spark):
     assert final.count("BroadcastHashJoin") >= 5, "Q5 lost an AQE broadcast"
     assert final.count("SortMergeJoin") == 0, "Q5 degraded to sort-merge"
     assert final.count("Exchange hashpartitioning") <= 4
+
+
+def test_streaming_headline_entries_have_bounded_execution_shape(
+    spark, sf_dir
+):
+    """VERDICT r11 #5: the two streaming headline entries were exempt
+    from every plan/time invariant — a state-size or micro-batch-count
+    regression was invisible.  Re-run their exact stream compositions
+    with the progress observer and cap the execution shape:
+
+    - streaming_watermark_dedup: dropDuplicates state is ONE row per
+      distinct (user_id, event_type) — state_rows must equal the batch
+      distinct count (the 100 TB memory bound: key cardinality, not
+      corpus size);
+    - streaming_sliding_availablenow: state is one row per open sliding
+      window — bounded by 2×(time-range/slide)+2, independent of row
+      count;
+    - both drain availableNow in a handful of micro-batches (file-count
+      bound, not row-count bound).
+    """
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.plans.catalog import load_table
+    from hfp_loader_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        sliding_window_counts,
+        watermark_dedup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    distinct_keys = events.select("user_id", "event_type").distinct().count()
+    ts_range_min = events.agg(
+        F.ceil(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            )
+            / 60
+        )
+    ).collect()[0][0]
+
+    obs: dict = {}
+    stream = read_events_stream(spark, sf_dir)
+    run_available_now(
+        watermark_dedup(stream, ["user_id", "event_type"]), observer=obs
+    )
+    assert 1 <= obs["num_batches"] <= 4
+    assert obs["state_rows_total"] == distinct_keys
+
+    obs2: dict = {}
+    stream2 = read_events_stream(spark, sf_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    run_available_now(sliding_window_counts(stream2), observer=obs2)
+    assert 1 <= obs2["num_batches"] <= 4
+    # 1h windows sliding every 30min over the event-time range: at most
+    # range/30min + 2 windows hold state before the final watermark
+    # truncation
+    assert obs2["state_rows_total"] <= ts_range_min // 30 + 2

@@ -289,3 +289,30 @@ def test_registry_prefix_samples_every_module():
             "rows-only entries were pushed out of the sampled prefix — "
             "evaluator-shaping bias reintroduced?"
         )
+
+
+def test_registry_rotation_changes_prefix_keeps_set_and_tiers():
+    """VERDICT r11 #7: successive rounds' sampled 50-entry prefixes must
+    differ (rotation), while the full name set, specs, and per-prefix
+    module coverage stay invariant."""
+    from hfp_loader_spark.plans import catalog
+
+    full = dict(catalog.REGISTRY)
+    all_modules = {s.module for s in full.values()}
+    try:
+        def prefix(rot):
+            catalog.REGISTRY.clear()
+            catalog.REGISTRY.update(full)
+            catalog._interleave_registry(rotation=rot)
+            return list(catalog.REGISTRY)[:50]
+
+        p11, p12 = prefix(11), prefix(12)
+        assert p11 != p12
+        # a rotated window must actually move the sample, not permute it
+        assert len(set(p11) & set(p12)) < 40
+        assert {catalog.REGISTRY[n].module for n in p12} == all_modules
+        assert set(catalog.REGISTRY) == set(full)
+    finally:
+        catalog.REGISTRY.clear()
+        catalog.REGISTRY.update(full)
+        catalog._interleave_registry()

@@ -265,3 +265,26 @@ def test_roc_auc_bounds_unrounded_score_domain(spark):
     assert df.select(
         F.round("score", d).alias("s")
     ).distinct().count() <= 10**d + 1
+
+
+def test_roc_auc_score_round_to_none_preserves_exact_scores(spark):
+    """ADVICE r11 #5: score_round_to=None must keep scores closer than
+    1e-6 DISTINCT (no forced ties), while the default merges them —
+    constructed so the two modes provably differ."""
+    from hfp_loader_spark.operators.ranking import roc_auc
+
+    rows = [
+        (0.5, True),
+        (0.5 + 1e-9, False),  # above the positive only if unrounded
+        (0.1, False),
+        (0.9, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    exact = roc_auc(df, "score", "label", score_round_to=None).collect()[0]
+    merged = roc_auc(df, "score", "label").collect()[0]
+    # exact: positive 0.5 is beaten by the 1e-9-higher negative
+    # (rank pairs: 0.5 beats 0.1 → 1; 0.9 beats all → 2) AUC = 3/4
+    assert abs(exact["auc"] - 0.75) < 1e-9
+    # merged: the two 0.5s tie → 0.5 credit → AUC = 3.5/4
+    assert abs(merged["auc"] - 0.875) < 1e-9
+    assert exact["n_pos"] == merged["n_pos"] == 2

@@ -773,3 +773,16 @@ def test_integer_sigma_outliers_overflow_guard_raises(spark):
         "id int, cents long",
     )
     assert integer_sigma_outliers(small, "cents", ["id"], k=2).count() == 0
+
+
+def test_integer_sigma_outliers_all_null_input_is_empty_not_overflow(spark):
+    """ADVICE r11 #4: an all-NULL cents column must return ZERO outliers
+    (nothing is measurable), not raise the misleading decimal-overflow
+    assert (NULL moments made the fits guard NULL)."""
+    from hfp_loader_spark.operators.relational import integer_sigma_outliers
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, cents long"
+    )
+    out = integer_sigma_outliers(df, "cents", ["id"], k=2)
+    assert out.count() == 0

@@ -739,3 +739,184 @@ def test_cell_tag_appends_equal_full_recompute_and_pin_the_model(
     # and a scale change is refused even with the same centroids
     with pytest.raises(ValueError, match="mixing generations"):
         append_cell_tags(spark, emb, root, cent_assign, 1_000)
+
+
+def test_cell_index_lifecycle_serves_equal_and_prunes_files(
+    spark, sf_dir, tmp_path
+):
+    """The r12 persisted-index serve path (VERDICT r11 #1), end to end
+    on private roots: tag log → materialize_cell_index (cell-partitioned
+    layout) → ivf_served_top_k must equal the literal-serve twin
+    bit-for-bit; the probed-cell pruning must be PHYSICAL (corrupting an
+    unprobed cell's parquet file does not touch the query — the scan
+    never opens it); and a layout stamped under a different model
+    generation must be refused."""
+    import glob
+    import os
+
+    from hfp_loader_spark.operators.similarity import (
+        _model_fingerprint,
+        ivf_pretrained_top_k,
+        ivf_served_top_k,
+        materialize_cell_index,
+        rebuild_cell_tags,
+        read_cell_index,
+    )
+    from hfp_loader_spark.plans.model_queries import _ivf_serve_model
+
+    cent_assign, cent_probe = _ivf_serve_model(spark, sf_dir)
+    fp = _model_fingerprint(cent_assign)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tag_root = str(tmp_path / "tags")
+    index_root = str(tmp_path / "cells")
+    rebuild_cell_tags(spark, emb, tag_root, cent_assign, 1_000_000)
+    doc = materialize_cell_index(spark, tag_root, emb, index_root)
+    assert doc["model_fingerprint"] == fp and doc["tag_version"] == 1
+
+    # single query, nprobe=2 of nlist=8 → most cells UNPROBED
+    queries = emb.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivf_served_top_k(
+        spark, queries, index_root, cent_probe, k=5, nprobe=2,
+        expect_fingerprint=fp,
+    )
+    twin = ivf_pretrained_top_k(
+        emb, queries, k=5, nprobe=2,
+        cent_assign=cent_assign, cent_probe=cent_probe,
+    )
+    got = sorted(map(tuple, served.collect()))
+    assert got == sorted(map(tuple, twin.collect())) and len(got) == 5
+
+    # physical pruning: trash every parquet file of a cell the probe set
+    # does not contain; the served query must not notice
+    from hfp_loader_spark.operators.similarity import _ivf_probe_frame
+
+    probed = {
+        r["cluster"]
+        for r in _ivf_probe_frame(
+            queries, cent_probe, 2, "query_id", "embedding", 1_000_000
+        ).collect()
+    }
+    all_cells = {cl for cl, _ in cent_assign}
+    victim = sorted(all_cells - probed)[0]
+    victim_files = glob.glob(f"{index_root}/data/cell={victim}/*.parquet")
+    assert victim_files, "victim cell has no files — layout broken"
+    for f in victim_files:
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet at all")
+    again = ivf_served_top_k(
+        spark, queries, index_root, cent_probe, k=5, nprobe=2,
+        expect_fingerprint=fp,
+    )
+    assert sorted(map(tuple, again.collect())) == got
+    # ... while actually reading the trashed partition fails, proving
+    # the corruption was real and the scan genuinely skipped it
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{index_root}/data/cell={victim}").collect()
+
+    # generation pin: a different fingerprint is refused
+    with pytest.raises(ValueError, match="mixing"):
+        read_cell_index(spark, index_root, "deadbeef", 1_000_000)
+    with pytest.raises(ValueError, match="no cell index"):
+        read_cell_index(spark, str(tmp_path / "nope"), fp, 1_000_000)
+
+
+def test_code_table_appends_equal_recompute_pin_and_serve(
+    spark, sf_dir, tmp_path
+):
+    """The r12 persisted PQ code table (VERDICT r11 #2): two disjoint
+    O(delta) appends load back equal to the full re-encode; an append
+    under different codebooks raises; load_codes enforces the expected
+    generation; and pq_served_top_k over the loaded table equals the
+    literal-serve twin bit-for-bit."""
+    from hfp_loader_spark.operators.similarity import (
+        _books_fingerprint,
+        append_codes,
+        load_codes,
+        pq_pretrained_top_k,
+        pq_served_top_k,
+        rebuild_codes,
+    )
+    from hfp_loader_spark.plans.model_queries import _pq_serve_model
+
+    books_assign, books_probe = _pq_serve_model(spark, sf_dir)
+    fp = _books_fingerprint(books_assign)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "codes")
+
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    assert append_codes(spark, b1, root, books_assign, 1_000_000) == 1
+    assert append_codes(spark, b2, root, books_assign, 1_000_000) == 2
+    got = sorted(
+        (r["vec_id"], tuple(r["_codes"]))
+        for r in load_codes(spark, root, fp, 1_000_000).collect()
+    )
+    full_root = str(tmp_path / "codes_full")
+    rebuild_codes(spark, emb, full_root, books_assign, 1_000_000)
+    full = sorted(
+        (r["vec_id"], tuple(r["_codes"]))
+        for r in load_codes(spark, full_root).collect()
+    )
+    assert got == full and len(got) > 0
+
+    wrong = [(g, cl, [v + 1 for v in cq]) for g, cl, cq in books_assign]
+    with pytest.raises(ValueError, match="mixing generations"):
+        append_codes(spark, emb, root, wrong, 1_000_000)
+    with pytest.raises(ValueError, match="mixing generations"):
+        load_codes(spark, root, _books_fingerprint(wrong), 1_000_000)
+    with pytest.raises(ValueError, match="no PQ codes"):
+        load_codes(spark, str(tmp_path / "nope"))
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = load_codes(spark, root, fp, 1_000_000)
+    served = pq_served_top_k(
+        spark, emb, queries, codes, books_probe, k=5,
+    )
+    twin = pq_pretrained_top_k(
+        emb, queries, k=5, books_assign=books_assign,
+        books_probe=books_probe,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+
+
+def test_parsed_array_lit_roundtrips_and_rejects_gapped_models(spark):
+    """_parsed_array_lit (the py4j-free literal constructor the serve
+    paths build their centroid/codebook constants with) must round-trip
+    int64 extremes and shortest-repr doubles bit-for-bit vs F.lit; and
+    _int_cents_lit must refuse non-contiguous cluster ids (ADVICE r11
+    #1 — a gapped model would silently shift every downstream cell)."""
+    import struct
+
+    from hfp_loader_spark.operators.similarity import (
+        _int_cents_lit,
+        _parsed_array_lit,
+    )
+
+    ints = [[2**63 - 1, -(2**63), 0, -1], [7, -7, 123456789012345, 1]]
+    doubles = [1e-308, -0.0, 0.1 + 0.2, 2.5, -1.7976931348623157e308]
+    row = (
+        spark.range(1)
+        .select(
+            _parsed_array_lit(ints, lambda v: f"{v}L").alias("i"),
+            F.lit(ints).cast("array<array<bigint>>").alias("i0"),
+            _parsed_array_lit(doubles, lambda v: f"{v!r}D").alias("d"),
+            F.lit(doubles).alias("d0"),
+        )
+        .collect()[0]
+    )
+    assert [list(x) for x in row["i"]] == [list(x) for x in row["i0"]]
+    assert [struct.pack(">d", v) for v in row["d"]] == [
+        struct.pack(">d", v) for v in row["d0"]
+    ]
+    with pytest.raises(ValueError, match="empty literal"):
+        _parsed_array_lit([], lambda v: f"{v}L")
+
+    gapped = [(0, [1, 2]), (2, [3, 4])]  # cluster 1 missing
+    with pytest.raises(ValueError, match="contiguous"):
+        _int_cents_lit(gapped)
