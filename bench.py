@@ -78,6 +78,11 @@ HEADLINE = [
     "sim_ann_ivf_exact_cells",
     "sim_ann_pq_exact_codes",
     "emb_kmeans_by_label",
+    # round 12: the fused IVF-PQ persisted-index serve path — partition
+    # pruning × code compression × bounded rerank fetch, the
+    # 10^9-vector composition; adds its own cost to the total vs r11's
+    # 34-query sum.
+    "sim_ann_ivfpq",
 ]
 
 

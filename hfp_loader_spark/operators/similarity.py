@@ -2133,11 +2133,7 @@ def materialize_cell_index(
     Scale shape: one id-equi join (tags ⋈ vectors — co-partitionable by
     id at 100 TB) + ``repartition(cell)`` so each cell lands in O(1)
     files; no driver-side data movement.  Returns the manifest dict."""
-    from hfp_loader_spark.versioned import (
-        _read_manifest,
-        _fs,
-        latest_version,
-    )
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
 
     head = latest_version(spark, tag_root)
     if head is None:
@@ -2145,6 +2141,27 @@ def materialize_cell_index(
     info = _read_manifest(spark, tag_root, head)
     tags = load_cell_tags(spark, tag_root, head)
     rows = tags.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+    doc = {
+        "kind": "ivf_cell_index",
+        "scale": info.meta.get("scale"),
+        "model_fingerprint": info.meta.get("model_fingerprint"),
+        "tag_root": tag_root,
+        "tag_version": head,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    return _publish_partitioned_index(spark, rows, index_root, doc)
+
+
+def _publish_partitioned_index(
+    spark, rows: DataFrame, index_root: str, doc: dict
+) -> dict:
+    """Write ``rows`` as the cell-partitioned serve layout at
+    ``index_root`` (temp dir + rename publish, so readers never see a
+    half-written layout) and stamp ``doc`` as its manifest.  A racing
+    materializer that published the SAME generation first wins
+    idempotently; any other resident layout is a real publish failure."""
+    from hfp_loader_spark.versioned import _fs
 
     root = index_root.rstrip("/")
     fs, P = _fs(spark, root)
@@ -2155,27 +2172,15 @@ def materialize_cell_index(
         .partitionBy("cell")
         .parquet(f"{tmp}/data")
     )
-    doc = {
-        "kind": "ivf_cell_index",
-        "scale": info.meta.get("scale"),
-        "model_fingerprint": info.meta.get("model_fingerprint"),
-        "tag_root": tag_root,
-        "tag_version": head,
-        "id_col": id_col,
-        "vec_col": vec_col,
-    }
     _write_index_manifest(spark, tmp, doc)
     fs.delete(P(root), True)
     if not fs.rename(P(tmp), P(root)):
-        # a racing materializer published first — accept its layout iff
-        # it is the SAME generation we just built (idempotent loss);
-        # anything else is a real publish failure
         existing = read_index_manifest(spark, root)
         fs.delete(P(tmp), True)
         if existing == doc:
             return existing
         raise IOError(
-            f"cell-index publish failed: cannot move {tmp} into {root} "
+            f"index publish failed: cannot move {tmp} into {root} "
             f"and the resident layout is {existing} — fence builders"
         )
     return doc
@@ -2814,6 +2819,263 @@ def pq_served_top_k(
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
     )
+
+
+def materialize_ivfpq_index(
+    spark,
+    tag_root: str,
+    code_root: str,
+    vectors: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Compact the committed cell-tag log AND the committed PQ code
+    table into the IVF-PQ serve layout — ``(id, _codes, vector)``
+    **partitioned by cell**: the inverted lists of a production IVF-PQ
+    index (FAISS's IVFPQ layout, as parquet).  Each probed cell's CODES
+    are physically co-located, so the ADC scan reads only
+    nprobe/nlist of the files AND only the m-byte code column
+    (columnar projection skips the vector column until the bounded
+    rerank fetch) — the two multiplicative reductions that make
+    10⁹-vector ANN serveable.
+
+    The build is the only corpus-sized work: one id-equi join of two
+    persisted structures (tags ⋈ codes ⋈ vectors, all co-partitionable
+    by id at 100 TB).  The manifest pins BOTH generations — the cell
+    model fingerprint from the tag log and the codebook fingerprint
+    from the code table — plus the versions compacted, so staleness
+    (either log advanced) is distinguishable from corruption (either
+    fingerprint changed); :func:`read_ivfpq_index` enforces the
+    latter.  Universe: the inner join keeps exactly the vectors that
+    have BOTH a cell tag (len > 0) and codes (len == dim)."""
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
+
+    t_head = latest_version(spark, tag_root)
+    c_head = latest_version(spark, code_root)
+    if t_head is None or c_head is None:
+        raise ValueError(
+            f"need committed tags ({tag_root}) and codes ({code_root})"
+        )
+    t_meta = _read_manifest(spark, tag_root, t_head).meta
+    c_meta = _read_manifest(spark, code_root, c_head).meta
+    if t_meta.get("scale") != c_meta.get("scale"):
+        raise ValueError(
+            f"tag log quantized at scale {t_meta.get('scale')} but code "
+            f"table at {c_meta.get('scale')} — refusing to fuse "
+            "structures from different quantizations"
+        )
+    rows = (
+        load_cell_tags(spark, tag_root, t_head)
+        .join(load_codes(spark, code_root, version=c_head), id_col)
+        .join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+    )
+    doc = {
+        "kind": "ivfpq_cell_index",
+        "scale": t_meta.get("scale"),
+        "model_fingerprint": t_meta.get("model_fingerprint"),
+        "books_fingerprint": c_meta.get("model_fingerprint"),
+        "tag_root": tag_root,
+        "tag_version": t_head,
+        "code_root": code_root,
+        "code_version": c_head,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    return _publish_partitioned_index(spark, rows, index_root, doc)
+
+
+def read_ivfpq_index(
+    spark,
+    root: str,
+    expect_model_fp: str,
+    expect_books_fp: str,
+    expect_scale: int,
+) -> DataFrame:
+    """Open an IVF-PQ serve layout as ``(id, _codes, vector, cell)``
+    with ``cell`` as the partition column; raises unless BOTH stamped
+    generations match the served models (mixed-generation cells or
+    codes are silent corruption — the same pinning rule as every other
+    serve structure)."""
+    doc = read_index_manifest(spark, root)
+    if doc is None:
+        raise ValueError(f"no ivfpq index materialized at {root}")
+    if doc.get("kind") != "ivfpq_cell_index":
+        raise ValueError(
+            f"{root} holds kind={doc.get('kind')!r}, not an ivfpq_cell_index"
+        )
+    if (
+        doc.get("model_fingerprint") != expect_model_fp
+        or doc.get("books_fingerprint") != expect_books_fp
+        or doc.get("scale") != int(expect_scale)
+    ):
+        raise ValueError(
+            f"ivfpq index at {root} stamped (model "
+            f"{doc.get('model_fingerprint')}, books "
+            f"{doc.get('books_fingerprint')}, scale {doc.get('scale')}); "
+            f"caller serves ({expect_model_fp}, {expect_books_fp}, "
+            f"{expect_scale}) — re-materialize instead of mixing "
+            "generations"
+        )
+    return spark.read.parquet(f"{root.rstrip('/')}/data")
+
+
+def ivfpq_served_top_k(
+    spark,
+    queries: DataFrame,
+    index_root: str,
+    cent_probe: list[tuple[int, list[int]]],
+    books_probe: list[tuple[int, int, list[int]]],
+    k: int,
+    nprobe: int,
+    expect_model_fp: str,
+    expect_books_fp: str,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ top-k served from the fused persisted index — the
+    composition that serves 10⁹ vectors: IVF's partition pruning
+    (read only the probed cells' files) MULTIPLIED by PQ's compression
+    (within those files, ADC reads only the m-byte code column), then
+    the usual bounded route-then-fetch rerank.  vs the single-structure
+    paths: :func:`ivf_served_top_k` prunes files but reranks FULL
+    vectors for every candidate in the probed cells;
+    :func:`pq_served_top_k` scans compressed codes but ALL of them.
+
+    All math is exact fixed-point, so the whole pipeline — cells,
+    probes, codes, per-query integer LUT, cell-restricted ADC,
+    (adc, id) shortlist, rounded-cosine rerank — has a SQL twin: cells
+    and codes replay as ONE grouped Lloyd recurrence (the full-vector
+    clustering rides grp = −1 beside the m subspaces, exactly the
+    trick ``emb_kmeans_by_label`` relies on), making the served
+    neighbor list value-checkable end to end.
+
+    Universe: vectors need a cell AND codes → len == dim exactly (the
+    index join enforces it); queries likewise (probe ranking and LUT
+    both need the full dim).  Two bounded driver collects, like every
+    serve path: the probed cell set (≤ nprobe·|queries|) and the
+    shortlist (≤ shortlist·|queries|).
+
+    The ADC stage executes inside the shortlist collect, so its scan is
+    not part of the RETURNED plan; for plan audits the ADC DataFrame is
+    attached to the result as ``_ivfpq_adc_plan`` (the partition-pruning
+    and code-column-only-ReadSchema assertions run against it —
+    ``tests/test_plan_audit.py``)."""
+    from hfp_loader_spark.operators.clustering import _sq_dist, quantize_vec
+    from hfp_loader_spark.operators.relational import top_k_per_group
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+
+    qq = queries.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(query_id_col),
+        quantize_vec(F.col(vec_col), scale).alias("_q"),
+    )
+    # probe ranking over the full-vector centroids (in-row sorted slice,
+    # same as the IVF serve path but on the len==dim query universe)
+    probe_c2 = _int_c2_lit(cent_probe)
+    probe_scores = F.transform(
+        _int_cents_lit(cent_probe),
+        lambda cw, i: F.struct(
+            (
+                F.element_at(probe_c2, i + 1)
+                - F.lit(2).cast("long") * _int_dot(F.col("_q"), cw)
+            ).alias("t"),
+            i.cast("int").alias("cluster"),
+        ),
+    )
+    ordered_books = [cq for _, _, cq in sorted(books_probe)]
+    books_lit = _parsed_array_lit(
+        [[int(v) for v in cq] for cq in ordered_books], lambda v: f"{v}L"
+    )
+    lut_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda g: F.transform(
+            F.slice(books_lit, g * ksub + 1, ksub),
+            lambda cw: _sq_dist(
+                F.slice(F.col("_q"), g * sub + F.lit(1), sub), cw
+            ),
+        ),
+    )
+    ql = qq.select(
+        query_id_col,
+        lut_col.alias("_lut"),
+        F.explode(
+            F.slice(F.array_sort(probe_scores), 1, nprobe)
+        ).alias("_p"),
+    ).select(query_id_col, "_lut", F.col("_p.cluster").alias("cluster"))
+    probe_cells = sorted(
+        r["cluster"] for r in ql.select("cluster").distinct().collect()
+    )
+    idx = read_ivfpq_index(
+        spark, index_root, expect_model_fp, expect_books_fp, scale
+    )
+    adc = (
+        F.broadcast(ql)
+        .join(
+            idx.where(F.col("cell").isin(probe_cells)).select(
+                F.col(id_col), "_codes", F.col("cell").alias("cluster")
+            ),
+            "cluster",
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("_codes"),
+                    F.col("_lut"),
+                    lambda c, row: F.element_at(row, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("_adc"),
+        )
+    )
+    short_df = top_k_per_group(
+        adc, [query_id_col], [F.asc("_adc"), F.asc(id_col)], shortlist
+    ).select(query_id_col, id_col)
+    short_rows = short_df.collect()
+    short = spark.createDataFrame(short_rows, short_df.schema)
+    ids = sorted({r[id_col] for r in short_rows})
+    c = (
+        idx.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec"))
+        .withColumn("_cnorm", norm(F.col("_cvec")))
+    )
+    q = queries.where(F.size(F.col(vec_col)) == dim).select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qvec")
+    ).withColumn("_qnorm", norm(F.col("_qvec")))
+    scored = (
+        F.broadcast(short)
+        .join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_prenormed(
+                    F.col("_qvec"),
+                    F.col("_cvec"),
+                    F.col("_qnorm"),
+                    F.col("_cnorm"),
+                ),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    out = top_k_per_group(
+        scored, [query_id_col], [F.desc("cos"), F.asc(id_col)], k
+    )
+    out._ivfpq_adc_plan = adc  # executed ADC stage, for plan audits
+    return out
 
 
 def semantic_dedup_exact_cells(

@@ -708,33 +708,20 @@ def _corpus_key(sf_dir: str) -> str:
 _IVF_INDEX_READY: dict[str, tuple[str, str]] = {}
 
 
-def _ivf_serve_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Ensure the PERSISTED IVF serve lifecycle for this corpus —
-    tag log (versioned, O(delta)-appendable) + cell-partitioned vector
-    layout — exists and is stamped with the CURRENT model generation;
-    returns ``(index_root, fingerprint)``.  Idempotent and cheap when
-    already materialized (two manifest reads); rebuilds from scratch
-    when absent or when the corpus changed (the memoized model's
-    fingerprint is corpus-derived, so regenerated testdata mismatches
-    and re-tags automatically — the fail-loud alternative would serve
-    stale cells)."""
-    got = _IVF_INDEX_READY.get(sf_dir)
-    if got is not None:
-        return got
+def _ensure_ivf_tags(spark: SparkSession, sf_dir: str) -> tuple[str, int, str]:
+    """Ensure the versioned O(delta) cell-tag log for this corpus exists
+    under the CURRENT model generation; returns
+    ``(tag_root, head_version, fingerprint)``.  Shared by the IVF serve
+    layout and the fused IVF-PQ layout."""
     from hfp_loader_spark.operators.similarity import (
         _model_fingerprint,
-        materialize_cell_index,
-        read_index_manifest,
         rebuild_cell_tags,
     )
     from hfp_loader_spark.versioned import _read_manifest, latest_version
 
     cent_assign, _ = _ivf_serve_model(spark, sf_dir)
     fp = _model_fingerprint(cent_assign)
-    key = _corpus_key(sf_dir)
-    tag_root = f"{_INDEX_BASE}/ivf_tags_{key}"
-    index_root = f"{_INDEX_BASE}/ivf_cells_{key}"
-
+    tag_root = f"{_INDEX_BASE}/ivf_tags_{_corpus_key(sf_dir)}"
     head = latest_version(spark, tag_root)
     tags_ok = False
     if head is not None:
@@ -751,7 +738,29 @@ def _ivf_serve_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             cent_assign,
             _KM_SCALE,
         )
+    return tag_root, head, fp
 
+
+def _ivf_serve_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Ensure the PERSISTED IVF serve lifecycle for this corpus —
+    tag log (versioned, O(delta)-appendable) + cell-partitioned vector
+    layout — exists and is stamped with the CURRENT model generation;
+    returns ``(index_root, fingerprint)``.  Idempotent and cheap when
+    already materialized (two manifest reads); rebuilds from scratch
+    when absent or when the corpus changed (the memoized model's
+    fingerprint is corpus-derived, so regenerated testdata mismatches
+    and re-tags automatically — the fail-loud alternative would serve
+    stale cells)."""
+    got = _IVF_INDEX_READY.get(sf_dir)
+    if got is not None:
+        return got
+    from hfp_loader_spark.operators.similarity import (
+        materialize_cell_index,
+        read_index_manifest,
+    )
+
+    tag_root, head, fp = _ensure_ivf_tags(spark, sf_dir)
+    index_root = f"{_INDEX_BASE}/ivf_cells_{_corpus_key(sf_dir)}"
     doc = read_index_manifest(spark, index_root)
     if (
         doc is None
@@ -1133,6 +1142,202 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes,
         books_probe=books_probe,
         k=_IVF_EX_K,
+        m=_PQ_EX_M,
+        ksub=_PQ_EX_KSUB,
+        shortlist=_PQ_EX_SHORT,
+        dim=_PQ_EX_DIM,
+        scale=_KM_SCALE,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """The fused IVF-PQ pipeline as ONE SQL plan: the full-vector cell
+    clustering rides ``grp = −1`` BESIDE the m per-subspace codebook
+    clusterings in a single grouped Lloyd recurrence (the same
+    shared-trajectory CTEs every k-means oracle unrolls; ``c0`` seeds
+    nlist centroids for grp −1 and ksub per subspace), then: probes =
+    nprobe nearest final full-vector centroids per query (d, cluster
+    ties), candidates = coded vectors whose TRAINED cell is probed, ADC
+    = summed per-subspace integer distances from the per-query LUT,
+    deterministic shortlist, exact rounded-cosine rerank.  Every stage
+    value-identical to ``similarity.ivfpq_served_top_k`` over the fused
+    persisted index."""
+    sub = _PQ_EX_DIM // _PQ_EX_M
+    quant = (
+        "x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* CAST({float(_KM_SCALE)!r} AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        f"""
+    WITH e AS (
+      SELECT vec_id, -1 AS grp, list_transform(embedding, {quant}) AS q
+      FROM embeddings WHERE len(embedding) > 0
+      UNION ALL
+      SELECT vec_id, g.grp,
+             list_transform(
+                 embedding[g.grp * {sub} + 1 : g.grp * {sub} + {sub}],
+                 {quant}) AS q
+      FROM embeddings,
+           (SELECT unnest(generate_series(0, {_PQ_EX_M - 1})) AS grp) g
+      WHERE len(embedding) = {_PQ_EX_DIM}
+    ),
+    c0 AS (
+      SELECT grp, CAST(rn - 1 AS INTEGER) AS cluster, q AS cq
+      FROM (SELECT grp, q,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY vec_id) AS rn
+            FROM e)
+      WHERE rn <= CASE WHEN grp = -1 THEN {_KM_K} ELSE {_PQ_EX_KSUB} END
+    )"""
+        + _grouped_kmeans_iter_ctes()
+        + f""",
+    cells AS (
+      SELECT vec_id, cluster AS cell FROM a{_KM_ITERS} WHERE grp = -1
+    ),
+    qd AS (
+      SELECT e.vec_id AS query_id, c.cluster, {_GK_DIST} AS d
+      FROM e JOIN c{_KM_ITERS} c USING (grp)
+      WHERE e.grp = -1 AND e.vec_id < {_IVF_EX_NQ}
+        AND len(e.q) = {_PQ_EX_DIM}
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cluster) AS rn
+        FROM qd
+      ) WHERE rn <= {_IVF_EX_NPROBE}
+    ),
+    lut AS (
+      SELECT e.vec_id AS query_id, e.grp, c.cluster, {_GK_DIST} AS d
+      FROM e JOIN c{_KM_ITERS} c USING (grp)
+      WHERE e.grp >= 0 AND e.vec_id < {_IVF_EX_NQ}
+    ),
+    adc AS (
+      SELECT p.query_id, a.vec_id, sum(l.d) AS adc_d
+      FROM probes p
+      JOIN cells cl ON cl.cell = p.cluster
+      JOIN a{_KM_ITERS} a ON a.vec_id = cl.vec_id AND a.grp >= 0
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.grp = a.grp AND l.cluster = a.cluster
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, vec_id) AS srn
+        FROM adc
+      ) WHERE srn <= {_PQ_EX_SHORT}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vv
+      FROM embeddings WHERE len(embedding) = {_PQ_EX_DIM}
+    ),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             round(list_cosine_similarity(qv.vv, cv.vv), 4) AS cos
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_IVF_EX_K}
+    """
+    )
+
+
+#: sf_dir → (index_root, model_fp, books_fp): the fused IVF-PQ layout
+#: validated/hydrated this process.
+_IVFPQ_INDEX_READY: dict[str, tuple[str, str, str]] = {}
+
+
+def _ivfpq_serve_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Ensure the FUSED IVF-PQ serve layout (cell-partitioned codes +
+    vectors) exists under the current model AND codebook generations;
+    returns ``(index_root, model_fp, books_fp)``.  Builds on the two
+    structures the single-path entries maintain — the versioned tag log
+    and the versioned code table — so all three serve entries share one
+    training and one tagging/encoding per corpus."""
+    got = _IVFPQ_INDEX_READY.get(sf_dir)
+    if got is not None:
+        return got
+    from hfp_loader_spark.operators.similarity import (
+        _books_fingerprint,
+        materialize_ivfpq_index,
+        read_index_manifest,
+    )
+    from hfp_loader_spark.versioned import latest_version
+
+    tag_root, t_head, model_fp = _ensure_ivf_tags(spark, sf_dir)
+    code_root, books_fp = _pq_serve_codes(spark, sf_dir)
+    c_head = latest_version(spark, code_root)
+    index_root = f"{_INDEX_BASE}/ivfpq_{_corpus_key(sf_dir)}"
+    doc = read_index_manifest(spark, index_root)
+    if (
+        doc is None
+        or doc.get("model_fingerprint") != model_fp
+        or doc.get("books_fingerprint") != books_fp
+        or doc.get("scale") != _KM_SCALE
+        or doc.get("tag_version") != t_head
+        or doc.get("code_version") != c_head
+    ):
+        materialize_ivfpq_index(
+            spark,
+            tag_root,
+            code_root,
+            _t(spark, sf_dir, "embeddings"),
+            index_root,
+        )
+    _IVFPQ_INDEX_READY[sf_dir] = (index_root, model_fp, books_fp)
+    return index_root, model_fp, books_fp
+
+
+@defquery(
+    "sim_ann_ivfpq",
+    _ivfpq_oracle(),
+    doc="Approximate top-5 via the FUSED IVF-PQ persisted index "
+    "(operators.similarity.ivfpq_served_top_k; r12) — the composition "
+    "that serves 10^9 vectors: IVF partition pruning (the scan reads "
+    "ONLY the probed cells' files — cell IN (…) partition filters) "
+    "MULTIPLIED by PQ compression (within those files ADC reads only "
+    "the m-byte code column; vectors are fetched only for the "
+    "collected 100-candidate shortlist via In(vec_id,…) pushdown). "
+    "The layout is materialize_ivfpq_index: the versioned tag log and "
+    "the versioned code table — the same structures sim_ann_ivf and "
+    "sim_ann_pq maintain — fused into cell-partitioned parquet "
+    "inverted lists (FAISS IVFPQ as a lake table), manifest-pinned to "
+    "BOTH generations. FULL oracle: cells and codebooks replay as ONE "
+    "grouped Lloyd recurrence (full-vector clustering rides grp=-1 "
+    "beside the m subspaces), so the SQL twin value-checks probes, "
+    "cell-restricted ADC, shortlist, and the served neighbor list end "
+    "to end.",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.similarity import ivfpq_served_top_k
+
+    _, cent_probe = _ivf_serve_model(spark, sf_dir)
+    _, books_probe = _pq_serve_model(spark, sf_dir)
+    index_root, model_fp, books_fp = _ivfpq_serve_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _IVF_EX_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_served_top_k(
+        spark,
+        queries,
+        index_root,
+        cent_probe=cent_probe,
+        books_probe=books_probe,
+        k=_IVF_EX_K,
+        nprobe=_IVF_EX_NPROBE,
+        expect_model_fp=model_fp,
+        expect_books_fp=books_fp,
         m=_PQ_EX_M,
         ksub=_PQ_EX_KSUB,
         shortlist=_PQ_EX_SHORT,

@@ -35,6 +35,7 @@ ALLOWED_HINTED_QUERY_SETS = {
     "sim_ann_signlsh": ["embeddings"],
     "sim_ann_ivf": ["embeddings"],
     "sim_ann_pq": ["embeddings"],
+    "sim_ann_ivfpq": ["embeddings"],
     "sim_ann_signlsh_recall": ["embeddings"],
     "sim_ann_ivf_recall": ["embeddings"],
     "sim_ann_pq_recall": ["embeddings"],
@@ -96,6 +97,16 @@ HEADLINE_INVARIANTS = {
     # In(vec_id, …)-pushed point read of the bounded shortlist, never a
     # full vector scan.  Measured 2 exchanges, 0 BNLJ at sf0.001.
     "sim_ann_pq": dict(
+        max_exchanges=4,
+        bnlj=0,
+        pushed=["LessThan(vec_id,5)", "In(vec_id, ["],
+    ),
+    # r12: the fused IVF-PQ serve path — the returned plan is the
+    # bounded rerank (In-pushed vector fetch); the ADC stage's partition
+    # pruning + code-only ReadSchema are asserted separately in
+    # test_ivfpq_adc_scan_prunes_cells_and_columns.  Measured 2
+    # exchanges, 0 BNLJ at sf0.001.
+    "sim_ann_ivfpq": dict(
         max_exchanges=4,
         bnlj=0,
         pushed=["LessThan(vec_id,5)", "In(vec_id, ["],
@@ -287,3 +298,34 @@ def test_streaming_headline_entries_have_bounded_execution_shape(
     # range/30min + 2 windows hold state before the final watermark
     # truncation
     assert obs2["state_rows_total"] <= ts_range_min // 30 + 2
+
+
+def test_ivfpq_adc_scan_prunes_cells_and_columns(spark, sf_dir):
+    """The fused IVF-PQ index's two multiplicative reductions must both
+    show in the ADC stage's executed plan: (1) partition pruning — the
+    scan carries a `cell IN (probed)` PartitionFilter, so unprobed
+    cells' files are skipped at planning time; (2) columnar projection —
+    the ADC scan's ReadSchema carries the m-byte `_codes` column and
+    NOT the full `embedding` vector (which only the bounded In-pushed
+    rerank fetch reads).  Either reduction silently lost = the layout
+    no longer serves 10^9 vectors."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    df = REGISTRY["sim_ann_ivfpq"].builder(spark, sf_dir)
+    adc = df._ivfpq_adc_plan
+    adc.collect()
+    p = physical_profile(adc)
+    assert any(
+        "cell" in f and " IN " in f for f in p["partition_filters"]
+    ), "ADC scan lost its probed-cell partition filter"
+    import re
+
+    adc_schemas = [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)", p["plan"])
+        if "_codes" in m.group(1)
+    ]
+    assert adc_schemas, "no scan reads the code column?"
+    assert all(
+        "embedding" not in s for s in adc_schemas
+    ), f"ADC scan reads full vectors: {adc_schemas}"

@@ -920,3 +920,77 @@ def test_parsed_array_lit_roundtrips_and_rejects_gapped_models(spark):
     gapped = [(0, [1, 2]), (2, [3, 4])]  # cluster 1 missing
     with pytest.raises(ValueError, match="contiguous"):
         _int_cents_lit(gapped)
+
+
+def test_ivfpq_index_pins_both_generations_and_refuses_mixed_scales(
+    spark, sf_dir, tmp_path
+):
+    """The fused IVF-PQ layout (r12): materialization must refuse to
+    fuse a tag log and a code table quantized at different scales;
+    the reader must refuse a layout stamped under EITHER wrong
+    generation; and the fused rows must equal tags ⋈ codes ⋈ vectors
+    exactly (inner-join universe: len == dim only)."""
+    from hfp_loader_spark.operators.similarity import (
+        _books_fingerprint,
+        _model_fingerprint,
+        load_cell_tags,
+        load_codes,
+        materialize_ivfpq_index,
+        read_ivfpq_index,
+        rebuild_cell_tags,
+        rebuild_codes,
+    )
+    from hfp_loader_spark.plans.model_queries import (
+        _ivf_serve_model,
+        _pq_serve_model,
+    )
+
+    cent_assign, _ = _ivf_serve_model(spark, sf_dir)
+    books_assign, _ = _pq_serve_model(spark, sf_dir)
+    model_fp = _model_fingerprint(cent_assign)
+    books_fp = _books_fingerprint(books_assign)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    tag_root = str(tmp_path / "tags")
+    code_root = str(tmp_path / "codes")
+    index_root = str(tmp_path / "ivfpq")
+    rebuild_cell_tags(spark, emb, tag_root, cent_assign, 1_000_000)
+    rebuild_codes(spark, emb, code_root, books_assign, 1_000_000)
+    doc = materialize_ivfpq_index(
+        spark, tag_root, code_root, emb, index_root
+    )
+    assert doc["model_fingerprint"] == model_fp
+    assert doc["books_fingerprint"] == books_fp
+
+    idx = read_ivfpq_index(spark, index_root, model_fp, books_fp, 1_000_000)
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["_codes"]))
+        for r in idx.collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], tuple(r["_codes"]))
+        for r in load_cell_tags(spark, tag_root)
+        .join(load_codes(spark, code_root), "vec_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # either wrong generation is refused
+    with pytest.raises(ValueError, match="mixing"):
+        read_ivfpq_index(spark, index_root, "deadbeef", books_fp, 1_000_000)
+    with pytest.raises(ValueError, match="mixing"):
+        read_ivfpq_index(spark, index_root, model_fp, "deadbeef", 1_000_000)
+    with pytest.raises(ValueError, match="no ivfpq"):
+        read_ivfpq_index(
+            spark, str(tmp_path / "nope"), model_fp, books_fp, 1_000_000
+        )
+
+    # mixed quantization scales must refuse to fuse
+    code_root2 = str(tmp_path / "codes_s2")
+    from hfp_loader_spark.operators.clustering import quantize_vec  # noqa: F401
+
+    rebuild_codes(spark, emb, code_root2, books_assign, 1_000)
+    with pytest.raises(ValueError, match="different quantizations"):
+        materialize_ivfpq_index(
+            spark, tag_root, code_root2, emb, str(tmp_path / "ivfpq2")
+        )
