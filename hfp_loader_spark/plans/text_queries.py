@@ -1426,3 +1426,54 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("freq").cast("double")).alias("y"),
     )
     return linear_fit(ranked, "x", "y")
+
+
+_PACK_LEN = 256
+
+
+@defquery(
+    "text_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, n, off,
+             unnest(generate_series(off // {_PACK_LEN},
+                                    (off + n - 1) // {_PACK_LEN})) AS chunk_id
+      FROM p WHERE n > 0
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+           CAST(least(off + n, (chunk_id + 1) * {_PACK_LEN}) -
+                greatest(off, chunk_id * {_PACK_LEN}) AS BIGINT)
+             AS n_chunk_tokens,
+           off AS doc_offset
+    FROM e
+    """,
+    doc="Training-example packing (operators.packing.pack_chunks; r12): "
+    "concatenate the corpus in doc_id order and cut every 256 tokens — "
+    "the pretraining chunking step; output maps every (chunk, doc) "
+    "overlap with exact token spans (Σ per doc = its token count; Σ "
+    "per chunk = 256 except the tail). The distributed primitive is an "
+    "exclusive prefix sum WITHOUT a single-partition window: "
+    "order-contiguous range shards → per-shard running sums + an "
+    "n_shards-row cumulative offset frame glued by broadcast join "
+    "(operators.packing.exclusive_prefix_sum) — integer-identical to "
+    "the oracle's global window, corpus-parallel at any scale. The "
+    "oracle IS the one-window definition, so the sharded scan is "
+    "value-checked against it.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    )
+    return pack_chunks(docs, "n", seq_len=_PACK_LEN)

@@ -109,11 +109,27 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
     return best
 
 
-def table_history(spark: SparkSession, root: str) -> list[SnapshotInfo]:
-    head = latest_version(spark, root)
-    if head is None:
+def _existing_versions(spark: SparkSession, root: str) -> list[int]:
+    """All committed version numbers, ascending — enumerated from the
+    manifest files themselves, NOT assumed contiguous from 1
+    (``truncate_history`` deletes old manifests)."""
+    fs, P = _fs(spark, root)
+    vdir = P(f"{root.rstrip('/')}/{_VERSIONS_DIR}")
+    if not fs.exists(vdir):
         return []
-    return [_read_manifest(spark, root, v) for v in range(1, head + 1)]
+    out = []
+    for status in fs.listStatus(vdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def table_history(spark: SparkSession, root: str) -> list[SnapshotInfo]:
+    return [
+        _read_manifest(spark, root, v)
+        for v in _existing_versions(spark, root)
+    ]
 
 
 def commit_snapshot(
@@ -218,6 +234,41 @@ def vacuum(spark: SparkSession, root: str) -> list[str]:
             fs.delete(status.getPath(), True)
             removed.append(name)
     return removed
+
+
+def truncate_history(
+    spark: SparkSession, root: str, keep_last: int = 1
+) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions, then vacuum —
+    the storage-reclaim valve that completes the compaction story
+    (``maintenance.compact_snapshot`` bounds the LIVE version's file
+    count; this bounds the table's TOTAL footprint once the older
+    versions' retention window has passed).  Deleting a manifest
+    renounces time travel to it; the data dirs it alone referenced
+    become orphans and are reaped by the vacuum.  Returns the dropped
+    version numbers.
+
+    Ordering is crash-safe: manifests are deleted oldest-first and data
+    only after no surviving manifest references it, so an interrupted
+    truncate leaves a smaller-but-consistent table, never a manifest
+    pointing at deleted data.  Concurrent READERS of a dropped version
+    must be outside their retention window by contract — the same
+    rule every table format ships (Iceberg ``expireSnapshots``, Delta
+    ``VACUUM`` retention)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (a table needs a head)")
+    head = latest_version(spark, root)
+    if head is None:
+        return []
+    fs, P = _fs(spark, root)
+    dropped = []
+    for v in range(1, head - keep_last + 1):
+        target = P(_manifest_path(root, v))
+        if fs.exists(target):
+            fs.delete(target, False)
+            dropped.append(v)
+    vacuum(spark, root)
+    return dropped
 
 
 def snapshot_diff(

@@ -206,3 +206,59 @@ def test_snapshot_diff_classifies_and_roundtrips(spark, tmp_path):
 
     # unchanged versions diff to zero rows
     assert snapshot_diff(spark, root, ["id"], v_from=v2, v_to=v2).count() == 0
+
+
+def test_truncate_history_reclaims_storage_keeping_head(spark, tmp_path):
+    """truncate_history: drops old manifests oldest-first, vacuums the
+    dirs only they referenced, keeps the newest keep_last versions
+    readable and identical — the storage-reclaim valve paired with
+    compact_snapshot (r12)."""
+    import glob
+
+    import pytest
+
+    from hfp_loader_spark.versioned import (
+        commit_snapshot,
+        latest_version,
+        read_snapshot,
+        truncate_history,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(5):
+        commit_snapshot(
+            spark,
+            spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k"),
+            root,
+            mode="append",
+        )
+    head_rows = sorted(r["k"] for r in read_snapshot(spark, root).collect())
+    assert len(head_rows) == 50
+
+    dropped = truncate_history(spark, root, keep_last=2)
+    assert dropped == [1, 2, 3]
+    # head + one time-travel version survive, bit-identical
+    assert latest_version(spark, root) == 5
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, root).collect()
+    ) == head_rows
+    assert len(read_snapshot(spark, root, version=4).collect()) == 40
+    # append-chain data dirs are all still referenced by v4/v5 (appends
+    # share parents), so nothing was reaped yet — now overwrite, then
+    # truncate to 1: every old dir becomes orphaned and is deleted
+    commit_snapshot(
+        spark,
+        spark.range(3).withColumnRenamed("id", "k"),
+        root,
+        mode="overwrite",
+    )
+    truncate_history(spark, root, keep_last=1)
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, root).collect()
+    ) == [0, 1, 2]
+    assert len(glob.glob(f"{root}/d-*")) == 1, "orphaned dirs not reaped"
+    with pytest.raises(Exception):
+        read_snapshot(spark, root, version=5)
+    with pytest.raises(ValueError, match="keep_last"):
+        truncate_history(spark, root, keep_last=0)
+    assert truncate_history(spark, str(tmp_path / "none")) == []
