@@ -51,19 +51,7 @@ def exclusive_prefix_sum(
     fewer effective shards, never to wrong answers.
 
     Returns ``df`` + ``out_col`` (bigint, 0 for the first row)."""
-    if n_shards < 1:
-        raise ValueError("n_shards must be >= 1")
-    bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
-        return df.withColumn(out_col, F.lit(0).cast("long"))
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo + n_shards) // n_shards)
-    shard = ((F.col(order_col) - F.lit(lo)).cast("long") / F.lit(width)).cast(
-        "long"
-    )
-    s = df.withColumn("_shard", shard)
+    s, _, _ = range_shard(df, order_col, n_shards, out_col="_shard")
     w_in = (
         Window.partitionBy("_shard")
         .orderBy(order_col)
@@ -146,4 +134,88 @@ def pack_chunks(
         id_col,
         (hi - lo).cast("long").alias("n_chunk_tokens"),
         "doc_offset",
+    )
+
+
+def range_shard(
+    df: DataFrame, order_col: str, n_shards: int, out_col: str = "shard"
+) -> tuple[DataFrame, int, int]:
+    """Order-contiguous range sharding on an integral id column — the
+    deterministic split both :func:`exclusive_prefix_sum` and
+    :func:`pack_greedy_bins` build on, factored so the SQL oracle can
+    replicate the exact shard function: ``shard = (id − lo) div width``
+    with ``width = max(1, (hi − lo + n_shards) div n_shards)`` from the
+    data's bounds.  Returns ``(df + out_col, lo, width)``."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return df.withColumn(out_col, F.lit(0).cast("long")), 0, 1
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo + n_shards) // n_shards)
+    shard = ((F.col(order_col) - F.lit(lo)).cast("long") / F.lit(width)).cast(
+        "long"
+    )
+    return df.withColumn(out_col, shard), lo, width
+
+
+def pack_greedy_bins(
+    docs: DataFrame,
+    n_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """NO-SPLIT sequence packing — the instruction-tuning variant:
+    documents are never cut; within each range shard they are scanned
+    in ``id_col`` order and greedily appended to the current bin,
+    opening a new bin whenever the document would overflow ``seq_len``.
+    A document longer than ``seq_len`` lands alone in an over-full
+    singleton bin (the same rule, applied uniformly — nothing is
+    silently dropped; downstream truncation is a curation decision,
+    not a packing one).  Zero-token documents occupy no bin.
+
+    Output: ``(shard, bin, id_col, n_tokens)`` — bins are dense from 0
+    within each shard.
+
+    The greedy scan is a data-dependent-reset recurrence (the running
+    fill resets when a bin closes), which no window function expresses
+    — per shard it runs as ONE ``applyInPandas`` pass (Arrow batch, a
+    few lines of numpy-free Python over the shard's rows), and shards
+    pack independently and in parallel, exactly how production packers
+    shard by output file.  Determinism: the shard function is
+    :func:`range_shard` (value-based, data-derived bounds) and the scan
+    order is ``id_col`` — so a SQL engine replicates the whole thing
+    with a recursive CTE stepping one document per shard per iteration
+    (the catalog oracle does exactly that)."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    sharded, _, _ = range_shard(
+        docs.where(F.col(n_col) > 0), id_col, n_shards
+    )
+    sharded = sharded.select(
+        F.col("shard"),
+        F.col(id_col),
+        F.col(n_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col)
+        bins = []
+        bin_id = -1
+        fill = seq_len + 1  # force a new bin for the first doc
+        for n in pdf["n_tokens"]:
+            if fill + n > seq_len:
+                bin_id += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            bins.append(bin_id)
+        pdf = pdf.assign(bin=bins)
+        return pdf[["shard", "bin", id_col, "n_tokens"]]
+
+    return sharded.groupBy("shard").applyInPandas(
+        pack, schema=f"shard long, bin long, {id_col} long, n_tokens long"
     )

@@ -1477,3 +1477,65 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens(F.col("text"))).alias("n")
     )
     return pack_chunks(docs, "n", seq_len=_PACK_LEN)
+
+
+_PACK_SHARDS = 8
+
+
+@defquery(
+    "text_pack_greedy_bins",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n FROM documents
+    ),
+    b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM t WHERE n > 0),
+    d AS (
+      SELECT (doc_id - b.lo)
+               // greatest(1, (b.hi - b.lo + {_PACK_SHARDS})
+                              // {_PACK_SHARDS}) AS shard,
+             doc_id, n,
+             row_number() OVER (
+               PARTITION BY (doc_id - b.lo)
+                 // greatest(1, (b.hi - b.lo + {_PACK_SHARDS})
+                                // {_PACK_SHARDS})
+               ORDER BY doc_id) AS rn
+      FROM t, b WHERE n > 0
+    ),
+    r AS (
+      SELECT shard, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.doc_id, d.n, d.rn,
+             CASE WHEN r.fill + d.n > {_PACK_LEN}
+                  THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.fill + d.n > {_PACK_LEN}
+                  THEN d.n ELSE r.fill + d.n END
+      FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+    )
+    SELECT shard, bin, doc_id, n AS n_tokens FROM r
+    """,
+    doc="NO-SPLIT training-example packing "
+    "(operators.packing.pack_greedy_bins; r12) — the instruction-tuning "
+    "variant: documents stay whole; within each of 8 order-contiguous "
+    "range shards a greedy in-order scan appends to the current "
+    "256-token bin, opening a new one on overflow (oversize docs land "
+    "alone in over-full singleton bins — nothing silently dropped). "
+    "The running-fill-with-reset recurrence is not window-expressible, "
+    "so each shard packs in ONE applyInPandas (Arrow) pass; shards pack "
+    "independently and in parallel, exactly how production packers "
+    "shard by output file. The deterministic shard function "
+    "(range_shard: (id−lo) div width from the data's bounds) lets the "
+    "DuckDB oracle replay the whole scan as a RECURSIVE CTE stepping "
+    "one document per shard per iteration — the catalog's first "
+    "recursive-oracle entry, value-checking a stateful Arrow operator "
+    "end to end.",
+)
+def text_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.packing import pack_greedy_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    )
+    return pack_greedy_bins(
+        docs, "n", seq_len=_PACK_LEN, n_shards=_PACK_SHARDS
+    )
