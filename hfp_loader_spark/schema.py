@@ -140,3 +140,43 @@ SINK_TABLES: list[str] = [
     "vehicleposition",
     "unsignedevent",
 ]
+
+
+#: Spark-side category → Postgres column type for sink DDL generation
+#: (postgres_schema.sql semantics: varchar(255) strings, double
+#: precision floats, timestamptz isodates; SURVEY §1.2).  The two
+#: time-of-day columns stay varchar here exactly as they stay strings
+#: in the engine (Spark has no TIME type; the reference never coerces
+#: them either — SURVEY §1.2 "time-of-day"), a documented divergence
+#: from the DDL's ``time without time zone``.
+_PG_TYPES: dict[str, str] = {
+    "string": "varchar(255)",
+    "int": "integer",
+    "bigint": "bigint",
+    "float": "double precision",
+    "boolean": "boolean",
+    "date": "date",
+    "isodate": "timestamp with time zone",
+}
+
+
+def postgres_ddl(table: str, unique_uuid: bool = False) -> str:
+    """CREATE TABLE statement for one sink table — the engine's typed
+    schema rendered as Postgres DDL (id double precision first, the 44
+    HFP columns in blob order, ``uuid`` as the native uuid type).
+    ``unique_uuid=True`` adds the UNIQUE constraint ``JdbcUpsertSink``'s
+    ON CONFLICT promotion requires.  Exercised against a LIVE server in
+    tests/test_postgres_live.py (a full golden-fixture day lands via
+    COPY and the pushed-down keys query round-trips)."""
+    cols = ['"id" double precision']
+    for name in HFP_COLUMNS:
+        pg_type = (
+            "uuid"
+            if name == "uuid"
+            else _PG_TYPES[HFP_TYPE_MAP.get(name, "string")]
+        )
+        cols.append(f'"{name}" {pg_type}')
+    constraint = ', UNIQUE ("uuid")' if unique_uuid else ""
+    return (
+        f'CREATE TABLE public."{table}" ({", ".join(cols)}{constraint})'
+    )

@@ -206,3 +206,94 @@ def test_upsert_promotion_is_idempotent_and_conflict_safe_live(pg):
     ) == ["0"]
     # DROP IF EXISTS is retry-safe too
     pg(sink._drop_sql("stopevent__stage_aaa"))
+
+
+def test_full_day_load_lands_in_live_postgres_and_keys_query_round_trips(
+    pg, spark, tmp_path
+):
+    """The whole reference-parity pipeline against a REAL database:
+    run the golden-fixture day load (CSV scan → typed coercion → dedup
+    → routing) to parquet, CREATE the four sink tables from the
+    engine's generated DDL (schema.postgres_ddl — typed columns incl.
+    native uuid/date/timestamptz/boolean), land every table via COPY,
+    and verify server-side: row counts match, the net falsy→NULL
+    coercion is visible as SQL NULLs (the SURVEY §1.2 trap), and
+    JdbcSink._keys_query returns EXACTLY the loaded day's uuid set —
+    the dedup read path proven on real loaded data, not a synthetic
+    two-row table."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tests")
+    from hfp_fixtures import write_fixture
+
+    from hfp_loader_spark.job import hfp_load
+    from hfp_loader_spark.schema import SINK_TABLES, postgres_ddl
+    from hfp_loader_spark.sink import JdbcSink, ParquetSink
+
+    work = tmp_path / "day"
+    write_fixture(work, date="2021-02-09")
+    stage = tmp_path / "stage"
+    report = hfp_load(
+        spark, str(work), "2021-02-09", ParquetSink(str(stage))
+    )
+    assert report.total_inserted > 0
+
+    con = duckdb.connect()
+    loaded = {
+        t: n for t, n in report.inserted_by_table.items() if n > 0
+    }
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    from hfp_loader_spark.schema import HFP_COLUMNS
+
+    ddl_cols = ", ".join(f'"{c}"' for c in ["id", *HFP_COLUMNS])
+    for table, n in loaded.items():
+        # the module-scoped server is shared with the unit-SQL tests,
+        # which create skinny tables under the same names
+        pg(f'DROP TABLE IF EXISTS public."{table}"')
+        pg(postgres_ddl(table))
+        # export through duckdb so NULLs stay empty-unquoted and
+        # timestamps render ISO — the COPY wire format; explicit DDL
+        # column order (the staging parquet is oday-partitioned, which
+        # reorders SELECT *)
+        out = csv_dir / f"{table}.csv"
+        con.execute(
+            f"COPY (SELECT {ddl_cols} FROM read_parquet("
+            f"'{stage}/{table}/**/*.parquet', hive_partitioning=1)) "
+            f"TO '{out}' (FORMAT csv, HEADER false)"
+        )
+        pg(
+            f"\\copy public.{table} FROM '{out}' "
+            "WITH (FORMAT csv, NULL '')"
+        )
+        assert pg(f"SELECT count(*) FROM public.{table}") == [str(n)]
+
+    # the net falsy→NULL trap, observed in the DATABASE like the
+    # reference's: zero/empty/false never stored (upsert.ts:36)
+    assert pg(
+        "SELECT count(*) FROM public.vehicleposition "
+        "WHERE lat = 0 OR drst = false OR desi = ''"
+    ) == ["0"]
+    assert int(
+        pg("SELECT count(*) FROM public.vehicleposition WHERE lat IS NULL")[0]
+    ) > 0
+    # id is never populated (dead column, SURVEY §1.3)
+    assert pg(
+        "SELECT count(*) FROM public.vehicleposition WHERE id IS NOT NULL"
+    ) == ["0"]
+
+    # the pushed-down dedup read returns exactly the loaded day's keys
+    q = JdbcSink._keys_query("vehicleposition", "2021-02-09")
+    live_keys = set(pg(f"SELECT * FROM {q}"))
+    parquet_keys = {
+        r["uuid"]
+        for r in spark.read.parquet(f"{stage}/vehicleposition")
+        .select("uuid")
+        .collect()
+    }
+    assert live_keys == parquet_keys and len(live_keys) > 0
+    # ... and the other day's scope is empty
+    q2 = JdbcSink._keys_query("vehicleposition", "2021-02-10")
+    assert pg(f"SELECT count(*) FROM {q2}") == ["0"]
