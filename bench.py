@@ -83,6 +83,11 @@ HEADLINE = [
     # 10^9-vector composition; adds its own cost to the total vs r11's
     # 34-query sum.
     "sim_ann_ivfpq",
+    # round 12: BPE tokenizer training — corpus-once word counts, then 6
+    # merge rounds iterating on the bounded vocab frame (per-round
+    # explode+agg, TakeOrdered argmax, expression-fold merge); the
+    # vocab-state-iteration shape's measured representative.
+    "text_bpe_merges",
 ]
 
 

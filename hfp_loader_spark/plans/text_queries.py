@@ -1539,3 +1539,103 @@ def text_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy_bins(
         docs, "n", seq_len=_PACK_LEN, n_shards=_PACK_SHARDS
     )
+
+
+_BPE_MERGES = 6
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """BPE training unrolled in SQL — an INDEPENDENT formulation of the
+    greedy merge (gaps-and-islands parity over exploded symbol
+    positions: adjacent overlapping matches only exist when
+    left == right, and greedy-from-the-left keeps each island's odd
+    offsets) checking the Spark fold bit-for-bit."""
+    parts = [
+        f"""
+    WITH w AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({TOKS_SQL}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    v0 AS (
+      SELECT word, freq,
+             list_transform(generate_series(1, len(word)),
+                            i -> word[i:i]) AS syms
+      FROM w
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+    pc{r} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM v{r - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+      WHERE len(syms) > 1
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT l, r2, cnt FROM pc{r} ORDER BY cnt DESC, l, r2 LIMIT 1),
+    e{r} AS (
+      SELECT v.word, v.freq, t.i AS pos, v.syms[t.i] AS sym,
+             v.syms[t.i + 1] AS nxt,
+             coalesce(v.syms[t.i] = b.l
+                      AND v.syms[t.i + 1] = b.r2, false) AS m
+      FROM v{r - 1} v
+      CROSS JOIN unnest(generate_series(1, len(v.syms))) AS t(i)
+      LEFT JOIN b{r} b ON true
+    ),
+    s{r} AS (
+      SELECT *, pos - row_number()
+                  OVER (PARTITION BY word, m ORDER BY pos) AS isl
+      FROM e{r}
+    ),
+    g{r} AS (
+      SELECT *, m AND (row_number()
+                 OVER (PARTITION BY word, m, isl ORDER BY pos) % 2 = 1)
+                AS mstart
+      FROM s{r}
+    ),
+    h{r} AS (
+      SELECT *, coalesce(lag(mstart)
+                 OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+      FROM g{r}
+    ),
+    v{r} AS (
+      SELECT word, any_value(freq) AS freq,
+             list(CASE WHEN mstart THEN sym || nxt ELSE sym END
+                  ORDER BY pos) AS syms
+      FROM h{r} WHERE NOT consumed
+      GROUP BY word
+    )""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS pair_left, "
+        f"r2 AS pair_right, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append("\n    " + finals)
+    return "".join(parts)
+
+
+@defquery(
+    "text_bpe_merges",
+    _bpe_oracle(_BPE_MERGES),
+    doc="BPE tokenizer TRAINING as unrolled Catalyst plans "
+    "(operators.bpe.bpe_train; r12): classic word-level byte-pair "
+    "encoding — corpus tokenized and word-counted ONCE, then 6 merge "
+    "rounds iterate on the bounded distinct-word vocab frame (the "
+    "corpus-once/iterate-on-bounded-state shape of the k-means "
+    "trilogy): pair counts via one explode+aggregate, argmax via "
+    "TakeOrderedAndProject with lexicographic ties, greedy "
+    "left-to-right merge as an expression-only F.aggregate fold (no "
+    "UDF, no shuffle), 1-row LEFT-joined argmax so a pair-less corpus "
+    "degrades to fewer merges instead of an annihilated vocab. Output "
+    "= the ordered merge table — THE tokenizer artifact. FULL oracle "
+    "via an INDEPENDENT greedy formulation (gaps-and-islands parity "
+    "over exploded symbol positions), so two distinct derivations of "
+    "the recurrence must agree bit-for-bit; operators.bpe.bpe_segment "
+    "replays the learned table as plan literals for apply-side "
+    "segmentation.",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)

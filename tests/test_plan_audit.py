@@ -141,6 +141,12 @@ HEADLINE_INVARIANTS = {
     "sim_ann_ivf_exact_cells": dict(max_exchanges=55, bnlj=16),
     "sim_ann_pq_exact_codes": dict(max_exchanges=72, bnlj=0),
     "emb_kmeans_by_label": dict(max_exchanges=33, bnlj=0),
+    # r12: BPE training — the returned frame unions the per-round
+    # checkpointed argmax rows (the training rounds execute inside the
+    # checkpoint materializations, like ivfpq's ADC stage), so the
+    # final plan must stay trivially bounded; the per-round training
+    # shape is pinned by the oracle equality + test_bpe.py.
+    "text_bpe_merges": dict(max_exchanges=2, bnlj=0),
 }
 
 
