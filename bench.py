@@ -88,6 +88,14 @@ HEADLINE = [
     # explode+agg, TakeOrdered argmax, expression-fold merge); the
     # vocab-state-iteration shape's measured representative.
     "text_bpe_merges",
+    # round 12: the trajectory/geospatial tier's measured representative
+    # — synthetic trajectory derivation + the per-vehicle window family
+    # (row_number, lag legs, implied speeds) + per-vehicle aggregate,
+    # all on ONE vehicle-key exchange (alias-before-window so the
+    # partitioning guarantee survives; regression = a second exchange,
+    # capped in tests/test_plan_audit.py); adds its own cost to the
+    # total vs the 36-query sum.
+    "geo_leg_speed_profile",
 ]
 
 

@@ -332,5 +332,6 @@ from hfp_loader_spark.plans import incremental_queries  # noqa: E402,F401
 from hfp_loader_spark.plans import analytics_queries  # noqa: E402,F401
 from hfp_loader_spark.plans import model_queries  # noqa: E402,F401
 from hfp_loader_spark.plans import decomposition_queries  # noqa: E402,F401
+from hfp_loader_spark.plans import geo_queries  # noqa: E402,F401
 
 _interleave_registry()

@@ -1,0 +1,460 @@
+"""Trajectory / geospatial catalog entries (operators.geo).
+
+The reference loads a vehicle-position feed (HFP v2: lat/long/spd per
+vehicle per second — SURVEY §2.1); these entries are the questions that
+table exists to answer: leg distances and speeds, stop/dwell detection,
+spatial density, O-D flows, headways, nearest-stop assignment.
+
+The driver's oracle can only see the ten registered testdata views, so
+— exactly like hfp_parity — both engines derive an identical synthetic
+trajectory *deterministically from the events table*: vehicle =
+``user_id``, point order = row_number over (ts, event_id), and
+lat/lng/spd from integer-hash arithmetic rendered from ONE template
+string per column into both the Spark plan (``F.expr``) and the DuckDB
+oracle, so the float inputs are bit-identical by construction.  The
+only engine-divergent token is integer division (Spark ``div``, DuckDB
+``//``) — substituted per engine from the same template.
+
+Float determinism: all geometry uses the fixed-latitude planar metric
+(operators/geo.py module docstring — ``+ - * / sqrt`` are IEEE-correctly
+rounded, libm trig is not), so distances and argmins are bit-identical
+across engines; only SUM/AVG aggregates see cross-engine summation-order
+ulps, and those are round()-ed on both sides like every other catalog
+float aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.geo import (
+    grid_cell,
+    headways_at_cells,
+    leg_metrics,
+    nearest_assign,
+    od_flows,
+    resample_first_per_bucket,
+    stop_episodes,
+    trips_by_gap,
+)
+from hfp_loader_spark.plans.catalog import _t, defquery
+
+# --- the ONE definition of the synthetic trajectory (both engines) ----
+#
+# ~60°N / ~24.5°E (the reference fleet's home box).  Per-vehicle base
+# offset from hashed vehicle id, drift along the track from the point
+# sequence number, per-point jitter from a hashed event id.  All exact
+# integer arithmetic until one final double division per term.
+
+_LAT_T = (
+    "60.0 + CAST((vehicle_id * 7919) % 200 AS DOUBLE) / 1000.0"
+    " + CAST(rn AS DOUBLE) / 20000.0"
+    " + CAST((event_id * 2654435761) % 41 - 20 AS DOUBLE) / 1000000.0"
+)
+_LNG_T = (
+    "24.5 + CAST((vehicle_id * 104729) % 300 AS DOUBLE) / 1000.0"
+    " + CAST(rn AS DOUBLE) / 10000.0"
+    " + CAST((event_id * 1099087573) % 41 - 20 AS DOUBLE) / 1000000.0"
+)
+#: Speed in m/s with stop runs: every 4th block of 5 consecutive points
+#: is a "stopped" block (spd < 2.0), so gaps-and-islands stop detection
+#: has real multi-point episodes to find.  {IDIV}: Spark `div`, DuckDB `//`.
+_SPD_T = (
+    "CASE WHEN ((rn {IDIV} 5) + vehicle_id) % 4 = 0"
+    " THEN CAST((event_id * 13) % 200 AS DOUBLE) / 100.0"
+    " ELSE 2.0 + CAST((event_id * 13) % 2800 AS DOUBLE) / 100.0 END"
+)
+
+#: Planar distance template (oracle side) — textual lockstep with
+#: operators.geo.planar_distance_m (M_PER_DEG=111320.0, LAT_FACTOR=0.5).
+
+
+def _dist_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    return (
+        f"111320.0 * sqrt(({lat1} - {lat2}) * ({lat1} - {lat2})"
+        f" + (0.5 * ({lng1} - {lng2})) * (0.5 * ({lng1} - {lng2})))"
+    )
+
+
+def _cell_sql(lat: str, lng: str) -> str:
+    """Oracle twin of operators.geo.grid_cell (cells_per_deg=200)."""
+    return (
+        f"CAST(floor({lat} * 200.0) AS BIGINT) * 100000"
+        f" + CAST(floor({lng} * 200.0) AS BIGINT)"
+    )
+
+
+def _traj_cte() -> str:
+    """Shared oracle CTE: ``pts`` (ordered points) → ``traj``."""
+    return f"""
+    pts AS (
+      SELECT user_id AS vehicle_id, event_id, epoch_us(ts) AS t_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    traj AS (
+      SELECT vehicle_id, event_id, rn, t_us,
+             {_LAT_T} AS lat,
+             {_LNG_T} AS lng,
+             {_SPD_T.format(IDIV="//")} AS spd
+      FROM pts
+    )"""
+
+
+def _traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_traj_cte`` — same templates, ``div`` for ``//``.
+
+    The rename to ``vehicle_id`` happens BEFORE the row_number window so
+    the window's exchange partitions on the attribute every downstream
+    per-vehicle window/aggregate actually references: alias-aware
+    partitioning propagation only rewrites aliases introduced ABOVE an
+    exchange, so windowing on ``user_id`` and renaming afterwards loses
+    the partitioning guarantee and re-shuffles each consumer (measured:
+    2 exchanges → 1 for the whole leg-profile entry)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("vehicle_id"),
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    w = Window.partitionBy("vehicle_id").orderBy("ts", "event_id")
+    pts = base.select(
+        "vehicle_id",
+        "event_id",
+        "t_us",
+        F.row_number().over(w).alias("rn"),
+    )
+    return pts.select(
+        "vehicle_id",
+        "event_id",
+        "rn",
+        "t_us",
+        F.expr(_LAT_T).alias("lat"),
+        F.expr(_LNG_T).alias("lng"),
+        F.expr(_SPD_T.format(IDIV="div")).alias("spd"),
+    )
+
+
+_LEG_SQL = _dist_sql(
+    "lat", "lng", "lag(lat) OVER w", "lag(lng) OVER w"
+)
+
+
+@defquery(
+    "geo_leg_speed_profile",
+    f"""
+    WITH {_traj_cte()},
+    legs AS (
+      SELECT vehicle_id,
+             {_LEG_SQL} AS leg_m,
+             CAST(t_us - lag(t_us) OVER w AS DOUBLE) / 1000000.0 AS dt_s
+      FROM traj
+      WINDOW w AS (PARTITION BY vehicle_id ORDER BY rn)
+    )
+    SELECT vehicle_id,
+           CAST(count(leg_m) AS BIGINT)  AS n_legs,
+           round(sum(leg_m), 1)          AS total_m,
+           round(max(CASE WHEN dt_s > 0 THEN leg_m / dt_s END), 2)
+                                         AS max_speed_ms
+    FROM legs WHERE leg_m IS NOT NULL
+    GROUP BY vehicle_id
+    ORDER BY total_m DESC, vehicle_id LIMIT 20
+    """,
+    doc="Per-vehicle trajectory profile: consecutive-point planar leg "
+    "lengths + implied speeds via one lag window (operators.geo."
+    "leg_metrics), aggregated per vehicle — top 20 by distance. ONE "
+    "exchange on the vehicle key shared by every lag; the planar metric "
+    "keeps the floats bit-identical across engines (geo.py docstring).",
+)
+def geo_leg_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = leg_metrics(_traj(spark, sf_dir))
+    return (
+        legs.where(F.col("leg_m").isNotNull())
+        .groupBy("vehicle_id")
+        .agg(
+            F.count("leg_m").alias("n_legs"),
+            F.round(F.sum("leg_m"), 1).alias("total_m"),
+            F.round(F.max("speed_ms"), 2).alias("max_speed_ms"),
+        )
+        .orderBy(F.desc("total_m"), "vehicle_id")
+        .limit(20)
+    )
+
+
+@defquery(
+    "geo_grid_density",
+    f"""
+    WITH {_traj_cte()}
+    SELECT {_cell_sql("lat", "lng")} AS cell,
+           CAST(count(*) AS BIGINT)                  AS n_points,
+           CAST(count(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles,
+           round(avg(spd), 3)                        AS avg_spd
+    FROM traj
+    GROUP BY cell
+    ORDER BY n_points DESC, cell LIMIT 25
+    """,
+    doc="Spatial density: integer grid-cell binning (operators.geo."
+    "grid_cell — multiply+floor, exact in doubles, engine-agnostic) with "
+    "per-cell point/vehicle counts and mean speed. Map-side-combinable "
+    "aggregate; the cell id is the natural partition key for a 100 TB "
+    "position lake (and composes with the z-order layout entry).",
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _traj(spark, sf_dir)
+    return (
+        tr.groupBy(grid_cell(F.col("lat"), F.col("lng")).alias("cell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count_distinct("vehicle_id").alias("n_vehicles"),
+            F.round(F.avg("spd"), 3).alias("avg_spd"),
+        )
+        .orderBy(F.desc("n_points"), "cell")
+        .limit(25)
+    )
+
+
+@defquery(
+    "geo_stop_dwell",
+    f"""
+    WITH {_traj_cte()},
+    flagged AS (
+      SELECT vehicle_id, rn, t_us,
+             row_number() OVER (PARTITION BY vehicle_id ORDER BY rn) AS k
+      FROM traj WHERE spd < 2.0
+    ),
+    epi AS (
+      SELECT vehicle_id,
+             CAST(max(t_us) - min(t_us) AS DOUBLE) / 1000000.0 AS dwell_s
+      FROM flagged
+      GROUP BY vehicle_id, rn - k
+      HAVING count(*) >= 3
+    )
+    SELECT vehicle_id,
+           CAST(count(*) AS BIGINT)   AS n_stops,
+           round(sum(dwell_s), 1)     AS total_dwell_s,
+           round(max(dwell_s), 1)     AS max_dwell_s
+    FROM epi GROUP BY vehicle_id
+    ORDER BY n_stops DESC, total_dwell_s DESC, vehicle_id LIMIT 20
+    """,
+    doc="Stop/dwell detection: gaps-and-islands over the stopped "
+    "predicate (spd < 2 m/s, ≥3 consecutive points — operators.geo."
+    "stop_episodes), then per-vehicle dwell stats. The island key is "
+    "order−rank, so detection + aggregation share ONE vehicle-key "
+    "exchange at any scale.",
+)
+def geo_stop_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _traj(spark, sf_dir)
+    epi = stop_episodes(tr, F.col("spd") < 2.0, min_points=3)
+    return (
+        epi.groupBy("vehicle_id")
+        .agg(
+            F.count("*").alias("n_stops"),
+            F.round(F.sum("dwell_s"), 1).alias("total_dwell_s"),
+            F.round(F.max("dwell_s"), 1).alias("max_dwell_s"),
+        )
+        .orderBy(F.desc("n_stops"), F.desc("total_dwell_s"), "vehicle_id")
+        .limit(20)
+    )
+
+
+@defquery(
+    "geo_od_matrix",
+    f"""
+    WITH {_traj_cte()},
+    lagged AS (
+      SELECT vehicle_id, rn, t_us, lat, lng,
+             lag(t_us) OVER (PARTITION BY vehicle_id ORDER BY rn) AS pt
+      FROM traj
+    ),
+    tr AS (
+      SELECT vehicle_id, rn,
+             {_cell_sql("lat", "lng")} AS cell,
+             CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 43200000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY vehicle_id ORDER BY rn) AS BIGINT)
+               AS trip_id
+      FROM lagged
+    ),
+    ends AS (
+      SELECT vehicle_id, trip_id,
+             min_by(cell, rn) AS origin_cell,
+             max_by(cell, rn) AS dest_cell
+      FROM tr GROUP BY vehicle_id, trip_id
+    )
+    SELECT origin_cell, dest_cell, CAST(count(*) AS BIGINT) AS n_trips
+    FROM ends GROUP BY origin_cell, dest_cell
+    ORDER BY n_trips DESC, origin_cell, dest_cell LIMIT 20
+    """,
+    doc="Origin-destination flow matrix: trip segmentation at >12 h "
+    "gaps (operators.geo.trips_by_gap — lag+cumsum islands), then "
+    "first/last grid cell per trip via min_by/max_by (map-side-"
+    "combinable, NO window over the point stream) and flow counts. "
+    "Top 20 flows.",
+)
+def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = trips_by_gap(_traj(spark, sf_dir), gap_seconds=43200)
+    flows = od_flows(tr, grid_cell(F.col("lat"), F.col("lng")))
+    return flows.orderBy(
+        F.desc("n_trips"), "origin_cell", "dest_cell"
+    ).limit(20)
+
+
+@defquery(
+    "geo_resample_6h",
+    f"""
+    WITH {_traj_cte()},
+    rs AS (
+      SELECT vehicle_id, t_us // 21600000000 AS bucket,
+             min_by(spd, rn) AS spd, count(*) AS n_raw
+      FROM traj GROUP BY vehicle_id, bucket
+    )
+    SELECT vehicle_id,
+           CAST(count(*) AS BIGINT)    AS n_buckets,
+           CAST(sum(n_raw) AS BIGINT)  AS n_raw_points,
+           round(avg(spd), 3)          AS avg_first_spd
+    FROM rs GROUP BY vehicle_id
+    ORDER BY n_buckets DESC, vehicle_id LIMIT 20
+    """,
+    doc="Trajectory resampling: FIRST point per (vehicle, 6 h bucket) "
+    "via min_by(struct, order) — a map-side-combinable aggregate that "
+    "thins partitions BEFORE the shuffle (operators.geo."
+    "resample_first_per_bucket), vs row_number-then-filter which "
+    "shuffles every raw point. Bucketing is integer division (double-"
+    "divide + cast ROUNDS in DuckDB but TRUNCATES in Spark — avoided).",
+)
+def geo_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rs = resample_first_per_bucket(
+        _traj(spark, sf_dir), bucket_us=21_600_000_000
+    )
+    return (
+        rs.groupBy("vehicle_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_raw").cast("long").alias("n_raw_points"),
+            F.round(F.avg("spd"), 3).alias("avg_first_spd"),
+        )
+        .orderBy(F.desc("n_buckets"), "vehicle_id")
+        .limit(20)
+    )
+
+
+@defquery(
+    "geo_headway_per_cell",
+    f"""
+    WITH {_traj_cte()},
+    arr AS (
+      SELECT CAST(floor(lat * 20.0) AS BIGINT) * 100000
+               + CAST(floor(lng * 20.0) AS BIGINT) AS cell,
+             vehicle_id, min(t_us) AS arr_us
+      FROM traj GROUP BY cell, vehicle_id
+    ),
+    hw AS (
+      SELECT cell,
+             CAST(arr_us - lag(arr_us)
+                  OVER (PARTITION BY cell ORDER BY arr_us, vehicle_id)
+               AS DOUBLE) / 1000000.0 AS headway_s
+      FROM arr
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT)  AS n_headways,
+           round(avg(headway_s), 1)  AS avg_headway_s,
+           round(min(headway_s), 1)  AS min_headway_s
+    FROM hw WHERE headway_s IS NOT NULL
+    GROUP BY cell HAVING count(*) >= 1
+    ORDER BY n_headways DESC, cell LIMIT 20
+    """,
+    doc="Service headways: first arrival per (cell, vehicle) — map-side "
+    "min aggregate — then gaps between consecutive distinct-vehicle "
+    "arrivals per cell (operators.geo.headways_at_cells). The window "
+    "runs over the arrival frame (bounded by fleet size per cell), "
+    "never the raw point stream. Coarser 0.05° cells (~5.6 km × 2.8 km) "
+    "so multiple vehicles genuinely share a cell at gate scale.",
+)
+def geo_headway_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hw = headways_at_cells(
+        _traj(spark, sf_dir),
+        grid_cell(F.col("lat"), F.col("lng"), cells_per_deg=20),
+    )
+    return (
+        hw.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_headways"),
+            F.round(F.avg("headway_s"), 1).alias("avg_headway_s"),
+            F.round(F.min("headway_s"), 1).alias("min_headway_s"),
+        )
+        .where(F.col("n_headways") >= 1)
+        .orderBy(F.desc("n_headways"), "cell")
+        .limit(20)
+    )
+
+
+@defquery(
+    "geo_nearest_stop_assign",
+    f"""
+    WITH {_traj_cte()},
+    cells AS (
+      SELECT {_cell_sql("lat", "lng")} AS cell, lat, lng FROM traj
+    ),
+    stops AS (
+      SELECT cell AS stop_id,
+             round(avg(lat), 5) AS stop_lat,
+             round(avg(lng), 5) AS stop_lng,
+             count(*) AS n
+      FROM cells GROUP BY cell
+      ORDER BY n DESC, cell LIMIT 10
+    ),
+    scored AS (
+      SELECT t.event_id, s.stop_id,
+             {_dist_sql("t.lat", "t.lng", "s.stop_lat", "s.stop_lng")}
+               AS dist_m
+      FROM traj t CROSS JOIN stops s
+    ),
+    ranked AS (
+      SELECT event_id, stop_id, dist_m,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY dist_m, stop_id) AS rk
+      FROM scored
+    )
+    SELECT stop_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(dist_m), 2)    AS avg_dist_m
+    FROM ranked WHERE rk = 1
+    GROUP BY stop_id ORDER BY stop_id
+    """,
+    doc="Nearest-stop assignment: derive the 10 densest cells as stop "
+    "locations (centroids rounded to 5 dp on both engines), then assign "
+    "every point to its nearest stop via a BROADCAST argmin join "
+    "(operators.geo.nearest_assign — min(struct(dist, stop)) reduces "
+    "map-side; no shuffle of the point stream). Distances use only "
+    "correctly-rounded IEEE ops, so the argmin itself needs no rounding "
+    "to agree across engines.",
+)
+def geo_nearest_stop_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _traj(spark, sf_dir)
+    stops = (
+        tr.groupBy(grid_cell(F.col("lat"), F.col("lng")).alias("cell"))
+        .agg(
+            F.round(F.avg("lat"), 5).alias("stop_lat"),
+            F.round(F.avg("lng"), 5).alias("stop_lng"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("n"), "cell")
+        .limit(10)
+        .select(
+            F.col("cell").alias("stop_id"), "stop_lat", "stop_lng"
+        )
+    )
+    assigned = nearest_assign(
+        tr.select("event_id", "lat", "lng"), stops
+    )
+    return (
+        assigned.groupBy("stop_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("dist_m"), 2).alias("avg_dist_m"),
+        )
+        .orderBy("stop_id")
+    )

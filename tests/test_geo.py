@@ -1,0 +1,272 @@
+"""operators.geo — trajectory/geospatial operators.
+
+Unit semantics on hand-built frames (distance identities, island
+episodes, O-D ends, resampling, nearest-stop argmin) plus plan-shape
+assertions: the per-vehicle window family must share ONE exchange, the
+resampler must partial-aggregate map-side, and the nearest-stop join
+must broadcast the stop dimension — the properties the module docstring
+promises at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.operators.geo import (
+    LAT_FACTOR,
+    M_PER_DEG,
+    grid_cell,
+    headways_at_cells,
+    leg_metrics,
+    nearest_assign,
+    od_flows,
+    planar_distance_m,
+    resample_first_per_bucket,
+    stop_episodes,
+    trips_by_gap,
+)
+
+
+def _traj_df(spark):
+    # vehicle 1: 6 points, 10 s apart, moving 0.001° north per step
+    # except points 3-5 which repeat the same location (a stop run).
+    rows = []
+    for i in range(6):
+        lat = 60.0 + (0.001 * min(i, 2))
+        rows.append((1, i + 1, i + 1, (i + 1) * 10_000_000, lat, 24.5, 1.0 if 3 <= i + 1 <= 5 else 10.0))
+    # vehicle 2: 2 points with a 2-hour gap (two trips at gap=3600 s)
+    rows.append((2, 101, 1, 10_000_000, 61.0, 25.0, 5.0))
+    rows.append((2, 102, 2, 7_210_000_000, 61.5, 25.5, 5.0))
+    return spark.createDataFrame(
+        rows,
+        "vehicle_id int, event_id int, rn int, t_us long, lat double, "
+        "lng double, spd double",
+    )
+
+
+def test_planar_distance_identities(spark):
+    df = spark.range(1).select(
+        planar_distance_m(
+            F.lit(60.0), F.lit(24.5), F.lit(60.0), F.lit(24.5)
+        ).alias("zero"),
+        planar_distance_m(
+            F.lit(60.001), F.lit(24.5), F.lit(60.0), F.lit(24.5)
+        ).alias("lat_leg"),
+        planar_distance_m(
+            F.lit(60.0), F.lit(24.502), F.lit(60.0), F.lit(24.5)
+        ).alias("lng_leg"),
+        # symmetry
+        (
+            planar_distance_m(F.lit(60.1), F.lit(24.7), F.lit(60.0), F.lit(24.5))
+            - planar_distance_m(F.lit(60.0), F.lit(24.5), F.lit(60.1), F.lit(24.7))
+        ).alias("asym"),
+    ).collect()[0]
+    assert df["zero"] == 0.0
+    # 0.001° of latitude ≈ 111.32 m; 0.002° of longitude at factor 0.5
+    # is the same planar length.
+    assert df["lat_leg"] == pytest.approx(M_PER_DEG * 0.001, rel=1e-9)
+    assert df["lng_leg"] == pytest.approx(
+        M_PER_DEG * LAT_FACTOR * 0.002, rel=1e-9
+    )
+    assert df["asym"] == 0.0
+
+
+def test_grid_cell_is_exact_and_stride_safe(spark):
+    row = spark.range(1).select(
+        grid_cell(F.lit(60.0), F.lit(24.5)).alias("c1"),
+        grid_cell(F.lit(60.0049), F.lit(24.5049)).alias("same"),
+        grid_cell(F.lit(60.005), F.lit(24.5)).alias("next_lat"),
+        grid_cell(F.lit(-1.0), F.lit(-1.0)).alias("neg"),
+    ).collect()[0]
+    assert row["c1"] == 12000 * 100000 + 4900
+    assert row["same"] == row["c1"]  # same 0.005° cell
+    assert row["next_lat"] == row["c1"] + 100000
+    # floor (not truncate) on negatives: -1.0*200 = -200 exactly
+    assert row["neg"] == -200 * 100000 - 200
+
+
+def test_leg_metrics_values_and_nulls(spark):
+    out = (
+        leg_metrics(_traj_df(spark))
+        .where(F.col("vehicle_id") == 1)
+        .orderBy("rn")
+        .collect()
+    )
+    assert out[0]["leg_m"] is None and out[0]["dt_s"] is None
+    # step 1→2 moves 0.001° lat in 10 s
+    assert out[1]["leg_m"] == pytest.approx(111.32, rel=1e-9)
+    assert out[1]["dt_s"] == 10.0
+    assert out[1]["speed_ms"] == pytest.approx(11.132, rel=1e-9)
+    # stationary repeat: zero leg, speed 0
+    assert out[3]["leg_m"] == 0.0 and out[3]["speed_ms"] == 0.0
+
+
+def test_leg_metrics_null_speed_on_zero_dt(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1000, 60.0, 24.5), (1, 2, 1000, 60.001, 24.5)],
+        "vehicle_id int, rn int, t_us long, lat double, lng double",
+    )
+    out = leg_metrics(df).orderBy("rn").collect()
+    assert out[1]["dt_s"] == 0.0 and out[1]["speed_ms"] is None
+
+
+def test_stop_episodes_islands(spark):
+    epi = stop_episodes(
+        _traj_df(spark), F.col("spd") < 2.0, min_points=3
+    ).collect()
+    assert len(epi) == 1
+    e = epi[0]
+    # vehicle 1's rn 3..5 run: dwell = (50-30) s
+    assert e["vehicle_id"] == 1
+    assert e["episode_start_rn"] == 3
+    assert e["n_points"] == 3
+    assert e["dwell_s"] == 20.0
+    # min_points respected: a 3-point run vanishes at min_points=4
+    assert (
+        stop_episodes(_traj_df(spark), F.col("spd") < 2.0, min_points=4).count()
+        == 0
+    )
+
+
+def test_trips_and_od_flows(spark):
+    tr = trips_by_gap(_traj_df(spark), gap_seconds=3600)
+    per_trip = {
+        (r["vehicle_id"], r["trip_id"]): r["n"]
+        for r in tr.groupBy("vehicle_id", "trip_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_trip[(1, 1)] == 6  # no gap > 1 h for vehicle 1
+    assert per_trip[(2, 1)] == 1 and per_trip[(2, 2)] == 1
+    flows = od_flows(
+        tr, grid_cell(F.col("lat"), F.col("lng"))
+    ).collect()
+    # vehicle 1: origin cell at 60.0, dest at 60.002 (same 0.005° cell)
+    by_pair = {(r["origin_cell"], r["dest_cell"]): r["n_trips"] for r in flows}
+    c60 = 12000 * 100000 + 4900
+    assert by_pair[(c60, c60)] == 1
+    # vehicle 2's single-point trips: origin == dest
+    assert sum(by_pair.values()) == 3
+
+
+def test_resample_first_per_bucket(spark):
+    rs = resample_first_per_bucket(
+        _traj_df(spark), bucket_us=25_000_000
+    )
+    v1 = {r["bucket"]: r for r in rs.where(F.col("vehicle_id") == 1).collect()}
+    # t_us 10,20 s → bucket 0; 30,40 s → 1; 50,60 s → 2
+    assert sorted(v1) == [0, 1, 2]
+    assert v1[0]["t_us"] == 10_000_000 and v1[0]["n_raw"] == 2
+    assert v1[1]["t_us"] == 30_000_000
+    # carries the FIRST point's payload, not the min of each column
+    assert v1[1]["lat"] == 60.002
+
+
+def test_headways_at_cells(spark):
+    # two vehicles arriving at one shared coarse cell 30 s apart
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10_000_000, 60.0, 24.5, 1.0),
+            (1, 2, 90_000_000, 60.0, 24.5, 1.0),  # later point, ignored (min)
+            (2, 1, 40_000_000, 60.0001, 24.5001, 1.0),
+        ],
+        "vehicle_id int, rn int, t_us long, lat double, lng double, spd double",
+    )
+    hw = headways_at_cells(df, grid_cell(F.col("lat"), F.col("lng"))).collect()
+    assert len(hw) == 1
+    assert hw[0]["vehicle_id"] == 2 and hw[0]["headway_s"] == 30.0
+
+
+def test_nearest_assign_argmin_and_ties(spark):
+    points = spark.createDataFrame(
+        [(1, 60.0, 24.5), (2, 60.1, 24.5), (3, 60.05, 24.5)],
+        "event_id int, lat double, lng double",
+    )
+    stops = spark.createDataFrame(
+        [(10, 60.0, 24.5), (20, 60.1, 24.5)],
+        "stop_id int, stop_lat double, stop_lng double",
+    )
+    out = {r["event_id"]: r for r in nearest_assign(points, stops).collect()}
+    assert out[1]["stop_id"] == 10 and out[1]["dist_m"] == 0.0
+    assert out[2]["stop_id"] == 20
+    # exact midpoint: tie broken to the LOWEST stop id
+    assert out[3]["stop_id"] == 10
+    assert out[3]["dist_m"] == pytest.approx(M_PER_DEG * 0.05, rel=1e-12)
+
+
+def test_nearest_assign_is_a_narrow_map_side_pass(spark):
+    """The literal argmin must add NO join and NO exchange over the
+    point stream — the property that makes assignment free at 100 TB."""
+    points = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.lit(60.0) + F.col("id") / 1000.0).alias("lat"),
+        F.lit(24.5).alias("lng"),
+    )
+    stops = spark.createDataFrame(
+        [(1, 60.0, 24.5), (2, 60.05, 24.5)],
+        "stop_id int, stop_lat double, stop_lng double",
+    )
+    plan = nearest_assign(points, stops)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_nearest_assign_bounded_dimension_contract(spark):
+    points = spark.createDataFrame(
+        [(1, 60.0, 24.5)], "event_id int, lat double, lng double"
+    )
+    empty = spark.createDataFrame(
+        [], "stop_id int, stop_lat double, stop_lng double"
+    )
+    with pytest.raises(ValueError, match="empty stop frame"):
+        nearest_assign(points, empty)
+    many = spark.range(5).select(
+        F.col("id").alias("stop_id"),
+        (F.lit(60.0) + F.col("id")).alias("stop_lat"),
+        F.lit(24.5).alias("stop_lng"),
+    )
+    with pytest.raises(ValueError, match="max_stops"):
+        nearest_assign(points, many, max_stops=4)
+
+
+def test_leg_window_family_shares_one_exchange(spark):
+    """legs + speed over the same vehicle window must plan exactly ONE
+    exchange — the property that makes the whole per-vehicle family a
+    single shuffle at 100 TB."""
+    df = _traj_df(spark)
+    plan = (
+        leg_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_partial_aggregates_map_side(spark):
+    rs = resample_first_per_bucket(_traj_df(spark), bucket_us=25_000_000)
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    # ObjectHashAggregate/SortAggregate with a partial pass before the
+    # exchange — min_by(struct) combines map-side, row_number cannot.
+    before_exchange = plan.split("Exchange")[-1]
+    assert "partial" in before_exchange.lower()
+
+
+def test_geo_catalog_entries_rowcounts(spark, sf_dir):
+    """The seven geo entries run end-to-end at test SF and return their
+    documented shapes (oracle equality is the driver's/check tool's
+    job; this pins runnable-ness into the suite)."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    expect_nonempty = {
+        "geo_leg_speed_profile",
+        "geo_grid_density",
+        "geo_stop_dwell",
+        "geo_od_matrix",
+        "geo_resample_6h",
+        "geo_nearest_stop_assign",
+    }
+    for name in sorted(expect_nonempty | {"geo_headway_per_cell"}):
+        df = REGISTRY[name].builder(spark, sf_dir)
+        n = df.count()
+        if name in expect_nonempty:
+            assert n > 0, name
+        assert len(df.columns) >= 3, name

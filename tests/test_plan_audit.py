@@ -147,6 +147,12 @@ HEADLINE_INVARIANTS = {
     # final plan must stay trivially bounded; the per-round training
     # shape is pinned by the oracle equality + test_bpe.py.
     "text_bpe_merges": dict(max_exchanges=2, bnlj=0),
+    # r12: trajectory tier — the whole per-vehicle window family
+    # (row_number + 5 lags + aggregate) on ONE vehicle-key exchange
+    # (alias-before-window; plan-string double-print counts it twice).
+    # A second real exchange = the alias/partitioning propagation
+    # regression this cap exists to catch.
+    "geo_leg_speed_profile": dict(max_exchanges=2, bnlj=0),
 }
 
 
