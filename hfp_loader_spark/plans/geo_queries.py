@@ -458,3 +458,146 @@ def geo_nearest_stop_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stop_id")
     )
+
+
+@defquery(
+    "geo_dq_speed_violations",
+    f"""
+    WITH {_traj_cte()},
+    legs AS (
+      SELECT vehicle_id, spd,
+             {_LEG_SQL} AS leg_m,
+             CAST(t_us - lag(t_us) OVER w AS DOUBLE) / 1000000.0 AS dt_s
+      FROM traj
+      WINDOW w AS (PARTITION BY vehicle_id ORDER BY rn)
+    ),
+    checked AS (
+      SELECT vehicle_id,
+             CASE WHEN dt_s > 0 THEN leg_m / dt_s END AS inferred,
+             spd
+      FROM legs WHERE leg_m IS NOT NULL
+    )
+    SELECT vehicle_id,
+           CAST(count(*) AS BIGINT) AS n_legs,
+           CAST(count(*) FILTER (WHERE inferred IS NOT NULL
+                 AND abs(spd - inferred) > 25.0) AS BIGINT) AS n_violations,
+           round(CAST(count(*) FILTER (WHERE inferred IS NOT NULL
+                 AND abs(spd - inferred) > 25.0) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS violation_rate
+    FROM checked GROUP BY vehicle_id
+    HAVING count(*) FILTER (WHERE inferred IS NOT NULL
+                 AND abs(spd - inferred) > 25.0) > 0
+    ORDER BY violation_rate DESC, vehicle_id LIMIT 20
+    """,
+    doc="Telemetry consistency audit: the reported speed channel vs the "
+    "speed implied by consecutive positions (operators.geo.leg_metrics) "
+    "— the odometer/GPS cross-check every fleet QA pipeline runs. "
+    "Flags legs where the two disagree by > 25 m/s; per-vehicle "
+    "violation rates, worst first. Same single vehicle-key exchange as "
+    "the leg profile.",
+)
+def geo_dq_speed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = leg_metrics(_traj(spark, sf_dir)).where(
+        F.col("leg_m").isNotNull()
+    )
+    viol = F.col("speed_ms").isNotNull() & (
+        F.abs(F.col("spd") - F.col("speed_ms")) > 25.0
+    )
+    out = (
+        legs.groupBy("vehicle_id")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.sum(viol.cast("long")).alias("n_violations"),
+            F.round(
+                F.sum(viol.cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("violation_rate"),
+        )
+        .where(F.col("n_violations") > 0)
+    )
+    return out.orderBy(F.desc("violation_rate"), "vehicle_id").limit(20)
+
+
+@defquery(
+    "geo_grid_rollup_multires",
+    f"""
+    WITH {_traj_cte()},
+    cells AS (
+      SELECT CAST(floor(lat * 20.0) AS BIGINT) * 100000
+               + CAST(floor(lng * 20.0) AS BIGINT) AS coarse_cell,
+             {_cell_sql("lat", "lng")} AS fine_cell,
+             spd
+      FROM traj
+    )
+    SELECT coalesce(coarse_cell, -1) AS coarse_cell,
+           coalesce(fine_cell, -1)   AS fine_cell,
+           CAST(count(*) AS BIGINT)  AS n_points,
+           round(avg(spd), 3)        AS avg_spd
+    FROM cells
+    GROUP BY ROLLUP (coarse_cell, fine_cell)
+    ORDER BY n_points DESC, coarse_cell, fine_cell LIMIT 25
+    """,
+    doc="Multi-resolution spatial rollup: point counts + mean speed at "
+    "fine cells (0.005°), coarse cells (0.05°), and the grand total in "
+    "ONE pass via ROLLUP — Spark expands the grouping sets before a "
+    "single shuffle instead of running three aggregates (the "
+    "hierarchical-tile pyramid every map-density service pre-computes).",
+)
+def geo_grid_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _traj(spark, sf_dir)
+    cells = tr.select(
+        grid_cell(F.col("lat"), F.col("lng"), cells_per_deg=20).alias(
+            "coarse_cell"
+        ),
+        grid_cell(F.col("lat"), F.col("lng")).alias("fine_cell"),
+        "spd",
+    )
+    return (
+        cells.rollup("coarse_cell", "fine_cell")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("spd"), 3).alias("avg_spd"),
+        )
+        .select(
+            F.coalesce(F.col("coarse_cell"), F.lit(-1)).alias("coarse_cell"),
+            F.coalesce(F.col("fine_cell"), F.lit(-1)).alias("fine_cell"),
+            "n_points",
+            "avg_spd",
+        )
+        .orderBy(F.desc("n_points"), "coarse_cell", "fine_cell")
+        .limit(25)
+    )
+
+
+@defquery(
+    "geo_speed_by_hour",
+    f"""
+    WITH {_traj_cte()}
+    SELECT CAST((t_us // 3600000000) % 24 AS BIGINT) AS hour_utc,
+           CAST(count(*) AS BIGINT)            AS n_points,
+           round(quantile_cont(spd, 0.5), 3)   AS p50_spd,
+           round(quantile_cont(spd, 0.9), 3)   AS p90_spd
+    FROM traj
+    GROUP BY hour_utc
+    ORDER BY hour_utc
+    """,
+    doc="Hour-of-day speed percentiles across the fleet: exact "
+    "interpolated p50/p90 per UTC hour (Spark percentile ≡ DuckDB "
+    "quantile_cont). Hour comes from integer epoch division — no "
+    "timestamp formatting in the group key, so it pushes into one "
+    "24-group aggregate; at 100 TB swap in approx_percentile the same "
+    "way agg_percentiles documents.",
+)
+def geo_speed_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _traj(spark, sf_dir)
+    hour = F.expr("(t_us div 3600000000) % 24").cast("long")
+    return (
+        tr.groupBy(hour.alias("hour_utc"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.percentile("spd", 0.5), 3).alias("p50_spd"),
+            F.round(F.percentile("spd", 0.9), 3).alias("p90_spd"),
+        )
+        .orderBy("hour_utc")
+    )

@@ -263,6 +263,9 @@ def test_geo_catalog_entries_rowcounts(spark, sf_dir):
         "geo_od_matrix",
         "geo_resample_6h",
         "geo_nearest_stop_assign",
+        "geo_dq_speed_violations",
+        "geo_grid_rollup_multires",
+        "geo_speed_by_hour",
     }
     for name in sorted(expect_nonempty | {"geo_headway_per_cell"}):
         df = REGISTRY[name].builder(spark, sf_dir)
