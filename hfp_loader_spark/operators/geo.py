@@ -31,9 +31,11 @@ Scale shapes (100 TB = a year of nationwide fleet positions):
   reuse that exchange for every downstream window over the same key;
 - density / resampling are map-side-combinable aggregates (min/max/count
   by struct), never row_number-then-filter;
-- nearest-stop assignment broadcasts the stop dimension (stops are
-  O(10^4) rows for a national network) — an argmin cross against a
-  broadcast frame, no shuffle of the fact side.
+- nearest-stop assignment folds the bounded stop dimension (O(10^4)
+  rows for a national network) into ONE plan literal and picks the
+  argmin in-row — zero joins and zero exchanges over the point stream;
+- geofence containment is an exact int64 cross-product predicate —
+  a row-local scan filter, pushable next to the cell-id prune.
 """
 
 from __future__ import annotations
@@ -367,3 +369,62 @@ def nearest_assign(
         F.col("_b.sid").alias(stop_id_col),
         F.col("_b.dist_m").alias("dist_m"),
     )
+
+
+def point_in_convex_polygon(
+    lng_e6: Column, lat_e6: Column, poly: list[tuple[int, int]]
+) -> Column:
+    """True iff the integer-microdegree point lies inside or ON the
+    boundary of the CONVEX polygon ``poly`` (counter-clockwise
+    ``(lng_e6, lat_e6)`` vertices): the point is left-of-or-on every
+    directed edge, tested with exact int64 cross products — NO floats,
+    no epsilon, bit-identical on any engine (the geometric primitive
+    the planar metric cannot give: containment is a sign question, and
+    float signs flip near boundaries).
+
+    Magnitudes: microdegree coordinates are ≤ 1.8e8, edge deltas and
+    point offsets ≤ 3.6e8, so each product is ≤ ~1.3e17 — inside int64
+    with 70× headroom.  Convexity and CCW order are the CALLER's
+    contract (validated eagerly: a clockwise or degenerate ring raises;
+    non-convex rings need a triangulation layer this engine does not
+    ship).  Evaluation is a pure row-local conjunction — at 100 TB a
+    geofence filter is a narrow scan predicate, pushable next to the
+    cell-id partition prune."""
+    if len(poly) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    n = len(poly)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        cx, cy = poly[(i + 2) % n]
+        turn = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if turn <= 0:
+            raise ValueError(
+                f"polygon is not strictly convex CCW at vertex {i} "
+                f"(cross={turn}); reorder/clean the ring"
+            )
+    cond = F.lit(True)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        edge = (
+            F.lit(int(bx - ax)) * (lat_e6 - F.lit(int(ay)))
+            - F.lit(int(by - ay)) * (lng_e6 - F.lit(int(ax)))
+        ) >= 0
+        cond = cond & edge
+    return cond
+
+
+def fence_cond_sql(poly: list[tuple[int, int]], x: str, y: str) -> str:
+    """The SQL rendering of :func:`point_in_convex_polygon`'s predicate
+    for an external oracle — same edges, same exact integer arithmetic,
+    so both engines evaluate the identical condition."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        terms.append(
+            f"(({bx - ax}) * ({y} - ({ay})) - ({by - ay}) * ({x} - ({ax}))) >= 0"
+        )
+    return "(" + " AND ".join(terms) + ")"

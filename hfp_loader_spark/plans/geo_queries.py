@@ -601,3 +601,101 @@ def geo_speed_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_utc")
     )
+
+
+#: Geofences for the containment entry: strictly convex CCW rings in
+#: integer microdegrees over the synthetic box (lat 60.0–60.21,
+#: lng 24.5–24.81).  Vertices as (lng_e6, lat_e6).
+_FENCES: dict[int, list[tuple[int, int]]] = {
+    1: [  # triangle across the west half
+        (24_500_000, 60_000_000),
+        (24_900_000, 60_100_000),
+        (24_500_000, 60_200_000),
+    ],
+    2: [  # central box
+        (24_600_000, 60_050_000),
+        (24_750_000, 60_050_000),
+        (24_750_000, 60_150_000),
+        (24_600_000, 60_150_000),
+    ],
+}
+
+#: Integer-microdegree quantization — floor, never round: DuckDB CAST
+#: of a double ROUNDS while Spark TRUNCATES, so the only engine-safe
+#: path is floor (exact for these magnitudes) then cast.
+_E6_SQL = "CAST(floor({c} * 1000000.0) AS BIGINT)"
+
+
+def _fences_union_sql() -> str:
+    from hfp_loader_spark.operators.geo import fence_cond_sql
+
+    parts = []
+    for fid, poly in sorted(_FENCES.items()):
+        cond = fence_cond_sql(poly, "x_e6", "y_e6")
+        parts.append(
+            f"SELECT {fid} AS fence_id, vehicle_id, spd FROM pts_e6 "
+            f"WHERE {cond}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@defquery(
+    "geo_geofence_counts",
+    f"""
+    WITH {_traj_cte()},
+    pts_e6 AS (
+      SELECT vehicle_id, spd,
+             {_E6_SQL.format(c="lng")} AS x_e6,
+             {_E6_SQL.format(c="lat")} AS y_e6
+      FROM traj
+    ),
+    hits AS ({_fences_union_sql()})
+    SELECT fence_id,
+           CAST(count(*) AS BIGINT)                   AS n_points,
+           CAST(count(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles,
+           round(avg(spd), 3)                         AS avg_spd
+    FROM hits GROUP BY fence_id ORDER BY fence_id
+    """,
+    doc="Geofence containment: exact int64 cross-product "
+    "point-in-convex-polygon (operators.geo.point_in_convex_polygon — "
+    "no floats, no epsilon, so containment SIGNS are bit-identical "
+    "across engines where float geometry flips near boundaries) over "
+    "integer-microdegree coordinates (floor-quantized: DuckDB double→"
+    "int CAST rounds, Spark truncates — floor is the only shared "
+    "semantics). One scan, fences unrolled in-row; at 100 TB the "
+    "predicate is a row-local filter pushable next to the cell prune.",
+)
+def geo_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.geo import point_in_convex_polygon
+
+    tr = _traj(spark, sf_dir)
+    x = F.expr(_E6_SQL.format(c="lng"))
+    y = F.expr(_E6_SQL.format(c="lat"))
+    pts = tr.select(
+        "vehicle_id", "spd", x.alias("x_e6"), y.alias("y_e6")
+    )
+    hit_structs = F.array(
+        *[
+            F.struct(
+                F.lit(fid).alias("fence_id"),
+                point_in_convex_polygon(
+                    F.col("x_e6"), F.col("y_e6"), poly
+                ).alias("inside"),
+            )
+            for fid, poly in sorted(_FENCES.items())
+        ]
+    )
+    hits = (
+        pts.select("vehicle_id", "spd", F.explode(hit_structs).alias("f"))
+        .where(F.col("f.inside"))
+        .select(F.col("f.fence_id").alias("fence_id"), "vehicle_id", "spd")
+    )
+    return (
+        hits.groupBy("fence_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count_distinct("vehicle_id").alias("n_vehicles"),
+            F.round(F.avg("spd"), 3).alias("avg_spd"),
+        )
+        .orderBy("fence_id")
+    )

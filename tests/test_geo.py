@@ -3,9 +3,9 @@
 Unit semantics on hand-built frames (distance identities, island
 episodes, O-D ends, resampling, nearest-stop argmin) plus plan-shape
 assertions: the per-vehicle window family must share ONE exchange, the
-resampler must partial-aggregate map-side, and the nearest-stop join
-must broadcast the stop dimension — the properties the module docstring
-promises at 100 TB.
+resampler must partial-aggregate map-side, and the nearest-stop literal
+argmin must add no join and no exchange over the point stream — the
+properties the module docstring promises at 100 TB.
 """
 
 from __future__ import annotations
@@ -273,3 +273,50 @@ def test_geo_catalog_entries_rowcounts(spark, sf_dir):
         if name in expect_nonempty:
             assert n > 0, name
         assert len(df.columns) >= 3, name
+
+
+def test_point_in_convex_polygon_exact_signs(spark):
+    from hfp_loader_spark.operators.geo import (
+        fence_cond_sql,
+        point_in_convex_polygon,
+    )
+
+    tri = [(0, 0), (10, 0), (0, 10)]  # CCW right triangle
+    df = spark.createDataFrame(
+        [
+            (1, 2, 2, True),    # strictly inside
+            (2, 5, 0, True),    # on an edge
+            (3, 0, 0, True),    # on a vertex
+            (4, 10, 10, False), # outside (beyond hypotenuse)
+            (5, -1, 5, False),  # outside (left of first edge)
+            (6, 5, 5, True),    # exactly on the hypotenuse
+        ],
+        "pid int, x long, y long, want boolean",
+    )
+    got = df.select(
+        "pid",
+        "want",
+        point_in_convex_polygon(F.col("x"), F.col("y"), tri).alias("got"),
+        F.expr(fence_cond_sql(tri, "x", "y")).alias("sql_twin"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], r["pid"]
+        # the rendered SQL predicate is the SAME condition
+        assert r["sql_twin"] == r["want"], r["pid"]
+
+
+def test_point_in_convex_polygon_validates_ring(spark):
+    from hfp_loader_spark.operators.geo import point_in_convex_polygon
+
+    with pytest.raises(ValueError, match=">= 3"):
+        point_in_convex_polygon(F.lit(0), F.lit(0), [(0, 0), (1, 1)])
+    # clockwise ring → rejected (caller must supply CCW)
+    with pytest.raises(ValueError, match="not strictly convex CCW"):
+        point_in_convex_polygon(
+            F.lit(0), F.lit(0), [(0, 0), (0, 10), (10, 0)]
+        )
+    # collinear (degenerate) ring → rejected
+    with pytest.raises(ValueError, match="not strictly convex CCW"):
+        point_in_convex_polygon(
+            F.lit(0), F.lit(0), [(0, 0), (5, 5), (10, 10)]
+        )
