@@ -428,3 +428,109 @@ def fence_cond_sql(poly: list[tuple[int, int]], x: str, y: str) -> str:
             f"(({bx - ax}) * ({y} - ({ay})) - ({by - ay}) * ({x} - ({ax}))) >= 0"
         )
     return "(" + " AND ".join(terms) + ")"
+
+
+def proximity_pairs(
+    traj: DataFrame,
+    radius_m: float,
+    bucket_us: int,
+    cells_per_deg: int,
+    vehicle_col: str = "vehicle_id",
+    t_us_col: str = "t_us",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    lat_factor: float = LAT_FACTOR,
+) -> DataFrame:
+    """Distributed proximity self-join (close-contact detection): all
+    pairs of DIFFERENT vehicles with points in the same time bucket
+    closer than ``radius_m`` — via neighbor-cell blocking, the classic
+    bin-and-refine spatial join that replaces the O(n²) cross product:
+
+    - bin every point to (time bucket, grid cell);
+    - explode ONE side to its 3×3 neighbor cells and equi-join on
+      (bucket, cell) — any pair within ``radius_m`` is in the same or
+      an adjacent cell PROVIDED the cell is at least ``radius_m`` wide
+      in BOTH axes (validated eagerly: too-fine cells silently LOSE
+      pairs, the one bug class a recall-exact blocker must refuse);
+    - refine candidates with the exact planar distance.
+
+    Each qualifying (a, b) pair matches exactly once: the a-side cell
+    equals exactly one of the b-side's 9 neighbor cells (the offset
+    cell), and ``vehicle_a < vehicle_b`` fixes the orientation — no
+    dedup pass needed.  Scale shape: ONE equi-join shuffle keyed on
+    (bucket, cell); candidates are bounded by local density × 9, never
+    |points|²; hub cells are the skew to salt if a terminal exceeds a
+    partition.  Returns one row per contact event:
+    ``(vehicle_a, vehicle_b, bucket, t_us_a, t_us_b, dist_m)``."""
+    lat_cell_m = M_PER_DEG / cells_per_deg
+    lng_cell_m = M_PER_DEG * lat_factor / cells_per_deg
+    if lat_cell_m < radius_m or lng_cell_m < radius_m:
+        raise ValueError(
+            f"cells_per_deg={cells_per_deg} gives cells of "
+            f"{lat_cell_m:.0f} m × {lng_cell_m:.0f} m — smaller than "
+            f"radius_m={radius_m}; neighbor blocking would MISS pairs. "
+            f"Use cells_per_deg <= "
+            f"{int(M_PER_DEG * lat_factor / radius_m)}"
+        )
+    cpd = F.lit(float(cells_per_deg))
+    binned = traj.select(
+        F.col(vehicle_col),
+        F.col(t_us_col),
+        F.col(lat_col),
+        F.col(lng_col),
+        F.expr(f"{t_us_col} div {int(bucket_us)}").alias("bucket"),
+        F.floor(F.col(lat_col) * cpd).alias("clat"),
+        F.floor(F.col(lng_col) * cpd).alias("clng"),
+    )
+    a = binned.select(
+        F.col(vehicle_col).alias("vehicle_a"),
+        F.col(t_us_col).alias("t_us_a"),
+        F.col(lat_col).alias("_lat_a"),
+        F.col(lng_col).alias("_lng_a"),
+        "bucket",
+        F.col("clat").alias("_jlat"),
+        F.col("clng").alias("_jlng"),
+    )
+    offsets = F.expr(
+        "array(-1,0,1)"
+    )
+    b = (
+        binned.select(
+            F.col(vehicle_col).alias("vehicle_b"),
+            F.col(t_us_col).alias("t_us_b"),
+            F.col(lat_col).alias("_lat_b"),
+            F.col(lng_col).alias("_lng_b"),
+            "bucket",
+            "clat",
+            "clng",
+        )
+        .withColumn("_dlat", F.explode(offsets))
+        .withColumn("_dlng", F.explode(offsets))
+        .select(
+            "vehicle_b",
+            "t_us_b",
+            "_lat_b",
+            "_lng_b",
+            "bucket",
+            (F.col("clat") + F.col("_dlat")).alias("_jlat"),
+            (F.col("clng") + F.col("_dlng")).alias("_jlng"),
+        )
+    )
+    cand = a.join(b, ["bucket", "_jlat", "_jlng"]).where(
+        F.col("vehicle_a") < F.col("vehicle_b")
+    )
+    d = planar_distance_m(
+        F.col("_lat_a"),
+        F.col("_lng_a"),
+        F.col("_lat_b"),
+        F.col("_lng_b"),
+        lat_factor,
+    )
+    return cand.select(
+        "vehicle_a",
+        "vehicle_b",
+        "bucket",
+        "t_us_a",
+        "t_us_b",
+        d.alias("dist_m"),
+    ).where(F.col("dist_m") < radius_m)

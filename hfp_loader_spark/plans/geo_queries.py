@@ -782,3 +782,55 @@ def streaming_geo_latest_positions(
         F.col("_m.lat").alias("last_lat"),
         F.col("_m.lng").alias("last_lng"),
     )
+
+
+@defquery(
+    "geo_close_contacts",
+    f"""
+    WITH {_traj_cte()},
+    tb AS (
+      SELECT vehicle_id, t_us, lat, lng,
+             t_us // 86400000000 AS bucket
+      FROM traj
+    ),
+    contacts AS (
+      SELECT a.vehicle_id AS vehicle_a, b.vehicle_id AS vehicle_b,
+             {_dist_sql("a.lat", "a.lng", "b.lat", "b.lng")} AS dist_m
+      FROM tb a JOIN tb b
+        ON a.bucket = b.bucket AND a.vehicle_id < b.vehicle_id
+      WHERE {_dist_sql("a.lat", "a.lng", "b.lat", "b.lng")} < 1000.0
+    )
+    SELECT vehicle_a, vehicle_b,
+           CAST(count(*) AS BIGINT) AS n_contacts,
+           round(min(dist_m), 1)    AS min_dist_m
+    FROM contacts GROUP BY vehicle_a, vehicle_b
+    ORDER BY n_contacts DESC, vehicle_a, vehicle_b LIMIT 20
+    """,
+    doc="Close-contact detection: all vehicle pairs with points < 1 km "
+    "apart in the same day bucket, found by the NEIGHBOR-CELL BLOCKED "
+    "spatial self-join (operators.geo.proximity_pairs — bin to (bucket, "
+    "cell), explode one side to its 3x3 neighbors, equi-join, exact "
+    "refine; recall-exact because the cell is validated >= radius in "
+    "both axes). The oracle states the O(n^2) all-pairs definition the "
+    "blocking provably equals — at 100 TB the engine runs ONE "
+    "density-bounded equi-join where the oracle's cross product is "
+    "impossible.",
+)
+def geo_close_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.geo import proximity_pairs
+
+    contacts = proximity_pairs(
+        _traj(spark, sf_dir),
+        radius_m=1000.0,
+        bucket_us=86_400_000_000,
+        cells_per_deg=50,
+    )
+    return (
+        contacts.groupBy("vehicle_a", "vehicle_b")
+        .agg(
+            F.count("*").alias("n_contacts"),
+            F.round(F.min("dist_m"), 1).alias("min_dist_m"),
+        )
+        .orderBy(F.desc("n_contacts"), "vehicle_a", "vehicle_b")
+        .limit(20)
+    )

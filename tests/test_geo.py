@@ -320,3 +320,59 @@ def test_point_in_convex_polygon_validates_ring(spark):
         point_in_convex_polygon(
             F.lit(0), F.lit(0), [(0, 0), (5, 5), (10, 10)]
         )
+
+
+def test_proximity_pairs_blocked_join_semantics(spark):
+    from hfp_loader_spark.operators.geo import proximity_pairs
+
+    # radius 1000 m, cpd=50 → lat cells 2226 m, lng cells 1113 m.
+    # v1/v2: ~556 m apart but in ADJACENT lng cells (24.4999 vs 24.5099
+    # straddle the 24.50 boundary at cpd=50? 24.4999*50=1224.995 →
+    # cell 1224; 24.5099*50=1225.495 → cell 1225) → only the neighbor
+    # expansion finds them.  v3: same cell as v1 but ~2.8 km away →
+    # candidate, refined OUT.  v4: same location as v1 but a different
+    # day bucket → never a candidate.
+    df = spark.createDataFrame(
+        [
+            (1, 1_000_000, 60.0001, 24.4999),
+            (2, 2_000_000, 60.0001, 24.5099),
+            (3, 3_000_000, 60.0251, 24.4999),
+            (4, 86_400_000_000 + 1, 60.0001, 24.4999),
+        ],
+        "vehicle_id int, t_us long, lat double, lng double",
+    )
+    out = proximity_pairs(
+        df, radius_m=1000.0, bucket_us=86_400_000_000, cells_per_deg=50
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["vehicle_a"], r["vehicle_b"]) == (1, 2)
+    assert r["dist_m"] == pytest.approx(111320.0 * 0.5 * 0.01, rel=1e-6)
+
+
+def test_proximity_pairs_refuses_lossy_cells(spark):
+    from hfp_loader_spark.operators.geo import proximity_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, 60.0, 24.5)], "vehicle_id int, t_us long, lat double, lng double"
+    )
+    with pytest.raises(ValueError, match="MISS pairs"):
+        proximity_pairs(
+            df, radius_m=1000.0, bucket_us=86_400_000_000, cells_per_deg=200
+        )
+
+
+def test_proximity_pairs_no_duplicate_matches(spark):
+    """A qualifying pair must appear exactly ONCE (the offset-cell match
+    is unique) — duplicates would double-count n_contacts downstream."""
+    from hfp_loader_spark.operators.geo import proximity_pairs
+
+    # two vehicles in the SAME cell, well within radius
+    df = spark.createDataFrame(
+        [(1, 1_000_000, 60.001, 24.501), (2, 2_000_000, 60.002, 24.502)],
+        "vehicle_id int, t_us long, lat double, lng double",
+    )
+    out = proximity_pairs(
+        df, radius_m=1000.0, bucket_us=86_400_000_000, cells_per_deg=50
+    ).collect()
+    assert len(out) == 1
