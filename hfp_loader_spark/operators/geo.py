@@ -92,7 +92,7 @@ def grid_cell(
 
 def leg_metrics(
     traj: DataFrame,
-    vehicle_col: str = "vehicle_id",
+    vehicle_col: str | list[str] = "vehicle_id",
     order_col: str = "rn",
     lat_col: str = "lat",
     lng_col: str = "lng",
@@ -103,12 +103,17 @@ def leg_metrics(
     ``leg_m`` (planar metres), ``dt_s`` (seconds, double), ``speed_ms``
     (NULL when ``dt_s`` ≤ 0 — co-timestamped duplicates must not divide
     by zero).  First point of each vehicle has NULL legs.
+    ``vehicle_col`` may be a composite key (e.g. ``["vehicle_id",
+    "trip_id"]`` so legs never span a trip boundary).
 
     One window exchange on the vehicle key; every lag shares the same
     window spec so Catalyst plans a single sort+window pass.  At 100 TB
     the input should be bucketed/partitioned by vehicle so the exchange
     is a local sort."""
-    w = Window.partitionBy(vehicle_col).orderBy(order_col)
+    keys = (
+        [vehicle_col] if isinstance(vehicle_col, str) else list(vehicle_col)
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
     plat = F.lag(lat_col).over(w)
     plng = F.lag(lng_col).over(w)
     pt = F.lag(t_us_col).over(w)
@@ -156,6 +161,10 @@ def stop_episodes(
         .agg(
             F.min(order_col).alias("episode_start_rn"),
             F.count("*").alias("n_points"),
+            # dwell in integer µs too: downstream SUMs over episodes stay
+            # exact integers (a float-seconds sum is summation-order-
+            # dependent across engines; the µs integer sum is not)
+            (F.max(t_us_col) - F.min(t_us_col)).alias("dwell_us"),
             (
                 (F.max(t_us_col) - F.min(t_us_col)).cast("double")
                 / F.lit(1000000.0)
@@ -291,6 +300,9 @@ def headways_at_cells(
         "cell",
         vehicle_col,
         "arr_us",
+        # integer µs headway alongside float seconds: aggregates over
+        # many headways should sum the exact integers (see stop_episodes)
+        (F.col("arr_us") - prev).alias("headway_us"),
         ((F.col("arr_us") - prev).cast("double") / F.lit(1000000.0)).alias(
             "headway_s"
         ),

@@ -143,6 +143,28 @@ _LEG_SQL = _dist_sql(
 )
 
 
+#: Exact integer-cents mean of spd — the synthetic speeds are exact
+#: multiples of 0.01, so summing cents as BIGINT removes the
+#: summation-order ulps a float AVG carries across engines (one
+#: sf0.001 avg_spd landed on a .0005 rounding boundary and flipped —
+#: the only float-aggregate failure mode this catalog has).  The final
+#: (sum/count)/100 division chain is per-step correctly rounded from
+#: identical inputs, hence bit-identical.
+_AVG_SPD_SQL = (
+    "round((CAST(sum(CAST(round(spd * 100.0, 0) AS BIGINT)) AS DOUBLE)"
+    " / CAST(count(*) AS DOUBLE)) / 100.0, 3)"
+)
+
+
+def _avg_spd_col():
+    cents = F.round(F.col("spd") * 100.0, 0).cast("long")
+    return F.round(
+        (F.sum(cents).cast("double") / F.count("*").cast("double"))
+        / 100.0,
+        3,
+    )
+
+
 @defquery(
     "geo_leg_speed_profile",
     f"""
@@ -191,7 +213,7 @@ def geo_leg_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_cell_sql("lat", "lng")} AS cell,
            CAST(count(*) AS BIGINT)                  AS n_points,
            CAST(count(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles,
-           round(avg(spd), 3)                        AS avg_spd
+           {_AVG_SPD_SQL} AS avg_spd
     FROM traj
     GROUP BY cell
     ORDER BY n_points DESC, cell LIMIT 25
@@ -209,7 +231,7 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_points"),
             F.count_distinct("vehicle_id").alias("n_vehicles"),
-            F.round(F.avg("spd"), 3).alias("avg_spd"),
+            _avg_spd_col().alias("avg_spd"),
         )
         .orderBy(F.desc("n_points"), "cell")
         .limit(25)
@@ -226,16 +248,17 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM traj WHERE spd < 2.0
     ),
     epi AS (
-      SELECT vehicle_id,
-             CAST(max(t_us) - min(t_us) AS DOUBLE) / 1000000.0 AS dwell_s
+      SELECT vehicle_id, max(t_us) - min(t_us) AS dwell_us
       FROM flagged
       GROUP BY vehicle_id, rn - k
       HAVING count(*) >= 3
     )
     SELECT vehicle_id,
            CAST(count(*) AS BIGINT)   AS n_stops,
-           round(sum(dwell_s), 1)     AS total_dwell_s,
-           round(max(dwell_s), 1)     AS max_dwell_s
+           round(CAST(sum(dwell_us) AS DOUBLE) / 1000000.0, 1)
+                                      AS total_dwell_s,
+           round(CAST(max(dwell_us) AS DOUBLE) / 1000000.0, 1)
+                                      AS max_dwell_s
     FROM epi GROUP BY vehicle_id
     ORDER BY n_stops DESC, total_dwell_s DESC, vehicle_id LIMIT 20
     """,
@@ -252,8 +275,14 @@ def geo_stop_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         epi.groupBy("vehicle_id")
         .agg(
             F.count("*").alias("n_stops"),
-            F.round(F.sum("dwell_s"), 1).alias("total_dwell_s"),
-            F.round(F.max("dwell_s"), 1).alias("max_dwell_s"),
+            # sum the exact integer µs, divide ONCE — a float-seconds
+            # sum is summation-order-dependent across engines
+            F.round(
+                F.sum("dwell_us").cast("double") / 1000000.0, 1
+            ).alias("total_dwell_s"),
+            F.round(
+                F.max("dwell_us").cast("double") / 1000000.0, 1
+            ).alias("max_dwell_s"),
         )
         .orderBy(F.desc("n_stops"), F.desc("total_dwell_s"), "vehicle_id")
         .limit(20)
@@ -314,7 +343,7 @@ def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vehicle_id,
            CAST(count(*) AS BIGINT)    AS n_buckets,
            CAST(sum(n_raw) AS BIGINT)  AS n_raw_points,
-           round(avg(spd), 3)          AS avg_first_spd
+           {_AVG_SPD_SQL} AS avg_first_spd
     FROM rs GROUP BY vehicle_id
     ORDER BY n_buckets DESC, vehicle_id LIMIT 20
     """,
@@ -334,7 +363,7 @@ def geo_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_buckets"),
             F.sum("n_raw").cast("long").alias("n_raw_points"),
-            F.round(F.avg("spd"), 3).alias("avg_first_spd"),
+            _avg_spd_col().alias("avg_first_spd"),
         )
         .orderBy(F.desc("n_buckets"), "vehicle_id")
         .limit(20)
@@ -353,16 +382,19 @@ def geo_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hw AS (
       SELECT cell,
-             CAST(arr_us - lag(arr_us)
+             arr_us - lag(arr_us)
                   OVER (PARTITION BY cell ORDER BY arr_us, vehicle_id)
-               AS DOUBLE) / 1000000.0 AS headway_s
+               AS headway_us
       FROM arr
     )
     SELECT cell,
            CAST(count(*) AS BIGINT)  AS n_headways,
-           round(avg(headway_s), 1)  AS avg_headway_s,
-           round(min(headway_s), 1)  AS min_headway_s
-    FROM hw WHERE headway_s IS NOT NULL
+           round((CAST(sum(headway_us) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) / 1000000.0, 1)
+                                     AS avg_headway_s,
+           round(CAST(min(headway_us) AS DOUBLE) / 1000000.0, 1)
+                                     AS min_headway_s
+    FROM hw WHERE headway_us IS NOT NULL
     GROUP BY cell HAVING count(*) >= 1
     ORDER BY n_headways DESC, cell LIMIT 20
     """,
@@ -382,8 +414,18 @@ def geo_headway_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         hw.groupBy("cell")
         .agg(
             F.count("*").alias("n_headways"),
-            F.round(F.avg("headway_s"), 1).alias("avg_headway_s"),
-            F.round(F.min("headway_s"), 1).alias("min_headway_s"),
+            # exact integer-µs mean (see _AVG_SPD_SQL rationale)
+            F.round(
+                (
+                    F.sum("headway_us").cast("double")
+                    / F.count("*").cast("double")
+                )
+                / 1000000.0,
+                1,
+            ).alias("avg_headway_s"),
+            F.round(
+                F.min("headway_us").cast("double") / 1000000.0, 1
+            ).alias("min_headway_s"),
         )
         .where(F.col("n_headways") >= 1)
         .orderBy(F.desc("n_headways"), "cell")
@@ -400,8 +442,12 @@ def geo_headway_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stops AS (
       SELECT cell AS stop_id,
-             round(avg(lat), 5) AS stop_lat,
-             round(avg(lng), 5) AS stop_lng,
+             round((CAST(sum(CAST(floor(lat * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   / 1000000.0, 5) AS stop_lat,
+             round((CAST(sum(CAST(floor(lng * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   / 1000000.0, 5) AS stop_lng,
              count(*) AS n
       FROM cells GROUP BY cell
       ORDER BY n DESC, cell LIMIT 10
@@ -437,8 +483,29 @@ def geo_nearest_stop_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops = (
         tr.groupBy(grid_cell(F.col("lat"), F.col("lng")).alias("cell"))
         .agg(
-            F.round(F.avg("lat"), 5).alias("stop_lat"),
-            F.round(F.avg("lng"), 5).alias("stop_lng"),
+            # centroid of µdeg-FLOORED coords: the integer sum is exact,
+            # so the rounded centroid can never boundary-flip between
+            # engines the way a float AVG can (see _AVG_SPD_SQL)
+            F.round(
+                (
+                    F.sum(
+                        F.floor(F.col("lat") * 1000000.0).cast("long")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                )
+                / 1000000.0,
+                5,
+            ).alias("stop_lat"),
+            F.round(
+                (
+                    F.sum(
+                        F.floor(F.col("lng") * 1000000.0).cast("long")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                )
+                / 1000000.0,
+                5,
+            ).alias("stop_lng"),
             F.count("*").alias("n"),
         )
         .orderBy(F.desc("n"), "cell")
@@ -533,7 +600,7 @@ def geo_dq_speed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(coarse_cell, -1) AS coarse_cell,
            coalesce(fine_cell, -1)   AS fine_cell,
            CAST(count(*) AS BIGINT)  AS n_points,
-           round(avg(spd), 3)        AS avg_spd
+           {_AVG_SPD_SQL} AS avg_spd
     FROM cells
     GROUP BY ROLLUP (coarse_cell, fine_cell)
     ORDER BY n_points DESC, coarse_cell, fine_cell LIMIT 25
@@ -557,7 +624,7 @@ def geo_grid_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.rollup("coarse_cell", "fine_cell")
         .agg(
             F.count("*").alias("n_points"),
-            F.round(F.avg("spd"), 3).alias("avg_spd"),
+            _avg_spd_col().alias("avg_spd"),
         )
         .select(
             F.coalesce(F.col("coarse_cell"), F.lit(-1)).alias("coarse_cell"),
@@ -653,7 +720,7 @@ def _fences_union_sql() -> str:
     SELECT fence_id,
            CAST(count(*) AS BIGINT)                   AS n_points,
            CAST(count(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles,
-           round(avg(spd), 3)                         AS avg_spd
+           {_AVG_SPD_SQL} AS avg_spd
     FROM hits GROUP BY fence_id ORDER BY fence_id
     """,
     doc="Geofence containment: exact int64 cross-product "
@@ -695,7 +762,7 @@ def geo_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_points"),
             F.count_distinct("vehicle_id").alias("n_vehicles"),
-            F.round(F.avg("spd"), 3).alias("avg_spd"),
+            _avg_spd_col().alias("avg_spd"),
         )
         .orderBy("fence_id")
     )
@@ -832,5 +899,75 @@ def geo_close_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("dist_m"), 1).alias("min_dist_m"),
         )
         .orderBy(F.desc("n_contacts"), "vehicle_a", "vehicle_b")
+        .limit(20)
+    )
+
+
+@defquery(
+    "geo_trip_summaries",
+    f"""
+    WITH {_traj_cte()},
+    lagged AS (
+      SELECT vehicle_id, rn, t_us, lat, lng, spd,
+             lag(t_us) OVER (PARTITION BY vehicle_id ORDER BY rn) AS pt
+      FROM traj
+    ),
+    tr AS (
+      SELECT vehicle_id, rn, t_us, lat, lng, spd,
+             CAST(sum(CASE WHEN pt IS NULL OR t_us - pt > 43200000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY vehicle_id ORDER BY rn) AS BIGINT)
+               AS trip_id
+      FROM lagged
+    ),
+    legs AS (
+      SELECT vehicle_id, trip_id, rn, t_us, spd,
+             {_cell_sql("lat", "lng")} AS cell,
+             {_dist_sql("lat", "lng",
+                        "lag(lat) OVER wt", "lag(lng) OVER wt")} AS leg_m
+      FROM tr
+      WINDOW wt AS (PARTITION BY vehicle_id, trip_id ORDER BY rn)
+    )
+    SELECT vehicle_id, trip_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(t_us) - min(t_us) AS DOUBLE) / 1000000.0
+                                    AS duration_s,
+           round(coalesce(sum(leg_m), 0.0), 1) AS total_m,
+           min_by(cell, rn)         AS origin_cell,
+           max_by(cell, rn)         AS dest_cell,
+           {_AVG_SPD_SQL} AS avg_spd
+    FROM legs GROUP BY vehicle_id, trip_id
+    ORDER BY total_m DESC, vehicle_id, trip_id LIMIT 20
+    """,
+    doc="The trip-summary gold table — the tier's capstone composition: "
+    "gap segmentation (operators.geo.trips_by_gap) → within-trip legs "
+    "(leg_metrics with the composite (vehicle, trip) key, so legs never "
+    "span a trip boundary) → per-trip distance, duration, O-D cells "
+    "(min_by/max_by), mean speed. The trip key is vehicle-local, so the "
+    "gap window, the leg window, and the final aggregate all share ONE "
+    "vehicle-key exchange.",
+)
+def geo_trip_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = trips_by_gap(_traj(spark, sf_dir), gap_seconds=43200)
+    legs = leg_metrics(tr, vehicle_col=["vehicle_id", "trip_id"])
+    legs = legs.withColumn(
+        "cell", grid_cell(F.col("lat"), F.col("lng"))
+    )
+    return (
+        legs.groupBy("vehicle_id", "trip_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                (F.max("t_us") - F.min("t_us")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("duration_s"),
+            F.round(
+                F.coalesce(F.sum("leg_m"), F.lit(0.0)), 1
+            ).alias("total_m"),
+            F.min_by("cell", "rn").alias("origin_cell"),
+            F.max_by("cell", "rn").alias("dest_cell"),
+            _avg_spd_col().alias("avg_spd"),
+        )
+        .orderBy(F.desc("total_m"), "vehicle_id", "trip_id")
         .limit(20)
     )
