@@ -971,3 +971,90 @@ def geo_trip_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_m"), "vehicle_id", "trip_id")
         .limit(20)
     )
+
+
+_CELL_PR_ITER = 5
+_CELL_PR_DAMP = 0.85
+
+
+def _cell_pagerank_oracle() -> str:
+    """Power iteration unrolled into chained CTEs over the cell-
+    transition graph — the same oracle pattern as
+    graph_pagerank_cust_supp (incremental_queries._pagerank_oracle),
+    with the trajectory-derived edge list in front."""
+    cell20 = (
+        "CAST(floor(lat * 20.0) AS BIGINT) * 100000"
+        " + CAST(floor(lng * 20.0) AS BIGINT)"
+    )
+    parts = [
+        f"WITH {_traj_cte()},",
+        f"cells AS (SELECT vehicle_id, rn, {cell20} AS cell FROM traj),",
+        "trans AS (SELECT cell, lag(cell) OVER (PARTITION BY vehicle_id"
+        " ORDER BY rn) AS prev FROM cells),",
+        "edges AS (SELECT DISTINCT prev AS src, cell AS dst FROM trans"
+        " WHERE prev IS NOT NULL AND prev <> cell),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "meta AS (SELECT count(*) AS n FROM nodes),",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes)",
+    ]
+    for i in range(1, _CELL_PR_ITER + 1):
+        parts.append(
+            f""", pr{i} AS (
+  SELECT n.node,
+         (1 - {_CELL_PR_DAMP}) / (SELECT n FROM meta)
+           + {_CELL_PR_DAMP} * coalesce(s.c, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / o.deg) AS c
+    FROM edges e
+      JOIN pr{i - 1} p ON e.src = p.node
+      JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    parts.append(
+        f"SELECT node, round(rank, 9) AS rank FROM pr{_CELL_PR_ITER}"
+    )
+    return "\n".join(parts)
+
+
+@defquery(
+    "geo_cell_pagerank",
+    _cell_pagerank_oracle(),
+    doc="Road-segment importance: 5-iteration PageRank (operators.graph."
+    "pagerank) over the CELL-TRANSITION graph mined from trajectories "
+    "(distinct consecutive coarse-cell pairs per vehicle — one lag "
+    "window on the shared vehicle-key exchange, then DISTINCT). The "
+    "cross-tier composition: trajectory operators feed the iterative "
+    "graph tier; cell ids are already longs, so the rounds hash 8-byte "
+    "keys. Oracle: the power iteration unrolled into 5 chained CTEs "
+    "behind the trajectory/edge derivation.",
+)
+def geo_cell_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.graph import pagerank
+
+    tr = _traj(spark, sf_dir)
+    w = Window.partitionBy("vehicle_id").orderBy("rn")
+    cells = tr.select(
+        "vehicle_id",
+        "rn",
+        grid_cell(F.col("lat"), F.col("lng"), cells_per_deg=20).alias(
+            "cell"
+        ),
+    )
+    trans = cells.select(
+        F.col("cell"), F.lag("cell").over(w).alias("prev")
+    )
+    edges = (
+        trans.where(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("cell"))
+        )
+        .select(F.col("prev").alias("src"), F.col("cell").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, n_iter=_CELL_PR_ITER, damping=_CELL_PR_DAMP
+    )
+    return ranks.select(
+        F.col("id").alias("node"), F.round("rank", 9).alias("rank")
+    )
