@@ -546,3 +546,71 @@ def proximity_pairs(
         "t_us_b",
         d.alias("dist_m"),
     ).where(F.col("dist_m") < radius_m)
+
+
+def materialize_position_lake(
+    spark,
+    traj: DataFrame,
+    root: str,
+    cells_per_deg: int = 20,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> dict:
+    """Publish a trajectory frame as the SERVE layout of a position
+    lake: parquet **partitioned by coarse grid cell**, so any
+    cell-scoped query (geofence, stop, headway, density over a region)
+    prunes whole partition directories at planning time instead of
+    scanning the fleet's full history — the geo twin of the IVF serve
+    layout (similarity.materialize_cell_index), reusing its
+    temp-dir-and-rename publish so readers never see a half-written
+    lake.  The manifest stamps ``cells_per_deg``: a reader expecting a
+    different grid resolution must refuse, exactly like a quantization-
+    scale mismatch (cell ids are only comparable within one grid).
+
+    At 100 TB this is the difference between "query the Kamppi box" =
+    read a handful of directories vs read a year of nationwide
+    positions.  Compose with a date partition above the cell for
+    time-scoped pruning."""
+    from hfp_loader_spark.operators.similarity import (
+        _publish_partitioned_index,
+    )
+
+    rows = traj.withColumn(
+        "cell", grid_cell(F.col(lat_col), F.col(lng_col), cells_per_deg)
+    )
+    doc = {
+        "kind": "geo_position_lake",
+        "cells_per_deg": int(cells_per_deg),
+        "lat_col": lat_col,
+        "lng_col": lng_col,
+    }
+    return _publish_partitioned_index(spark, rows, root, doc)
+
+
+def read_position_lake(
+    spark, root: str, expect_cells_per_deg: int
+) -> DataFrame:
+    """Open a lake written by :func:`materialize_position_lake` with
+    ``cell`` as the partition column — ``where(cell.isin(…))`` (or a
+    cell range) on the result prunes directories at planning time.
+    Fail-loud: a missing lake, a foreign table kind, or a grid-
+    resolution mismatch raises (cell ids from a different
+    ``cells_per_deg`` silently select the wrong region)."""
+    from hfp_loader_spark.operators.similarity import read_index_manifest
+
+    doc = read_index_manifest(spark, root)
+    if doc is None:
+        raise ValueError(f"no position lake materialized at {root}")
+    if doc.get("kind") != "geo_position_lake":
+        raise ValueError(
+            f"{root} holds kind={doc.get('kind')!r}, not a "
+            "geo_position_lake"
+        )
+    if doc.get("cells_per_deg") != int(expect_cells_per_deg):
+        raise ValueError(
+            f"position lake at {root} is gridded at "
+            f"cells_per_deg={doc.get('cells_per_deg')}; caller expects "
+            f"{expect_cells_per_deg} — re-materialize instead of mixing "
+            "grids"
+        )
+    return spark.read.parquet(f"{root.rstrip('/')}/data")

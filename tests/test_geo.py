@@ -376,3 +376,51 @@ def test_proximity_pairs_no_duplicate_matches(spark):
         df, radius_m=1000.0, bucket_us=86_400_000_000, cells_per_deg=50
     ).collect()
     assert len(out) == 1
+
+
+def test_position_lake_partition_pruning_is_physical(spark, sf_dir, tmp_path):
+    """materialize_position_lake → cell-scoped reads prune partition
+    DIRECTORIES: corrupting an unqueried cell's parquet files does not
+    touch the query (while reading that partition directly fails), and
+    grid-resolution/kind pins are enforced — the geo twin of the IVF
+    serve-layout lifecycle test."""
+    import glob
+
+    from hfp_loader_spark.operators.geo import (
+        materialize_position_lake,
+        read_position_lake,
+    )
+    from hfp_loader_spark.plans.geo_queries import _traj
+
+    root = str(tmp_path / "lake")
+    tr = _traj(spark, sf_dir)
+    doc = materialize_position_lake(spark, tr, root, cells_per_deg=20)
+    assert doc["kind"] == "geo_position_lake"
+
+    lake = read_position_lake(spark, root, expect_cells_per_deg=20)
+    cells = sorted(r["cell"] for r in lake.select("cell").distinct().collect())
+    assert len(cells) >= 2, "need >= 2 cells to prove pruning"
+    target, victim = cells[0], cells[-1]
+
+    q = lake.where(F.col("cell") == target)
+    baseline = sorted(r["event_id"] for r in q.collect())
+    assert baseline
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    victim_files = glob.glob(f"{root}/data/cell={victim}/*.parquet")
+    assert victim_files
+    for f in victim_files:
+        with open(f, "wb") as fh:
+            fh.write(b"garbage")
+    again = read_position_lake(spark, root, expect_cells_per_deg=20).where(
+        F.col("cell") == target
+    )
+    assert sorted(r["event_id"] for r in again.collect()) == baseline
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{root}/data/cell={victim}").collect()
+
+    with pytest.raises(ValueError, match="mixing grids"):
+        read_position_lake(spark, root, expect_cells_per_deg=200)
+    with pytest.raises(ValueError, match="no position lake"):
+        read_position_lake(spark, str(tmp_path / "nope"), 20)
