@@ -459,20 +459,26 @@ def proximity_pairs(
     bin-and-refine spatial join that replaces the O(n²) cross product:
 
     - bin every point to (time bucket, grid cell);
-    - explode ONE side to its 3×3 neighbor cells and equi-join on
-      (bucket, cell) — any pair within ``radius_m`` is in the same or
+    - explode ONE side to the HALF-PLANE neighbor set — self plus the 4
+      "forward" offsets {(0,1),(1,−1),(1,0),(1,1)} — and equi-join on
+      (bucket, cell).  Any pair within ``radius_m`` is in the same or
       an adjacent cell PROVIDED the cell is at least ``radius_m`` wide
       in BOTH axes (validated eagerly: too-fine cells silently LOSE
       pairs, the one bug class a recall-exact blocker must refuse);
     - refine candidates with the exact planar distance.
 
-    Each qualifying (a, b) pair matches exactly once: the a-side cell
-    equals exactly one of the b-side's 9 neighbor cells (the offset
-    cell), and ``vehicle_a < vehicle_b`` fixes the orientation — no
-    dedup pass needed.  Scale shape: ONE equi-join shuffle keyed on
-    (bucket, cell); candidates are bounded by local density × 9, never
-    |points|²; hub cells are the skew to salt if a terminal exceeds a
-    partition.  Returns one row per contact event:
+    Each qualifying unordered pair matches exactly ONCE: the 4 forward
+    offsets and their negations partition the 8 nonzero neighbor
+    directions, so a cross-cell pair is found in exactly one
+    orientation (whichever side's cell delta is forward), and same-cell
+    pairs go through the self offset with a strict ``<`` vehicle guard;
+    the output then normalizes to ``vehicle_a < vehicle_b``.  The
+    half-plane set shuffles 5× the points instead of the textbook 3×3's
+    9× — 44% less exploded I/O for the identical result (oracle-locked
+    against the all-pairs definition).  Scale shape: ONE equi-join
+    shuffle keyed on (bucket, cell); candidates are bounded by local
+    density × 5, never |points|²; hub cells are the skew to salt if a
+    terminal exceeds a partition.  Returns one row per contact event:
     ``(vehicle_a, vehicle_b, bucket, t_us_a, t_us_b, dist_m)``."""
     lat_cell_m = M_PER_DEG / cells_per_deg
     lng_cell_m = M_PER_DEG * lat_factor / cells_per_deg
@@ -495,41 +501,51 @@ def proximity_pairs(
         F.floor(F.col(lng_col) * cpd).alias("clng"),
     )
     a = binned.select(
-        F.col(vehicle_col).alias("vehicle_a"),
-        F.col(t_us_col).alias("t_us_a"),
+        F.col(vehicle_col).alias("_va"),
+        F.col(t_us_col).alias("_ta"),
         F.col(lat_col).alias("_lat_a"),
         F.col(lng_col).alias("_lng_a"),
         "bucket",
         F.col("clat").alias("_jlat"),
         F.col("clng").alias("_jlng"),
     )
+    # self + half-plane forward offsets (their negations are covered by
+    # the swapped orientation of the same pair)
     offsets = F.expr(
-        "array(-1,0,1)"
+        "array(named_struct('dlat', 0L, 'dlng', 0L),"
+        " named_struct('dlat', 0L, 'dlng', 1L),"
+        " named_struct('dlat', 1L, 'dlng', -1L),"
+        " named_struct('dlat', 1L, 'dlng', 0L),"
+        " named_struct('dlat', 1L, 'dlng', 1L))"
     )
     b = (
         binned.select(
-            F.col(vehicle_col).alias("vehicle_b"),
-            F.col(t_us_col).alias("t_us_b"),
+            F.col(vehicle_col).alias("_vb"),
+            F.col(t_us_col).alias("_tb"),
             F.col(lat_col).alias("_lat_b"),
             F.col(lng_col).alias("_lng_b"),
             "bucket",
             "clat",
             "clng",
         )
-        .withColumn("_dlat", F.explode(offsets))
-        .withColumn("_dlng", F.explode(offsets))
+        .withColumn("_o", F.explode(offsets))
         .select(
-            "vehicle_b",
-            "t_us_b",
+            "_vb",
+            "_tb",
             "_lat_b",
             "_lng_b",
             "bucket",
-            (F.col("clat") + F.col("_dlat")).alias("_jlat"),
-            (F.col("clng") + F.col("_dlng")).alias("_jlng"),
+            (F.col("clat") + F.col("_o.dlat")).alias("_jlat"),
+            (F.col("clng") + F.col("_o.dlng")).alias("_jlng"),
+            ((F.col("_o.dlat") == 0) & (F.col("_o.dlng") == 0)).alias(
+                "_self"
+            ),
         )
     )
     cand = a.join(b, ["bucket", "_jlat", "_jlng"]).where(
-        F.col("vehicle_a") < F.col("vehicle_b")
+        F.when(F.col("_self"), F.col("_va") < F.col("_vb")).otherwise(
+            F.col("_va") != F.col("_vb")
+        )
     )
     d = planar_distance_m(
         F.col("_lat_a"),
@@ -538,12 +554,17 @@ def proximity_pairs(
         F.col("_lng_b"),
         lat_factor,
     )
+    swap = F.col("_va") > F.col("_vb")
     return cand.select(
-        "vehicle_a",
-        "vehicle_b",
+        F.when(swap, F.col("_vb")).otherwise(F.col("_va")).alias(
+            "vehicle_a"
+        ),
+        F.when(swap, F.col("_va")).otherwise(F.col("_vb")).alias(
+            "vehicle_b"
+        ),
         "bucket",
-        "t_us_a",
-        "t_us_b",
+        F.when(swap, F.col("_tb")).otherwise(F.col("_ta")).alias("t_us_a"),
+        F.when(swap, F.col("_ta")).otherwise(F.col("_tb")).alias("t_us_b"),
         d.alias("dist_m"),
     ).where(F.col("dist_m") < radius_m)
 

@@ -347,6 +347,10 @@ def test_proximity_pairs_blocked_join_semantics(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["vehicle_a"], r["vehicle_b"]) == (1, 2)
+    # the swap-normalization must carry the timestamps WITH the ids:
+    # this pair is discovered in the (v2, v1) orientation (v1's cell is
+    # forward of v2's), then normalized
+    assert (r["t_us_a"], r["t_us_b"]) == (1_000_000, 2_000_000)
     assert r["dist_m"] == pytest.approx(111320.0 * 0.5 * 0.01, rel=1e-6)
 
 
