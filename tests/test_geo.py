@@ -428,3 +428,56 @@ def test_position_lake_partition_pruning_is_physical(spark, sf_dir, tmp_path):
         read_position_lake(spark, root, expect_cells_per_deg=200)
     with pytest.raises(ValueError, match="no position lake"):
         read_position_lake(spark, str(tmp_path / "nope"), 20)
+
+
+#: Tier-wide physical plan caps, measured at sf0.001 (AQE-final plans;
+#: the plan string double-prints, so values are 2× the real exchange
+#: count) with a +2 margin for AQE variation.  The caps pin the scale
+#: claims each entry's docstring makes: one vehicle-key exchange for
+#: the window family, literal-argmin (not join) for nearest-stop (was
+#: 10 before the rewrite, now 4), blocked equi-join (never cartesian)
+#: for close contacts, checkpoint-hidden rounds for pagerank.
+GEO_PLAN_CAPS = {
+    "geo_leg_speed_profile": dict(max_exchanges=4, bnlj=0),
+    "geo_grid_density": dict(max_exchanges=6, bnlj=0),
+    "geo_stop_dwell": dict(max_exchanges=4, bnlj=0),
+    "geo_od_matrix": dict(max_exchanges=6, bnlj=0),
+    "geo_resample_6h": dict(max_exchanges=4, bnlj=0),
+    "geo_headway_per_cell": dict(max_exchanges=6, bnlj=0),
+    "geo_nearest_stop_assign": dict(max_exchanges=6, bnlj=0),
+    "geo_dq_speed_violations": dict(max_exchanges=4, bnlj=0),
+    "geo_grid_rollup_multires": dict(max_exchanges=6, bnlj=0),
+    "geo_speed_by_hour": dict(max_exchanges=6, bnlj=0),
+    "geo_geofence_counts": dict(max_exchanges=6, bnlj=0),
+    "geo_close_contacts": dict(max_exchanges=5, bnlj=0),
+    "geo_trip_summaries": dict(max_exchanges=4, bnlj=0),
+    "geo_cell_pagerank": dict(max_exchanges=2, bnlj=0),
+}
+
+
+def test_geo_tier_plan_caps(spark, sf_dir):
+    """Every geo entry's AQE-final plan stays inside its measured
+    exchange/BNLJ caps, with zero cartesian products and zero
+    row-at-a-time Python evals — a shuffle regression anywhere in the
+    tier fails here, not in a slow round."""
+    from hfp_loader_spark.audit import physical_profile
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    failures = []
+    for name, cap in GEO_PLAN_CAPS.items():
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.collect()
+        p = physical_profile(df)
+        if p["cartesian_products"]:
+            failures.append(f"{name}: CartesianProduct")
+        if p["python_row_evals"]:
+            failures.append(f"{name}: BatchEvalPython")
+        if p["exchanges"] > cap["max_exchanges"]:
+            failures.append(
+                f"{name}: {p['exchanges']} exchanges > {cap['max_exchanges']}"
+            )
+        if p["broadcast_nested_loop_joins"] > cap["bnlj"]:
+            failures.append(
+                f"{name}: {p['broadcast_nested_loop_joins']} BNLJ"
+            )
+    assert not failures, "\n".join(failures)
