@@ -38,6 +38,7 @@ from hfp_loader_spark.operators.geo import (
     stop_episodes,
     trips_by_gap,
 )
+from hfp_loader_spark.operators.geo import fence_cond_sql as _fence_cond_sql
 from hfp_loader_spark.plans.catalog import _t, defquery
 
 # --- the ONE definition of the synthetic trajectory (both engines) ----
@@ -1057,4 +1058,145 @@ def geo_cell_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranks.select(
         F.col("id").alias("node"), F.round("rank", 9).alias("rank")
+    )
+
+
+@defquery(
+    "geo_geofence_crossings",
+    f"""
+    WITH {_traj_cte()},
+    pts_e6 AS (
+      SELECT vehicle_id, rn,
+             {_E6_SQL.format(c="lng")} AS x_e6,
+             {_E6_SQL.format(c="lat")} AS y_e6
+      FROM traj
+    ),
+    flagged AS (
+      SELECT vehicle_id, rn,
+             {_fence_cond_sql(_FENCES[2], 'x_e6', 'y_e6')} AS inside
+      FROM pts_e6
+    ),
+    trans AS (
+      SELECT vehicle_id, inside,
+             lag(inside) OVER (PARTITION BY vehicle_id ORDER BY rn)
+               AS prev
+      FROM flagged
+    )
+    SELECT vehicle_id,
+           CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                AND NOT prev AND inside) AS BIGINT) AS n_enters,
+           CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                AND prev AND NOT inside) AS BIGINT) AS n_exits
+    FROM trans GROUP BY vehicle_id
+    HAVING count(*) FILTER (WHERE prev IS NOT NULL
+                AND prev <> inside) > 0
+    ORDER BY n_enters + n_exits DESC, vehicle_id LIMIT 20
+    """,
+    doc="Geofence ENTER/EXIT event detection: the exact int64 "
+    "containment predicate (operators.geo.point_in_convex_polygon) "
+    "lagged per vehicle — a crossing is a flag transition, so the "
+    "whole detector is the containment scan filter + one lag on the "
+    "shared vehicle-key exchange. The event-detection half of "
+    "geo_geofence_counts (which counts residency).",
+)
+def geo_geofence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.geo import point_in_convex_polygon
+
+    tr = _traj(spark, sf_dir)
+    pts = tr.select(
+        "vehicle_id",
+        "rn",
+        F.expr(_E6_SQL.format(c="lng")).alias("x_e6"),
+        F.expr(_E6_SQL.format(c="lat")).alias("y_e6"),
+    )
+    flagged = pts.select(
+        "vehicle_id",
+        "rn",
+        point_in_convex_polygon(
+            F.col("x_e6"), F.col("y_e6"), _FENCES[2]
+        ).alias("inside"),
+    )
+    w = Window.partitionBy("vehicle_id").orderBy("rn")
+    trans = flagged.select(
+        "vehicle_id", "inside", F.lag("inside").over(w).alias("prev")
+    )
+    enter = (
+        F.col("prev").isNotNull() & ~F.col("prev") & F.col("inside")
+    ).cast("long")
+    exit_ = (
+        F.col("prev").isNotNull() & F.col("prev") & ~F.col("inside")
+    ).cast("long")
+    out = (
+        trans.groupBy("vehicle_id")
+        .agg(
+            F.sum(enter).alias("n_enters"),
+            F.sum(exit_).alias("n_exits"),
+        )
+        .where((F.col("n_enters") + F.col("n_exits")) > 0)
+    )
+    return out.orderBy(
+        F.desc(F.col("n_enters") + F.col("n_exits")), "vehicle_id"
+    ).limit(20)
+
+
+@defquery(
+    "geo_heading_octants",
+    f"""
+    WITH {_traj_cte()},
+    legs AS (
+      SELECT vehicle_id,
+             lat - lag(lat) OVER w AS dlat,
+             0.5 * (lng - lag(lng) OVER w) AS dlng
+      FROM traj
+      WINDOW w AS (PARTITION BY vehicle_id ORDER BY rn)
+    )
+    SELECT CASE
+             WHEN abs(dlat) > 2.0 * abs(dlng)
+               THEN CASE WHEN dlat >= 0.0 THEN 'N' ELSE 'S' END
+             WHEN abs(dlng) > 2.0 * abs(dlat)
+               THEN CASE WHEN dlng >= 0.0 THEN 'E' ELSE 'W' END
+             ELSE CASE WHEN dlat >= 0.0 THEN 'N' ELSE 'S' END
+                  || CASE WHEN dlng >= 0.0 THEN 'E' ELSE 'W' END
+           END AS octant,
+           CAST(count(*) AS BIGINT)                   AS n_legs,
+           CAST(count(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles
+    FROM legs WHERE dlat IS NOT NULL AND NOT (dlat = 0.0 AND dlng = 0.0)
+    GROUP BY octant ORDER BY octant
+    """,
+    doc="Travel-direction distribution as an 8-way compass WITHOUT "
+    "atan2 (libm trig is not correctly rounded, so a bearing angle "
+    "could flip octants between engines): the octant is decided by "
+    "exact sign tests and |dlat| vs 2·|dlng| magnitude comparisons on "
+    "bit-identical metric deltas — cardinal when one axis dominates "
+    "2:1, intercardinal otherwise. One lag window on the shared "
+    "vehicle-key exchange, then an 8-group aggregate.",
+)
+def geo_heading_octants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _traj(spark, sf_dir)
+    w = Window.partitionBy("vehicle_id").orderBy("rn")
+    legs = tr.select(
+        "vehicle_id",
+        (F.col("lat") - F.lag("lat").over(w)).alias("dlat"),
+        (F.lit(0.5) * (F.col("lng") - F.lag("lng").over(w))).alias(
+            "dlng"
+        ),
+    )
+    ns = F.when(F.col("dlat") >= 0.0, "N").otherwise("S")
+    ew = F.when(F.col("dlng") >= 0.0, "E").otherwise("W")
+    octant = (
+        F.when(F.abs("dlat") > 2.0 * F.abs("dlng"), ns)
+        .when(F.abs("dlng") > 2.0 * F.abs("dlat"), ew)
+        .otherwise(F.concat(ns, ew))
+    )
+    return (
+        legs.where(
+            F.col("dlat").isNotNull()
+            & ~((F.col("dlat") == 0.0) & (F.col("dlng") == 0.0))
+        )
+        .groupBy(octant.alias("octant"))
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.count_distinct("vehicle_id").alias("n_vehicles"),
+        )
+        .orderBy("octant")
     )

@@ -452,6 +452,8 @@ GEO_PLAN_CAPS = {
     "geo_close_contacts": dict(max_exchanges=5, bnlj=0),
     "geo_trip_summaries": dict(max_exchanges=4, bnlj=0),
     "geo_cell_pagerank": dict(max_exchanges=2, bnlj=0),
+    "geo_geofence_crossings": dict(max_exchanges=4, bnlj=0),
+    "geo_heading_octants": dict(max_exchanges=6, bnlj=0),
 }
 
 
