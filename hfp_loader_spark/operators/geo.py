@@ -635,3 +635,63 @@ def read_position_lake(
             "grids"
         )
     return spark.read.parquet(f"{root.rstrip('/')}/data")
+
+
+def simplify_radial_flags(
+    traj: DataFrame,
+    epsilon_m: float,
+    vehicle_col: str = "vehicle_id",
+    order_col: str = "rn",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    lat_factor: float = LAT_FACTOR,
+) -> DataFrame:
+    """Radial-distance trajectory simplification: walk each vehicle's
+    points in order and KEEP a point iff it lies ≥ ``epsilon_m`` (planar
+    metres) from the LAST KEPT point (first point always kept) — the
+    streaming-friendly thinning every telemetry archive runs before
+    long-term storage (Douglas-Peucker's cheap cousin: one forward
+    pass, no recursion over the whole trip).
+
+    The keep decision depends on the last KEPT point, not the previous
+    point — a data-dependent-reset recurrence no window function
+    expresses (same class as packing.pack_greedy_bins) — so each
+    vehicle runs as ONE ``applyInPandas`` pass (Arrow batch, plain
+    Python doubles: IEEE ops identical to the JVM's, and the distance
+    formula matches :func:`planar_distance_m` term for term, so a SQL
+    engine replicates the walk with a recursive CTE stepping one point
+    per iteration).  Returns the input rows PLUS a ``kept`` boolean —
+    flags, not a subset, so one pass yields both the thinned stream and
+    the reduction stats.
+
+    Scale shape: one exchange on the vehicle key (reused if upstream
+    windows already partitioned by it), then embarrassingly parallel
+    per-vehicle scans; state per group is two doubles."""
+    import math
+
+    if epsilon_m <= 0:
+        raise ValueError("epsilon_m must be > 0")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in traj.schema.fields
+    ) + ", kept boolean"
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order_col)
+        lats = pdf[lat_col].to_numpy()
+        lngs = pdf[lng_col].to_numpy()
+        kept = []
+        last_lat = last_lng = None
+        for la, ln in zip(lats, lngs):
+            if last_lat is None:
+                k = True
+            else:
+                dlat = float(la) - last_lat
+                dlng = lat_factor * (float(ln) - last_lng)
+                d = M_PER_DEG * math.sqrt(dlat * dlat + dlng * dlng)
+                k = d >= epsilon_m
+            if k:
+                last_lat, last_lng = float(la), float(ln)
+            kept.append(k)
+        return pdf.assign(kept=kept)
+
+    return traj.groupBy(vehicle_col).applyInPandas(walk, schema=out_schema)

@@ -1200,3 +1200,64 @@ def geo_heading_octants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octant")
     )
+
+
+_SIMPLIFY_EPS = 25.0
+_WALK_D = _dist_sql("t.lat", "t.lng", "w.last_lat", "w.last_lng")
+
+
+@defquery(
+    "geo_simplify_radial",
+    f"""
+    WITH RECURSIVE {_traj_cte()},
+    walk AS (
+      SELECT vehicle_id, rn, lat AS last_lat, lng AS last_lng,
+             TRUE AS kept
+      FROM traj WHERE rn = 1
+      UNION ALL
+      SELECT t.vehicle_id, t.rn,
+             CASE WHEN {_WALK_D} >= {_SIMPLIFY_EPS}
+                  THEN t.lat ELSE w.last_lat END,
+             CASE WHEN {_WALK_D} >= {_SIMPLIFY_EPS}
+                  THEN t.lng ELSE w.last_lng END,
+             {_WALK_D} >= {_SIMPLIFY_EPS}
+      FROM walk w JOIN traj t
+        ON t.vehicle_id = w.vehicle_id AND t.rn = w.rn + 1
+    )
+    SELECT vehicle_id,
+           CAST(count(*) AS BIGINT)               AS n_raw,
+           CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (kept) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4)   AS kept_frac
+    FROM walk GROUP BY vehicle_id ORDER BY vehicle_id
+    """,
+    doc="Radial-distance trajectory simplification (operators.geo."
+    "simplify_radial_flags): keep a point iff it lies ≥ 25 m from the "
+    "LAST KEPT point — a data-dependent-reset recurrence no window "
+    "expresses, run as ONE Arrow-batched applyInPandas pass per "
+    "vehicle (the pack_greedy_bins execution class; Python doubles are "
+    "IEEE like the JVM's, formula matches planar_distance_m term for "
+    "term). Oracle: a RECURSIVE CTE stepping one point per vehicle per "
+    "iteration replays the exact walk — the archive-thinning stats per "
+    "vehicle are value-checked end to end.",
+)
+def geo_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.geo import simplify_radial_flags
+
+    flags = simplify_radial_flags(
+        _traj(spark, sf_dir), epsilon_m=_SIMPLIFY_EPS
+    )
+    kept = F.col("kept").cast("long")
+    return (
+        flags.groupBy("vehicle_id")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(kept).alias("n_kept"),
+            F.round(
+                F.sum(kept).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("vehicle_id")
+    )

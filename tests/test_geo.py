@@ -454,6 +454,9 @@ GEO_PLAN_CAPS = {
     "geo_cell_pagerank": dict(max_exchanges=2, bnlj=0),
     "geo_geofence_crossings": dict(max_exchanges=4, bnlj=0),
     "geo_heading_octants": dict(max_exchanges=6, bnlj=0),
+    # Arrow applyInPandas walk (FlatMapGroupsInPandas counts under
+    # arrow_evals, NOT python_row_evals — the sanctioned batch path)
+    "geo_simplify_radial": dict(max_exchanges=6, bnlj=0),
 }
 
 
@@ -483,3 +486,30 @@ def test_geo_tier_plan_caps(spark, sf_dir):
                 f"{name}: {p['broadcast_nested_loop_joins']} BNLJ"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_simplify_radial_flags_walk_semantics(spark):
+    """First point always kept; each kept point resets the anchor; a
+    point < epsilon from the LAST KEPT point is dropped even when far
+    from its immediate predecessor's dropped position."""
+    from hfp_loader_spark.operators.geo import simplify_radial_flags
+
+    # lat steps of 0.0001° = 11.132 m each; epsilon 25 m:
+    # p1 keep (first), p2 +11m drop, p3 +22m drop, p4 +33m keep (reset),
+    # p5 +11m from p4 drop
+    rows = [
+        (1, i, i, i * 1_000_000, 60.0 + 0.0001 * i, 24.5, 1.0)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vehicle_id int, event_id int, rn int, t_us long, lat double,"
+        " lng double, spd double",
+    )
+    out = {
+        r["rn"]: r["kept"]
+        for r in simplify_radial_flags(df, epsilon_m=25.0).collect()
+    }
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: False}
+    with pytest.raises(ValueError, match="epsilon_m"):
+        simplify_radial_flags(df, epsilon_m=0.0)
