@@ -513,3 +513,68 @@ def test_simplify_radial_flags_walk_semantics(spark):
     assert out == {0: True, 1: False, 2: False, 3: True, 4: False}
     with pytest.raises(ValueError, match="epsilon_m"):
         simplify_radial_flags(df, epsilon_m=0.0)
+
+
+def test_proximity_pairs_equals_brute_force_on_random_data(spark):
+    """Recall-exactness property: on random point clouds the half-plane
+    blocked join returns EXACTLY the brute-force all-pairs set — the
+    blocking (cell width validation + forward-offset uniqueness) can
+    neither lose nor duplicate a pair."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hfp_loader_spark.operators.geo import proximity_pairs
+
+    RADIUS, BUCKET, CPD = 1000.0, 3_600_000_000, 50
+
+    point = st.tuples(
+        st.integers(1, 6),                      # vehicle
+        st.integers(0, 3),                      # hour bucket index
+        st.integers(0, 400),                    # lat offset in ~11 m steps
+        st.integers(0, 800),                    # lng offset in ~11 m steps
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pts=st.lists(point, min_size=2, max_size=24))
+    def run(pts):
+        rows = [
+            (
+                v,
+                i,
+                b * BUCKET + i * 1_000,
+                60.0 + dlat * 0.0001,
+                24.5 + dlng * 0.0002,
+            )
+            for i, (v, b, dlat, dlng) in enumerate(pts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "vehicle_id int, pid int, t_us long, lat double, lng double",
+        )
+        got = sorted(
+            (r["vehicle_a"], r["vehicle_b"], r["bucket"], r["t_us_a"], r["t_us_b"])
+            for r in proximity_pairs(
+                df, radius_m=RADIUS, bucket_us=BUCKET, cells_per_deg=CPD
+            ).collect()
+        )
+        import math
+
+        want = []
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                if a[2] // BUCKET != b[2] // BUCKET or a[0] == b[0]:
+                    continue
+                dlat = a[3] - b[3]
+                dlng = 0.5 * (a[4] - b[4])
+                if 111320.0 * math.sqrt(dlat * dlat + dlng * dlng) < RADIUS:
+                    lo, hi = (a, b) if a[0] < b[0] else (b, a)
+                    want.append(
+                        (lo[0], hi[0], a[2] // BUCKET, lo[2], hi[2])
+                    )
+        assert got == sorted(want)
+
+    run()
