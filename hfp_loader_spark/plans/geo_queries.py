@@ -1323,3 +1323,140 @@ def streaming_geo_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg)
+
+
+_STOPS_SQL = """
+    stops AS (
+      SELECT cell AS stop_id,
+             round((CAST(sum(CAST(floor(lat * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   / 1000000.0, 5) AS stop_lat,
+             round((CAST(sum(CAST(floor(lng * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   / 1000000.0, 5) AS stop_lng,
+             count(*) AS n
+      FROM cells GROUP BY cell
+      ORDER BY n DESC, cell LIMIT 10
+    )"""
+
+
+@defquery(
+    "geo_dwell_at_stops",
+    f"""
+    WITH {_traj_cte()},
+    cells AS (
+      SELECT {_cell_sql("lat", "lng")} AS cell, lat, lng FROM traj
+    ),
+    {_STOPS_SQL},
+    flagged AS (
+      SELECT vehicle_id, rn, t_us,
+             row_number() OVER (PARTITION BY vehicle_id ORDER BY rn) AS k
+      FROM traj WHERE spd < 2.0
+    ),
+    epi AS (
+      SELECT vehicle_id, min(rn) AS start_rn,
+             max(t_us) - min(t_us) AS dwell_us
+      FROM flagged
+      GROUP BY vehicle_id, rn - k
+      HAVING count(*) >= 3
+    ),
+    located AS (
+      SELECT e.vehicle_id, e.start_rn, e.dwell_us, t.lat, t.lng
+      FROM epi e JOIN traj t
+        ON t.vehicle_id = e.vehicle_id AND t.rn = e.start_rn
+    ),
+    scored AS (
+      SELECT l.vehicle_id, l.start_rn, l.dwell_us, s.stop_id,
+             {_dist_sql("l.lat", "l.lng", "s.stop_lat", "s.stop_lng")}
+               AS dist_m
+      FROM located l CROSS JOIN stops s
+    ),
+    ranked AS (
+      SELECT vehicle_id, start_rn, dwell_us, stop_id,
+             row_number() OVER (PARTITION BY vehicle_id, start_rn
+                                ORDER BY dist_m, stop_id) AS rk
+      FROM scored
+    )
+    SELECT stop_id,
+           CAST(count(*) AS BIGINT) AS n_episodes,
+           round(CAST(sum(dwell_us) AS DOUBLE) / 1000000.0, 1)
+                                    AS total_dwell_s,
+           round(CAST(max(dwell_us) AS DOUBLE) / 1000000.0, 1)
+                                    AS max_dwell_s
+    FROM ranked WHERE rk = 1
+    GROUP BY stop_id ORDER BY stop_id
+    """,
+    doc="Dwell accounting per stop — the tier's operators CHAINED: "
+    "gaps-and-islands stop episodes (located at their start point) → "
+    "in-row literal-argmin assignment to the 10 densest cells' "
+    "centroids (operators.geo.nearest_assign — no join over the "
+    "episode frame) → per-stop episode counts and dwell totals summed "
+    "as exact integer µs. The bus-stop dwell-time report every transit "
+    "agency derives from an HFP feed.",
+)
+def geo_dwell_at_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.geo import nearest_assign
+
+    tr = _traj(spark, sf_dir)
+    stops = (
+        tr.groupBy(grid_cell(F.col("lat"), F.col("lng")).alias("cell"))
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.floor(F.col("lat") * 1000000.0).cast("long")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                )
+                / 1000000.0,
+                5,
+            ).alias("stop_lat"),
+            F.round(
+                (
+                    F.sum(
+                        F.floor(F.col("lng") * 1000000.0).cast("long")
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                )
+                / 1000000.0,
+                5,
+            ).alias("stop_lng"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("n"), "cell")
+        .limit(10)
+        .select(F.col("cell").alias("stop_id"), "stop_lat", "stop_lng")
+    )
+    epi = stop_episodes(tr, F.col("spd") < 2.0, min_points=3)
+    located = epi.join(
+        tr.select("vehicle_id", "rn", "lat", "lng"),
+        (F.col("episode_start_rn") == F.col("rn"))
+        & (epi["vehicle_id"] == tr["vehicle_id"]),
+    ).select(
+        epi["vehicle_id"],
+        "episode_start_rn",
+        "dwell_us",
+        "lat",
+        "lng",
+        (
+            epi["vehicle_id"].cast("long") * 1000000
+            + F.col("episode_start_rn")
+        ).alias("eid"),
+    )
+    assigned = nearest_assign(located, stops, point_id_col="eid")
+    back = assigned.join(
+        located.select("eid", "dwell_us"), "eid"
+    )
+    return (
+        back.groupBy("stop_id")
+        .agg(
+            F.count("*").alias("n_episodes"),
+            F.round(
+                F.sum("dwell_us").cast("double") / 1000000.0, 1
+            ).alias("total_dwell_s"),
+            F.round(
+                F.max("dwell_us").cast("double") / 1000000.0, 1
+            ).alias("max_dwell_s"),
+        )
+        .orderBy("stop_id")
+    )

@@ -457,6 +457,8 @@ GEO_PLAN_CAPS = {
     # Arrow applyInPandas walk (FlatMapGroupsInPandas counts under
     # arrow_evals, NOT python_row_evals — the sanctioned batch path)
     "geo_simplify_radial": dict(max_exchanges=6, bnlj=0),
+    # composition: episodes + located-start join + argmin + final agg
+    "geo_dwell_at_stops": dict(max_exchanges=16, bnlj=0),
 }
 
 
