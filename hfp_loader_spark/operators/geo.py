@@ -79,12 +79,22 @@ def grid_cell(
     """Integer spatial grid cell id: ``floor(lat*cpd) * 100000 +
     floor(lng*cpd)`` (row-major; 200 cells/deg ≈ 550 m × 280 m at 60°N).
 
-    Multiply-then-floor keeps the quantization exact and engine-agnostic;
-    the 100000 stride keeps lng cells (−18e6..18e6 at cpd=200) from
-    colliding across lat rows while staying far inside int64.  For
+    Multiply-then-floor keeps the quantization exact and engine-agnostic.
+    The 100000 stride keeps lng cells (±36 000 at cpd=200 — lng spans
+    ±180°, so ``|floor(lng*cpd)|`` ≤ 180*cpd) from colliding across lat
+    rows while staying far inside int64 — but ONLY while 180*cpd <
+    100000/2, i.e. cpd ≤ 277; beyond that, adjacent lat rows' lng ranges
+    overlap and distinct cells silently alias, so the bound is enforced
+    with a ValueError rather than documented-and-hoped.  For
     space-filling locality (file clustering) compose with the z-order
     interleave (plans/analytics_queries.py layout_zorder_events) — for
     grouping/joins the row-major id is equivalent and cheaper."""
+    if not 0 < cells_per_deg <= 277:
+        raise ValueError(
+            f"cells_per_deg={cells_per_deg} out of range (1..277): the"
+            " 100000 row stride aliases distinct cells once"
+            " 180*cells_per_deg reaches half the stride"
+        )
     clat = F.floor(lat * F.lit(float(cells_per_deg)))
     clng = F.floor(lng * F.lit(float(cells_per_deg)))
     return (clat * F.lit(100000) + clng).cast("long")
@@ -312,7 +322,7 @@ def headways_at_cells(
 def nearest_assign(
     points: DataFrame,
     stops: DataFrame,
-    point_id_col: str = "event_id",
+    point_id_col: str | list[str] = "event_id",
     lat_col: str = "lat",
     lng_col: str = "lng",
     stop_id_col: str = "stop_id",
@@ -337,7 +347,19 @@ def nearest_assign(
     identical double inputs with correctly-rounded ops only, so the
     argmin is deterministic across engines without rounding (module
     docstring); ``struct`` ordering breaks exact-distance ties on the
-    lowest stop id."""
+    lowest stop id.
+
+    ``point_id_col`` may be a LIST of columns (a composite point key,
+    e.g. ``["vehicle_id", "episode_start_rn"]``): all id columns are
+    carried through to the output.  Callers must never pack a composite
+    key into one synthesized integer — a ``vehicle_id*1e6 + rn`` pack
+    silently collides once any vehicle exceeds 1e6 points (a year of
+    1 Hz data is ~31.5M rows/vehicle)."""
+    ids = (
+        [point_id_col]
+        if isinstance(point_id_col, str)
+        else list(point_id_col)
+    )
     rows = (
         stops.select(stop_id_col, stop_lat_col, stop_lng_col)
         .limit(max_stops + 1)
@@ -372,10 +394,10 @@ def nearest_assign(
         ),
     )
     picked = points.select(
-        point_id_col, lat_col, lng_col, F.array_min(scored).alias("_b")
+        *ids, lat_col, lng_col, F.array_min(scored).alias("_b")
     )
     return picked.select(
-        point_id_col,
+        *ids,
         lat_col,
         lng_col,
         F.col("_b.sid").alias(stop_id_col),

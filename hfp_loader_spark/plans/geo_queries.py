@@ -51,12 +51,12 @@ from hfp_loader_spark.plans.catalog import _t, defquery
 _LAT_T = (
     "60.0 + CAST((vehicle_id * 7919) % 200 AS DOUBLE) / 1000.0"
     " + CAST(rn AS DOUBLE) / 20000.0"
-    " + CAST((event_id * 2654435761) % 41 - 20 AS DOUBLE) / 1000000.0"
+    " + CAST(((event_id % 1000003) * 2654435761) % 41 - 20 AS DOUBLE) / 1000000.0"
 )
 _LNG_T = (
     "24.5 + CAST((vehicle_id * 104729) % 300 AS DOUBLE) / 1000.0"
     " + CAST(rn AS DOUBLE) / 10000.0"
-    " + CAST((event_id * 1099087573) % 41 - 20 AS DOUBLE) / 1000000.0"
+    " + CAST(((event_id % 1000003) * 1099087573) % 41 - 20 AS DOUBLE) / 1000000.0"
 )
 #: Speed in m/s with stop runs: every 4th block of 5 consecutive points
 #: is a "stopped" block (spd < 2.0), so gaps-and-islands stop detection
@@ -179,7 +179,14 @@ def _avg_spd_col():
     )
     SELECT vehicle_id,
            CAST(count(leg_m) AS BIGINT)  AS n_legs,
-           round(sum(leg_m), 1)          AS total_m,
+           -- legs quantized to integer micrometres BEFORE the sum: a
+           -- float sum is summation-order-dependent, and this column is
+           -- the ORDER BY key — a last-ulp diff on a .05 boundary could
+           -- flip top-20 membership.  floor and the BIGINT sum are
+           -- exact; the single final division is correctly rounded from
+           -- identical inputs on both engines.
+           round(CAST(sum(CAST(floor(leg_m * 1000000.0) AS BIGINT))
+                      AS DOUBLE) / 1000000.0, 1) AS total_m,
            round(max(CASE WHEN dt_s > 0 THEN leg_m / dt_s END), 2)
                                          AS max_speed_ms
     FROM legs WHERE leg_m IS NOT NULL
@@ -199,7 +206,14 @@ def geo_leg_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vehicle_id")
         .agg(
             F.count("leg_m").alias("n_legs"),
-            F.round(F.sum("leg_m"), 1).alias("total_m"),
+            # exact integer-µm sum — see the oracle comment
+            F.round(
+                F.sum(
+                    F.floor(F.col("leg_m") * 1000000.0).cast("long")
+                ).cast("double")
+                / 1000000.0,
+                1,
+            ).alias("total_m"),
             F.round(F.max("speed_ms"), 2).alias("max_speed_ms"),
         )
         .orderBy(F.desc("total_m"), "vehicle_id")
@@ -775,11 +789,11 @@ def geo_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sequence-drift term).  Shared verbatim by both engines.
 _SLAT_T = (
     "60.0 + CAST((vehicle_id * 7919) % 200 AS DOUBLE) / 1000.0"
-    " + CAST((event_id * 2654435761) % 41 - 20 AS DOUBLE) / 1000000.0"
+    " + CAST(((event_id % 1000003) * 2654435761) % 41 - 20 AS DOUBLE) / 1000000.0"
 )
 _SLNG_T = (
     "24.5 + CAST((vehicle_id * 104729) % 300 AS DOUBLE) / 1000.0"
-    " + CAST((event_id * 1099087573) % 41 - 20 AS DOUBLE) / 1000000.0"
+    " + CAST(((event_id % 1000003) * 1099087573) % 41 - 20 AS DOUBLE) / 1000000.0"
 )
 
 
@@ -933,7 +947,11 @@ def geo_close_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_points,
            CAST(max(t_us) - min(t_us) AS DOUBLE) / 1000000.0
                                     AS duration_s,
-           round(coalesce(sum(leg_m), 0.0), 1) AS total_m,
+           -- integer-µm sum: total_m is the ORDER BY key (see
+           -- geo_leg_speed_profile's comment)
+           round(CAST(coalesce(sum(CAST(floor(leg_m * 1000000.0)
+                                        AS BIGINT)), 0)
+                      AS DOUBLE) / 1000000.0, 1) AS total_m,
            min_by(cell, rn)         AS origin_cell,
            max_by(cell, rn)         AS dest_cell,
            {_AVG_SPD_SQL} AS avg_spd
@@ -962,8 +980,16 @@ def geo_trip_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.max("t_us") - F.min("t_us")).cast("double")
                 / F.lit(1000000.0)
             ).alias("duration_s"),
+            # exact integer-µm sum — see geo_leg_speed_profile
             F.round(
-                F.coalesce(F.sum("leg_m"), F.lit(0.0)), 1
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("leg_m") * 1000000.0).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).cast("double")
+                / 1000000.0,
+                1,
             ).alias("total_m"),
             F.min_by("cell", "rn").alias("origin_cell"),
             F.max_by("cell", "rn").alias("dest_cell"),
@@ -1438,14 +1464,16 @@ def geo_dwell_at_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dwell_us",
         "lat",
         "lng",
-        (
-            epi["vehicle_id"].cast("long") * 1000000
-            + F.col("episode_start_rn")
-        ).alias("eid"),
     )
-    assigned = nearest_assign(located, stops, point_id_col="eid")
+    # composite (vehicle_id, episode_start_rn) key threaded through the
+    # argmin — a packed vehicle_id*1e6+rn id silently collides once a
+    # vehicle exceeds 1e6 points (≈12 days of 1 Hz data)
+    assigned = nearest_assign(
+        located, stops, point_id_col=["vehicle_id", "episode_start_rn"]
+    )
     back = assigned.join(
-        located.select("eid", "dwell_us"), "eid"
+        located.select("vehicle_id", "episode_start_rn", "dwell_us"),
+        ["vehicle_id", "episode_start_rn"],
     )
     return (
         back.groupBy("stop_id")

@@ -696,8 +696,11 @@ _RP_VEC_SQL = f"""CASE WHEN len(embedding) > 0 THEN
 @defquery(
     "sim_random_projection",
     f"""
-    SELECT vec_id, {_RP_VEC_SQL} AS rp
-    FROM embeddings
+    SELECT vec_id, j AS dim_idx,
+           round(list_sum([ embedding[i+1]::DOUBLE * ({_RP_SIGN_SQL})
+             FOR i IN range(0, {_DIM}) ]) * 0.25, 4) + 0.0 AS rp_val
+    FROM embeddings, range(0, {_RP_DIM_OUT}) t(j)
+    WHERE len(embedding) > 0
     """,
     doc="±1 Johnson–Lindenstrauss random projection 64→16 (operators."
     "similarity.random_projection): per vector, 16 sequential "
@@ -707,13 +710,31 @@ _RP_VEC_SQL = f"""CASE WHEN len(embedding) > 0 THEN
     "md5). The 100 TB storage/shuffle lever: 4× smaller vectors for "
     "every downstream broadcast, ANN index, and near-dup pass, with "
     "distortion MEASURED by sim_rp_distortion rather than assumed. "
-    "Narrow one-pass projection — no shuffle at all.",
+    "Narrow one-pass projection — no shuffle at all.  Output is "
+    "EXPLODED to scalar (vec_id, dim_idx, rp_val) rows: the driver's "
+    "canonicalizer sorts a pandas frame over all columns and cannot "
+    "factorize list cells (r12 err: unhashable type 'list'), so no "
+    "catalog entry may return a top-level array column.  NULL/empty "
+    "vectors contribute no rows (the array form projected them to "
+    "NULL; the exploded form drops them — same information).  The "
+    "``+ 0.0`` collapses IEEE -0.0 to +0.0 on both engines: DuckDB "
+    "round() preserves the sign of a tiny negative, Spark's doesn't, "
+    "and the driver's value hash distinguishes them.",
 )
 def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.operators.similarity import random_projection
 
-    return random_projection(
+    rp = random_projection(
         _t(spark, sf_dir, "embeddings"), _DIM, _RP_DIM_OUT
+    )
+    return (
+        rp.where(F.col("rp").isNotNull())
+        .select("vec_id", F.posexplode("rp").alias("dim_idx", "rp_val"))
+        .select(
+            "vec_id",
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            (F.col("rp_val") + F.lit(0.0)).alias("rp_val"),
+        )
     )
 
 
@@ -732,21 +753,26 @@ _RP_PAIR_CAP = 30  # 435 pairs — bounded instrument, same idea as _ALLPAIRS_CA
       FROM embeddings WHERE vec_id < {_RP_PAIR_CAP}
     )
     -- lazy CASE guards: NULL/empty vectors yield NULL cosines on both
-    -- engines; a bare list_cosine_similarity ERRORS on NULL arguments
+    -- engines; a bare list_cosine_similarity ERRORS on NULL arguments.
+    -- Every round() is followed by + 0.0: DuckDB's round preserves the
+    -- sign of a tiny negative (-0.0) where Spark returns +0.0, and the
+    -- driver's value hash distinguishes the two (r12 hash-fail on
+    -- exactly 3 cells of cos_orig); IEEE -0.0 + 0.0 = +0.0 normalizes
+    -- both engines to the same bit pattern.
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(CASE WHEN len(oa.v) > 0 AND len(ob.v) > 0
-                      THEN list_cosine_similarity(oa.v, ob.v) END, 3)
+                      THEN list_cosine_similarity(oa.v, ob.v) END, 3) + 0.0
              AS cos_orig,
            round(CASE WHEN a.rp IS NOT NULL AND b.rp IS NOT NULL
-                      THEN list_cosine_similarity(a.rp, b.rp) END, 3)
+                      THEN list_cosine_similarity(a.rp, b.rp) END, 3) + 0.0
              AS cos_rp,
-           round(abs(round(CASE WHEN len(oa.v) > 0 AND len(ob.v) > 0
+           round(abs((round(CASE WHEN len(oa.v) > 0 AND len(ob.v) > 0
                                 THEN list_cosine_similarity(oa.v, ob.v)
-                           END, 3)
-                     - round(CASE WHEN a.rp IS NOT NULL
+                           END, 3) + 0.0)
+                     - (round(CASE WHEN a.rp IS NOT NULL
                                    AND b.rp IS NOT NULL
                                   THEN list_cosine_similarity(a.rp, b.rp)
-                             END, 3)), 3)
+                             END, 3) + 0.0)), 3) + 0.0
              AS abs_err
     FROM rp a JOIN rp b ON a.vec_id < b.vec_id
     JOIN orig oa ON oa.vec_id = a.vec_id
@@ -784,20 +810,28 @@ def sim_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hfp_loader_spark.operators.similarity import cosine
 
+    # + 0.0 after every round(): collapses IEEE -0.0 to +0.0 so the
+    # driver's bit-level value hash matches DuckDB (whose round()
+    # preserves the sign of a tiny negative) — see the oracle comment.
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 3).alias("cos_orig"),
-        F.round(cosine(F.col("rpa"), F.col("rpb")), 3).alias("cos_rp"),
+        (F.round(cosine(F.col("va"), F.col("vb")), 3) + F.lit(0.0)).alias(
+            "cos_orig"
+        ),
+        (F.round(cosine(F.col("rpa"), F.col("rpb")), 3) + F.lit(0.0)).alias(
+            "cos_rp"
+        ),
     )
     return pairs.select(
         "id_a",
         "id_b",
         "cos_orig",
         "cos_rp",
-        F.round(F.abs(F.col("cos_orig") - F.col("cos_rp")), 3).alias(
-            "abs_err"
-        ),
+        (
+            F.round(F.abs(F.col("cos_orig") - F.col("cos_rp")), 3)
+            + F.lit(0.0)
+        ).alias("abs_err"),
     )
 
 

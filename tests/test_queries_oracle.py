@@ -11,9 +11,8 @@ Runs at sf0.001 for speed; ``SPARK_GRAFT_TEST_SF_DIR`` overrides.
 
 from __future__ import annotations
 
-import datetime
-import decimal
-import math
+import os
+import sys
 
 import duckdb
 import pytest
@@ -21,33 +20,14 @@ import pytest
 import __spark_entry__ as entry_mod
 from hfp_loader_spark.plans.catalog import REGISTRY, TABLES
 
-
-def _norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, bool):
-        return str(bool(v))
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def _norm(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
-    return sorted(cols), data
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+# The ONE normalizer, shared with tools/check_correctness.py — r12's
+# driver failures hid behind a locally-duplicated WEAKER copy here
+# (int-collapsed floats masked -0.0; stringified lists masked array
+# columns).  Strict semantics: -0.0 ≠ 0.0, 2 ≠ 2.0, lists raise.
+from check_correctness import _norm_rows as _norm  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -1066,3 +1066,29 @@ def test_stream_ingest_compact_materialize_serve_chain(
         )
     )
     assert served == twin and len(served) == 25
+
+    # --- storage-reclaim leg (VERDICT r12 #5): truncate the pre-
+    # compaction history, re-materialize from the surviving head, and
+    # serve again — outputs unchanged through the WHOLE lifecycle.
+    from hfp_loader_spark.versioned import truncate_history
+
+    dropped = truncate_history(spark, tag_root, keep_last=1)
+    assert dropped == list(range(1, v))  # every pre-compaction version
+    assert latest_version(spark, tag_root) == v
+    assert (
+        sorted(map(tuple, load_cell_tags(spark, tag_root).collect()))
+        == before
+    )
+    index_root2 = str(tmp_path / "cells2")
+    doc2 = materialize_cell_index(spark, tag_root, emb, index_root2)
+    assert doc2["tag_version"] == v
+    served2 = sorted(
+        map(
+            tuple,
+            ivf_served_top_k(
+                spark, queries, index_root2, cent_probe, k=5, nprobe=4,
+                expect_fingerprint=fp,
+            ).collect(),
+        )
+    )
+    assert served2 == served

@@ -1,10 +1,30 @@
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — bit-faithful.
 
 Runs every ``__spark_entry__.queries()`` entry on a given sf dir through
 Spark AND (where declared) the matching ``oracle_sql()`` through DuckDB,
-then compares row count, column-name set, and order-insensitive values
-(columns sorted by name, rows sorted, floats compared via repr after the
-query's own rounding — mirroring the driver's value-hash).
+then compares row count, column-name set, and order-insensitive values.
+
+Round-12 lesson (VERDICT r12 #3): the previous ``_norm_cell`` was WEAKER
+than the driver's hash in exactly two ways that let real divergences
+reach the driver undetected —
+
+- it collapsed int-valued floats (``-0.0`` → ``"0"``), masking the
+  ``sim_rp_distortion`` negative-zero hash flip (DuckDB ``round()``
+  preserves the sign of a tiny negative; Spark returns ``+0.0``);
+- it stringified lists, masking ``sim_random_projection``'s
+  ``array<double>`` output column, which the driver's pandas
+  ``sort_values`` canonicalization cannot factorize
+  (``TypeError: unhashable type: 'list'``).
+
+This version replicates the driver's canonicalization shape: both
+results are materialized as pandas frames (Spark ``toPandas()``, DuckDB
+``.df()`` — so engine→pandas dtype promotions like DuckDB HUGEINT →
+float64 are visible, exactly as the driver sees them), columns sorted
+by name, rows sorted via pandas ``sort_values`` over ALL columns (which
+raises the driver's own TypeError on non-scalar cells), and cells
+compared at repr-level float identity — ``-0.0`` ≠ ``0.0``,
+``2`` ≠ ``2.0``.  Anything this gate passes, the driver's hash passes;
+anything the driver would reject, this gate rejects first.
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -18,40 +38,114 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_SCALAR_BAD = ("array", "map", "struct")
 
-def _norm_cell(v):
-    if v is None:
+
+def _strict_cell(v) -> str:
+    """Normalize one pandas cell to a driver-hash-faithful string.
+
+    Float identity is repr-level: preserves the ``-0.0``/``0.0``
+    distinction and the int/float distinction (``2`` vs ``2.0``) — the
+    two collapses that hid r12's driver failures.  NaN ≡ NULL because
+    pandas itself represents SQL NULL as NaN in promoted numeric
+    columns (symmetric across both engines, as at the driver).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # canonicalize -0.0 and int-valued floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return "NULL"
         return repr(v)
-    if isinstance(v, bool):
-        return str(bool(v))
-    if isinstance(v, (datetime.datetime,)):
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+        # DuckDB DATE arrives in pandas as a midnight datetime64; Spark
+        # DateType arrives as datetime.date objects — unify the rendering.
+        return v.isoformat() + " 00:00:00"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple, dict, set)) or hasattr(v, "__array__"):
+        # The driver's canonicalizer cannot hash these (r12
+        # sim_random_projection err) — fail loudly, never stringify.
+        raise TypeError(f"unhashable type: {type(v).__name__!r}")
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return _norm_cell(float(v))
+            return repr(float(v))
     except ImportError:
         pass
     return str(v)
 
 
+def canon_frame(pdf):
+    """The driver's ``_canon``: columns sorted by name, rows sorted via
+    ``sort_values`` over all columns.  Raises the driver's own
+    ``TypeError: unhashable type: 'list'`` on non-scalar cells."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(
+            list(pdf.columns), kind="mergesort"
+        ).reset_index(drop=True)
+    return pdf
+
+
+def canon_cells(pdf) -> list[tuple[str, ...]]:
+    """Canonical sorted string matrix for a pandas frame.
+
+    Cells are normalized FIRST (so ``-0.0`` and ``0.0`` — which compare
+    equal and would tie under ``sort_values`` — sort deterministically),
+    then rows are sorted on the normalized tuples.  ``canon_frame`` is
+    still invoked for its driver-parity TypeError on non-scalar cells.
+    """
+    canon_frame(pdf)  # driver-parity: raises on list/array cells
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_strict_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+# Back-compat shims for tests that import the tuple-based normalizers
+# (tests/test_differential_fuzz.py).  Same strict semantics, fed from
+# collect()/fetchall() tuples instead of pandas frames.
+def _norm_cell(v):
+    return _strict_cell(v)
+
+
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out = [tuple(_strict_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return sorted(c for c in cols), out
+
+
+def _spark_frame(sdf):
+    import pandas as pd
+
+    for f in sdf.schema.fields:
+        tn = f.dataType.typeName()
+        if tn in _SCALAR_BAD:
+            raise TypeError(
+                f"non-scalar output column {f.name!r} ({tn}): the driver's"
+                " canonicalizer cannot hash it — reshape the entry to"
+                " scalar columns"
+            )
+    pdf = sdf.toPandas()
+    return pd.DataFrame(pdf)
 
 
 def main() -> int:
@@ -89,30 +183,40 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = _spark_frame(sdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in oracles:
+            try:
+                srows = canon_cells(spdf)
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: canon raised {type(e).__name__}: {e}")
+                n_fail += 1
+                continue
             print(f"rows  {name}: {len(srows)} rows (no oracle, rows-only)")
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        sc, sr = _norm_rows(scols, srows)
-        oc, orr = _norm_rows(ocols, orows)
+        sc, oc = sorted(spdf.columns), sorted(opdf.columns)
         if sc != oc:
             print(f"FAIL  {name}: schema spark={sc} oracle={oc}")
             n_fail += 1
-        elif len(sr) != len(orr):
+            continue
+        try:
+            sr = canon_cells(spdf)
+            orr = canon_cells(opdf)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: canon raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orr):
             print(f"FAIL  {name}: rows spark={len(sr)} oracle={len(orr)}")
             n_fail += 1
         elif sr != orr:
