@@ -613,14 +613,19 @@ def materialize_position_lake(
     At 100 TB this is the difference between "query the Kamppi box" =
     read a handful of directories vs read a year of nationwide
     positions.  Compose with a date partition above the cell for
-    time-scoped pruning."""
+    time-scoped pruning.
+
+    This is the ONE-SHOT build (full frame in hand).  A daily HFP load
+    should NOT call this per day — that rewrites the whole lake; land
+    each day through the O(delta) versioned log
+    (:func:`append_positions`) and compact the log into this layout on
+    the maintenance cadence (:func:`materialize_position_lake_from_log`),
+    exactly like the IVF tag-log → cell-index lifecycle."""
     from hfp_loader_spark.operators.similarity import (
         _publish_partitioned_index,
     )
 
-    rows = traj.withColumn(
-        "cell", grid_cell(F.col(lat_col), F.col(lng_col), cells_per_deg)
-    )
+    rows = _stamp_cells(traj, cells_per_deg, lat_col, lng_col)
     doc = {
         "kind": "geo_position_lake",
         "cells_per_deg": int(cells_per_deg),
@@ -628,6 +633,151 @@ def materialize_position_lake(
         "lng_col": lng_col,
     }
     return _publish_partitioned_index(spark, rows, root, doc)
+
+
+def _stamp_cells(
+    traj: DataFrame, cells_per_deg: int, lat_col: str, lng_col: str
+) -> DataFrame:
+    """The ONE definition of a lake row: the input columns plus the
+    coarse grid ``cell``.  Shared by the one-shot build, the O(delta)
+    log append, and the log rebuild so the cell semantics can never
+    fork (the geo twin of similarity._assign_cells)."""
+    return traj.withColumn(
+        "cell", grid_cell(F.col(lat_col), F.col(lng_col), cells_per_deg)
+    )
+
+
+def append_positions(
+    spark,
+    delta: DataFrame,
+    log_root: str,
+    cells_per_deg: int = 20,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> int:
+    """O(delta) append to a versioned position log: stamp ONLY the new
+    batch's rows with their grid cell and commit them as one versioned
+    append (``versioned.commit_snapshot``) — the ingest-time half of
+    the position lake, mirroring ``similarity.append_cell_tags``.  The
+    daily HFP load lands here; the serve layout is re-published from
+    the log head on the maintenance cadence
+    (:func:`materialize_position_lake_from_log`), so a day's ingest
+    writes O(day), never O(lake).
+
+    Every commit is manifest-stamped with the grid generation
+    (``cells_per_deg`` + lat/lng column names); an append against a
+    DIFFERENT grid RAISES — cell ids are only comparable within one
+    grid resolution, and silently mixing grids corrupts every
+    cell-scoped prune.  Valid because cell stamping is per-row
+    deterministic: delta-appends equal the full recompute row-for-row.
+    Returns the committed version."""
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        commit_snapshot,
+        latest_version,
+    )
+
+    meta = {
+        "kind": "geo_position_log",
+        "cells_per_deg": int(cells_per_deg),
+        "lat_col": lat_col,
+        "lng_col": lng_col,
+    }
+    head = latest_version(spark, log_root)
+    if head is not None:
+        stamped = _read_manifest(spark, log_root, head).meta
+        if {k: stamped.get(k) for k in meta} != meta:
+            raise ValueError(
+                f"position log at {log_root} is stamped {stamped}; this "
+                f"append uses {meta} — rebuild the log "
+                "(rebuild_positions) instead of mixing grid generations"
+            )
+    rows = _stamp_cells(delta, cells_per_deg, lat_col, lng_col)
+    return commit_snapshot(spark, rows, log_root, mode="append", meta=meta)
+
+
+def rebuild_positions(
+    spark,
+    traj: DataFrame,
+    log_root: str,
+    cells_per_deg: int = 20,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> int:
+    """The DELIBERATE re-grid: stamp the FULL history under a (new)
+    grid resolution and ``overwrite``-commit the log, re-stamping the
+    manifest — the only sanctioned way to change a position log's grid
+    (:func:`append_positions` refuses mixed generations by design).
+    Old versions stay time-travelable until vacuumed."""
+    from hfp_loader_spark.versioned import commit_snapshot
+
+    rows = _stamp_cells(traj, cells_per_deg, lat_col, lng_col)
+    return commit_snapshot(
+        spark,
+        rows,
+        log_root,
+        mode="overwrite",
+        meta={
+            "kind": "geo_position_log",
+            "cells_per_deg": int(cells_per_deg),
+            "lat_col": lat_col,
+            "lng_col": lng_col,
+        },
+    )
+
+
+def load_positions(spark, log_root: str, version: int | None = None):
+    """All committed cell-stamped position rows as of ``version``
+    (latest by default) — the union of every O(delta) append, equal
+    row-for-row to a full re-stamp under the pinned grid."""
+    from hfp_loader_spark.versioned import read_snapshot
+
+    return read_snapshot(spark, log_root, version)
+
+
+def materialize_position_lake_from_log(
+    spark, log_root: str, lake_root: str
+) -> dict:
+    """Compact the committed position log into the SERVE layout: the
+    latest :func:`load_positions` snapshot re-published as the
+    cell-partitioned lake (same layout, manifest, and readers as the
+    one-shot :func:`materialize_position_lake`) — the maintenance-
+    cadence half of the lake lifecycle, the geo twin of
+    ``similarity.materialize_cell_index``.
+
+    The lake manifest additionally stamps ``log_root`` and
+    ``log_version``, so a reader can tell STALENESS (log head advanced
+    past the layout — re-materialize when the delta warrants) from
+    CORRUPTION (grid mismatch — :func:`read_position_lake` raises).
+    Rows are already cell-stamped at append time; this is a pure
+    re-layout (read log → repartition(cell) → publish), no recompute.
+    Concurrent materializers must be fenced by the caller; the layout
+    is temp-dir-and-rename published, so readers never see a
+    half-written lake."""
+    from hfp_loader_spark.operators.similarity import (
+        _publish_partitioned_index,
+    )
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
+
+    head = latest_version(spark, log_root)
+    if head is None:
+        raise ValueError(f"no positions committed at {log_root}")
+    meta = _read_manifest(spark, log_root, head).meta
+    if meta.get("kind") != "geo_position_log":
+        raise ValueError(
+            f"{log_root} holds kind={meta.get('kind')!r}, not a "
+            "geo_position_log"
+        )
+    doc = {
+        "kind": "geo_position_lake",
+        "cells_per_deg": meta.get("cells_per_deg"),
+        "lat_col": meta.get("lat_col"),
+        "lng_col": meta.get("lng_col"),
+        "log_root": log_root,
+        "log_version": head,
+    }
+    rows = load_positions(spark, log_root, head)
+    return _publish_partitioned_index(spark, rows, lake_root, doc)
 
 
 def read_position_lake(

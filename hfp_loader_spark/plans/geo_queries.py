@@ -221,6 +221,130 @@ def geo_leg_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted position-lake lifecycle (VERDICT r12 #6) --------------
+#
+# The serve-side twin of model_queries' IVF index: positions land in a
+# versioned O(delta) log (operators.geo.append_positions — the daily
+# HFP-load shape), the log is compacted (maintenance.compact_snapshot)
+# and published as the cell-partitioned lake
+# (materialize_position_lake_from_log); the measured entry reads ONLY
+# the queried cells' partition directories.  Roots are keyed by a
+# corpus stamp (row count + max event id), so regenerated testdata gets
+# a fresh build instead of serving a stale lake.
+
+_GEO_LAKE_CPD = 20
+_GEO_LAKE_READY: dict[str, str] = {}
+
+
+def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
+    lake_root = _GEO_LAKE_READY.get(sf_dir)
+    if lake_root is not None:
+        return lake_root
+    import hashlib
+    import os
+
+    from hfp_loader_spark.maintenance import compact_snapshot
+    from hfp_loader_spark.operators.geo import (
+        append_positions,
+        materialize_position_lake_from_log,
+    )
+    from hfp_loader_spark.operators.similarity import read_index_manifest
+    from hfp_loader_spark.plans.model_queries import _INDEX_BASE
+    from hfp_loader_spark.versioned import latest_version
+
+    ev = _t(spark, sf_dir, "events")
+    n, mx = ev.agg(F.count("*"), F.max("event_id")).collect()[0]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{n}:{mx}".encode()
+    ).hexdigest()[:12]
+    log_root = f"{_INDEX_BASE}/geo_poslog_{key}"
+    lake_root = f"{_INDEX_BASE}/geo_lake_{key}"
+    head = latest_version(spark, log_root)
+    if head is None:
+        tr = _traj(spark, sf_dir)
+        # three O(delta) appends (the daily-load shape), then compact
+        # the chain — the full ingest lifecycle, not a one-shot build
+        for m in range(3):
+            append_positions(
+                spark,
+                tr.where(F.col("vehicle_id") % 3 == m),
+                log_root,
+                cells_per_deg=_GEO_LAKE_CPD,
+            )
+        compact_snapshot(spark, log_root, min_dirs=3)
+        head = latest_version(spark, log_root)
+    doc = read_index_manifest(spark, lake_root)
+    if (
+        doc is None
+        or doc.get("log_version") != head
+        or doc.get("cells_per_deg") != _GEO_LAKE_CPD
+    ):
+        materialize_position_lake_from_log(spark, log_root, lake_root)
+    _GEO_LAKE_READY[sf_dir] = lake_root
+    return lake_root
+
+
+#: The queried region: lat [60.05, 60.15) × lng [24.55, 24.70), edges
+#: ALIGNED to cell boundaries at cpd=20 so cell membership IS box
+#: membership — 6 literal cells, enumerable at plan-build time.
+_LAKE_BOX_CELLS = [
+    lat_c * 100000 + lng_c
+    for lat_c in (1201, 1202)
+    for lng_c in (491, 492, 493)
+]
+
+
+@defquery(
+    "geo_lake_cells_served",
+    f"""
+    WITH {_traj_cte()}
+    SELECT CAST(floor(lat * 20.0) AS BIGINT) * 100000
+             + CAST(floor(lng * 20.0) AS BIGINT)     AS cell,
+           CAST(count(*) AS BIGINT)                  AS n_points,
+           CAST(count(DISTINCT vehicle_id) AS BIGINT) AS n_vehicles,
+           CAST(sum(CAST(floor(spd * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_spd_cents
+    FROM traj
+    WHERE CAST(floor(lat * 20.0) AS BIGINT) * 100000
+            + CAST(floor(lng * 20.0) AS BIGINT)
+          IN ({", ".join(str(c) for c in _LAKE_BOX_CELLS)})
+    GROUP BY cell
+    """,
+    doc="Region density SERVED FROM THE PERSISTED POSITION LAKE "
+    "(r13 — closes VERDICT r12 #6): positions are committed to the "
+    "versioned O(delta) log in three daily-load-shaped appends "
+    "(operators.geo.append_positions), the chain is compacted "
+    "(maintenance.compact_snapshot — grid pin carried) and published "
+    "as the cell-PARTITIONED lake (materialize_position_lake_from_log)"
+    "; the measured plan reads ONLY the 6 queried cells' partition "
+    "directories (static cell IN (…) partition filters — the box edges "
+    "align to cell boundaries at cpd=20, so cell membership IS box "
+    "membership). FULL oracle: DuckDB recomputes the same cells from "
+    "the raw events — the external append≡recompute check for the "
+    "whole log→compact→materialize→serve lifecycle. Speed is summed "
+    "in integer cents (floor(spd*100)) so the aggregate is exact "
+    "cross-engine.",
+)
+def geo_lake_cells_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hfp_loader_spark.operators.geo import read_position_lake
+
+    lake_root = _ensure_position_lake(spark, sf_dir)
+    lake = read_position_lake(
+        spark, lake_root, expect_cells_per_deg=_GEO_LAKE_CPD
+    )
+    return (
+        lake.where(F.col("cell").isin(_LAKE_BOX_CELLS))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count_distinct("vehicle_id").alias("n_vehicles"),
+            F.sum(F.floor(F.col("spd") * 100.0).cast("long")).alias(
+                "sum_spd_cents"
+            ),
+        )
+    )
+
+
 @defquery(
     "geo_grid_density",
     f"""

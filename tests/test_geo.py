@@ -265,7 +265,7 @@ def test_geo_catalog_entries_rowcounts(spark, sf_dir):
         for n, s in REGISTRY.items()
         if s.module == "geo_queries" and not n.startswith("streaming_")
     }
-    assert len(geo_entries) == 18, sorted(geo_entries)
+    assert len(geo_entries) == 19, sorted(geo_entries)
     # entries whose bounded/filtered shapes can legitimately be empty at
     # the smallest SF (close contacts need co-located pairs; crossing /
     # geofence events need tracks through the fence boxes)
@@ -439,6 +439,104 @@ def test_position_lake_partition_pruning_is_physical(spark, sf_dir, tmp_path):
         read_position_lake(spark, str(tmp_path / "nope"), 20)
 
 
+def test_position_log_lifecycle_append_compact_rematerialize(
+    spark, sf_dir, tmp_path
+):
+    """The full position-lake lifecycle (VERDICT r12 #6): N O(delta)
+    appends → lake published from the log ≡ one-shot build of the full
+    frame, row-for-row; compact_snapshot collapses the append chain
+    CARRYING the grid pin; truncate_history bounds the manifest chain;
+    the re-materialized lake's cell-scoped serve output is unchanged
+    through every maintenance step; mixed-grid appends raise."""
+    from hfp_loader_spark.maintenance import compact_snapshot
+    from hfp_loader_spark.operators.geo import (
+        append_positions,
+        load_positions,
+        materialize_position_lake,
+        materialize_position_lake_from_log,
+        read_position_lake,
+    )
+    from hfp_loader_spark.plans.geo_queries import _traj
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        latest_version,
+        table_history,
+        truncate_history,
+    )
+
+    log = str(tmp_path / "poslog")
+    lake = str(tmp_path / "lake")
+    oneshot = str(tmp_path / "oneshot")
+    tr = _traj(spark, sf_dir)
+
+    # ingest in 3 disjoint daily-style slices, O(delta) each
+    vmax = tr.agg(F.max("vehicle_id")).collect()[0][0]
+    cuts = [0, vmax // 3, 2 * vmax // 3, vmax + 1]
+    for lo, hi in zip(cuts, cuts[1:]):
+        v = append_positions(
+            spark,
+            tr.where((F.col("vehicle_id") >= lo) & (F.col("vehicle_id") < hi)),
+            log,
+            cells_per_deg=20,
+        )
+    assert v == 3
+
+    # append ≡ recompute: the log union equals a full one-shot stamp
+    doc = materialize_position_lake_from_log(spark, log, lake)
+    assert doc["log_version"] == 3 and doc["cells_per_deg"] == 20
+    materialize_position_lake(spark, tr, oneshot, cells_per_deg=20)
+    key = ["event_id", "cell"]
+    got = sorted(
+        map(tuple, read_position_lake(spark, lake, 20).select(*key).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            read_position_lake(spark, oneshot, 20).select(*key).collect(),
+        )
+    )
+    assert got and got == want
+
+    # a cell-scoped serve read, pinned across every maintenance step
+    cell0 = got[0][1]
+    def serve():
+        return sorted(
+            r["event_id"]
+            for r in read_position_lake(spark, lake, 20)
+            .where(F.col("cell") == cell0)
+            .collect()
+        )
+
+    baseline = serve()
+    assert baseline
+
+    # grid-generation pin: a different grid (or renamed columns) raises
+    with pytest.raises(ValueError, match="mixing grid generations"):
+        append_positions(spark, tr.limit(1), log, cells_per_deg=50)
+
+    # compact the 3-dir append chain; the grid pin must survive
+    compacted = compact_snapshot(spark, log, min_dirs=3)
+    assert compacted == 4
+    meta = _read_manifest(spark, log, compacted).meta
+    assert meta["cells_per_deg"] == 20
+    assert meta["kind"] == "geo_position_log"
+    assert meta["compacted_from"] == 3
+    n_total = len(got)
+    assert load_positions(spark, log).count() == n_total
+
+    # appends continue against the compacted head; truncate the history
+    v5 = append_positions(spark, tr.limit(0), log, cells_per_deg=20)
+    assert v5 == 5
+    truncate_history(spark, log, keep_last=1)
+    assert [s.version for s in table_history(spark, log)] == [5]
+    assert latest_version(spark, log) == 5
+
+    # re-materialize from the compacted+truncated log: serve unchanged
+    doc2 = materialize_position_lake_from_log(spark, log, lake)
+    assert doc2["log_version"] == 5
+    assert serve() == baseline
+
+
 #: Tier-wide physical plan caps, measured at sf0.001 (AQE-final plans;
 #: the plan string double-prints, so values are 2× the real exchange
 #: count) with a +2 margin for AQE variation.  The caps pin the scale
@@ -468,7 +566,22 @@ GEO_PLAN_CAPS = {
     "geo_simplify_radial": dict(max_exchanges=6, bnlj=0),
     # composition: episodes + located-start join + argmin + final agg
     "geo_dwell_at_stops": dict(max_exchanges=16, bnlj=0),
+    # served from the persisted lake: one agg exchange over 6 cells
+    "geo_lake_cells_served": dict(max_exchanges=4, bnlj=0),
 }
+
+
+def test_geo_lake_serve_prunes_partitions(spark, sf_dir):
+    """The served lake entry's measured plan prunes at the PARTITION
+    level: static ``cell IN (…)`` PartitionFilters on the lake scan —
+    the same physicality contract as the IVF serve layout
+    (tests/test_plan_audit.py)."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    df = REGISTRY["geo_lake_cells_served"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:400]
 
 
 def test_geo_tier_plan_caps(spark, sf_dir):
