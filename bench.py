@@ -96,6 +96,11 @@ HEADLINE = [
     # capped in tests/test_plan_audit.py); adds its own cost to the
     # total vs the 36-query sum.
     "geo_leg_speed_profile",
+    # round 13: the persisted position lake's serve path — log appends
+    # compacted into the cell-partitioned layout, region box read via
+    # static cell partition filters (the geo twin of sim_ann_ivf's
+    # serve shape); adds its own cost to the total vs the 37-query sum.
+    "geo_lake_cells_served",
 ]
 
 

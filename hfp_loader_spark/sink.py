@@ -88,7 +88,14 @@ class JdbcSink:
         self.url = url
         self.properties = dict(properties or {})
         self.properties.setdefault("batchsize", str(batchsize))
-        self.properties.setdefault("reWriteBatchedInserts", "true")
+        # pgJDBC-specific tuning (multi-row VALUES rewrite of the batched
+        # INSERT).  Spark consumes its own options (batchsize, driver, …)
+        # but forwards UNKNOWN keys to the JDBC driver at connect time,
+        # and non-Postgres drivers may reject unrecognized properties
+        # outright (DuckDB's does) — so only default it where it means
+        # something.
+        if url.startswith("jdbc:postgresql:"):
+            self.properties.setdefault("reWriteBatchedInserts", "true")
         self.num_partitions = num_partitions
 
     def write(self, df: DataFrame, table: str) -> None:

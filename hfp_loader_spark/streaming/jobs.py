@@ -454,3 +454,83 @@ def stream_ingest_cell_tags(
         if q.isActive:  # pragma: no cover — safety on timeout
             q.stop()
     return versions
+
+
+def stream_ingest_positions(
+    spark,
+    source_dir: str,
+    log_root: str,
+    cells_per_deg: int = 20,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    schema: str = (
+        "vehicle_id long, event_id long, t_us long, lat double, lng double"
+    ),
+    timeout_sec: int = 300,
+) -> dict[int, int]:
+    """Streaming O(delta) position ingest: every micro-batch of newly
+    landed position files is cell-stamped under the PINNED grid
+    (``geo.append_positions`` — the same one-definition stamping pass
+    as the batch append) and committed as one versioned append to the
+    position log — the streaming half of the position-lake lifecycle
+    (VERDICT r12 #6), the exact geo analogue of
+    :func:`stream_ingest_cell_tags` for the IVF index.
+
+    foreachBatch micro-batches run sequentially so log appends never
+    interleave; every commit is manifest-pinned to the grid generation,
+    so a re-grid mid-stream FAILS the query instead of silently mixing
+    cell geometries (restart after a deliberate
+    ``geo.rebuild_positions``, not around it); the checkpoint lives
+    next to the log so a re-run resumes from the last committed file
+    instead of double-ingesting batch 1.  The serve layout is
+    re-published from the log head on the maintenance cadence
+    (``geo.materialize_position_lake_from_log``), with
+    ``maintenance.compact_snapshot`` bounding the append chain.
+
+    Returns {batch_id: committed_version} — the per-batch audit trail.
+    """
+    import os
+
+    from hfp_loader_spark.operators.geo import append_positions
+
+    versions: dict[int, int] = {}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        versions[batch_id] = append_positions(
+            spark,
+            batch_df,
+            log_root,
+            cells_per_deg=cells_per_deg,
+            lat_col=lat_col,
+            lng_col=lng_col,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_source_dir(source_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(log_root, "_stream_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream_ingest_positions did not drain {source_dir!r} "
+                f"within {timeout_sec}s; {log_root!r} holds only the "
+                "batches committed so far (resume by re-running — the "
+                "checkpoint skips completed files)"
+            )
+    finally:
+        if q.isActive:  # pragma: no cover — safety on timeout
+            q.stop()
+    return versions

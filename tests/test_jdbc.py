@@ -25,6 +25,12 @@ def test_jdbc_sink_defaults_match_reference():
     assert sink.properties["batchsize"] == "1000"
     assert sink.properties["reWriteBatchedInserts"] == "true"
     assert sink.num_partitions == 10
+    # the pgJDBC-specific rewrite switch must NOT leak to other drivers
+    # (Spark forwards unknown properties at connect time and e.g. the
+    # DuckDB driver rejects unrecognized keys — test_jdbc_wire_live.py)
+    other = JdbcSink("jdbc:duckdb:/tmp/x.db")
+    assert "reWriteBatchedInserts" not in other.properties
+    assert other.properties["batchsize"] == "1000"
 
 
 def test_jdbc_existing_keys_query_shape():

@@ -232,3 +232,70 @@ def test_stream_ingest_cell_tags_equals_batch_recompute(spark, sf_dir, tmp_path)
     append_cell_tags(spark, emb, full_root, cent_assign, 1_000_000)
     full = sorted(map(tuple, load_cell_tags(spark, full_root).collect()))
     assert got == full and len(got) == 500
+
+
+def test_stream_ingest_positions_equals_batch_recompute(
+    spark, sf_dir, tmp_path
+):
+    """Streaming O(delta) position ingest (the geo twin of the tag
+    ingest): draining two position files through availableNow
+    foreachBatch must leave a position log equal row-for-row to one
+    batch append of the union, each commit pinned to the grid
+    generation; the drained log materializes into a servable lake."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.geo import (
+        append_positions,
+        load_positions,
+        materialize_position_lake_from_log,
+        read_position_lake,
+    )
+    from hfp_loader_spark.plans.geo_queries import _traj
+    from hfp_loader_spark.streaming.jobs import stream_ingest_positions
+
+    tr = _traj(spark, sf_dir).select(
+        "vehicle_id", "event_id", "t_us", "lat", "lng"
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    halves = (
+        ("f1", tr.where(F.col("vehicle_id") % 2 == 0)),
+        ("f2", tr.where(F.col("vehicle_id") % 2 == 1)),
+    )
+    for name, frame in halves:
+        stage = tmp_path / f"_stage_{name}"
+        frame.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(os.path.join(str(stage), "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    log_root = str(tmp_path / "poslog")
+    versions = stream_ingest_positions(spark, str(src), log_root)
+    assert sorted(versions.values()) == [1, 2]
+
+    key = ["event_id", "cell"]
+    got = sorted(
+        map(tuple, load_positions(spark, log_root).select(*key).collect())
+    )
+    full_root = str(tmp_path / "poslog_full")
+    append_positions(spark, tr, full_root)
+    full = sorted(
+        map(tuple, load_positions(spark, full_root).select(*key).collect())
+    )
+    assert got == full and len(got) == tr.count()
+
+    # a grid change mid-stream would refuse at the append layer
+    import pytest
+
+    with pytest.raises(ValueError, match="mixing grid generations"):
+        append_positions(spark, tr.limit(1), log_root, cells_per_deg=50)
+
+    # the drained log serves: materialize and read one cell back
+    lake_root = str(tmp_path / "lake")
+    doc = materialize_position_lake_from_log(spark, log_root, lake_root)
+    assert doc["log_version"] == 2
+    lake = read_position_lake(spark, lake_root, expect_cells_per_deg=20)
+    assert lake.count() == len(got)
