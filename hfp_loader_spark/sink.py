@@ -186,17 +186,25 @@ class JdbcUpsertSink(JdbcSink):
 
     Shape (the scale-correct Spark→Postgres upsert):
 
-    1. the batch lands DISTRIBUTED via the normal JDBC append into a
-       per-call staging table (``<table>__stage_<token>``) — batchsize /
-       reWriteBatchedInserts / write concurrency as the parent sink;
-    2. ONE server-side, set-based
+    1. the per-call staging table (``<table>__stage_<token>``) is
+       created SERVER-SIDE from the target's own shape
+       (``CREATE TABLE … AS SELECT * FROM target WHERE 1 = 0``) — the
+       stage inherits the target's exact column types, so the promotion
+       can never hit an implicit-cast surprise from the writer's
+       type mapping, and Spark's append lands in a table that already
+       exists (Spark 4 refuses to auto-create against drivers whose
+       not-found SQLExceptions it cannot classify);
+    2. the batch lands DISTRIBUTED via the normal JDBC append into the
+       stage — batchsize / reWriteBatchedInserts / write concurrency as
+       the parent sink;
+    3. ONE server-side, set-based
        ``INSERT INTO target SELECT … FROM staging ON CONFLICT (uuid) DO
        NOTHING`` promotes it — no per-row Python round-trips (a
        ``foreachPartition`` with a row-at-a-time driver is the slow path,
        and no Python Postgres driver ships in executors anyway); the
        driver issues the statement over java.sql via the same JDBC jar
        Spark's write used;
-    3. the staging table is dropped in a ``finally``.
+    4. the staging table is dropped in a ``finally``.
 
     Requires a UNIQUE index on ``uuid`` (the DDL's uuid column is the
     reference's dedup identity).  ``conflict_cols`` widens the target for
@@ -207,13 +215,27 @@ class JdbcUpsertSink(JdbcSink):
         super().__init__(*args, **kw)
         self.conflict_cols = tuple(conflict_cols)
 
+    #: Option keys Spark's JDBC source consumes itself and strips from
+    #: the java.sql connection properties (JDBCOptions.asConnectionProperties)
+    #: — forwarded to a driver they are unrecognized config and some
+    #: drivers (DuckDB) reject them at connect time.
+    _SPARK_OPTION_KEYS = frozenset(
+        {"driver", "batchsize", "numpartitions", "isolationlevel",
+         "querytimeout", "fetchsize", "truncate", "url", "dbtable",
+         "query", "partitioncolumn", "lowerbound", "upperbound"}
+    )
+
     def _exec_sql(self, spark: SparkSession, sql: str) -> None:
         """Run one statement driver-side through the JVM's DriverManager
-        (same classpath/driver Spark's own JDBC write uses)."""
+        (same classpath/driver Spark's own JDBC write uses; same
+        option-vs-connection-property split Spark itself applies)."""
         jvm = spark._jvm
+        if "driver" in self.properties:
+            jvm.java.lang.Class.forName(self.properties["driver"])
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
-            props.setProperty(k, v)
+            if k.lower() not in self._SPARK_OPTION_KEYS:
+                props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
             stmt = conn.createStatement()
@@ -232,15 +254,28 @@ class JdbcUpsertSink(JdbcSink):
         out = with_id_column(df)
         spark = out.sparkSession
         stage = f"{table}__stage_{_uuid.uuid4().hex[:12]}"
-        (
-            out.coalesce(self.num_partitions)
-            .write.mode("overwrite")
-            .jdbc(self.url, f"public.{stage}", properties=self.properties)
-        )
+        self._exec_sql(spark, self._stage_create_sql(table, stage))
         try:
+            (
+                out.coalesce(self.num_partitions)
+                .write.mode("append")
+                .jdbc(self.url, f"public.{stage}", properties=self.properties)
+            )
             self._exec_sql(spark, self._promote_sql(table, stage, out.columns))
         finally:
             self._exec_sql(spark, self._drop_sql(stage))
+
+    @staticmethod
+    def _stage_create_sql(table: str, stage: str) -> str:
+        """The server-side stage DDL: an empty structural copy of the
+        TARGET (``WHERE 1 = 0`` CTAS — ANSI; no constraints carried,
+        which a stage must not have).  Typed by the target, not by the
+        writer's Spark→SQL type mapping, so stage and target can never
+        disagree on a column type at promotion time."""
+        return (
+            f'CREATE TABLE public."{stage}" AS '
+            f'SELECT * FROM public."{table}" WHERE 1 = 0'
+        )
 
     def _promote_sql(self, table: str, stage: str, columns: list[str]) -> str:
         """The set-based promotion statement (golden-locked in

@@ -104,6 +104,54 @@ def main() -> None:
 
     # the key read itself, over the wire, with the filter pushed remote
     keys = jsink.existing_keys(spark, "vehicleposition", "2021-02-09")
+
+    # --- exactly-once upsert leg: the FULL distributed staging path
+    # (server-side CTAS stage → partition-parallel append → set-based
+    # ON CONFLICT promotion → stage drop), with the DATABASE's unique
+    # index as the final arbiter: re-writing the identical batch with
+    # the anti-join bypassed must insert nothing.
+    from hfp_loader_spark.sink import JdbcUpsertSink
+
+    up_url = f"jdbc:duckdb:{work}/wire_upsert.db"
+    conn = jvm.java.sql.DriverManager.getConnection(up_url)
+    try:
+        st = conn.createStatement()
+        st.execute("CREATE SCHEMA IF NOT EXISTS public")
+        sch = spark.read.parquet(psink.table_path("vehicleposition")).schema
+        cols = ", ".join(
+            f'"{f.name}" {type_map[f.dataType.typeName()]}'
+            for f in sch.fields
+        )
+        st.execute(
+            f'CREATE TABLE public."vehicleposition" ({cols}, UNIQUE (uuid))'
+        )
+        st.close()
+    finally:
+        conn.close()
+    usink = JdbcUpsertSink(
+        up_url, properties={"driver": "org.duckdb.DuckDBDriver"}
+    )
+    # the fixture day carries INTRA-day duplicate uuids (reference
+    # scoping: no intra-run dedup).  Postgres's ON CONFLICT DO NOTHING
+    # skips conflicts arising within one INSERT…SELECT; DuckDB 1.0's
+    # raises on them — an engine semantic difference, not a sink bug —
+    # so this leg dedupes the batch and exercises the CROSS-batch
+    # arbitration (the exactly-once property the sink exists for).
+    vp = spark.read.parquet(
+        psink.table_path("vehicleposition")
+    ).dropDuplicates(["uuid"])
+    usink.write(vp, "vehicleposition")
+    usink.write(vp, "vehicleposition")  # 100% conflict — DB arbitrates
+    upserted = spark.read.jdbc(
+        up_url, 'public."vehicleposition"', properties=usink.properties
+    )
+    stage_leftover = spark.read.jdbc(
+        up_url,
+        "(SELECT count(*) AS n FROM information_schema.tables"
+        " WHERE table_name LIKE 'vehicleposition__stage%') q",
+        properties=usink.properties,
+    ).collect()[0]["n"]
+
     print(
         json.dumps(
             {
@@ -112,6 +160,9 @@ def main() -> None:
                 "rerun_total": run2.total_inserted,
                 "value_match": value_match,
                 "wire_key_count": keys.count(),
+                "upsert_count": upserted.count(),
+                "upsert_expected": vp.count(),
+                "stage_leftover": int(stage_leftover),
             }
         )
     )

@@ -121,12 +121,19 @@ def test_jdbc_upsert_sink_statement_shape(spark):
     finally:
         sink_mod.with_id_column = orig
 
-    assert captured["mode"] == "overwrite"
+    # the stage pre-exists (server-side CTAS), so the distributed write
+    # APPENDS — overwrite would re-enter Spark's table-existence probe,
+    # which rethrows on drivers it can't classify (test_jdbc_wire_live)
+    assert captured["mode"] == "append"
     stage = captured["stage_table"]
     assert stage.startswith("public.vehicleposition__stage_")
     stage_bare = stage.split(".", 1)[1]
-    assert len(executed) == 2
-    insert, drop = executed
+    assert len(executed) == 3
+    create, insert, drop = executed
+    assert create == (
+        f'CREATE TABLE public."{stage_bare}" AS '
+        'SELECT * FROM public."vehicleposition" WHERE 1 = 0'
+    )
     assert insert == (
         'INSERT INTO public."vehicleposition" ("id", "uuid", "oday") '
         f'SELECT "id", "uuid", "oday" FROM public."{stage_bare}" '
@@ -203,6 +210,12 @@ def test_jdbc_upsert_sql_golden():
     )
     assert sink._drop_sql("t__stage_x") == (
         'DROP TABLE IF EXISTS public."t__stage_x"'
+    )
+    # the stage is created server-side FROM THE TARGET (empty CTAS), so
+    # its column types are the target's, never the writer's mapping
+    assert sink._stage_create_sql("vehicleposition", "t__stage_x") == (
+        'CREATE TABLE public."t__stage_x" AS '
+        'SELECT * FROM public."vehicleposition" WHERE 1 = 0'
     )
     # the staging write + promotion never interpolate an unvalidated
     # table name (defense-in-depth check stays in write())

@@ -19,12 +19,12 @@ Postgres 15), every layer of the JDBC story is now executed somewhere:
 The subprocess is unavoidable: the driver jar must be on the JVM
 classpath at startup, and the suite's shared SparkSession predates it.
 
-Known residual (documented, not hidden): ``JdbcUpsertSink``'s staging
-table is created BY Spark's writer, and Spark 4 refuses to auto-create
-against drivers whose not-found SQLExceptions it cannot classify
-(DuckDB's carry no SQLState) — so the upsert's distributed stage
-transfer still needs a Postgres jar; its promotion SQL is live-tested
-on Postgres already.
+The exactly-once upsert path runs over the wire too: since the stage
+is created server-side from the target (``_stage_create_sql`` — empty
+CTAS), Spark's append lands in an existing table and the whole
+stage → distributed transfer → ON CONFLICT promotion → drop cycle
+executes against the live database, with its unique index arbitrating
+the duplicate batch.
 """
 
 from __future__ import annotations
@@ -96,3 +96,9 @@ def test_hfp_load_through_live_jdbc_wire(tmp_path):
         result["wire_key_count"]
         == result["run1_counts"]["vehicleposition"]
     )
+
+    # exactly-once upsert over the wire: writing the identical batch
+    # twice (anti-join bypassed) leaves exactly one copy — the unique
+    # index, not the loader, arbitrated — and no staging table survives
+    assert result["upsert_count"] == result["upsert_expected"] > 0
+    assert result["stage_leftover"] == 0

@@ -163,10 +163,8 @@ def test_upsert_promotion_is_idempotent_and_conflict_safe_live(pg):
         "CREATE TABLE public.stopevent ("
         "uuid uuid UNIQUE, oday date, lat double precision)"
     )
-    pg(
-        'CREATE TABLE public."stopevent__stage_aaa" '
-        "(uuid uuid, oday date, lat double precision)"
-    )
+    # stage DDL is the sink's own statement (empty CTAS off the target)
+    pg(sink._stage_create_sql("stopevent", "stopevent__stage_aaa"))
     pg(
         'INSERT INTO public."stopevent__stage_aaa" VALUES '
         "('00000000-0000-0000-0000-00000000000a','2021-02-09',1.0),"
@@ -180,10 +178,7 @@ def test_upsert_promotion_is_idempotent_and_conflict_safe_live(pg):
     assert pg("SELECT count(*) FROM public.stopevent") == ["2"]
 
     # a second batch overlapping on uuid 'b' adds only uuid 'c'
-    pg(
-        'CREATE TABLE public."stopevent__stage_bbb" '
-        "(uuid uuid, oday date, lat double precision)"
-    )
+    pg(sink._stage_create_sql("stopevent", "stopevent__stage_bbb"))
     pg(
         'INSERT INTO public."stopevent__stage_bbb" VALUES '
         "('00000000-0000-0000-0000-00000000000b','2021-02-09',99.0),"
