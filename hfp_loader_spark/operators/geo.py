@@ -647,6 +647,19 @@ def _stamp_cells(
     )
 
 
+def _log_meta(cells_per_deg: int, lat_col: str, lng_col: str) -> dict:
+    """The ONE definition of the position log's generation pin.  Every
+    site that stamps or validates the pin (append, rebuild, the catalog
+    ensure) uses this dict, so a future field can never be added to one
+    writer's stamp and silently skipped by another's subset check."""
+    return {
+        "kind": "geo_position_log",
+        "cells_per_deg": int(cells_per_deg),
+        "lat_col": lat_col,
+        "lng_col": lng_col,
+    }
+
+
 def append_positions(
     spark,
     delta: DataFrame,
@@ -654,6 +667,7 @@ def append_positions(
     cells_per_deg: int = 20,
     lat_col: str = "lat",
     lng_col: str = "lng",
+    extra_meta: dict | None = None,
 ) -> int:
     """O(delta) append to a versioned position log: stamp ONLY the new
     batch's rows with their grid cell and commit them as one versioned
@@ -670,19 +684,17 @@ def append_positions(
     grid resolution, and silently mixing grids corrupts every
     cell-scoped prune.  Valid because cell stamping is per-row
     deterministic: delta-appends equal the full recompute row-for-row.
-    Returns the committed version."""
+    ``extra_meta`` rides along in the commit manifest (audit fields
+    like the streaming batch id) WITHOUT joining the generation pin —
+    the pin comparison is over the base keys only.  Returns the
+    committed version."""
     from hfp_loader_spark.versioned import (
         _read_manifest,
         commit_snapshot,
         latest_version,
     )
 
-    meta = {
-        "kind": "geo_position_log",
-        "cells_per_deg": int(cells_per_deg),
-        "lat_col": lat_col,
-        "lng_col": lng_col,
-    }
+    meta = _log_meta(cells_per_deg, lat_col, lng_col)
     head = latest_version(spark, log_root)
     if head is not None:
         stamped = _read_manifest(spark, log_root, head).meta
@@ -693,7 +705,13 @@ def append_positions(
                 "(rebuild_positions) instead of mixing grid generations"
             )
     rows = _stamp_cells(delta, cells_per_deg, lat_col, lng_col)
-    return commit_snapshot(spark, rows, log_root, mode="append", meta=meta)
+    return commit_snapshot(
+        spark,
+        rows,
+        log_root,
+        mode="append",
+        meta={**meta, **(extra_meta or {})},
+    )
 
 
 def rebuild_positions(
@@ -717,12 +735,7 @@ def rebuild_positions(
         rows,
         log_root,
         mode="overwrite",
-        meta={
-            "kind": "geo_position_log",
-            "cells_per_deg": int(cells_per_deg),
-            "lat_col": lat_col,
-            "lng_col": lng_col,
-        },
+        meta=_log_meta(cells_per_deg, lat_col, lng_col),
     )
 
 

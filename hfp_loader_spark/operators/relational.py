@@ -1056,7 +1056,14 @@ def linear_fit(
     slope 0 with NULL r2 (0/0).
 
     Scale shape: five map-side-combinable sums + one row out — use it
-    on bounded frames (rollups, top-k) or the full corpus alike."""
+    on bounded frames (rollups, top-k) or the full corpus alike.
+
+    The double SUMS are summation-order-dependent — fine when the
+    fitted magnitudes keep the rounding far above the ulp noise (the
+    Zipf fit's O(1) slopes), but NOT when the rounded output is large
+    (an sf0.1 revenue intercept ~5e8 rounded to 6dp demands 1e-15
+    relative agreement, and the engines' sum orders differ) — use
+    :func:`linear_fit_exact_cents` for integer-quantified series."""
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     a = df.agg(
@@ -1067,18 +1074,68 @@ def linear_fit(
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
+    return _ols_from_sums(a, round_to)
+
+
+def _ols_from_sums(a: DataFrame, round_to: int) -> DataFrame:
+    """The OLS closed form over a 1-row (n, sx, sy, sxx, syy, sxy)
+    frame — only correctly-rounded double ops (* − /), so identical
+    sum inputs give bit-identical outputs on every engine.  Every
+    rounded output is ``+ 0.0``-normalized: a tiny negative slope
+    rounds to IEEE ``-0.0`` on engines whose round() preserves the
+    sign (DuckDB) and ``+0.0`` on Spark, and value hashes distinguish
+    them (the r12 sim_rp_distortion lesson)."""
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     slope = F.when((F.col("n") >= 2) & (dx > 0), num / dx)
     return a.select(
         F.col("n").cast("long").alias("n_points"),
-        F.round(slope, round_to).alias("slope"),
-        F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to
+        (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to
+            )
+            + F.lit(0.0)
         ).alias("intercept"),
-        F.when(
-            (F.col("n") >= 2) & (dx > 0) & (dy > 0),
-            F.round(num * num / (dx * dy), round_to),
+        (
+            F.when(
+                (F.col("n") >= 2) & (dx > 0) & (dy > 0),
+                F.round(num * num / (dx * dy), round_to),
+            )
+            + F.lit(0.0)
         ).alias("r2"),
     )
+
+
+def linear_fit_exact_cents(
+    df: DataFrame,
+    x_col: str,
+    y_cents_col: str,
+    y_scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`linear_fit` for integer-quantified series (y in cents,
+    µs, …): the five sums run in ``decimal(38,0)`` — EXACT 128-bit
+    integer arithmetic, the engine-independent twin of DuckDB's
+    HUGEINT sum — and convert to double ONCE (a correctly-rounded
+    cast), so the closed form sees bit-identical inputs on every
+    engine regardless of summation order.  This is what lets a 5e8-
+    magnitude intercept survive a 6dp value hash at any sf, where the
+    double-sum path diverges in the last ulp (caught by the sf0.1
+    sweep, r13).  ``y_scale`` converts the integer unit back (cents →
+    dollars = 100); x must be integer-valued.  Overflow fails loud
+    (ANSI decimal)."""
+    dec = "decimal(38,0)"
+    xd = F.col(x_col).cast(dec)
+    yd = F.col(y_cents_col).cast(dec)
+    s = float(y_scale)
+    a = df.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        (F.sum(yd).cast("double") / F.lit(s)).alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        (F.sum(yd * yd).cast("double") / F.lit(s * s)).alias("syy"),
+        (F.sum(xd * yd).cast("double") / F.lit(s)).alias("sxy"),
+    )
+    return _ols_from_sums(a, round_to)

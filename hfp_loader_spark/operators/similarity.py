@@ -1905,6 +1905,7 @@ def append_cell_tags(
     scale: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_meta: dict | None = None,
 ) -> int:
     """O(delta) append to a persisted cell-tag table: assign ONLY the
     new batch's vectors against the pinned model (the same narrow
@@ -1951,6 +1952,9 @@ def append_cell_tags(
             "kind": "ivf_cell_tags",
             "scale": int(scale),
             "model_fingerprint": fp,
+            # audit riders (e.g. the streaming batch id) never join the
+            # generation pin — the pin check reads its keys explicitly
+            **(extra_meta or {}),
         },
     )
 

@@ -172,18 +172,24 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(1, len(embedding))) AS i
       FROM embeddings
     )
+    -- + 0.0 after every rounded stat: a zero-centered dimension's mean
+    -- rounds to IEEE -0.0 on DuckDB (sign-preserving round) and +0.0
+    -- on Spark, and the value hash distinguishes them — bit on dims 9
+    -- and 24 at sf0.1 (r13 hardened sweep)
     SELECT CAST(i - 1 AS INT) AS dim,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
-           round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) AS std,
-           round(min(CAST(embedding[i] AS DOUBLE)), 4) AS vmin,
-           round(max(CAST(embedding[i] AS DOUBLE)), 4) AS vmax
+           round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS mean,
+           round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS std,
+           round(min(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS vmin,
+           round(max(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS vmax
     FROM idx GROUP BY dim
     """,
     doc="Per-dimension embedding statistics (mean/std/min/max via "
     "posexplode → groupBy pos): the feature-scaling prerequisite for "
     "standardized ANN; the 64× explode is folded back to 64 rows per "
-    "partition by partial aggregation before the only shuffle.",
+    "partition by partial aggregation before the only shuffle. Rounded "
+    "stats are negative-zero-normalized on both engines (a "
+    "zero-centered dim's mean hit the -0.0 hash flip at sf0.1).",
 )
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -193,10 +199,10 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dim").cast("int").alias("dim"))
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg(x), 4).alias("mean"),
-            F.round(F.stddev_pop(x), 4).alias("std"),
-            F.round(F.min(x), 4).alias("vmin"),
-            F.round(F.max(x), 4).alias("vmax"),
+            (F.round(F.avg(x), 4) + F.lit(0.0)).alias("mean"),
+            (F.round(F.stddev_pop(x), 4) + F.lit(0.0)).alias("std"),
+            (F.round(F.min(x), 4) + F.lit(0.0)).alias("vmin"),
+            (F.round(F.max(x), 4) + F.lit(0.0)).alias("vmax"),
         )
     )
 
@@ -1561,33 +1567,47 @@ def events_conversion_attribution(
     WITH m AS (
       SELECT (CAST(year(o_orderdate) AS INT) - 1992) * 12
              + CAST(month(o_orderdate) AS INT) - 1 AS x,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                  AS DOUBLE) / 100.0 AS y
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
       FROM orders GROUP BY 1
     ),
+    -- the five OLS sums run EXACT (HUGEINT — 128-bit integer, the twin
+    -- of the Spark side's decimal(38,0)) and convert to double ONCE: a
+    -- double sum is summation-order-dependent, and at sf0.1 the
+    -- engines' orders differ in the intercept's last ulp — which a 6dp
+    -- rounding of a 5e8-magnitude value cannot absorb (r13 sf0.1 sweep)
     a AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x::DOUBLE) AS sx,
-             sum(y) AS sy, sum(x::DOUBLE * x) AS sxx, sum(y * y) AS syy,
-             sum(x::DOUBLE * y) AS sxy
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yc AS HUGEINT)) AS DOUBLE) / 100.0 AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yc AS HUGEINT) * yc) AS DOUBLE) / 10000.0 AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * yc) AS DOUBLE) / 100.0 AS sxy
       FROM m
     )
     SELECT CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             AS slope,
            round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                 / n, 6) AS intercept,
+                 / n, 6) + 0.0 AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+             AS r2
     FROM a
     """,
-    doc="Monthly revenue linear trend (operators.relational.linear_fit): "
-    "exact integer-cent monthly sums indexed by months-since-1992, OLS "
-    "slope/intercept/R² — the demand-growth number a capacity plan "
-    "extrapolates from, and the regression twin of "
-    "orders_month_seasonality's share view. Bounded ~84-month rollup "
-    "then five OLS sums; identical expression tree in the oracle.",
+    doc="Monthly revenue linear trend "
+    "(operators.relational.linear_fit_exact_cents): exact integer-cent "
+    "monthly sums indexed by months-since-1992, then the five OLS sums "
+    "in EXACT decimal(38,0) (the engine-independent twin of DuckDB "
+    "HUGEINT) converted to double once — so slope/intercept/R² are "
+    "bit-identical across engines at ANY sf, where the former "
+    "double-sum path diverged in the intercept's last ulp at sf0.1 "
+    "(caught by the r13 hardened sweep). The demand-growth number a "
+    "capacity plan extrapolates from, and the regression twin of "
+    "orders_month_seasonality's share view. Bounded ~84-month rollup; "
+    "identical expression tree in the oracle.",
 )
 def orders_revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hfp_loader_spark.operators.relational import linear_fit
+    from hfp_loader_spark.operators.relational import linear_fit_exact_cents
 
     m = (
         _t(spark, sf_dir, "orders")
@@ -1597,15 +1617,12 @@ def orders_revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("x")
         )
         .agg(
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
-                    "double"
-                )
-                / 100.0
-            ).alias("y")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "yc"
+            )
         )
     )
-    return linear_fit(m, "x", "y")
+    return linear_fit_exact_cents(m, "x", "yc", y_scale=100)
 
 
 @defquery(

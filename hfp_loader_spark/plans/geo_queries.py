@@ -225,8 +225,8 @@ def geo_leg_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The serve-side twin of model_queries' IVF index: positions land in a
 # versioned O(delta) log (operators.geo.append_positions — the daily
-# HFP-load shape), the log is compacted (maintenance.compact_snapshot)
-# and published as the cell-partitioned lake
+# HFP-load shape; exercised in tests/test_geo.py and the streaming
+# ingest test), the log is published as the cell-partitioned lake
 # (materialize_position_lake_from_log); the measured entry reads ONLY
 # the queried cells' partition directories.  Roots are keyed by a
 # corpus stamp (row count + max event id), so regenerated testdata gets
@@ -243,14 +243,14 @@ def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
 
-    from hfp_loader_spark.maintenance import compact_snapshot
     from hfp_loader_spark.operators.geo import (
-        append_positions,
+        _log_meta,
         materialize_position_lake_from_log,
+        rebuild_positions,
     )
     from hfp_loader_spark.operators.similarity import read_index_manifest
     from hfp_loader_spark.plans.model_queries import _INDEX_BASE
-    from hfp_loader_spark.versioned import latest_version
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
 
     ev = _t(spark, sf_dir, "events")
     n, mx = ev.agg(F.count("*"), F.max("event_id")).collect()[0]
@@ -259,27 +259,49 @@ def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     log_root = f"{_INDEX_BASE}/geo_poslog_{key}"
     lake_root = f"{_INDEX_BASE}/geo_lake_{key}"
+    want = _log_meta(_GEO_LAKE_CPD, "lat", "lng")
     head = latest_version(spark, log_root)
-    if head is None:
-        tr = _traj(spark, sf_dir)
-        # three O(delta) appends (the daily-load shape), then compact
-        # the chain — the full ingest lifecycle, not a one-shot build
-        for m in range(3):
-            append_positions(
-                spark,
-                tr.where(F.col("vehicle_id") % 3 == m),
-                log_root,
-                cells_per_deg=_GEO_LAKE_CPD,
-            )
-        compact_snapshot(spark, log_root, min_dirs=3)
-        head = latest_version(spark, log_root)
+    log_ok = False
+    if head is not None:
+        stamped = _read_manifest(spark, log_root, head).meta
+        log_ok = {k: stamped.get(k) for k in want} == want
+    if not log_ok:
+        # ONE overwrite-commit (rebuild), not an append loop: concurrent
+        # ensurers (bench / sharded suite / replay share this root) must
+        # converge — racing overwrites of identical content are
+        # idempotent, racing APPENDS would duplicate rows (the same
+        # reason _ensure_ivf_tags rebuilds).  Also the self-heal for a
+        # resident log stamped under an OLD generation (a changed
+        # _GEO_LAKE_CPD or a retuned trajectory formula after testdata
+        # regeneration).  The O(delta) append + compact lifecycle is
+        # exercised by its own tests.
+        head = rebuild_positions(
+            spark,
+            _traj(spark, sf_dir),
+            log_root,
+            cells_per_deg=_GEO_LAKE_CPD,
+        )
     doc = read_index_manifest(spark, lake_root)
     if (
         doc is None
         or doc.get("log_version") != head
         or doc.get("cells_per_deg") != _GEO_LAKE_CPD
     ):
-        materialize_position_lake_from_log(spark, log_root, lake_root)
+        try:
+            materialize_position_lake_from_log(spark, log_root, lake_root)
+        except IOError:
+            # lost a publish race to a peer ensurer.  Racing rebuilds
+            # commit identical content under different log versions, so
+            # the resident layout differs from ours only in its stamped
+            # log_version — accept it if it serves this grid; anything
+            # else is a real publish failure.
+            doc = read_index_manifest(spark, lake_root)
+            if not (
+                doc
+                and doc.get("kind") == "geo_position_lake"
+                and doc.get("cells_per_deg") == _GEO_LAKE_CPD
+            ):
+                raise
     _GEO_LAKE_READY[sf_dir] = lake_root
     return lake_root
 
@@ -312,11 +334,13 @@ _LAKE_BOX_CELLS = [
     """,
     doc="Region density SERVED FROM THE PERSISTED POSITION LAKE "
     "(r13 — closes VERDICT r12 #6): positions are committed to the "
-    "versioned O(delta) log in three daily-load-shaped appends "
-    "(operators.geo.append_positions), the chain is compacted "
-    "(maintenance.compact_snapshot — grid pin carried) and published "
-    "as the cell-PARTITIONED lake (materialize_position_lake_from_log)"
-    "; the measured plan reads ONLY the 6 queried cells' partition "
+    "versioned grid-pinned log (one idempotent rebuild here — racing "
+    "ensurers across bench/suite JVMs must converge, and racing "
+    "APPENDS would duplicate rows; the O(delta) append + compact + "
+    "truncate lifecycle is exercised by tests/test_geo.py and the "
+    "streaming ingest test) and published as the cell-PARTITIONED "
+    "lake (materialize_position_lake_from_log); the measured plan "
+    "reads ONLY the 6 queried cells' partition "
     "directories (static cell IN (…) partition filters — the box edges "
     "align to cell boundaries at cpd=20, so cell membership IS box "
     "membership). FULL oracle: DuckDB recomputes the same cells from "

@@ -1382,12 +1382,16 @@ def text_ngram_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
       FROM top
     )
+    -- + 0.0 mirrors linear_fit's negative-zero normalization: a tiny
+    -- negative slope rounds to -0.0 on DuckDB, +0.0 on Spark
     SELECT CAST(n AS BIGINT) AS n_points,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             AS slope,
            round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                 / n, 6) AS intercept,
+                 / n, 6) + 0.0 AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+             AS r2
     FROM a
     """,
     doc="Zipf rank-frequency fit (operators.relational.linear_fit): OLS "

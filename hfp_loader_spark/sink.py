@@ -88,14 +88,20 @@ class JdbcSink:
         self.url = url
         self.properties = dict(properties or {})
         self.properties.setdefault("batchsize", str(batchsize))
-        # pgJDBC-specific tuning (multi-row VALUES rewrite of the batched
-        # INSERT).  Spark consumes its own options (batchsize, driver, …)
-        # but forwards UNKNOWN keys to the JDBC driver at connect time,
-        # and non-Postgres drivers may reject unrecognized properties
-        # outright (DuckDB's does) — so only default it where it means
-        # something.
+        # pgJDBC-specific defaults.  Spark consumes its own options
+        # (batchsize, driver, …) but forwards UNKNOWN keys to the JDBC
+        # driver at connect time, and non-Postgres drivers may reject
+        # unrecognized properties outright (DuckDB's does) — so only
+        # default these where they mean something.
         if url.startswith("jdbc:postgresql:"):
+            # multi-row VALUES rewrite of the batched INSERT
             self.properties.setdefault("reWriteBatchedInserts", "true")
+            # Spark binds every StringType via setString; against the
+            # reference DDL's non-text columns (uuid uuid — and the CTAS
+            # staging table inherits exactly those types) pgJDBC then
+            # fails with 42804 unless parameters are sent untyped and
+            # the server infers from context.
+            self.properties.setdefault("stringtype", "unspecified")
         self.num_partitions = num_partitions
 
     def write(self, df: DataFrame, table: str) -> None:

@@ -412,6 +412,17 @@ def stream_ingest_cell_tags(
     re-run resumes from the last committed file instead of
     double-tagging batch 1.
 
+    Exactly-once per micro-batch: every commit stamps its
+    ``stream_batch_id`` in the manifest, and a batch whose id is ≤ the
+    stamped head is a crash-replay (driver died between the versioned
+    commit and the checkpoint's offset write) and is skipped — without
+    this, the replayed append would double the batch's rows and break
+    the delta-appends ≡ full-recompute invariant.  Corollary: the
+    checkpoint is PART of the table's state — deleting it while
+    keeping the table makes Spark renumber batches from 0, which the
+    guard would skip against the stale stamp; after a checkpoint loss,
+    rebuild the table (or point at a fresh one).
+
     Returns {batch_id: committed_version} — the per-batch audit trail.
     """
     import os
@@ -423,8 +434,15 @@ def stream_ingest_cell_tags(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        if _replayed(spark, tags_root, batch_id):
+            return
         versions[batch_id] = append_cell_tags(
-            spark, batch_df, tags_root, cent_assign, scale
+            spark,
+            batch_df,
+            tags_root,
+            cent_assign,
+            scale,
+            extra_meta={"stream_batch_id": int(batch_id)},
         )
 
     stream = (
@@ -456,6 +474,22 @@ def stream_ingest_cell_tags(
     return versions
 
 
+def _replayed(spark, root: str, batch_id: int) -> bool:
+    """True iff ``batch_id`` is already stamped at or below the table's
+    head — a crash-replay of a committed-but-unacknowledged micro-batch
+    (the driver died between ``commit_snapshot`` succeeding and the
+    streaming checkpoint recording the batch).  Requires the checkpoint
+    to live and die with the table: a deleted checkpoint renumbers
+    batches from 0 against a stale stamp."""
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
+
+    head = latest_version(spark, root)
+    if head is None:
+        return False
+    stamped = _read_manifest(spark, root, head).meta.get("stream_batch_id")
+    return stamped is not None and batch_id <= stamped
+
+
 def stream_ingest_positions(
     spark,
     source_dir: str,
@@ -482,7 +516,10 @@ def stream_ingest_positions(
     cell geometries (restart after a deliberate
     ``geo.rebuild_positions``, not around it); the checkpoint lives
     next to the log so a re-run resumes from the last committed file
-    instead of double-ingesting batch 1.  The serve layout is
+    instead of double-ingesting batch 1, and the per-commit
+    ``stream_batch_id`` stamp makes a crash-replayed batch a no-op
+    (same exactly-once contract — and the same checkpoint-lifetime
+    caveat — as :func:`stream_ingest_cell_tags`).  The serve layout is
     re-published from the log head on the maintenance cadence
     (``geo.materialize_position_lake_from_log``), with
     ``maintenance.compact_snapshot`` bounding the append chain.
@@ -498,6 +535,8 @@ def stream_ingest_positions(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        if _replayed(spark, log_root, batch_id):
+            return
         versions[batch_id] = append_positions(
             spark,
             batch_df,
@@ -505,6 +544,7 @@ def stream_ingest_positions(
             cells_per_deg=cells_per_deg,
             lat_col=lat_col,
             lng_col=lng_col,
+            extra_meta={"stream_batch_id": int(batch_id)},
         )
 
     stream = (

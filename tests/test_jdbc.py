@@ -24,12 +24,17 @@ def test_jdbc_sink_defaults_match_reference():
     sink = JdbcSink("jdbc:postgresql://example/db")
     assert sink.properties["batchsize"] == "1000"
     assert sink.properties["reWriteBatchedInserts"] == "true"
+    # untyped string binding: the reference DDL types uuid as uuid, and
+    # the staging CTAS inherits it — setString into a uuid column fails
+    # (42804) unless pg infers the parameter type from context
+    assert sink.properties["stringtype"] == "unspecified"
     assert sink.num_partitions == 10
-    # the pgJDBC-specific rewrite switch must NOT leak to other drivers
+    # the pgJDBC-specific switches must NOT leak to other drivers
     # (Spark forwards unknown properties at connect time and e.g. the
     # DuckDB driver rejects unrecognized keys — test_jdbc_wire_live.py)
     other = JdbcSink("jdbc:duckdb:/tmp/x.db")
     assert "reWriteBatchedInserts" not in other.properties
+    assert "stringtype" not in other.properties
     assert other.properties["batchsize"] == "1000"
 
 

@@ -293,9 +293,28 @@ def test_stream_ingest_positions_equals_batch_recompute(
     with pytest.raises(ValueError, match="mixing grid generations"):
         append_positions(spark, tr.limit(1), log_root, cells_per_deg=50)
 
-    # the drained log serves: materialize and read one cell back
+    # crash-replay guard: each commit stamped its stream_batch_id, so a
+    # replayed batch (driver died between commit and checkpoint write)
+    # is recognized and skipped, while genuinely new batches are not
+    from hfp_loader_spark.streaming.jobs import _replayed
+    from hfp_loader_spark.versioned import _read_manifest, latest_version
+
+    head = latest_version(spark, log_root)
+    assert _read_manifest(spark, log_root, head).meta[
+        "stream_batch_id"
+    ] == max(versions)
+    assert _replayed(spark, log_root, max(versions)) is True
+    assert _replayed(spark, log_root, 0) is True
+    assert _replayed(spark, log_root, max(versions) + 1) is False
+    # and the stamp rider did NOT join the generation pin: a same-grid
+    # batch append still passes the pin check
+    append_positions(spark, tr.limit(0), log_root)
+
+    # the drained log serves: materialize and read one cell back (the
+    # pin-check append above committed an empty v3 on top of the two
+    # streamed batches)
     lake_root = str(tmp_path / "lake")
     doc = materialize_position_lake_from_log(spark, log_root, lake_root)
-    assert doc["log_version"] == 2
+    assert doc["log_version"] == latest_version(spark, log_root) == 3
     lake = read_position_lake(spark, lake_root, expect_cells_per_deg=20)
     assert lake.count() == len(got)

@@ -106,10 +106,12 @@ def canon_cells(pdf) -> list[tuple[str, ...]]:
 
     Cells are normalized FIRST (so ``-0.0`` and ``0.0`` — which compare
     equal and would tie under ``sort_values`` — sort deterministically),
-    then rows are sorted on the normalized tuples.  ``canon_frame`` is
-    still invoked for its driver-parity TypeError on non-scalar cells.
+    then rows are sorted on the normalized tuples.  The driver-parity
+    TypeError on non-scalar cells comes from ``_strict_cell`` itself
+    (same ``unhashable type`` message as the driver's ``sort_values``) —
+    running ``canon_frame``'s full mergesort just for that side effect
+    would double the gate's sort cost for a discarded result.
     """
-    canon_frame(pdf)  # driver-parity: raises on list/array cells
     cols = sorted(pdf.columns)
     rows = [
         tuple(_strict_cell(v) for v in row)
