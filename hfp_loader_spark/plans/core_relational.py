@@ -31,27 +31,35 @@ from hfp_loader_spark.operators.relational import (
     global_top_k,
     top_k_per_group,
 )
+from hfp_loader_spark.plans import money as _m
 from hfp_loader_spark.plans.catalog import _t, defquery
 
 
 @defquery(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           CAST(count(*) AS BIGINT)                                    AS count_order
+           {_m.sql_qty_sum("l_quantity")} AS sum_qty,
+           {_m.sql_money_sum("l_extendedprice")} AS sum_base_price,
+           {_m.sql_disc_rev_sum("l_extendedprice", "l_discount")}
+             AS sum_disc_price,
+           {_m.sql_charge_sum("l_extendedprice", "l_discount", "l_tax")}
+             AS sum_charge,
+           {_m.sql_qty_avg("l_quantity")} AS avg_qty,
+           {_m.sql_money_avg("l_extendedprice")} AS avg_price,
+           {_m.sql_pct_avg("l_discount")} AS avg_disc,
+           CAST(count(*) AS BIGINT)             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 pricing summary: filtered scan → partial+final hash agg. "
-    "Flagship query; one shuffle on the 2-value group key.",
+    "Flagship query; one shuffle on the 2-value group key. Money/qty "
+    "sums run EXACT in 128-bit integer cents (plans.money — r13: a "
+    "double sum is summation-order-dependent and a 2dp rounding of a "
+    "~1e9 total demands more relative agreement than the engines' "
+    "differing sum orders give at scale); averages derive from the "
+    "same exact sums via correctly-rounded divisions.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.plans.catalog import load_table
@@ -64,17 +72,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem",
         ts_pushdown=[("l_shipdate", "<=", "1998-09-02")],
     )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _m.qty_sum(F.col("l_quantity")).alias("sum_qty"),
+            _m.money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _m.disc_rev_sum(
+                F.col("l_extendedprice"), F.col("l_discount")
+            ).alias("sum_disc_price"),
+            _m.charge_sum(
+                F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+            ).alias("sum_charge"),
+            _m.qty_avg(F.col("l_quantity")).alias("avg_qty"),
+            _m.money_avg(F.col("l_extendedprice")).alias("avg_price"),
+            _m.pct_avg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -82,9 +93,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "q5_local_supplier_revenue",
-    """
+    f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+             AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -131,18 +143,24 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        _m.disc_rev_sum(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "revenue"
+        )
     )
 
 
 @defquery(
     "q14_promo_revenue",
     """
-    SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+    -- both sums EXACT in integer cents*100; the share is a ratio of the
+    -- two exact sums cast to double — no order-dependent double sums
+    SELECT round(100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))
+                  ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS HUGEINT)))
+                    AS DOUBLE), 4) + 0.0 AS promo_revenue_pct,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
@@ -167,20 +185,29 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(38,0)"
+    # long row term, decimal only at the sums (see plans.money)
+    disc = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     # ``part`` is SF-proportional — no forced broadcast; AQE picks
     # broadcast at gate scale, shuffled hash join at 100 TB.
     joined = li.select("l_partkey", "l_extendedprice", "l_discount").join(
         part, F.col("l_partkey") == F.col("p_partkey")
     )
     return joined.agg(
-        F.round(
-            100.0
-            * F.sum(
-                F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)
+        (
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), disc)
+                    .otherwise(F.lit(0))
+                    .cast(dec)
+                ).cast("double")
+                / F.sum(disc.cast(dec)).cast("double"),
+                4,
             )
-            / F.sum(disc),
-            4,
+            + F.lit(0.0)
         ).alias("promo_revenue_pct"),
         F.count("*").alias("n_lineitems"),
     )
@@ -188,9 +215,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "q3_top_unshipped_orders",
-    """
+    f"""
     SELECT l.l_orderkey AS o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+             AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -215,8 +243,10 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.where(F.col("l_shipdate") > F.col("o_orderdate"))
         .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact cents: revenue is also the top-k ORDER BY key, so an
+            # ulp flip would change top-10 membership, not just a digit
+            _m.disc_rev_sum(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("revenue")
         )
         .select(
@@ -230,11 +260,11 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "join_region_rollup",
-    """
+    f"""
     SELECT coalesce(r.r_name, '<all>') AS region_name,
            coalesce(n.n_name, '<all>') AS nation_name,
            CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
-           round(sum(coalesce(c.c_acctbal, 0)), 2) AS total_acctbal
+           {_m.sql_money_sum("coalesce(c.c_acctbal, 0)")} AS total_acctbal
     FROM customer c
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -256,7 +286,7 @@ def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            F.round(F.sum(F.coalesce("c_acctbal", F.lit(0))), 2).alias(
+            _m.money_sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))).alias(
                 "total_acctbal"
             ),
         )
@@ -271,11 +301,11 @@ def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "agg_cube_orders",
-    """
+    f"""
     SELECT coalesce(o_orderstatus, '<all>')   AS orderstatus,
            coalesce(o_orderpriority, '<all>') AS orderpriority,
            CAST(count(*) AS BIGINT)           AS n_orders,
-           round(sum(o_totalprice), 2)        AS total_price
+           {_m.sql_money_sum("o_totalprice")} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -288,7 +318,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _m.money_sum(F.col("o_totalprice")).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
@@ -369,11 +399,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "agg_monthly_orders",
-    """
+    f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
            CAST(count(*) AS BIGINT)    AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
-           round(avg(o_totalprice), 4) AS avg_price
+           {_m.sql_money_sum("o_totalprice")} AS total_price,
+           {_m.sql_money_avg("o_totalprice")} AS avg_price
     FROM orders
     GROUP BY 1
     """,
@@ -390,8 +420,8 @@ def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            _m.money_sum(F.col("o_totalprice")).alias("total_price"),
+            _m.money_avg(F.col("o_totalprice")).alias("avg_price"),
         )
     )
 
@@ -615,9 +645,9 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "q17_small_quantity_avg",
-    """
+    f"""
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice), 2) AS total_price,
+           {_m.sql_money_sum("l.l_extendedprice")} AS total_price,
            CAST(count(*) AS BIGINT)         AS n_items
     FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
@@ -643,7 +673,7 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.join(part, small.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            _m.money_sum(F.col("l_extendedprice")).alias("total_price"),
             F.count("*").alias("n_items"),
         )
     )

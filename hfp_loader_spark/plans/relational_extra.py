@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hfp_loader_spark.operators.relational import anti_join, global_top_k
+from hfp_loader_spark.plans import money as _m
 from hfp_loader_spark.plans.catalog import _t, defquery, load_table
 
 
@@ -93,9 +94,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "q10_returned_revenue_top20",
-    """
+    f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+             AS revenue
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -137,9 +139,10 @@ def q10_returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        # exact cents — revenue is also the top-20 ordering key
+        _m.disc_rev_sum(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "revenue"
+        )
     )
     return global_top_k(
         agg.select("c_custkey", "c_name", "n_name", "revenue"),
@@ -185,8 +188,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "q19_disjunctive_revenue",
-    """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    f"""
+    SELECT {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+             AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -217,22 +221,28 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
     )
     return joined.where(pred).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _m.disc_rev_sum(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "revenue"
+        ),
         F.count("*").alias("n_items"),
     )
 
 
 @defquery(
     "q22_wealthy_inactive",
-    """
+    f"""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT)    AS n_customers,
-           round(sum(c.c_acctbal), 2)  AS total_bal
+           {_m.sql_money_sum("c.c_acctbal")} AS total_bal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0.0)
+    -- the avg threshold compares EXACTLY via integer cross-multiply
+    -- (bal > sum/n  <=>  bal_cents * n > sum_cents): an ulp-noisy
+    -- double avg could flip membership for a balance landing within
+    -- rounding noise of the threshold
+    WHERE CAST(round(c.c_acctbal * 100) AS HUGEINT)
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT sum(CAST(round(c_acctbal * 100) AS HUGEINT))
+             FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
@@ -245,12 +255,18 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    avg_bal = (
+    cents = F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+    # exact threshold: bal_cents * n > sum_cents (integer cross-multiply
+    # of bal > sum/n) — see the oracle comment
+    bal_stats = (
         cust.where(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+        .agg(
+            F.sum(cents).alias("_sum_bal"),
+            F.count("*").cast("decimal(38,0)").alias("_n_bal"),
+        )
     )
-    wealthy = cust.crossJoin(F.broadcast(avg_bal)).where(
-        F.col("c_acctbal") > F.col("_avg_bal")
+    wealthy = cust.crossJoin(F.broadcast(bal_stats)).where(
+        cents * F.col("_n_bal") > F.col("_sum_bal")
     )
     urgent = (
         _t(spark, sf_dir, "orders")
@@ -262,7 +278,7 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inactive.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        _m.money_sum(F.col("c_acctbal")).alias("total_bal"),
     )
 
 
@@ -620,7 +636,7 @@ def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "agg_winsorized_stats",
-    """
+    f"""
     WITH bounds AS (
       SELECT o_orderstatus,
              quantile_cont(o_totalprice, 0.05) AS lo,
@@ -633,9 +649,15 @@ def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clipped_low,
            CAST(count(*) FILTER (o.o_totalprice > b.hi) AS BIGINT)
              AS n_clipped_high,
-           round(sum(least(greatest(o.o_totalprice, b.lo), b.hi)), 2)
+           -- clipped values are quantized to EXACT integer cents before
+           -- the sum (the bounds are interpolated doubles, so the raw
+           -- clipped sum would be summation-order-dependent); the stat
+           -- is defined as "winsorized, to the cent" on both engines
+           round(CAST(sum(CAST(round(
+                   least(greatest(o.o_totalprice, b.lo), b.hi) * 100)
+                 AS HUGEINT)) AS DOUBLE) / 100.0, 2) + 0.0
              AS winsorized_sum,
-           round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4)
+           {_m._sql_int_avg("sum(CAST(round(least(greatest(o.o_totalprice, b.lo), b.hi) * 100) AS HUGEINT))", 4, 100)}
              AS winsorized_avg
     FROM orders o JOIN bounds b USING (o_orderstatus)
     GROUP BY o.o_orderstatus
@@ -670,8 +692,22 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("o_totalprice") > F.col("_hi"), 1)).alias(
                 "n_clipped_high"
             ),
-            F.round(F.sum(clipped), 2).alias("winsorized_sum"),
-            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+            (
+                F.round(
+                    F.sum(
+                        F.round(clipped * 100).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 100.0,
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("winsorized_sum"),
+            _m._int_avg(
+                F.sum(F.round(clipped * 100).cast("decimal(38,0)")),
+                F.count("*"),
+                4,
+                100,
+            ).alias("winsorized_avg"),
         )
     )
 
@@ -723,11 +759,11 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "timeseries_gapfill_daily",
-    """
+    f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(count(*) AS BIGINT)  AS n_orders,
-             round(sum(o_totalprice), 2) AS total
+             {_m.sql_money_sum("o_totalprice")} AS total
       FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
     ),
     bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
@@ -766,7 +802,7 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _m.money_sum(F.col("o_totalprice")).alias("total"),
         )
     )
     bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
@@ -862,11 +898,11 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "timeseries_gapfill_per_key",
-    """
+    f"""
     WITH daily AS (
       SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
              CAST(count(*) AS BIGINT) AS n_orders,
-             round(sum(o_totalprice), 2) AS total
+             {_m.sql_money_sum("o_totalprice")} AS total
       FROM orders GROUP BY 1, 2
     ),
     bounds AS (
@@ -912,7 +948,7 @@ def timeseries_gapfill_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _m.money_sum(F.col("o_totalprice")).alias("total"),
         )
     )
     filled = gapfill_daily(

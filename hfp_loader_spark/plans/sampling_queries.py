@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hfp_loader_spark.plans import money as _m
 from hfp_loader_spark.plans.catalog import _t, defquery
 
 # Lexicographic thresholds on the first 4 hex chars of md5(doc_id):
@@ -145,13 +146,14 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "pivot_priority_by_status",
-    """
+    f"""
     SELECT o_orderpriority,
            CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
            CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
            CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
-             AS open_total
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                      FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                 / 100.0, 2) + 0.0 AS open_total
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -168,7 +170,7 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # count("*") is invalid inside Pivot — count(lit(1)) is the same
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _m.money_sum(F.col("o_totalprice")).alias("total"),
         )
     )
     return wide.select(

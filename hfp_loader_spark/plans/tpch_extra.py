@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hfp_loader_spark.operators.relational import anti_join
+from hfp_loader_spark.plans import money as _m
 from hfp_loader_spark.plans.catalog import _t, defquery, load_table
 
 _REV = "l.l_extendedprice * (1 - l.l_discount)"
@@ -35,8 +36,9 @@ _REV = "l.l_extendedprice * (1 - l.l_discount)"
 
 @defquery(
     "q6_forecast_revenue",
-    """
-    SELECT round(sum(l.l_extendedprice * l.l_discount), 2) AS revenue,
+    f"""
+    SELECT {_m.sql_plain_disc_sum("l.l_extendedprice", "l.l_discount")}
+             AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -63,9 +65,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(
         F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        _m.plain_disc_sum(
+            F.col("l_extendedprice"), F.col("l_discount")
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -76,7 +78,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           round(sum({_REV}), 2) AS revenue
+           {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+             AS revenue
     FROM lineitem l
       JOIN orders o    ON l.l_orderkey = o.o_orderkey
       JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -134,8 +137,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _m.disc_rev_sum(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("revenue")
         )
     )
@@ -146,7 +149,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             {_REV} AS volume,
+             CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+               * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))
+               AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -158,10 +163,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part p     ON l.l_partkey = p.p_partkey
       WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
     )
+    -- volume is EXACT integer cents*100; the share is a ratio of two
+    -- exact sums cast to double (correctly rounded), the total converts
+    -- once — no order-dependent double sums anywhere
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share,
-           round(sum(volume), 2) AS total_volume
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) + 0.0 AS mkt_share,
+           round(CAST(sum(volume) AS DOUBLE) / 10000.0, 2) + 0.0
+             AS total_volume
     FROM base GROUP BY o_year
     """,
     doc="TPC-H Q8 national market share: eight-table join (nation twice, "
@@ -206,7 +216,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(38,0)"
+    # long row term (fits int64 by far), decimal only at the sums
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         j.select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -215,15 +229,29 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
-                    .otherwise(0.0)
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3",
+                            F.col("volume"),
+                        )
+                        .otherwise(F.lit(0))
+                        .cast(dec)
+                    ).cast("double")
+                    / F.sum(F.col("volume").cast(dec)).cast("double"),
+                    6,
                 )
-                / F.sum("volume"),
-                6,
+                + F.lit(0.0)
             ).alias("mkt_share"),
-            F.round(F.sum("volume"), 2).alias("total_volume"),
+            (
+                F.round(
+                    F.sum(F.col("volume").cast(dec)).cast("double")
+                    / 10000.0,
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("total_volume"),
         )
     )
 
@@ -233,7 +261,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT n.n_name AS nation,
            CAST(year(l.l_shipdate) AS INT) AS o_year,
-           round(sum({_REV}), 2) AS profit
+           {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+             AS profit
     FROM lineitem l
       JOIN part p     ON l.l_partkey = p.p_partkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -272,8 +301,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _m.disc_rev_sum(
+                F.col("l_extendedprice"), F.col("l_discount")
             ).alias("profit")
         )
     )
@@ -283,12 +312,23 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     f"""
     WITH part_rev AS (
-      SELECT l.l_partkey, sum({_REV}) AS rev
+      SELECT l.l_partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))) AS rev
       FROM lineitem l GROUP BY l.l_partkey
     )
-    SELECT l_partkey, round(rev, 2) AS part_revenue
+    -- EXACT integer threshold: rev > total * 0.0005 restated as
+    -- rev * 10000 > total * 5, both sides 128-bit integers — an
+    -- ulp-noisy double total could flip membership for a part landing
+    -- within rounding noise of the cutoff
+    SELECT l_partkey, round(CAST(rev AS DOUBLE) / 10000.0, 2) + 0.0
+             AS part_revenue
     FROM part_rev
-    WHERE rev > (SELECT sum({_REV}) * 0.0005 FROM lineitem l)
+    WHERE rev * 10000 >
+          (SELECT sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS HUGEINT)))
+                  * 5
+           FROM lineitem l)
     """,
     doc="TPC-H Q11-like important inventory: per-part revenue HAVING > "
     "fraction-of-global-total. The global total is an uncorrelated scalar "
@@ -302,15 +342,29 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r")
+    dec = "decimal(38,0)"
+    # long row term, decimal at the sums (see plans.money)
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("_r")
     per_part = li.select("l_partkey", rev).groupBy("l_partkey").agg(
-        F.sum("_r").alias("_rev")
+        F.sum(F.col("_r").cast(dec)).alias("_rev")
     )
-    total = li.select(rev).agg((F.sum("_r") * 0.0005).alias("_threshold"))
+    # exact integer threshold: rev * 10000 > total * 5 (== total*0.0005)
+    total = li.select(rev).agg(
+        (F.sum(F.col("_r").cast(dec)) * F.lit(5).cast(dec)).alias("_t5")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("_rev") > F.col("_threshold"))
-        .select("l_partkey", F.round("_rev", 2).alias("part_revenue"))
+        .where(F.col("_rev") * F.lit(10000).cast(dec) > F.col("_t5"))
+        .select(
+            "l_partkey",
+            (
+                F.round(F.col("_rev").cast("double") / 10000.0, 2)
+                + F.lit(0.0)
+            ).alias("part_revenue"),
+        )
     )
 
 
@@ -318,7 +372,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     f"""
     WITH supp_rev AS (
-      SELECT l.l_suppkey, round(sum({_REV}), 2) AS total_revenue
+      SELECT l.l_suppkey,
+             {_m.sql_disc_rev_sum("l.l_extendedprice", "l.l_discount")}
+               AS total_revenue
       FROM lineitem l
       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
         AND l.l_shipdate <  TIMESTAMP '1996-04-01'
@@ -345,9 +401,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     supp_rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        _m.disc_rev_sum(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "total_revenue"
+        )
     )
     w = Window.partitionBy()
     top = supp_rev.withColumn(

@@ -1,0 +1,123 @@
+"""The exact-integer money discipline (plans/money.py, r13).
+
+The sf0.1 hardened sweep proved double money sums are NOT value-stable
+across engines (orders_revenue_trend_fit's intercept flipped in its
+last rounded digit), so every TPC-H monetary sum now runs in 128-bit
+integer cents.  These tests pin the module's three claims:
+
+- SUM order-independence: the same rows in a different physical order
+  (different partitioning) give the BIT-IDENTICAL rounded result, and
+  it equals DuckDB's HUGEINT-sum twin;
+- AVG tie-freedom: an exact cent-quotient landing exactly ON a 4dp
+  rounding tie (the case both engines' round() can disagree on) takes
+  the half-up value on both engines;
+- negative-zero normalization: a tiny negative money sum never emits
+  IEEE ``-0.0``.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hfp_loader_spark.plans import money as m
+
+
+def _spark_one(df, col):
+    return df.agg(col.alias("v")).collect()[0]["v"]
+
+
+def test_money_sums_are_order_independent_and_match_duckdb(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (
+            round(rng.uniform(900.0, 105000.0), 2),
+            round(rng.uniform(0.0, 0.10), 2),
+            round(rng.uniform(0.0, 0.08), 2),
+        )
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "p double, d double, t double")
+    # a deliberately different physical order and partitioning
+    shuffled = df.orderBy(F.desc("d"), F.desc("p")).repartition(7)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES "
+        + ",".join(f"({p!r}, {d!r}, {t!r})" for p, d, t in rows)
+        + ") v(p, d, t)"
+    )
+    for spark_col, sql in [
+        (m.money_sum(F.col("p")), m.sql_money_sum("p")),
+        (m.disc_rev_sum(F.col("p"), F.col("d")), m.sql_disc_rev_sum("p", "d")),
+        (m.plain_disc_sum(F.col("p"), F.col("d")), m.sql_plain_disc_sum("p", "d")),
+        (
+            m.charge_sum(F.col("p"), F.col("d"), F.col("t")),
+            m.sql_charge_sum("p", "d", "t"),
+        ),
+        (m.money_avg(F.col("p")), m.sql_money_avg("p")),
+        (m.pct_avg(F.col("d")), m.sql_pct_avg("d")),
+    ]:
+        a = _spark_one(df, spark_col)
+        b = _spark_one(shuffled, spark_col)
+        c = con.execute(f"SELECT {sql} FROM r").fetchall()[0][0]
+        assert repr(a) == repr(b) == repr(c), (sql, a, b, c)
+
+
+def test_exact_avg_resolves_rounding_tie_half_up(spark):
+    """41891909.05 dollars over 184 rows = 227673.41875 — exactly on a
+    4dp tie, where Spark round() (decimal-string) and DuckDB round()
+    (fp multiply) have been observed to disagree.  The integer half-up
+    average takes .4188 on BOTH engines."""
+    total = 4189190905  # cents
+    n = 184
+    rows = [
+        (total // n + (1 if i < total % n else 0),) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "c long")
+    got = _spark_one(
+        df,
+        m._int_avg(
+            F.sum(F.col("c").cast("decimal(38,0)")), F.count("*"), 4, 100
+        ),
+    )
+    sql = m._sql_int_avg("sum(CAST(c AS HUGEINT))", 4, 100)
+    duck = (
+        duckdb.connect()
+        .execute(
+            f"SELECT {sql} FROM (SELECT unnest("
+            f"[{','.join(str(r[0]) for r in rows)}]) AS c)"
+        )
+        .fetchall()[0][0]
+    )
+    assert repr(got) == repr(duck) == "227673.4188"
+
+
+def test_negative_money_sum_never_emits_negative_zero(spark):
+    import math
+
+    df = spark.createDataFrame([(-0.001,)], "p double")
+    got = _spark_one(df, m.money_sum(F.col("p")))
+    assert got == 0.0 and math.copysign(1.0, got) == 1.0
+    duck = (
+        duckdb.connect()
+        .execute(f"SELECT {m.sql_money_sum('p')} FROM (SELECT -0.001::DOUBLE AS p)")
+        .fetchall()[0][0]
+    )
+    assert repr(duck) == repr(got)
+
+
+def test_charge_term_fits_long_per_row(spark):
+    """The long-arithmetic claim: the largest possible per-row charge
+    term (max price, max tax, zero discount) stays far inside int64 —
+    the reason terms run in fast 64-bit and only the SUM widens to
+    decimal(38,0)."""
+    p_max_cents = 11_000_000  # $110k, above any TPC-H extendedprice
+    term = p_max_cents * 100 * 110
+    assert term < 2**62
+    df = spark.createDataFrame([(110000.0, 0.0, 0.10)], "p double, d double, t double")
+    got = _spark_one(df, m.charge_sum(F.col("p"), F.col("d"), F.col("t")))
+    assert got == pytest.approx(121000.0)
