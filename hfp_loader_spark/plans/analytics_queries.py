@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from hfp_loader_spark.operators.relational import funnel_counts_windowed
 from hfp_loader_spark.operators.text import boilerplate_fractions, chunk_documents
+from hfp_loader_spark.plans import money as _mny
 from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
 
 _TOKS_SQL = TOKS_SQL  # the shared oracle tokenizer (plans.catalog)
@@ -569,10 +570,18 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_key AS (
       SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
     )
+    -- integer-quotient stats round TIE-FREE via integer half-up
+    -- (plans.money discipline): exact rationals land ON 4dp rounding
+    -- ties, where the engines' round() implementations can disagree
     SELECT CAST(count(*) AS BIGINT)            AS n_keys,
            CAST(max(cnt) AS BIGINT)            AS max_rows_per_key,
-           round(avg(cnt), 4)                  AS avg_rows_per_key,
-           round(max(cnt) / avg(cnt), 4)       AS skew_ratio,
+           CAST((2 * 10000 * sum(CAST(cnt AS HUGEINT)) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 10000.0
+             AS avg_rows_per_key,
+           CAST((2 * 10000 * CAST(max(cnt) AS HUGEINT) * count(*)
+                 + sum(CAST(cnt AS HUGEINT)))
+                // (2 * sum(CAST(cnt AS HUGEINT))) AS DOUBLE) / 10000.0
+             AS skew_ratio,
            CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_rows_per_key
     FROM per_key
     """,
@@ -589,11 +598,22 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    dec = "decimal(38,0)"
+    s_cnt = F.sum(F.col("cnt").cast(dec))
+    # skew = max/(sum/n) = max*n/sum, integer half-up at 4dp (tie-free)
+    skew_t = (
+        F.max("cnt").cast(dec) * F.count("*").cast(dec)
+        * F.lit(2 * 10000).cast(dec)
+        + s_cnt
+    )
+    skew_m = s_cnt * F.lit(2).cast(dec)
     return per_key.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.max("cnt").cast("long").alias("max_rows_per_key"),
-        F.round(F.avg("cnt"), 4).alias("avg_rows_per_key"),
-        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        _mny._int_avg(s_cnt, F.count("*"), 4, 1).alias("avg_rows_per_key"),
+        (
+            ((skew_t - skew_t % skew_m) / skew_m).cast("double") / 10000.0
+        ).alias("skew_ratio"),
         F.expr("percentile_approx(cnt, 0.99, 10000)")
         .cast("long")
         .alias("p99_rows_per_key"),
@@ -607,7 +627,10 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) - count(text) AS BIGINT)         AS text_nulls,
            CAST(count(DISTINCT lang) AS BIGINT)           AS lang_distinct,
            CAST(count(DISTINCT source) AS BIGINT)         AS source_distinct,
-           round(avg(n_chars), 4)                         AS avg_n_chars,
+           -- tie-free integer half-up (integer-quotient average)
+           CAST((2 * 10000 * sum(CAST(n_chars AS HUGEINT)) + count(n_chars))
+                // (2 * count(n_chars)) AS DOUBLE) / 10000.0
+             AS avg_n_chars,
            CAST(min(n_chars) AS BIGINT)                   AS min_n_chars,
            CAST(max(n_chars) AS BIGINT)                   AS max_n_chars
     FROM documents
@@ -625,7 +648,12 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("text")).cast("long").alias("text_nulls"),
         F.countDistinct("lang").cast("long").alias("lang_distinct"),
         F.countDistinct("source").cast("long").alias("source_distinct"),
-        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+        _mny._int_avg(
+            F.sum(F.col("n_chars").cast("decimal(38,0)")),
+            F.count("n_chars"),
+            4,
+            1,
+        ).alias("avg_n_chars"),
         F.min("n_chars").cast("long").alias("min_n_chars"),
         F.max("n_chars").cast("long").alias("max_n_chars"),
     )

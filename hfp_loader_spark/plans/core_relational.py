@@ -744,7 +744,12 @@ def sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT)                          AS n_events,
            CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-           round(avg(CAST(props->>'$.k' AS INTEGER)), 4)     AS avg_k
+           -- tie-free integer half-up (integer-quotient average)
+           CAST((2 * 10000 * sum(CAST(CAST(props->>'$.k' AS INTEGER)
+                                      AS HUGEINT))
+                 + count(props->>'$.k'))
+                // (2 * count(props->>'$.k')) AS DOUBLE) / 10000.0
+             AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -761,7 +766,12 @@ def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").cast("long").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            _m._int_avg(
+                F.sum(F.col("k").cast("decimal(38,0)")),
+                F.count("k"),
+                4,
+                1,
+            ).alias("avg_k"),
         )
     )
 

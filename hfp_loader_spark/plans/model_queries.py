@@ -352,14 +352,21 @@ def _calibration_oracle() -> str:
     cls = REGISTRY["quality_hashed_classifier"].oracle
     gop = REGISTRY["text_gopher_rules"].oracle
     return f"""
+    -- pos_rate is an INTEGER count quotient: exact rationals land ON
+    -- 4dp rounding ties (where the engines' round() can disagree), so
+    -- it rounds via tie-free integer half-up (plans.money._int_avg
+    -- twin); avg(p) is continuous (tie measure-zero) and stays round()
     SELECT bin,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(p), 4) AS avg_p,
-           round(avg(CASE WHEN gopher_keep THEN 1.0 ELSE 0.0 END), 4)
+           round(avg(p), 4) + 0.0 AS avg_p,
+           CAST((2 * 10000 * sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
              AS pos_rate,
-           round(abs(round(avg(p), 4)
-                     - round(avg(CASE WHEN gopher_keep THEN 1.0
-                                      ELSE 0.0 END), 4)), 4) AS abs_gap
+           round(abs((round(avg(p), 4) + 0.0)
+                     - CAST((2 * 10000 * sum(CASE WHEN gopher_keep
+                                                  THEN 1 ELSE 0 END)
+                             + count(*)) // (2 * count(*)) AS DOUBLE)
+                       / 10000.0), 4) + 0.0 AS abs_gap
     FROM (
       SELECT least(CAST(floor(c.p * 10) AS INT), 9) AS bin,
              c.p, g.gopher_keep
@@ -410,15 +417,23 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         "gopher_keep",
     )
-    avg_p = F.round(F.avg("p"), 4)
-    pos = F.round(
-        F.avg(F.when(F.col("gopher_keep"), 1.0).otherwise(0.0)), 4
+    from hfp_loader_spark.plans import money as _mny
+
+    avg_p = F.round(F.avg("p"), 4) + F.lit(0.0)
+    # tie-free integer half-up for the count quotient (see the oracle)
+    pos = _mny._int_avg(
+        F.sum(
+            F.when(F.col("gopher_keep"), 1).otherwise(0).cast("long")
+        ).cast("decimal(38,0)"),
+        F.count("*"),
+        4,
+        1,
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_docs"),
         avg_p.alias("avg_p"),
         pos.alias("pos_rate"),
-        F.round(F.abs(avg_p - pos), 4).alias("abs_gap"),
+        (F.round(F.abs(avg_p - pos), 4) + F.lit(0.0)).alias("abs_gap"),
     )
 
 

@@ -714,11 +714,14 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "unpivot_lineitem_measures",
-    """
+    f"""
+    -- all four measures are exact at 2dp, so the sum runs in integer
+    -- cents and the 6dp mean rounds tie-free via integer half-up
     SELECT l_returnflag, measure,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2)     AS total,
-           round(avg(value), 6)     AS mean
+           {_m.sql_money_sum("value")} AS total,
+           {_m._sql_int_avg("sum(CAST(round(value * 100) AS HUGEINT))", 6, 100)}
+             AS mean
     FROM (
       SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
       FROM lineitem
@@ -752,8 +755,13 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("l_returnflag", "measure").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
-        F.round(F.avg("value"), 6).alias("mean"),
+        _m.money_sum(F.col("value")).alias("total"),
+        _m._int_avg(
+            F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")),
+            F.count("*"),
+            6,
+            100,
+        ).alias("mean"),
     )
 
 

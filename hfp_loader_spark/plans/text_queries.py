@@ -25,6 +25,7 @@ from hfp_loader_spark.operators.text import (
     quality_score,
     tokens,
 )
+from hfp_loader_spark.plans import money as _mny
 from hfp_loader_spark.plans.catalog import TOKS_SQL, _t, defquery
 
 _TOKS_SQL = TOKS_SQL  # the shared oracle tokenizer (plans.catalog)
@@ -259,7 +260,11 @@ def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS quality_bin,
            CAST(count(*) AS BIGINT)      AS n_docs,
            CAST(sum(n_toks) AS BIGINT)   AS total_tokens,
-           round(avg(quality), 4)        AS avg_quality
+           -- quality is already 4dp-quantized, so its average is an
+           -- integer quotient in 1e-4 units: tie-free integer half-up
+           CAST((2 * sum(CAST(round(quality * 10000) AS HUGEINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+             AS avg_quality
     FROM scored
     GROUP BY 1
     """,
@@ -289,7 +294,14 @@ def text_quality_bin_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_toks").cast("long").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            _mny._int_avg(
+                F.sum(
+                    F.round(F.col("quality") * 10000).cast("decimal(38,0)")
+                ),
+                F.count("*"),
+                4,
+                10000,
+            ).alias("avg_quality"),
         )
     )
 
