@@ -704,13 +704,18 @@ def append_positions(
                 f"append uses {meta} — rebuild the log "
                 "(rebuild_positions) instead of mixing grid generations"
             )
+    collide = set(extra_meta or {}) & set(meta)
+    if collide:
+        raise ValueError(
+            f"extra_meta may not shadow the generation pin keys {collide}"
+        )
     rows = _stamp_cells(delta, cells_per_deg, lat_col, lng_col)
     return commit_snapshot(
         spark,
         rows,
         log_root,
         mode="append",
-        meta={**meta, **(extra_meta or {})},
+        meta={**(extra_meta or {}), **meta},
     )
 
 

@@ -1942,20 +1942,25 @@ def append_cell_tags(
                 f"uses model {fp} (scale {scale}) — re-tag the corpus "
                 "(see cell_migration_matrix) instead of mixing generations"
             )
+    pin = {
+        "kind": "ivf_cell_tags",
+        "scale": int(scale),
+        "model_fingerprint": fp,
+    }
+    collide = set(extra_meta or {}) & set(pin)
+    if collide:
+        raise ValueError(
+            f"extra_meta may not shadow the generation pin keys {collide}"
+        )
     tags = _assign_cells(delta, cent_assign, scale, id_col, vec_col)
     return commit_snapshot(
         spark,
         tags,
         root,
         mode="append",
-        meta={
-            "kind": "ivf_cell_tags",
-            "scale": int(scale),
-            "model_fingerprint": fp,
-            # audit riders (e.g. the streaming batch id) never join the
-            # generation pin — the pin check reads its keys explicitly
-            **(extra_meta or {}),
-        },
+        # audit riders (e.g. the streaming batch id) never join — and
+        # can never SHADOW — the generation pin: pin keys spread last
+        meta={**(extra_meta or {}), **pin},
     )
 
 

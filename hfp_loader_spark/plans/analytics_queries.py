@@ -566,7 +566,7 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "dq_skew_report",
-    """
+    f"""
     WITH per_key AS (
       SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
     )
@@ -575,8 +575,7 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- ties, where the engines' round() implementations can disagree
     SELECT CAST(count(*) AS BIGINT)            AS n_keys,
            CAST(max(cnt) AS BIGINT)            AS max_rows_per_key,
-           CAST((2 * 10000 * sum(CAST(cnt AS HUGEINT)) + count(*))
-                // (2 * count(*)) AS DOUBLE) / 10000.0
+           {_mny._sql_int_avg("sum(CAST(cnt AS HUGEINT))", 4, 1)}
              AS avg_rows_per_key,
            CAST((2 * 10000 * CAST(max(cnt) AS HUGEINT) * count(*)
                  + sum(CAST(cnt AS HUGEINT)))
@@ -622,14 +621,14 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "profile_documents_table",
-    """
+    f"""
     SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
            CAST(count(*) - count(text) AS BIGINT)         AS text_nulls,
            CAST(count(DISTINCT lang) AS BIGINT)           AS lang_distinct,
            CAST(count(DISTINCT source) AS BIGINT)         AS source_distinct,
            -- tie-free integer half-up (integer-quotient average)
-           CAST((2 * 10000 * sum(CAST(n_chars AS HUGEINT)) + count(n_chars))
-                // (2 * count(n_chars)) AS DOUBLE) / 10000.0
+           {_mny._sql_int_avg("sum(CAST(n_chars AS HUGEINT))", 4, 1,
+                              count_sql="count(n_chars)")}
              AS avg_n_chars,
            CAST(min(n_chars) AS BIGINT)                   AS min_n_chars,
            CAST(max(n_chars) AS BIGINT)                   AS max_n_chars

@@ -151,15 +151,13 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "q14_promo_revenue",
-    """
+    f"""
     -- both sums EXACT in integer cents*100; the share is a ratio of the
     -- two exact sums cast to double — no order-dependent double sums
     SELECT round(100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                  THEN CAST(round(l.l_extendedprice * 100) AS HUGEINT)
-                       * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))
+                  THEN {_m.sql_disc_rev_term("l.l_extendedprice", "l.l_discount")}
                   ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS HUGEINT)))
+             / CAST(sum({_m.sql_disc_rev_term("l.l_extendedprice", "l.l_discount")})
                     AS DOUBLE), 4) + 0.0 AS promo_revenue_pct,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -186,10 +184,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     dec = "decimal(38,0)"
-    # long row term, decimal only at the sums (see plans.money)
-    disc = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    )
+    disc = _m.disc_rev_term(F.col("l_extendedprice"), F.col("l_discount"))
     # ``part`` is SF-proportional — no forced broadcast; AQE picks
     # broadcast at gate scale, shuffled hash join at 100 TB.
     joined = li.select("l_partkey", "l_extendedprice", "l_discount").join(
@@ -740,15 +735,14 @@ def sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "json_extract_stats",
-    """
+    f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT)                          AS n_events,
            CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
            -- tie-free integer half-up (integer-quotient average)
-           CAST((2 * 10000 * sum(CAST(CAST(props->>'$.k' AS INTEGER)
-                                      AS HUGEINT))
-                 + count(props->>'$.k'))
-                // (2 * count(props->>'$.k')) AS DOUBLE) / 10000.0
+           {_m._sql_int_avg(
+               "sum(CAST(CAST(props->>'$.k' AS INTEGER) AS HUGEINT))",
+               4, 1, count_sql="count(props->>'$.k')")}
              AS avg_k
     FROM events
     GROUP BY event_type

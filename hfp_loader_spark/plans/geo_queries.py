@@ -282,19 +282,26 @@ def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
             cells_per_deg=_GEO_LAKE_CPD,
         )
     doc = read_index_manifest(spark, lake_root)
-    if (
-        doc is None
-        or doc.get("log_version") != head
-        or doc.get("cells_per_deg") != _GEO_LAKE_CPD
+    # NO log_version staleness check here, deliberately: both roots are
+    # CORPUS-KEYED, so any resident lake with the right kind+grid holds
+    # exactly this corpus's rows — racing ensurers commit identical
+    # content under different log versions, and re-materializing on a
+    # version mismatch would make peers endlessly republish (and a
+    # publish's delete-then-rename window could yank the lake from
+    # under a peer's in-flight scan).  The general-purpose staleness
+    # protocol (manifest log_version vs log head) is for MUTABLE logs —
+    # the lifecycle tests cover it; this ensure's log is write-once per
+    # corpus generation.
+    if not (
+        doc
+        and doc.get("kind") == "geo_position_lake"
+        and doc.get("cells_per_deg") == _GEO_LAKE_CPD
     ):
         try:
             materialize_position_lake_from_log(spark, log_root, lake_root)
         except IOError:
-            # lost a publish race to a peer ensurer.  Racing rebuilds
-            # commit identical content under different log versions, so
-            # the resident layout differs from ours only in its stamped
-            # log_version — accept it if it serves this grid; anything
-            # else is a real publish failure.
+            # lost the first-build publish race to a peer ensurer —
+            # accept the resident layout if it serves this grid
             doc = read_index_manifest(spark, lake_root)
             if not (
                 doc

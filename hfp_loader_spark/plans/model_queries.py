@@ -347,10 +347,14 @@ def _calibration_oracle() -> str:
     """Composes the classifier and Gopher-rules oracles as subqueries —
     ONE definition of each scoring chain feeds both its own entry and
     this calibration view, so they cannot drift apart."""
+    from hfp_loader_spark.plans import money as _mny
     from hfp_loader_spark.plans.catalog import REGISTRY
 
     cls = REGISTRY["quality_hashed_classifier"].oracle
     gop = REGISTRY["text_gopher_rules"].oracle
+    _pos_rate_sql = _mny._sql_int_avg(
+        "sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END)", 4, 1
+    )
     return f"""
     -- pos_rate is an INTEGER count quotient: exact rationals land ON
     -- 4dp rounding ties (where the engines' round() can disagree), so
@@ -359,14 +363,9 @@ def _calibration_oracle() -> str:
     SELECT bin,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(p), 4) + 0.0 AS avg_p,
-           CAST((2 * 10000 * sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END)
-                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
-             AS pos_rate,
-           round(abs((round(avg(p), 4) + 0.0)
-                     - CAST((2 * 10000 * sum(CASE WHEN gopher_keep
-                                                  THEN 1 ELSE 0 END)
-                             + count(*)) // (2 * count(*)) AS DOUBLE)
-                       / 10000.0), 4) + 0.0 AS abs_gap
+           {_pos_rate_sql} AS pos_rate,
+           round(abs((round(avg(p), 4) + 0.0) - {_pos_rate_sql}), 4) + 0.0
+             AS abs_gap
     FROM (
       SELECT least(CAST(floor(c.p * 10) AS INT), 9) AS bin,
              c.p, g.gopher_keep
@@ -532,10 +531,14 @@ def _auc_oracle() -> str:
     same as the calibration entry) into the Mann–Whitney rank form with
     average-rank ties — the oracle states the identical histogram
     algebra over DuckDB windows."""
+    from hfp_loader_spark.plans import money as _mny
     from hfp_loader_spark.plans.catalog import REGISTRY
 
     cls = REGISTRY["quality_hashed_classifier"].oracle
     gop = REGISTRY["text_gopher_rules"].oracle
+    _pos_rate_sql = _mny._sql_int_avg(
+        "sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END)", 4, 1
+    )
     return f"""
     WITH j AS (
       SELECT c.p, g.gopher_keep

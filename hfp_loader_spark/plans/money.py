@@ -62,11 +62,17 @@ def money_sum(col: Column, round_to: int = 2) -> Column:
     ) + F.lit(0.0)
 
 
+def _qty(col: Column) -> Column:
+    """Exact integer of an integer-valued double quantity.  round()
+    BEFORE the cast, matching the SQL twins' ``CAST(round(q) AS …)``:
+    a bare Spark cast TRUNCATES while a bare DuckDB cast ROUNDS — the
+    classic cross-engine trap — so neither side ever bare-casts."""
+    return F.round(col).cast("long")
+
+
 def qty_sum(col: Column, round_to: int = 2) -> Column:
     """``round(sum(qty), 2)`` for an integer-valued double quantity."""
-    return F.round(F.sum(col.cast("long")).cast("double"), round_to) + F.lit(
-        0.0
-    )
+    return F.round(F.sum(_qty(col)).cast("double"), round_to) + F.lit(0.0)
 
 
 def disc_rev_sum(price: Column, disc: Column, round_to: int = 2) -> Column:
@@ -130,18 +136,35 @@ def pct_avg(col: Column, decimals: int = 4) -> Column:
 def qty_avg(col: Column, decimals: int = 4) -> Column:
     """``round(avg(int-valued qty), 4)``-equivalent, exact and tie-free."""
     return _int_avg(
-        F.sum(col.cast("long")).cast(_DEC), F.count("*"), decimals, 1
+        F.sum(_qty(col)).cast(_DEC), F.count("*"), decimals, 1
     )
+
+
+def disc_rev_term(price: Column, disc: Column) -> Column:
+    """The exact cents×10² discounted-revenue ROW term (long) — for
+    entries that need the unrounded sum (ratios, thresholds); the
+    rounded display form is :func:`disc_rev_sum`."""
+    return _cents(price) * (F.lit(100) - _pct(disc))
 
 
 # --- DuckDB oracle fragments (the EXACT twins of the columns above) ---
 
 
-def _sql_int_avg(sum_sql: str, decimals: int, unit: int) -> str:
+def _sql_int_avg(
+    sum_sql: str, decimals: int, unit: int, count_sql: str = "count(*)"
+) -> str:
     scale = 10**decimals // unit
     return (
-        f"CAST((2 * {scale} * ({sum_sql}) + count(*))"
-        f" // (2 * count(*)) AS DOUBLE) / {10**decimals}.0"
+        f"CAST((2 * {scale} * ({sum_sql}) + {count_sql})"
+        f" // (2 * ({count_sql})) AS DOUBLE) / {10**decimals}.0"
+    )
+
+
+def sql_disc_rev_term(price: str, disc: str) -> str:
+    """SQL twin of :func:`disc_rev_term` (HUGEINT row term)."""
+    return (
+        f"CAST(round(({price}) * 100) AS HUGEINT)"
+        f" * (100 - CAST(round(({disc}) * 100) AS HUGEINT))"
     )
 
 
@@ -159,7 +182,7 @@ def sql_pct_avg(expr: str, decimals: int = 4) -> str:
 
 def sql_qty_avg(expr: str, decimals: int = 4) -> str:
     return _sql_int_avg(
-        f"sum(CAST(({expr}) AS HUGEINT))", decimals, 1
+        f"sum(CAST(round(({expr})) AS HUGEINT))", decimals, 1
     )
 
 
@@ -172,8 +195,8 @@ def sql_money_sum(expr: str, round_to: int = 2) -> str:
 
 def sql_qty_sum(expr: str, round_to: int = 2) -> str:
     return (
-        f"round(CAST(sum(CAST(({expr}) AS BIGINT)) AS DOUBLE), {round_to})"
-        " + 0.0"
+        f"round(CAST(sum(CAST(round(({expr})) AS BIGINT)) AS DOUBLE),"
+        f" {round_to}) + 0.0"
     )
 
 

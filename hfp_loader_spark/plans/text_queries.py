@@ -262,8 +262,8 @@ def text_quality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_toks) AS BIGINT)   AS total_tokens,
            -- quality is already 4dp-quantized, so its average is an
            -- integer quotient in 1e-4 units: tie-free integer half-up
-           CAST((2 * sum(CAST(round(quality * 10000) AS HUGEINT))
-                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+           {_mny._sql_int_avg(
+               "sum(CAST(round(quality * 10000) AS HUGEINT))", 4, 10000)}
              AS avg_quality
     FROM scored
     GROUP BY 1

@@ -149,8 +149,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             CAST(round(l.l_extendedprice * 100) AS HUGEINT)
-               * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))
+             {_m.sql_disc_rev_term("l.l_extendedprice", "l.l_discount")}
                AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
@@ -217,10 +216,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
     dec = "decimal(38,0)"
-    # long row term (fits int64 by far), decimal only at the sums
-    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    )
+    vol = _m.disc_rev_term(F.col("l_extendedprice"), F.col("l_discount"))
     return (
         j.select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -313,8 +309,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH part_rev AS (
       SELECT l.l_partkey,
-             sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
-                 * (100 - CAST(round(l.l_discount * 100) AS HUGEINT))) AS rev
+             sum({_m.sql_disc_rev_term("l.l_extendedprice", "l.l_discount")})
+               AS rev
       FROM lineitem l GROUP BY l.l_partkey
     )
     -- EXACT integer threshold: rev > total * 0.0005 restated as
@@ -325,9 +321,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS part_revenue
     FROM part_rev
     WHERE rev * 10000 >
-          (SELECT sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
-                      * (100 - CAST(round(l.l_discount * 100) AS HUGEINT)))
-                  * 5
+          (SELECT sum({_m.sql_disc_rev_term("l.l_extendedprice",
+                                            "l.l_discount")}) * 5
            FROM lineitem l)
     """,
     doc="TPC-H Q11-like important inventory: per-part revenue HAVING > "
@@ -343,10 +338,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_extendedprice", "l_discount"
     )
     dec = "decimal(38,0)"
-    # long row term, decimal at the sums (see plans.money)
-    rev = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    rev = _m.disc_rev_term(
+        F.col("l_extendedprice"), F.col("l_discount")
     ).alias("_r")
     per_part = li.select("l_partkey", rev).groupBy("l_partkey").agg(
         F.sum(F.col("_r").cast(dec)).alias("_rev")

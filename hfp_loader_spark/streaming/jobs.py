@@ -430,11 +430,13 @@ def stream_ingest_cell_tags(
     from hfp_loader_spark.operators.similarity import append_cell_tags
 
     versions: dict[int, int] = {}
+    checkpoint = os.path.join(tags_root, "_stream_checkpoint")
+    ingest_id = _ingest_identity(spark, checkpoint)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        if _replayed(spark, tags_root, batch_id):
+        if _replayed(spark, tags_root, batch_id, ingest_id):
             return
         versions[batch_id] = append_cell_tags(
             spark,
@@ -442,7 +444,10 @@ def stream_ingest_cell_tags(
             tags_root,
             cent_assign,
             scale,
-            extra_meta={"stream_batch_id": int(batch_id)},
+            extra_meta={
+                "stream_batch_id": int(batch_id),
+                "stream_ingest_id": ingest_id,
+            },
         )
 
     stream = (
@@ -452,10 +457,7 @@ def stream_ingest_cell_tags(
     )
     q = (
         stream.writeStream.foreachBatch(handle_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(tags_root, "_stream_checkpoint"),
-        )
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
@@ -474,20 +476,64 @@ def stream_ingest_cell_tags(
     return versions
 
 
-def _replayed(spark, root: str, batch_id: int) -> bool:
+def _ingest_identity(spark, checkpoint_dir: str) -> str:
+    """Stable identity of one checkpoint generation: a uuid persisted
+    as ``<checkpoint>/_INGEST_ID`` on first use.  Stamped into every
+    versioned commit so a crash-replay (same checkpoint → same id) is
+    distinguishable from a DIFFERENT stream feeding the same table
+    (fresh/foreign checkpoint → different id), which must fail loud
+    instead of silently skipping its batches."""
+    import uuid as _uuid
+
+    from hfp_loader_spark.versioned import _fs
+
+    fs, P = _fs(spark, checkpoint_dir)
+    target = P(f"{checkpoint_dir.rstrip('/')}/_INGEST_ID")
+    if fs.exists(target):
+        stream = fs.open(target)
+        try:
+            return spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            ).strip()
+        finally:
+            stream.close()
+    ident = _uuid.uuid4().hex
+    fs.mkdirs(target.getParent())
+    out = fs.create(target, True)
+    try:
+        out.write(bytearray(ident.encode("utf-8")))
+    finally:
+        out.close()
+    return ident
+
+
+def _replayed(spark, root: str, batch_id: int, ingest_id: str) -> bool:
     """True iff ``batch_id`` is already stamped at or below the table's
-    head — a crash-replay of a committed-but-unacknowledged micro-batch
-    (the driver died between ``commit_snapshot`` succeeding and the
-    streaming checkpoint recording the batch).  Requires the checkpoint
-    to live and die with the table: a deleted checkpoint renumbers
-    batches from 0 against a stale stamp."""
+    head BY THIS SAME STREAM — a crash-replay of a committed-but-
+    unacknowledged micro-batch (the driver died between
+    ``commit_snapshot`` succeeding and the streaming checkpoint
+    recording the batch).  A stamp from a DIFFERENT ingest identity
+    raises: treating a foreign stream's (or a re-created checkpoint's)
+    batch numbering as replays would silently DROP its data."""
     from hfp_loader_spark.versioned import _read_manifest, latest_version
 
     head = latest_version(spark, root)
     if head is None:
         return False
-    stamped = _read_manifest(spark, root, head).meta.get("stream_batch_id")
-    return stamped is not None and batch_id <= stamped
+    meta = _read_manifest(spark, root, head).meta
+    stamped = meta.get("stream_batch_id")
+    if stamped is None:
+        return False
+    stamped_id = meta.get("stream_ingest_id")
+    if stamped_id != ingest_id:
+        raise ValueError(
+            f"table at {root} was last fed by stream ingest"
+            f" {stamped_id!r}; this query's checkpoint identity is"
+            f" {ingest_id!r} — its batch numbering cannot be compared,"
+            " so replays are undetectable. Resume the ORIGINAL"
+            " checkpoint, or rebuild the table for a new stream."
+        )
+    return batch_id <= stamped
 
 
 def stream_ingest_positions(
@@ -531,11 +577,13 @@ def stream_ingest_positions(
     from hfp_loader_spark.operators.geo import append_positions
 
     versions: dict[int, int] = {}
+    checkpoint = os.path.join(log_root, "_stream_checkpoint")
+    ingest_id = _ingest_identity(spark, checkpoint)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        if _replayed(spark, log_root, batch_id):
+        if _replayed(spark, log_root, batch_id, ingest_id):
             return
         versions[batch_id] = append_positions(
             spark,
@@ -544,7 +592,10 @@ def stream_ingest_positions(
             cells_per_deg=cells_per_deg,
             lat_col=lat_col,
             lng_col=lng_col,
-            extra_meta={"stream_batch_id": int(batch_id)},
+            extra_meta={
+                "stream_batch_id": int(batch_id),
+                "stream_ingest_id": ingest_id,
+            },
         )
 
     stream = (
@@ -554,10 +605,7 @@ def stream_ingest_positions(
     )
     q = (
         stream.writeStream.foreachBatch(handle_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(log_root, "_stream_checkpoint"),
-        )
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

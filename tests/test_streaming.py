@@ -293,22 +293,37 @@ def test_stream_ingest_positions_equals_batch_recompute(
     with pytest.raises(ValueError, match="mixing grid generations"):
         append_positions(spark, tr.limit(1), log_root, cells_per_deg=50)
 
-    # crash-replay guard: each commit stamped its stream_batch_id, so a
-    # replayed batch (driver died between commit and checkpoint write)
-    # is recognized and skipped, while genuinely new batches are not
-    from hfp_loader_spark.streaming.jobs import _replayed
+    # crash-replay guard: each commit stamped its stream_batch_id AND
+    # the checkpoint generation's identity, so a replayed batch (driver
+    # died between commit and checkpoint write) is recognized and
+    # skipped, genuinely new batches are not, and a FOREIGN stream
+    # (different checkpoint identity) fails loud instead of silently
+    # dropping its data
+    import os
+
+    from hfp_loader_spark.streaming.jobs import _ingest_identity, _replayed
     from hfp_loader_spark.versioned import _read_manifest, latest_version
 
+    ident = _ingest_identity(
+        spark, os.path.join(log_root, "_stream_checkpoint")
+    )
     head = latest_version(spark, log_root)
-    assert _read_manifest(spark, log_root, head).meta[
-        "stream_batch_id"
-    ] == max(versions)
-    assert _replayed(spark, log_root, max(versions)) is True
-    assert _replayed(spark, log_root, 0) is True
-    assert _replayed(spark, log_root, max(versions) + 1) is False
-    # and the stamp rider did NOT join the generation pin: a same-grid
-    # batch append still passes the pin check
+    meta = _read_manifest(spark, log_root, head).meta
+    assert meta["stream_batch_id"] == max(versions)
+    assert meta["stream_ingest_id"] == ident
+    assert _replayed(spark, log_root, max(versions), ident) is True
+    assert _replayed(spark, log_root, 0, ident) is True
+    assert _replayed(spark, log_root, max(versions) + 1, ident) is False
+    with pytest.raises(ValueError, match="cannot be compared"):
+        _replayed(spark, log_root, 0, "someone-else")
+    # the stamp riders did NOT join the generation pin: a same-grid
+    # batch append still passes the pin check, and a rider may never
+    # SHADOW a pin key
     append_positions(spark, tr.limit(0), log_root)
+    with pytest.raises(ValueError, match="shadow the generation pin"):
+        append_positions(
+            spark, tr.limit(0), log_root, extra_meta={"cells_per_deg": 50}
+        )
 
     # the drained log serves: materialize and read one cell back (the
     # pin-check append above committed an empty v3 on top of the two

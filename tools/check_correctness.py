@@ -89,18 +89,6 @@ def _strict_cell(v) -> str:
     return str(v)
 
 
-def canon_frame(pdf):
-    """The driver's ``_canon``: columns sorted by name, rows sorted via
-    ``sort_values`` over all columns.  Raises the driver's own
-    ``TypeError: unhashable type: 'list'`` on non-scalar cells."""
-    pdf = pdf[sorted(pdf.columns)]
-    if len(pdf):
-        pdf = pdf.sort_values(
-            list(pdf.columns), kind="mergesort"
-        ).reset_index(drop=True)
-    return pdf
-
-
 def canon_cells(pdf) -> list[tuple[str, ...]]:
     """Canonical sorted string matrix for a pandas frame.
 
@@ -109,8 +97,8 @@ def canon_cells(pdf) -> list[tuple[str, ...]]:
     then rows are sorted on the normalized tuples.  The driver-parity
     TypeError on non-scalar cells comes from ``_strict_cell`` itself
     (same ``unhashable type`` message as the driver's ``sort_values``) —
-    running ``canon_frame``'s full mergesort just for that side effect
-    would double the gate's sort cost for a discarded result.
+    running a full pandas mergesort just for that side effect would
+    double the gate's sort cost for a discarded result.
     """
     cols = sorted(pdf.columns)
     rows = [
