@@ -264,55 +264,88 @@ def test_session_funnel_reuses_the_sessionize_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_registry_prefix_samples_every_module():
-    """The external correctness gate samples the FIRST 50 registry
-    entries; the interleaved registration must keep every plans module
-    (= every tier) inside that prefix — AND rows-only entries must keep
-    their natural (definition-order) share of it.  An earlier version
-    sorted oracle-checked entries ahead of rows-only ones per module,
-    which systematically pushed the LSH/ANN rows-only entries out of
-    external scrutiny; that sort is gone and must stay gone."""
-    from hfp_loader_spark.plans.catalog import REGISTRY
+def test_registry_window_prioritizes_unverified_entries():
+    """VERDICT r13 #1: the driver samples the FIRST ``SAMPLE_WINDOW``
+    registry entries; the order must spend that window on entries
+    WITHOUT external driver signal — ≥45 never-sampled (when that many
+    exist), ``MONEY_PRIORITY`` never-sampled members first, up to
+    ``_REVERIFY_SLOTS`` rewritten-since-sampled entries re-queued — and
+    rows-only entries must keep their natural share of the window (the
+    anti-bias guard from the rotation era stays armed)."""
+    from hfp_loader_spark.plans import catalog
 
-    all_modules = {spec.module for spec in REGISTRY.values()}
-    first50 = list(REGISTRY.values())[:50]
-    assert {s.module for s in first50} == all_modules
-    # rows-only entries (if any exist) appear in the sampled window in
-    # their natural order — none may be systematically deferred past
-    # the prefix.  Since r11 the catalog has ZERO rows-only entries
-    # (every entry carries a full oracle), so the anti-bias guard is
-    # conditional: it re-arms the moment a rows-only entry returns.
-    rows_only_all = [s.name for s in REGISTRY.values() if s.oracle is None]
-    rows_only_in_prefix = [s.name for s in first50 if s.oracle is None]
+    sampled = catalog._sampled_rounds()
+    window = list(catalog.REGISTRY.values())[: catalog.SAMPLE_WINDOW]
+    never_in_window = [s for s in window if s.name not in sampled]
+    never_total = sum(1 for n in catalog.REGISTRY if n not in sampled)
+    want = min(
+        never_total, catalog.SAMPLE_WINDOW - catalog._REVERIFY_SLOTS
+    )
+    assert len(never_in_window) >= want, (
+        f"only {len(never_in_window)} never-sampled entries in the "
+        f"window; {never_total} exist"
+    )
+    # money-priority never-sampled entries lead the window
+    money_never = [n for n in catalog.MONEY_PRIORITY if n not in sampled]
+    assert [s.name for s in window[: len(money_never)]] == money_never
+    # stale (rewritten-since-sampled) entries are inside the window,
+    # capped at the reserved slot count
+    stale_in_window = [
+        s.name
+        for s in window
+        if s.name in sampled
+        and sampled[s.name] < catalog.REVERIFY_SINCE.get(s.name, 0)
+    ]
+    stale_total = [
+        n
+        for n, rnd in sampled.items()
+        if n in catalog.REGISTRY
+        and rnd < catalog.REVERIFY_SINCE.get(n, 0)
+    ]
+    assert len(stale_in_window) == min(
+        len(stale_total), catalog._REVERIFY_SLOTS
+    )
+    rows_only_all = [
+        s.name for s in catalog.REGISTRY.values() if s.oracle is None
+    ]
+    rows_only_in_window = [s.name for s in window if s.oracle is None]
     if rows_only_all:
-        assert rows_only_in_prefix, (
-            "rows-only entries were pushed out of the sampled prefix — "
+        assert rows_only_in_window, (
+            "rows-only entries were pushed out of the sampled window — "
             "evaluator-shaping bias reintroduced?"
         )
 
 
-def test_registry_rotation_changes_prefix_keeps_set_and_tiers():
-    """VERDICT r11 #7: successive rounds' sampled 50-entry prefixes must
-    differ (rotation), while the full name set, specs, and per-prefix
-    module coverage stay invariant."""
+def test_registry_order_self_advances_as_signal_lands(monkeypatch):
+    """Once a round's CORRECTNESS file records the window, the NEXT
+    ordering must move those entries out of the priority bucket — the
+    windows of successive rounds are disjoint on the never-sampled set
+    until it is exhausted, with no per-round rotation knob."""
     from hfp_loader_spark.plans import catalog
 
     full = dict(catalog.REGISTRY)
-    all_modules = {s.module for s in full.values()}
+    base_sampled = catalog._sampled_rounds()
     try:
-        def prefix(rot):
-            catalog.REGISTRY.clear()
-            catalog.REGISTRY.update(full)
-            catalog._interleave_registry(rotation=rot)
-            return list(catalog.REGISTRY)[:50]
-
-        p11, p12 = prefix(11), prefix(12)
-        assert p11 != p12
-        # a rotated window must actually move the sample, not permute it
-        assert len(set(p11) & set(p12)) < 40
-        assert {catalog.REGISTRY[n].module for n in p12} == all_modules
-        assert set(catalog.REGISTRY) == set(full)
-    finally:
+        w1 = list(catalog.REGISTRY)[: catalog.SAMPLE_WINDOW]
+        next_round = max(base_sampled.values(), default=0) + 1
+        simulated = dict(base_sampled)
+        simulated.update({n: next_round for n in w1})
+        monkeypatch.setattr(catalog, "_sampled_rounds", lambda: simulated)
         catalog.REGISTRY.clear()
         catalog.REGISTRY.update(full)
-        catalog._interleave_registry()
+        catalog._order_registry()
+        w2 = list(catalog.REGISTRY)[: catalog.SAMPLE_WINDOW]
+        fresh_w1 = {n for n in w1 if n not in base_sampled}
+        fresh_w2 = {n for n in w2 if n not in simulated}
+        assert not (fresh_w1 & fresh_w2), (
+            "round N+1 re-sampled never-seen entries round N already "
+            "covered"
+        )
+        assert set(catalog.REGISTRY) == set(full)
+        # specs are untouched — ordering is purely cosmetic
+        assert all(catalog.REGISTRY[n] is full[n] for n in full)
+    finally:
+        monkeypatch.undo()
+        catalog.REGISTRY.clear()
+        catalog.REGISTRY.update(full)
+        catalog._order_registry()
