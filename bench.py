@@ -142,7 +142,9 @@ def _calibrate(spark) -> float:
 
 
 def prev_round_comparison(
-    times: dict[str, float], repo_dir: str
+    times: dict[str, float],
+    repo_dir: str,
+    spread: dict[str, list[float]] | None = None,
 ) -> dict | None:
     """Mechanical round-over-round comparison (VERDICT r11 #4): load the
     newest ``BENCH_r*.json`` in the repo, intersect its per-query map
@@ -150,7 +152,16 @@ def prev_round_comparison(
     host normalization has misled two rounds running (r10's calib was
     co-load-contaminated, r11's total then read as a phantom 1.9×
     regression); the common-set raw ratio is the comparison the judge
-    reconstructs by hand anyway, so emit it mechanically."""
+    reconstructs by hand anyway, so emit it mechanically.
+
+    Since r14 the ratio carries its own error bar (VERDICT r13 #3: r13
+    burned its perf story on an 18% swing that was mostly single-run
+    jitter): ``ratio_vs_prev_common_med`` recomputes the ratio on this
+    round's per-entry MEDIANS, and every ≥1.25× per-entry regression is
+    listed with its own [min, med, max] spread plus a mechanical
+    ``within_spread`` verdict (the regression magnitude fits inside the
+    entry's own observed run-to-run spread → jitter-compatible; outside
+    it → a genuine plan change to explain)."""
     import glob
 
     prevs = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
@@ -168,7 +179,7 @@ def prev_round_comparison(
         return None
     now_sum = round(sum(times[q] for q in common), 3)
     prev_sum = round(sum(prev_q[q] for q in common), 3)
-    return {
+    out = {
         "prev_bench": os.path.basename(prev_path),
         "queries_common_prev": len(common),
         "raw_common_now_sec": now_sum,
@@ -177,6 +188,33 @@ def prev_round_comparison(
         if prev_sum
         else None,
     }
+    if spread:
+        med_sum = sum(
+            spread[q][len(spread[q]) // 2] for q in common if q in spread
+        )
+        out["ratio_vs_prev_common_med"] = (
+            round(med_sum / prev_sum, 3) if prev_sum else None
+        )
+        regressions = []
+        for q in common:
+            if not prev_q[q] or q not in spread:
+                continue
+            ratio = times[q] / prev_q[q]
+            if ratio < 1.25:
+                continue
+            s = spread[q]
+            regressions.append(
+                {
+                    "query": q,
+                    "ratio": round(ratio, 2),
+                    "prev_sec": prev_q[q],
+                    "now_spread_sec": s,
+                    "within_spread": ratio <= (s[-1] / s[0] if s[0] else 1),
+                }
+            )
+        regressions.sort(key=lambda r: -r["ratio"])
+        out["regressions_1p25x"] = regressions
+    return out
 
 
 def normalize_total(total: float, calib: float) -> tuple[float, str | None]:
@@ -218,6 +256,83 @@ def _hfp_day_dir(rows_per_group: int) -> str:
         )
         open(done, "w").close()
     return cache
+
+
+def _lifecycle_landing_dir(spark, sf_dir: str) -> str:
+    """Stage (once per process+sf, unmeasured) 4 parquet landing files
+    of the bench trajectory slice — the stream source for
+    :func:`run_stream_lifecycle`.  Files live in a clean subdir so the
+    parquet stream reader sees nothing else."""
+    import glob as _glob
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    cache = f"/tmp/hfp_bench_landing_{key}"
+    done = os.path.join(cache, "_DONE")
+    files = os.path.join(cache, "files")
+    if not os.path.exists(done):
+        from hfp_loader_spark.plans.geo_queries import _traj
+
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(files)
+        tr = _traj(spark, sf_dir).select(
+            "vehicle_id", "event_id", "t_us", "lat", "lng"
+        )
+        for i in range(4):
+            stage = os.path.join(cache, f"_stage_{i}")
+            (
+                tr.where(F.col("vehicle_id") % 4 == i)
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(files, f"b{i}.parquet"))
+            shutil.rmtree(stage)
+        open(done, "w").close()
+    return files
+
+
+def run_stream_lifecycle(spark, sf_dir: str) -> float:
+    """One measured pass of the position-log streaming lifecycle
+    (VERDICT r13 #7): 4 availableNow micro-batches (one landing file
+    each) commit O(delta) appends → ``compact_snapshot`` collapses the
+    append chain → ``truncate_history`` reclaims old manifests → the
+    compacted head serves a per-cell aggregate.  Log + checkpoint are
+    fresh per run so every commit does real work; landing files are
+    staged once, outside the timer."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.maintenance import compact_snapshot
+    from hfp_loader_spark.operators.geo import load_positions
+    from hfp_loader_spark.streaming.jobs import stream_ingest_positions
+    from hfp_loader_spark.versioned import truncate_history
+
+    landing = _lifecycle_landing_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hfp_bench_lifecycle_")
+    log_root = os.path.join(work, "poslog")
+    t0 = time.perf_counter()
+    stream_ingest_positions(spark, landing, log_root)
+    compact_snapshot(spark, log_root, min_dirs=2)
+    truncate_history(spark, log_root, keep_last=1)
+    (
+        load_positions(spark, log_root)
+        .groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"), "cell")
+        .limit(5)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt
 
 
 def main() -> None:
@@ -268,12 +383,17 @@ def main() -> None:
     # make one clean window sufficient.
     calib_pre = round(_calibrate(spark), 3)
 
-    # min-of-2: single runs measured ±40% run-to-run on identical plans
-    # (GC pauses / VM jitter landing on random queries); the minimum is
-    # the reproducible cost of the plan itself.
+    # min-of-3 with published spread (VERDICT r13 #3): single runs
+    # measured ±40% run-to-run on identical plans (GC pauses / VM
+    # jitter landing on random queries); the minimum is the
+    # reproducible cost of the plan itself, and the per-entry
+    # [min, med, max] gives the round-over-round ratio its error bar.
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        times[name] = round(min(run(name), run(name)), 3)
+        runs = sorted(round(run(name), 3) for _ in range(3))
+        times[name] = runs[0]
+        spread[name] = runs
 
     # End-to-end HFP load (VERDICT r9 #4): the reference's whole-job
     # shape (service/hfpTask.ts:83-145) — CSV blob scan → typed
@@ -298,7 +418,19 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         return dt
 
-    times["hfp_load_day_e2e"] = round(min(run_hfp_load(), run_hfp_load()), 3)
+    hfp_runs = sorted(round(run_hfp_load(), 3) for _ in range(2))
+    times["hfp_load_day_e2e"] = hfp_runs[0]
+    spread["hfp_load_day_e2e"] = hfp_runs
+
+    # Streaming ingest lifecycle (VERDICT r13 #7): N micro-batch O(delta)
+    # appends → compact → truncate → serve, measured — a regression in
+    # the O(delta) promise (an append rescanning the log, a compaction
+    # rereading history per batch) now moves BENCH, not only tests.
+    life_runs = sorted(
+        round(run_stream_lifecycle(spark, sf_dir), 3) for _ in range(2)
+    )
+    times["stream_ingest_lifecycle"] = life_runs[0]
+    spread["stream_ingest_lifecycle"] = life_runs
 
     total = round(sum(times.values()), 3)
     calib_post = round(_calibrate(spark), 3)
@@ -309,6 +441,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
         "calib_sec": calib,
         "calib_pre_sec": calib_pre,
@@ -319,7 +452,7 @@ def main() -> None:
     if rejected:
         out["calib_rejected"] = rejected
     cmp = prev_round_comparison(
-        times, os.path.dirname(os.path.abspath(__file__))
+        times, os.path.dirname(os.path.abspath(__file__)), spread
     )
     if cmp:
         out.update(cmp)

@@ -54,12 +54,15 @@ from hfp_loader_spark.plans.catalog import _t, defquery
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 pricing summary: filtered scan → partial+final hash agg. "
-    "Flagship query; one shuffle on the 2-value group key. Money/qty "
-    "sums run EXACT in 128-bit integer cents (plans.money — r13: a "
-    "double sum is summation-order-dependent and a 2dp rounding of a "
-    "~1e9 total demands more relative agreement than the engines' "
-    "differing sum orders give at scale); averages derive from the "
-    "same exact sums via correctly-rounded divisions.",
+    "Flagship query; the big exchange stays on the tiny (group, input-"
+    "partition) partials. Money/qty sums run EXACT in 128-bit integer "
+    "cents (plans.money — r13: a double sum is summation-order-"
+    "dependent and a 2dp rounding of a ~1e9 total demands more relative "
+    "agreement than the engines' differing sum orders give at scale), "
+    "two-tier since r14: long partials per input partition, one "
+    "decimal(38,0) sum over partials — the per-row decimal cast was "
+    "2.8× of q1's wall (VERDICT r13 #2); averages derive from the same "
+    "exact sums via correctly-rounded divisions.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hfp_loader_spark.plans.catalog import load_table
@@ -72,22 +75,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem",
         ts_pushdown=[("l_shipdate", "<=", "1998-09-02")],
     )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _m.qty_sum(F.col("l_quantity")).alias("sum_qty"),
-            _m.money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _m.disc_rev_sum(
-                F.col("l_extendedprice"), F.col("l_discount")
-            ).alias("sum_disc_price"),
-            _m.charge_sum(
-                F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
-            ).alias("sum_charge"),
-            _m.qty_avg(F.col("l_quantity")).alias("avg_qty"),
-            _m.money_avg(F.col("l_extendedprice")).alias("avg_price"),
-            _m.pct_avg(F.col("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    return _m.two_tier_group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            _m.agg_qty_sum("sum_qty", F.col("l_quantity")),
+            _m.agg_money_sum("sum_base_price", F.col("l_extendedprice")),
+            _m.agg_disc_rev_sum(
+                "sum_disc_price",
+                F.col("l_extendedprice"),
+                F.col("l_discount"),
+            ),
+            _m.agg_charge_sum(
+                "sum_charge",
+                F.col("l_extendedprice"),
+                F.col("l_discount"),
+                F.col("l_tax"),
+            ),
+            _m.agg_qty_avg("avg_qty", F.col("l_quantity")),
+            _m.agg_money_avg("avg_price", F.col("l_extendedprice")),
+            _m.agg_pct_avg("avg_disc", F.col("l_discount")),
+            _m.agg_count("count_order"),
+        ],
     )
 
 

@@ -233,13 +233,38 @@ def geo_leg_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a fresh build instead of serving a stale lake.
 
 _GEO_LAKE_CPD = 20
-_GEO_LAKE_READY: dict[str, str] = {}
+_GEO_LAKE_READY: dict[str, tuple[tuple, str]] = {}
+
+
+def _events_stat_stamp(sf_dir: str) -> tuple:
+    """Cheap filesystem identity of the events table: (path, size,
+    mtime_ns) per file — regenerated testdata under the SAME sf_dir
+    changes it without running a Spark job (ADVICE r13: the old
+    process-lifetime cache served a stale lake to geo_lake_cells_served
+    while the oracle read the new events)."""
+    import os
+
+    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    paths = [target]
+    if os.path.isdir(target):
+        paths = sorted(
+            os.path.join(target, p) for p in os.listdir(target)
+        )
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
 
 
 def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
-    lake_root = _GEO_LAKE_READY.get(sf_dir)
-    if lake_root is not None:
-        return lake_root
+    stamp = _events_stat_stamp(sf_dir)
+    cached = _GEO_LAKE_READY.get(sf_dir)
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
     import hashlib
     import os
 
@@ -309,7 +334,7 @@ def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
                 and doc.get("cells_per_deg") == _GEO_LAKE_CPD
             ):
                 raise
-    _GEO_LAKE_READY[sf_dir] = lake_root
+    _GEO_LAKE_READY[sf_dir] = (stamp, lake_root)
     return lake_root
 
 

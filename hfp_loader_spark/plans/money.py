@@ -27,7 +27,10 @@ a discounted revenue term is cents×10² units, a taxed charge cents×10⁴.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -113,13 +116,22 @@ def _int_avg(sum_int: Column, n: Column, decimals: int, unit: int) -> Column:
     Spark's decimal-string rounding and DuckDB's fp-multiply rounding
     can disagree by one final digit.  Integer half-up —
     ``floor((2·scale·s + n) / (2n))`` — has no ties: computed via
-    mod-subtract so the decimal division is remainder-free and EXACT.
-    ``unit`` is the integer unit per 1.0 (cents → 100)."""
+    FLOOR-mod-subtract (``((t % m) + m) % m``; both engines' plain
+    ``%`` takes the dividend's sign) so the decimal division is
+    remainder-free and EXACT for either sign of the sum — a negative
+    sum (e.g. an avg over c_acctbal) rounds half-toward-+∞, the same
+    documented rule as positives (-2.5 → -2).  ``unit`` is the integer
+    unit per 1.0 (cents → 100) and must divide ``10**decimals`` —
+    anything else would silently floor the scale to a wrong value."""
+    if 10**decimals % unit != 0:
+        raise ValueError(
+            f"unit {unit} does not divide 10**{decimals}; the requested "
+            "rounding cannot be expressed in integer arithmetic"
+        )
     scale = 10**decimals // unit
-    assert scale >= 1, "decimals must cover the integer unit"
     t = sum_int * F.lit(2 * scale).cast(_DEC) + n.cast(_DEC)
     m = n.cast(_DEC) * F.lit(2).cast(_DEC)
-    q = (t - t % m) / m
+    q = (t - ((t % m) + m) % m) / m
     return q.cast("double") / float(10**decimals)
 
 
@@ -140,6 +152,168 @@ def qty_avg(col: Column, decimals: int = 4) -> Column:
     )
 
 
+# --- two-tier exact aggregation (VERDICT r13 #2) ---------------------
+#
+# The r13 exact-money rewrite put a per-ROW decimal(38,0) cast in front
+# of every monetary sum; measured on Q1 at sf0.1 that cast is most of
+# the 0.20 s → 0.50 s step in the cost ladder.  The decimal width is
+# only needed at the SUM boundary, and only because a whole GROUP's sum
+# can exceed int64 at large SF — a single input PARTITION's partial sum
+# cannot: the largest row term (a taxed charge) is ≤ ~4.4e10, so a long
+# partial stays inside int64 up to ~2×10⁸ rows per partition, while
+# spark.sql.files.maxPartitionBytes bounds real partitions to a few
+# million rows at ANY total SF (partition size is a constant of the
+# scan, not of the corpus).  So: tier 1 sums LONG row terms per
+# (group keys, input partition) — pure int64 codegen, map-side-combined
+# to ≤|groups| rows per partition — and tier 2 sums the partials in
+# decimal(38,0), where overflow is actually possible and still fails
+# loud.  Spark 4 ANSI mode (on by default, never disabled by
+# session.py) makes a tier-1 violation raise instead of wrap; under a
+# caller's ANSI-off session the helper falls back to the per-row
+# decimal path so exactness never depends on a config flag.
+#
+# Values are bit-identical to the single-tier forms (integer addition
+# is associative), so the DuckDB oracle fragments are unchanged.
+
+
+class ExactAgg(NamedTuple):
+    """One aggregate of a two-tier exact group aggregation: ``term`` is
+    the exact LONG row term (None → plain row count) and ``final`` maps
+    (decimal-exact sum, bigint group count) to the display column."""
+
+    name: str
+    term: Column | None
+    final: Callable[[Column | None, Column], Column]
+
+
+def agg_qty_sum(name: str, col: Column, round_to: int = 2) -> ExactAgg:
+    return ExactAgg(
+        name,
+        _qty(col),
+        lambda s, n: F.round(s.cast("double"), round_to) + F.lit(0.0),
+    )
+
+
+def agg_money_sum(name: str, col: Column, round_to: int = 2) -> ExactAgg:
+    return ExactAgg(
+        name,
+        _cents(col),
+        lambda s, n: F.round(s.cast("double") / 100.0, round_to)
+        + F.lit(0.0),
+    )
+
+
+def agg_disc_rev_sum(
+    name: str, price: Column, disc: Column, round_to: int = 2
+) -> ExactAgg:
+    return ExactAgg(
+        name,
+        disc_rev_term(price, disc),
+        lambda s, n: F.round(s.cast("double") / 10000.0, round_to)
+        + F.lit(0.0),
+    )
+
+
+def agg_charge_sum(
+    name: str, price: Column, disc: Column, tax: Column, round_to: int = 2
+) -> ExactAgg:
+    term = (
+        _cents(price)
+        * (F.lit(100) - _pct(disc))
+        * (F.lit(100) + _pct(tax))
+    )
+    return ExactAgg(
+        name,
+        term,
+        lambda s, n: F.round(s.cast("double") / 1000000.0, round_to)
+        + F.lit(0.0),
+    )
+
+
+def agg_qty_avg(name: str, col: Column, decimals: int = 4) -> ExactAgg:
+    return ExactAgg(
+        name, _qty(col), lambda s, n: _int_avg(s, n, decimals, 1)
+    )
+
+
+def agg_money_avg(name: str, col: Column, decimals: int = 4) -> ExactAgg:
+    return ExactAgg(
+        name, _cents(col), lambda s, n: _int_avg(s, n, decimals, 100)
+    )
+
+
+def agg_pct_avg(name: str, col: Column, decimals: int = 4) -> ExactAgg:
+    return ExactAgg(
+        name, _pct(col), lambda s, n: _int_avg(s, n, decimals, 100)
+    )
+
+
+def agg_count(name: str) -> ExactAgg:
+    return ExactAgg(name, None, lambda s, n: n.cast("long"))
+
+
+def two_tier_group_agg(
+    df: DataFrame, keys: list[str], aggs: list[ExactAgg]
+) -> DataFrame:
+    """``df.groupBy(keys).agg(...)`` with every sum exact, long partials
+    first (see the tier rationale above).  Output columns appear in
+    ``aggs`` order after the keys, exactly like the single-tier form."""
+    ansi = (
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") or ""
+    ).lower() == "true"
+    if not ansi:
+        # No loud overflow without ANSI → keep the decimal cast per row.
+        return df.groupBy(*keys).agg(
+            *[
+                a.final(
+                    _dsum(a.term) if a.term is not None else None,
+                    F.count(F.lit(1)),
+                ).alias(a.name)
+                for a in aggs
+            ]
+        )
+    # Dedupe identical row terms (sum_qty/avg_qty, sum_base_price/
+    # avg_price share one): each extra per-row term costs a round +
+    # multiply + cast per row in tier 1 — measured ~0.1 s each on Q1 at
+    # sf0.1 — while sharing a partial is free.  Column exprs don't
+    # compare, their canonical string forms do.
+    slot_of: dict[str, int] = {}
+    slots: list[Column] = []
+    agg_slot: list[int | None] = []
+    for a in aggs:
+        if a.term is None:
+            agg_slot.append(None)
+            continue
+        key = repr(a.term)
+        if key not in slot_of:
+            slot_of[key] = len(slots)
+            slots.append(a.term)
+        agg_slot.append(slot_of[key])
+    partials = (
+        # withColumn, not groupBy(spark_partition_id()): grouping keys
+        # must be deterministic expressions, a projected column is.
+        df.withColumn("__shard", F.spark_partition_id())
+        .groupBy(*keys, "__shard")
+        .agg(
+            *[
+                F.sum(term).alias(f"__p_{i}")
+                for i, term in enumerate(slots)
+            ],
+            F.count(F.lit(1)).alias("__p_n"),
+        )
+    )
+    n = F.sum("__p_n")
+    dec_sums = [F.sum(F.col(f"__p_{i}").cast(_DEC)) for i in range(len(slots))]
+    return partials.groupBy(*keys).agg(
+        *[
+            a.final(
+                dec_sums[slot] if slot is not None else None, n
+            ).alias(a.name)
+            for a, slot in zip(aggs, agg_slot)
+        ]
+    )
+
+
 def disc_rev_term(price: Column, disc: Column) -> Column:
     """The exact cents×10² discounted-revenue ROW term (long) — for
     entries that need the unrounded sum (ratios, thresholds); the
@@ -153,10 +327,21 @@ def disc_rev_term(price: Column, disc: Column) -> Column:
 def _sql_int_avg(
     sum_sql: str, decimals: int, unit: int, count_sql: str = "count(*)"
 ) -> str:
+    """SQL twin of :func:`_int_avg` — the same floor-mod half-up form
+    (DuckDB's ``//`` and ``%`` truncate toward zero exactly like
+    Spark's, so the twin needs the same floor-mod subtract to round
+    negative sums half-toward-+∞)."""
+    if 10**decimals % unit != 0:
+        raise ValueError(
+            f"unit {unit} does not divide 10**{decimals}; the requested "
+            "rounding cannot be expressed in integer arithmetic"
+        )
     scale = 10**decimals // unit
+    t = f"(2 * {scale} * ({sum_sql}) + {count_sql})"
+    m = f"(2 * ({count_sql}))"
     return (
-        f"CAST((2 * {scale} * ({sum_sql}) + {count_sql})"
-        f" // (2 * ({count_sql})) AS DOUBLE) / {10**decimals}.0"
+        f"CAST(({t} - ((({t}) % {m}) + {m}) % {m}) // {m}"
+        f" AS DOUBLE) / {10**decimals}.0"
     )
 
 

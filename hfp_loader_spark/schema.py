@@ -160,14 +160,39 @@ _PG_TYPES: dict[str, str] = {
 }
 
 
+#: ``lightpriorityevent``'s 13 extra traffic-light-priority columns
+#: (postgres_schema.sql:45-57: tlp_* request/decision metadata plus the
+#: sid/signal_groupid signal identifiers).  The table exists in the
+#: reference DDL but NO reference code path writes it (SURVEY §1.3), so
+#: these columns appear only in the generated DDL — rendered so the DDL
+#: set matches the reference schema file 5/5 tables (VERDICT r13 #4).
+TLP_COLUMNS: list[tuple[str, str]] = [
+    ("tlp_requestid", "integer"),
+    ("tlp_requesttype", "varchar(255)"),
+    ("tlp_prioritylevel", "varchar(255)"),
+    ("tlp_reason", "varchar(255)"),
+    ("tlp_att_seq", "integer"),
+    ("tlp_decision", "varchar(255)"),
+    ("sid", "integer"),
+    ("signal_groupid", "integer"),
+    ("tlp_signalgroupnbr", "integer"),
+    ("tlp_line_configid", "integer"),
+    ("tlp_point_configid", "integer"),
+    ("tlp_frequency", "integer"),
+    ("tlp_protocol", "varchar(255)"),
+]
+
+
 def postgres_ddl(table: str, unique_uuid: bool = False) -> str:
     """CREATE TABLE statement for one sink table — the engine's typed
     schema rendered as Postgres DDL (id double precision first, the 44
-    HFP columns in blob order, ``uuid`` as the native uuid type).
+    HFP columns in blob order, ``uuid`` as the native uuid type,
+    ``lightpriorityevent`` additionally carrying the 13 TLP columns).
     ``unique_uuid=True`` adds the UNIQUE constraint ``JdbcUpsertSink``'s
     ON CONFLICT promotion requires.  Exercised against a LIVE server in
     tests/test_postgres_live.py (a full golden-fixture day lands via
-    COPY and the pushed-down keys query round-trips)."""
+    COPY and the pushed-down keys query round-trips); column parity with
+    the reference DDL is golden-locked in tests/test_schema.py."""
     cols = ['"id" double precision']
     for name in HFP_COLUMNS:
         pg_type = (
@@ -176,6 +201,8 @@ def postgres_ddl(table: str, unique_uuid: bool = False) -> str:
             else _PG_TYPES[HFP_TYPE_MAP.get(name, "string")]
         )
         cols.append(f'"{name}" {pg_type}')
+    if table == "lightpriorityevent":
+        cols.extend(f'"{n}" {t}' for n, t in TLP_COLUMNS)
     constraint = ', UNIQUE ("uuid")' if unique_uuid else ""
     return (
         f'CREATE TABLE public."{table}" ({", ".join(cols)}{constraint})'

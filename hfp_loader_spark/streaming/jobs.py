@@ -508,32 +508,52 @@ def _ingest_identity(spark, checkpoint_dir: str) -> str:
 
 
 def _replayed(spark, root: str, batch_id: int, ingest_id: str) -> bool:
-    """True iff ``batch_id`` is already stamped at or below the table's
-    head BY THIS SAME STREAM — a crash-replay of a committed-but-
-    unacknowledged micro-batch (the driver died between
+    """True iff ``batch_id`` is already stamped in the table's SURVIVING
+    manifest history BY THIS SAME STREAM — a crash-replay of a
+    committed-but-unacknowledged micro-batch (the driver died between
     ``commit_snapshot`` succeeding and the streaming checkpoint
-    recording the batch).  A stamp from a DIFFERENT ingest identity
-    raises: treating a foreign stream's (or a re-created checkpoint's)
-    batch numbering as replays would silently DROP its data."""
-    from hfp_loader_spark.versioned import _read_manifest, latest_version
+    recording the batch).
 
-    head = latest_version(spark, root)
-    if head is None:
-        return False
-    meta = _read_manifest(spark, root, head).meta
-    stamped = meta.get("stream_batch_id")
-    if stamped is None:
-        return False
-    stamped_id = meta.get("stream_ingest_id")
-    if stamped_id != ingest_id:
-        raise ValueError(
-            f"table at {root} was last fed by stream ingest"
-            f" {stamped_id!r}; this query's checkpoint identity is"
-            f" {ingest_id!r} — its batch numbering cannot be compared,"
-            " so replays are undetectable. Resume the ORIGINAL"
-            " checkpoint, or rebuild the table for a new stream."
-        )
-    return batch_id <= stamped
+    The scan walks manifests newest→oldest rather than trusting the
+    head alone (ADVICE r13): a non-stream ``append_positions`` /
+    ``append_cell_tags`` commit landing between a stream batch's commit
+    and its checkpoint write leaves an UNSTAMPED head, behind which the
+    stream's real high-water stamp still sits.  Batches commit
+    sequentially (foreachBatch serializes), so the newest stamped
+    manifest carries the stream's max batch id.  The walk stops at an
+    ``overwrite`` commit — a rebuild replaces the table's contents, so
+    nothing older can duplicate rows.  A stamp from a DIFFERENT ingest
+    identity raises: treating a foreign stream's (or a re-created
+    checkpoint's) batch numbering as replays would silently DROP its
+    data.
+
+    Retention contract: ``truncate_history`` must keep manifests back
+    to the newest stream commit while a live checkpoint exists —
+    truncating every stamped manifest away makes the one crash-replay
+    window (last commit vs checkpoint) undetectable again."""
+    from hfp_loader_spark.versioned import (
+        _existing_versions,
+        _read_manifest,
+    )
+
+    for v in reversed(_existing_versions(spark, root)):
+        info = _read_manifest(spark, root, v)
+        stamped = info.meta.get("stream_batch_id")
+        if stamped is not None:
+            stamped_id = info.meta.get("stream_ingest_id")
+            if stamped_id != ingest_id:
+                raise ValueError(
+                    f"table at {root} was last fed by stream ingest"
+                    f" {stamped_id!r}; this query's checkpoint identity"
+                    f" is {ingest_id!r} — its batch numbering cannot be"
+                    " compared, so replays are undetectable. Resume the"
+                    " ORIGINAL checkpoint, or rebuild the table for a"
+                    " new stream."
+                )
+            return batch_id <= stamped
+        if info.op == "overwrite":
+            return False
+    return False
 
 
 def stream_ingest_positions(

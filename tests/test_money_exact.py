@@ -121,3 +121,130 @@ def test_charge_term_fits_long_per_row(spark):
     df = spark.createDataFrame([(110000.0, 0.0, 0.10)], "p double, d double, t double")
     got = _spark_one(df, m.charge_sum(F.col("p"), F.col("d"), F.col("t")))
     assert got == pytest.approx(121000.0)
+
+
+def test_two_tier_equals_single_tier_and_oracle(spark):
+    """two_tier_group_agg (r14, VERDICT r13 #2) must be value-identical
+    to the single-tier forms — integer addition is associative, so the
+    long-partial/decimal-final split may never show — under hostile
+    partitioning, and match the DuckDB oracle fragments unchanged."""
+    import random
+
+    rng = random.Random(14)
+    rows = [
+        (
+            "g%d" % (i % 3),
+            round(rng.uniform(900.0, 105000.0), 2),
+            round(rng.uniform(0.0, 0.10), 2),
+            round(rng.uniform(0.0, 0.08), 2),
+            float(rng.randint(1, 50)),
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, p double, d double, t double, q double")
+    aggs = [
+        m.agg_qty_sum("sum_q", F.col("q")),
+        m.agg_money_sum("sum_p", F.col("p")),
+        m.agg_disc_rev_sum("sum_rev", F.col("p"), F.col("d")),
+        m.agg_charge_sum("sum_chg", F.col("p"), F.col("d"), F.col("t")),
+        m.agg_qty_avg("avg_q", F.col("q")),
+        m.agg_money_avg("avg_p", F.col("p")),
+        m.agg_pct_avg("avg_d", F.col("d")),
+        m.agg_count("n"),
+    ]
+    single = df.groupBy("g").agg(
+        m.qty_sum(F.col("q")).alias("sum_q"),
+        m.money_sum(F.col("p")).alias("sum_p"),
+        m.disc_rev_sum(F.col("p"), F.col("d")).alias("sum_rev"),
+        m.charge_sum(F.col("p"), F.col("d"), F.col("t")).alias("sum_chg"),
+        m.qty_avg(F.col("q")).alias("avg_q"),
+        m.money_avg(F.col("p")).alias("avg_p"),
+        m.pct_avg(F.col("d")).alias("avg_d"),
+        F.count("*").alias("n"),
+    )
+    want = sorted(map(tuple, single.collect()))
+    for frame in (df, df.orderBy(F.desc("p")).repartition(11)):
+        got = sorted(
+            map(tuple, m.two_tier_group_agg(frame, ["g"], aggs).collect())
+        )
+        assert [list(map(repr, r)) for r in got] == [
+            list(map(repr, r)) for r in want
+        ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({g!r}, {p!r}, {d!r}, {t!r}, {q!r})" for g, p, d, t, q in rows
+        )
+        + ") v(g, p, d, t, q)"
+    )
+    duck = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""SELECT g, {m.sql_qty_sum('q')}, {m.sql_money_sum('p')},
+                {m.sql_disc_rev_sum('p', 'd')}, {m.sql_charge_sum('p', 'd', 't')},
+                {m.sql_qty_avg('q')}, {m.sql_money_avg('p')}, {m.sql_pct_avg('d')},
+                CAST(count(*) AS BIGINT) FROM r GROUP BY g"""
+            ).fetchall(),
+        )
+    )
+    assert [list(map(repr, r)) for r in duck] == [
+        list(map(repr, r)) for r in want
+    ]
+
+
+def test_two_tier_falls_back_without_ansi(spark):
+    """Without ANSI a long partial overflow would WRAP silently — the
+    helper must detect the session config and take the per-row decimal
+    path instead (same values, no long tier)."""
+    df = spark.createDataFrame([("a", 10.0), ("a", 20.0)], "g string, p double")
+    aggs = [m.agg_money_sum("s", F.col("p")), m.agg_count("n")]
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        out = m.two_tier_group_agg(df, ["g"], aggs)
+        assert "__shard" not in out.sparkSession.createDataFrame(
+            [], out.schema
+        ).columns
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "spark_partition_id" not in plan
+        assert sorted(map(tuple, out.collect())) == [("a", 30.0, 2)]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert sorted(
+        map(tuple, m.two_tier_group_agg(df, ["g"], aggs).collect())
+    ) == [("a", 30.0, 2)]
+
+
+def test_int_avg_negative_sum_rounds_half_toward_plus_inf(spark):
+    """ADVICE r13: the floor-mod form makes the documented half-up rule
+    hold for NEGATIVE sums too, identically on both engines: mean of
+    -455.345 over 2 rows at 2dp → -227.67 (the tie -227.675 rounds
+    toward +∞ to -227.67, not away to -227.68)."""
+    rows = [(-45534,), (-1,)]  # cents; sum = -45535, n=2 → -227.675
+    df = spark.createDataFrame(rows, "c long")
+    got = _spark_one(
+        df,
+        m._int_avg(
+            F.sum(F.col("c").cast("decimal(38,0)")), F.count("*"), 2, 100
+        ),
+    )
+    sql = m._sql_int_avg("sum(CAST(c AS HUGEINT))", 2, 100)
+    duck = (
+        duckdb.connect()
+        .execute(
+            f"SELECT {sql} FROM (SELECT unnest([-45534, -1]) AS c)"
+        )
+        .fetchall()[0][0]
+    )
+    assert repr(got) == repr(duck) == "-227.67"
+
+
+def test_int_avg_rejects_non_dividing_unit():
+    """ADVICE r13: a unit that doesn't divide 10**decimals must raise
+    (a silent floor gives a wrong scale), on BOTH dialect builders."""
+    with pytest.raises(ValueError, match="does not divide"):
+        m._int_avg(F.lit(1).cast("decimal(38,0)"), F.lit(1), 1, 3)
+    with pytest.raises(ValueError, match="does not divide"):
+        m._sql_int_avg("sum(x)", 1, 3)

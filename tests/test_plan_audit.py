@@ -57,7 +57,11 @@ ALLOWED_HINTED_QUERY_SETS = {
 #: cartesian.  ``pushed`` substrings must appear in some parquet
 #: PushedFilters — the pruning evidence.
 HEADLINE_INVARIANTS = {
-    "q1_pricing_summary": dict(max_exchanges=3, bnlj=0, pushed=["l_shipdate"]),
+    # q1 is two-tier since r14 (money.two_tier_group_agg): exchange 1
+    # carries the (group, input-partition) long partials (≤ |groups| ×
+    # n_partitions rows), exchange 2 the per-group decimal finals —
+    # both tiny; the big scan still feeds ONE map-side combine.
+    "q1_pricing_summary": dict(max_exchanges=4, bnlj=0, pushed=["l_shipdate"]),
     "q3_top_unshipped_orders": dict(
         max_exchanges=4, bnlj=0, pushed=["EqualTo(c_mktsegment,BUILDING)"]
     ),

@@ -325,6 +325,15 @@ def test_stream_ingest_positions_equals_batch_recompute(
             spark, tr.limit(0), log_root, extra_meta={"cells_per_deg": 50}
         )
 
+    # ADVICE r13: the batch append above left an UNSTAMPED head — a
+    # head-only guard would now re-commit a crash-replayed batch and
+    # duplicate its rows.  The guard must find the stream's high-water
+    # stamp BEHIND the interleaved commit, and still refuse a foreign
+    # checkpoint's numbering.
+    assert _replayed(spark, log_root, max(versions), ident) is True
+    assert _replayed(spark, log_root, max(versions) + 1, ident) is False
+    with pytest.raises(ValueError, match="cannot be compared"):
+        _replayed(spark, log_root, 0, "someone-else")
     # the drained log serves: materialize and read one cell back (the
     # pin-check append above committed an empty v3 on top of the two
     # streamed batches)
@@ -333,3 +342,108 @@ def test_stream_ingest_positions_equals_batch_recompute(
     assert doc["log_version"] == latest_version(spark, log_root) == 3
     lake = read_position_lake(spark, lake_root, expect_cells_per_deg=20)
     assert lake.count() == len(got)
+
+    # ... and an overwrite (rebuild) is a hard boundary: stamps behind
+    # it describe rows that no longer exist, so a NEW stream's batch 0
+    # is not a replay and a foreign stamp behind the rebuild no longer
+    # poisons the table for it.
+    from hfp_loader_spark.operators.geo import rebuild_positions
+
+    rebuild_positions(spark, tr, log_root)
+    assert _replayed(spark, log_root, 0, "a-fresh-stream") is False
+
+
+def test_bench_stream_lifecycle_o_delta_and_serves(spark, sf_dir, tmp_path):
+    """The measured BENCH lifecycle entry (bench.run_stream_lifecycle,
+    VERDICT r13 #7) — replayed here step-by-step with the O(delta)
+    plan caps the timer can't assert: every streamed micro-batch
+    commits EXACTLY ONE new data dir holding ONLY its own rows (an
+    append that rescans the log would widen the delta dir), compaction
+    collapses the chain to one dir carrying the stream stamp, truncate
+    leaves a single manifest, and the compacted head serves the same
+    per-cell counts as a batch recompute."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+    from hfp_loader_spark.maintenance import compact_snapshot
+    from hfp_loader_spark.operators.geo import (
+        append_positions,
+        load_positions,
+    )
+    from hfp_loader_spark.streaming.jobs import stream_ingest_positions
+    from hfp_loader_spark.versioned import (
+        _existing_versions,
+        _read_manifest,
+        truncate_history,
+    )
+
+    landing = bench._lifecycle_landing_dir(spark, sf_dir)
+    n_files = len(glob.glob(os.path.join(landing, "*.parquet")))
+    assert n_files == 4
+    log_root = str(tmp_path / "poslog")
+    versions = stream_ingest_positions(spark, landing, log_root)
+    assert sorted(versions.values()) == [1, 2, 3, 4]
+
+    # O(delta): version N references exactly N dirs, and each batch's
+    # OWN dir holds only that batch's rows (sum of per-dir counts ==
+    # total; a log rescan would double-write earlier rows)
+    infos = {
+        v: _read_manifest(spark, log_root, v)
+        for v in _existing_versions(spark, log_root)
+    }
+    for v, info in infos.items():
+        assert len(info.data_dirs) == v
+    per_dir = [
+        spark.read.parquet(f"{log_root}/{d}").count()
+        for d in infos[4].data_dirs
+    ]
+    total = load_positions(spark, log_root).count()
+    assert sum(per_dir) == total and all(n > 0 for n in per_dir)
+
+    before = sorted(
+        map(
+            tuple,
+            load_positions(spark, log_root)
+            .groupBy("cell")
+            .count()
+            .collect(),
+        )
+    )
+
+    v5 = compact_snapshot(spark, log_root, min_dirs=2)
+    assert v5 == 5
+    info5 = _read_manifest(spark, log_root, 5)
+    assert len(info5.data_dirs) == 1
+    # compaction carried the stream stamp — replay detection survives
+    assert info5.meta.get("stream_batch_id") == max(versions)
+    truncate_history(spark, log_root, keep_last=1)
+    assert _existing_versions(spark, log_root) == [5]
+
+    after = sorted(
+        map(
+            tuple,
+            load_positions(spark, log_root)
+            .groupBy("cell")
+            .count()
+            .collect(),
+        )
+    )
+    assert after == before
+
+    # ... and equals a one-shot batch recompute of the same source
+    batch_root = str(tmp_path / "poslog_batch")
+    src = spark.read.parquet(os.path.join(landing, "*.parquet"))
+    append_positions(spark, src, batch_root)
+    batch = sorted(
+        map(
+            tuple,
+            load_positions(spark, batch_root)
+            .groupBy("cell")
+            .count()
+            .collect(),
+        )
+    )
+    assert after == batch
