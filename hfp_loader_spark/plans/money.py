@@ -257,7 +257,13 @@ def two_tier_group_agg(
 ) -> DataFrame:
     """``df.groupBy(keys).agg(...)`` with every sum exact, long partials
     first (see the tier rationale above).  Output columns appear in
-    ``aggs`` order after the keys, exactly like the single-tier form."""
+    ``aggs`` order after the keys, exactly like the single-tier form.
+
+    Use for LOW-cardinality groups only (Q1's 6, a nation×year 175):
+    tier 1's exchange carries ~|groups| × |input partitions| partial
+    rows, so a per-order/per-customer grouping would ship more partials
+    than the single-tier form ships rows — there the per-row decimal
+    forms (:func:`money_sum` etc.) remain the right shape."""
     ansi = (
         df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") or ""
     ).lower() == "true"
