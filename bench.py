@@ -189,8 +189,14 @@ def prev_round_comparison(
         else None,
     }
     if spread:
+        # lower median — for the 2-run entries len//2 would pick the
+        # MAX and inflate the error-bar ratio exactly where samples are
+        # fewest; the lower middle is the min there and the true median
+        # for the 3-run entries
         med_sum = sum(
-            spread[q][len(spread[q]) // 2] for q in common if q in spread
+            spread[q][(len(spread[q]) - 1) // 2]
+            for q in common
+            if q in spread
         )
         out["ratio_vs_prev_common_med"] = (
             round(med_sum / prev_sum, 3) if prev_sum else None
@@ -269,7 +275,13 @@ def _lifecycle_landing_dir(spark, sf_dir: str) -> str:
 
     from pyspark.sql import functions as F
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    from hfp_loader_spark.plans.geo_queries import _events_stat_stamp
+
+    # the events stat stamp joins the cache key: regenerated testdata
+    # under the same path must re-stage, not stream the old slice
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{_events_stat_stamp(sf_dir)}".encode()
+    ).hexdigest()[:8]
     cache = f"/tmp/hfp_bench_landing_{key}"
     done = os.path.join(cache, "_DONE")
     files = os.path.join(cache, "files")

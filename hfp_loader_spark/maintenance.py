@@ -188,12 +188,36 @@ def compact_snapshot(
             if status.getPath().getName().endswith(".parquet"):
                 total += status.getLen()
     target_files = max(1, -(-total // target_file_bytes))
+    meta = {**(info.meta or {}), "compacted_from": head}
+    if "stream_batch_id" not in meta:
+        # An unstamped head (a plain batch append interleaved after the
+        # last stream commit) must not LAUNDER the stream's replay
+        # stamp: the compacted overwrite becomes the walk boundary for
+        # streaming.jobs._replayed, so carry forward the newest stamp
+        # found behind the head (back to the previous overwrite — older
+        # rows aren't in this snapshot's lineage anyway), or a
+        # crash-replayed batch would re-append rows the compacted
+        # snapshot already contains.
+        from hfp_loader_spark.versioned import _existing_versions
+
+        for v in reversed(_existing_versions(spark, root)):
+            if v > head:
+                continue
+            past = info if v == head else _read_manifest(spark, root, v)
+            if past.meta.get("stream_batch_id") is not None:
+                meta["stream_batch_id"] = past.meta["stream_batch_id"]
+                meta["stream_ingest_id"] = past.meta.get(
+                    "stream_ingest_id"
+                )
+                break
+            if past.op == "overwrite":
+                break
     version = commit_snapshot(
         spark,
         df.repartition(target_files),
         root,
         mode="overwrite",
-        meta={**(info.meta or {}), "compacted_from": head},
+        meta=meta,
     )
     if vacuum_after:
         vacuum(spark, root)

@@ -311,11 +311,14 @@ def _sampled_rounds() -> dict[str, int]:
 
 
 def _registry_rotation() -> int:
-    """Rotation offset for the tier-interleave sub-order.  Superseded as
-    the PRIMARY sampling-coverage mechanism by :func:`_order_registry`'s
-    seen-aware buckets (VERDICT r13 #1) — kept at 0 there so the
-    never-sampled queue is deterministic; ``SPARK_GRAFT_CATALOG_ROT``
-    still overrides for reproducing an old round's window."""
+    """Rotation offset for the tier-interleave SUB-order only.
+    Superseded as the sampling-coverage mechanism by
+    :func:`_order_registry`'s seen-aware buckets (VERDICT r13 #1) —
+    fixed at 0 so the never-sampled queue is deterministic.
+    ``SPARK_GRAFT_CATALOG_ROT`` merely permutes the interleave start
+    offsets; it can NOT reproduce a pre-r14 round's sampled window
+    (the seen-aware re-bucketing reads whatever CORRECTNESS files
+    exist today) — check out that round's commit for that."""
     env = os.environ.get("SPARK_GRAFT_CATALOG_ROT")
     if env is not None:
         return int(env)
@@ -401,8 +404,18 @@ def _order_registry() -> None:
     never.sort(key=lambda s: money_rank.get(s.name, len(money_rank)))
     stale.sort(key=lambda s: sampled[s.name])
     seen.sort(key=lambda s: sampled[s.name])
+    # The slot reservation is a CAP on stale inside the window while
+    # never-sampled entries can still fill it — overflow stale ranks
+    # after the remaining never entries but before verified ones, so a
+    # shrunken backlog lets the window absorb more stale naturally.
     head = never[: SAMPLE_WINDOW - _REVERIFY_SLOTS] if stale else never
-    ordered = head + stale + never[len(head):] + seen
+    ordered = (
+        head
+        + stale[:_REVERIFY_SLOTS]
+        + never[len(head):]
+        + stale[_REVERIFY_SLOTS:]
+        + seen
+    )
     REGISTRY.clear()
     for s in ordered:
         REGISTRY[s.name] = s

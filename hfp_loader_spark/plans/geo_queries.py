@@ -279,8 +279,11 @@ def _ensure_position_lake(spark: SparkSession, sf_dir: str) -> str:
 
     ev = _t(spark, sf_dir, "events")
     n, mx = ev.agg(F.count("*"), F.max("event_id")).collect()[0]
+    # the file stat stamp joins the corpus key (not only the memo):
+    # regenerated testdata with the SAME row count and max event_id but
+    # different values must get a fresh root, not re-serve the old lake
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{n}:{mx}".encode()
+        f"{os.path.abspath(sf_dir)}:{n}:{mx}:{stamp}".encode()
     ).hexdigest()[:12]
     log_root = f"{_INDEX_BASE}/geo_poslog_{key}"
     lake_root = f"{_INDEX_BASE}/geo_lake_{key}"

@@ -192,7 +192,7 @@ def postgres_ddl(table: str, unique_uuid: bool = False) -> str:
     ON CONFLICT promotion requires.  Exercised against a LIVE server in
     tests/test_postgres_live.py (a full golden-fixture day lands via
     COPY and the pushed-down keys query round-trips); column parity with
-    the reference DDL is golden-locked in tests/test_schema.py."""
+    the reference DDL is golden-locked in tests/test_schema_ddl.py."""
     cols = ['"id" double precision']
     for name in HFP_COLUMNS:
         pg_type = (

@@ -302,7 +302,10 @@ def test_registry_window_prioritizes_unverified_entries():
         if n in catalog.REGISTRY
         and rnd < catalog.REVERIFY_SINCE.get(n, 0)
     ]
-    assert len(stale_in_window) == min(
+    # at least the reserved slots' worth of stale entries are inside
+    # the window (more may fit once the never-sampled backlog shrinks —
+    # the reservation caps stale only while never entries compete)
+    assert len(stale_in_window) >= min(
         len(stale_total), catalog._REVERIFY_SLOTS
     )
     rows_only_all = [

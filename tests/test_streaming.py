@@ -447,3 +447,50 @@ def test_bench_stream_lifecycle_o_delta_and_serves(spark, sf_dir, tmp_path):
         )
     )
     assert after == batch
+
+
+def test_compaction_carries_stream_stamp_past_unstamped_head(
+    spark, sf_dir, tmp_path
+):
+    """Review r14: compact_snapshot copies the HEAD manifest's meta; if
+    a plain batch append interleaved after the last stream commit, the
+    head is UNSTAMPED and a naive copy would launder the stream's
+    replay stamp into the compacted overwrite — which is the walk
+    boundary for _replayed, re-opening the crash-replay duplicate
+    window.  The compaction must carry the newest stamp found behind
+    the head."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+    from hfp_loader_spark.maintenance import compact_snapshot
+    from hfp_loader_spark.operators.geo import append_positions
+    from hfp_loader_spark.streaming.jobs import (
+        _ingest_identity,
+        _replayed,
+    )
+    from hfp_loader_spark.streaming.jobs import stream_ingest_positions
+    from hfp_loader_spark.versioned import _read_manifest
+
+    landing = bench._lifecycle_landing_dir(spark, sf_dir)
+    log_root = str(tmp_path / "poslog")
+    versions = stream_ingest_positions(spark, landing, log_root)
+    last_batch = max(versions)
+    ident = _ingest_identity(
+        spark, os.path.join(log_root, "_stream_checkpoint")
+    )
+
+    # interleaved batch append → unstamped head
+    src = spark.read.parquet(os.path.join(landing, "*.parquet"))
+    append_positions(spark, src.limit(0), log_root)
+
+    v = compact_snapshot(spark, log_root, min_dirs=2)
+    assert v is not None
+    meta = _read_manifest(spark, log_root, v).meta
+    assert meta.get("stream_batch_id") == last_batch
+    assert meta.get("stream_ingest_id") == ident
+    # the guard still recognizes a crash-replay after the compaction
+    assert _replayed(spark, log_root, last_batch, ident) is True
+    assert _replayed(spark, log_root, last_batch + 1, ident) is False
