@@ -263,6 +263,7 @@ REVERIFY_SINCE: dict[str, int] = {
     # r14 two-tier (long partial → decimal final) money aggregation
     # rewrite: fresh external signal wanted post-change.
     "q1_pricing_summary": 14,
+    "q9_profit_by_nation_year": 14,
 }
 
 #: Entries the judge asked to prioritize for external signal (VERDICT

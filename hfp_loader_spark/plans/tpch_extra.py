@@ -291,16 +291,23 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    return (
-        j.groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("int").alias("o_year"),
-        )
-        .agg(
-            _m.disc_rev_sum(
-                F.col("l_extendedprice"), F.col("l_discount")
-            ).alias("profit")
-        )
+    # two-tier exact sum (r14): 175 (nation, year) groups over the
+    # largest money agg input after Q1 — the long partials drop the
+    # per-row decimal cast from the join-output pass; values identical
+    pre = j.select(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("int").alias("o_year"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    return _m.two_tier_group_agg(
+        pre,
+        ["nation", "o_year"],
+        [
+            _m.agg_disc_rev_sum(
+                "profit", F.col("l_extendedprice"), F.col("l_discount")
+            )
+        ],
     )
 
 
