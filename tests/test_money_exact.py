@@ -248,3 +248,105 @@ def test_int_avg_rejects_non_dividing_unit():
         m._int_avg(F.lit(1).cast("decimal(38,0)"), F.lit(1), 1, 3)
     with pytest.raises(ValueError, match="does not divide"):
         m._sql_int_avg("sum(x)", 1, 3)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_money2dp = st.integers(min_value=-10_500_000, max_value=10_500_000).map(
+    lambda c: c / 100.0
+)
+_pct2dp = st.integers(min_value=0, max_value=10).map(lambda p: p / 100.0)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            _money2dp,
+            _pct2dp,
+            _pct2dp,
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(1, 9),
+)
+def test_two_tier_equals_single_tier_property(spark, rows, parts):
+    """Whatever the data and partitioning (negative money included —
+    acctbal-like domains), the two-tier plan is value-IDENTICAL to the
+    single-tier exact forms: the split is pure associativity, so any
+    divergence is a bug, not noise."""
+    df = spark.createDataFrame(
+        [(g, p, d, t, float(q)) for g, p, d, t, q in rows],
+        "g int, p double, d double, t double, q double",
+    ).repartition(parts)
+    aggs = [
+        m.agg_money_sum("sum_p", F.col("p")),
+        m.agg_disc_rev_sum("rev", F.col("p"), F.col("d")),
+        m.agg_charge_sum("chg", F.col("p"), F.col("d"), F.col("t")),
+        m.agg_qty_avg("avg_q", F.col("q")),
+        m.agg_count("n"),
+    ]
+    single = df.groupBy("g").agg(
+        m.money_sum(F.col("p")).alias("sum_p"),
+        m.disc_rev_sum(F.col("p"), F.col("d")).alias("rev"),
+        m.charge_sum(F.col("p"), F.col("d"), F.col("t")).alias("chg"),
+        m.qty_avg(F.col("q")).alias("avg_q"),
+        F.count("*").alias("n"),
+    )
+    got = sorted(map(tuple, m.two_tier_group_agg(df, ["g"], aggs).collect()))
+    want = sorted(map(tuple, single.collect()))
+    assert [list(map(repr, r)) for r in got] == [
+        list(map(repr, r)) for r in want
+    ]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-2_000_000, max_value=2_000_000),
+        min_size=1,
+        max_size=40,
+    ),
+    decimals=st.sampled_from([2, 4]),
+)
+def test_int_avg_matches_python_int_model(spark, cents, decimals):
+    """_int_avg against the pure-integer Python model of the documented
+    rule — q = floor((2*scale*s + n) / (2n)), i.e. half-up toward +∞ —
+    for sums of EITHER sign, on Spark and DuckDB alike."""
+    s, n = sum(cents), len(cents)
+    scale = 10**decimals // 100
+    model = ((2 * scale * s + n) - (((2 * scale * s + n) % (2 * n)) + 2 * n) % (2 * n)) // (
+        2 * n
+    ) / float(10**decimals)
+    df = spark.createDataFrame([(c,) for c in cents], "c long")
+    got = _spark_one(
+        df,
+        m._int_avg(
+            F.sum(F.col("c").cast("decimal(38,0)")),
+            F.count("*"),
+            decimals,
+            100,
+        ),
+    )
+    sql = m._sql_int_avg("sum(CAST(c AS HUGEINT))", decimals, 100)
+    duck = (
+        duckdb.connect()
+        .execute(
+            f"SELECT {sql} FROM (SELECT unnest("
+            f"[{','.join(map(str, cents))}]) AS c)"
+        )
+        .fetchall()[0][0]
+    )
+    assert repr(got) == repr(duck) == repr(model)

@@ -352,3 +352,53 @@ def test_registry_order_self_advances_as_signal_lands(monkeypatch):
         catalog.REGISTRY.clear()
         catalog.REGISTRY.update(full)
         catalog._order_registry()
+
+
+def test_registry_order_converges_to_full_external_coverage(monkeypatch):
+    """Meta-invariant of the seen-aware order: simulating successive
+    driver rounds (each samples the window, lands a CORRECTNESS file),
+    EVERY catalog entry receives external signal within
+    ceil(backlog / (window - reserved)) + 1 rounds of today, and once
+    the backlog is empty the window turns over the OLDEST signal —
+    the standing re-verification rotation never starves an entry."""
+    import math
+
+    from hfp_loader_spark.plans import catalog
+
+    full = dict(catalog.REGISTRY)
+    base = catalog._sampled_rounds()
+    sampled = dict(base)
+    never0 = sum(1 for n in full if n not in sampled)
+    budget = math.ceil(
+        never0 / (catalog.SAMPLE_WINDOW - catalog._REVERIFY_SLOTS)
+    ) + 1
+    rnd = max(sampled.values(), default=0)
+    try:
+        monkeypatch.setattr(catalog, "_sampled_rounds", lambda: dict(sampled))
+        for _ in range(budget):
+            catalog.REGISTRY.clear()
+            catalog.REGISTRY.update(full)
+            catalog._order_registry()
+            rnd += 1
+            for n in list(catalog.REGISTRY)[: catalog.SAMPLE_WINDOW]:
+                sampled[n] = rnd
+            if all(n in sampled for n in full):
+                break
+        assert all(n in sampled for n in full), (
+            f"{sum(1 for n in full if n not in sampled)} entries still "
+            f"unsampled after {budget} simulated rounds"
+        )
+        # steady state: the next window picks the stalest signal
+        catalog.REGISTRY.clear()
+        catalog.REGISTRY.update(full)
+        catalog._order_registry()
+        window = list(catalog.REGISTRY)[: catalog.SAMPLE_WINDOW]
+        oldest = sorted(full, key=lambda n: sampled[n])[
+            : catalog.SAMPLE_WINDOW
+        ]
+        assert set(window) == set(oldest)
+    finally:
+        monkeypatch.undo()
+        catalog.REGISTRY.clear()
+        catalog.REGISTRY.update(full)
+        catalog._order_registry()
