@@ -264,6 +264,7 @@ REVERIFY_SINCE: dict[str, int] = {
     # rewrite: fresh external signal wanted post-change.
     "q1_pricing_summary": 14,
     "q9_profit_by_nation_year": 14,
+    "q5_local_supplier_revenue": 14,
 }
 
 #: Entries the judge asked to prioritize for external signal (VERDICT

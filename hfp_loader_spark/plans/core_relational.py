@@ -151,10 +151,17 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == supp.s_nationkey),
         )
     )
-    return joined.groupBy("n_name").agg(
-        _m.disc_rev_sum(F.col("l_extendedprice"), F.col("l_discount")).alias(
-            "revenue"
-        )
+    # two-tier exact sum (r14): 5 nation groups over an ASIA-filtered
+    # lineitem-scale join output — the long partials drop the per-row
+    # decimal cast from the join-output pass; values identical
+    return _m.two_tier_group_agg(
+        joined.select("n_name", "l_extendedprice", "l_discount"),
+        ["n_name"],
+        [
+            _m.agg_disc_rev_sum(
+                "revenue", F.col("l_extendedprice"), F.col("l_discount")
+            )
+        ],
     )
 
 
