@@ -250,22 +250,31 @@ _REVERIFY_SLOTS = 5
 #: changed.  An entry whose latest driver sample predates this round is
 #: treated as UNVERIFIED (stale) and re-queued near the window front.
 #: Maintained by hand whenever a shipped entry is rewritten.
-REVERIFY_SINCE: dict[str, int] = {
+_REVERIFY_ITEMS: tuple[tuple[str, int], ...] = (
     # r13 exact-integer-money rewrite (plans/money.py): these were last
     # externally sampled with the pre-rewrite double sums.
-    "q6_forecast_revenue": 13,
-    "q7_volume_shipping": 13,
-    "q8_market_share": 13,
-    "q9_profit_by_nation_year": 13,
-    "q14_promo_revenue": 13,
-    "q17_small_quantity_avg": 13,
-    "agg_monthly_orders": 13,
+    ("q6_forecast_revenue", 13),
+    ("q7_volume_shipping", 13),
+    ("q8_market_share", 13),
+    ("q14_promo_revenue", 13),
+    ("q17_small_quantity_avg", 13),
     # r14 two-tier (long partial → decimal final) money aggregation
-    # rewrite: fresh external signal wanted post-change.
-    "q1_pricing_summary": 14,
-    "q9_profit_by_nation_year": 14,
-    "q5_local_supplier_revenue": 14,
-}
+    # rewrite: fresh external signal wanted post-change.  (q9 adopted
+    # BOTH rewrites; only the newest round matters.)
+    ("q1_pricing_summary", 14),
+    ("q9_profit_by_nation_year", 14),
+    ("q5_local_supplier_revenue", 14),
+    # r15 two-tier adoption (VERDICT r14 #7): the monthly rollup's
+    # money sum/avg switched to long-partial → decimal-final.  (q3 was
+    # measured and stays single-tier: per-order grouping — see PERF.md.)
+    ("agg_monthly_orders", 15),
+)
+# a dict literal silently keeps the LAST duplicate key (it did, for q9,
+# r13 vs r14 — ADVICE r14); build from pairs and fail loud instead
+assert len({n for n, _ in _REVERIFY_ITEMS}) == len(_REVERIFY_ITEMS), (
+    "duplicate entry in _REVERIFY_ITEMS"
+)
+REVERIFY_SINCE: dict[str, int] = dict(_REVERIFY_ITEMS)
 
 #: Entries the judge asked to prioritize for external signal (VERDICT
 #: r13 #6: the exact-money TPC-H set rewritten in r13).  Never-sampled

@@ -159,11 +159,18 @@ def qty_avg(col: Column, decimals: int = 4) -> Column:
 # the 0.20 s → 0.50 s step in the cost ladder.  The decimal width is
 # only needed at the SUM boundary, and only because a whole GROUP's sum
 # can exceed int64 at large SF — a single input PARTITION's partial sum
-# cannot: the largest row term (a taxed charge) is ≤ ~4.4e10, so a long
-# partial stays inside int64 up to ~2×10⁸ rows per partition, while
-# spark.sql.files.maxPartitionBytes bounds real partitions to a few
-# million rows at ANY total SF (partition size is a constant of the
-# scan, not of the corpus).  So: tier 1 sums LONG row terms per
+# cannot: the largest row term (a taxed charge) is ≤ ~2×10¹¹, so a long
+# partial stays inside int64 up to ~4.6×10⁷ rows per partition.  For a
+# SCAN input, spark.sql.files.maxPartitionBytes bounds real partitions
+# to a few million rows at ANY total SF (partition size is a constant
+# of the scan, not of the corpus).  CAVEAT (ADVICE r14): when the input
+# is JOIN OUTPUT (q5/q9 feed lineitem⋈orders⋈…), partition sizes are
+# set by spark.sql.shuffle.partitions / AQE target-size, not the scan
+# bound — AQE's default 64 MB advisory size still keeps partitions ≪
+# 4.6×10⁷ rows, but a cluster tuned for gigabyte shuffle partitions
+# could reach the bound, where ANSI aborts the query loudly at runtime
+# rather than degrading (see two_tier_group_agg).  So: tier 1 sums
+# LONG row terms per
 # (group keys, input partition) — pure int64 codegen, map-side-combined
 # to ≤|groups| rows per partition — and tier 2 sums the partials in
 # decimal(38,0), where overflow is actually possible and still fails
@@ -263,7 +270,25 @@ def two_tier_group_agg(
     tier 1's exchange carries ~|groups| × |input partitions| partial
     rows, so a per-order/per-customer grouping would ship more partials
     than the single-tier form ships rows — there the per-row decimal
-    forms (:func:`money_sum` etc.) remain the right shape."""
+    forms (:func:`money_sum` etc.) remain the right shape.
+
+    Two caller contracts (ADVICE r14):
+
+    * **ANSI is read at plan-BUILD time.**  The returned DataFrame
+      assumes the session's ``spark.sql.ansi.enabled`` value holds when
+      the plan executes; a caller that builds under ANSI-on and flips
+      the conf off before the action would run the long tier without
+      the loud-overflow backstop.  ``session.py`` never disables ANSI
+      and no catalog entry toggles it, so the contract holds everywhere
+      in this repo — external callers juggling the flag must rebuild
+      the plan after flipping it.
+    * **Agg terms must be unambiguous columns of ``df``.**  Identical
+      row terms share one tier-1 partial, keyed on the term's canonical
+      expression string — two GENUINELY DIFFERENT columns that render
+      identically (e.g. same-named columns surviving a self-join
+      without aliasing) would silently share a partial.  Every caller
+      in this repo aggregates post-projection single-source columns;
+      keep it that way (alias self-join sides before aggregating)."""
     ansi = (
         df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") or ""
     ).lower() == "true"

@@ -29,12 +29,32 @@ from pyspark.sql.utils import AnalysisException
 
 from hfp_loader_spark.errors import is_path_not_found
 
-from hfp_loader_spark.schema import HFP_COLUMNS
+from pyspark.sql import types as T
+
+from hfp_loader_spark.schema import HFP_COLUMNS, TYPED_SCHEMA
 
 
 def with_id_column(df: DataFrame) -> DataFrame:
     """Prepend the always-NULL ``id`` column (DDL parity)."""
     return df.select(F.lit(None).cast("double").alias("id"), *HFP_COLUMNS)
+
+
+#: Exact on-disk schema of every ParquetSink table: ``id`` + the typed
+#: columns, with the ``oday`` partition column last (where a partitioned
+#: read surfaces it).  Pinning this on the ``existing_keys`` read skips
+#: Spark's eager footer-schema job — measured 2-3 metadata jobs per
+#: ``spark.read.parquet`` on a partitioned table vs 0 with an explicit
+#: schema, and a steady-state day-load fires 4 existing-keys reads, so
+#: this was ~40% of the e2e load's job count (VERDICT r14 #5: the
+#: ``hfp_load_day_e2e`` bench entry is local-mode job-scheduling floor).
+#: Safe because every file under a sink table was written by
+#: :meth:`ParquetSink.write` from this exact projection — asserted
+#: against the inferred schema in tests/test_etl_golden.py.
+SINK_SCHEMA = T.StructType(
+    [T.StructField("id", T.DoubleType(), True)]
+    + [f for f in TYPED_SCHEMA.fields if f.name != "oday"]
+    + [T.StructField("oday", T.DateType(), True)]
+)
 
 
 class ParquetSink:
@@ -61,13 +81,15 @@ class ParquetSink:
 
         The oday filter prunes to one partition and Catalyst prunes columns
         to just ``uuid`` — the Spark translation of
-        ``SELECT uuid FROM <t> WHERE oday = $1``.
+        ``SELECT uuid FROM <t> WHERE oday = $1``.  The read pins
+        ``SINK_SCHEMA`` (our own write projection) so no footer-schema
+        job runs at plan-build time.
         Missing table (first load) → empty key set; any OTHER read error
         (corrupt footer, permission denial) propagates — swallowing it
         would silently re-insert the whole day.
         """
         try:
-            df = spark.read.parquet(self.table_path(table))
+            df = spark.read.schema(SINK_SCHEMA).parquet(self.table_path(table))
         except AnalysisException as e:
             if is_path_not_found(e):
                 return spark.createDataFrame([], "uuid string")

@@ -1,0 +1,235 @@
+"""Bench output framing contract (VERDICT r14 #1/#2/#8).
+
+The driver records only the last ~2000 chars of bench.py's stdout and
+parses the LAST line as the round's perf record.  r14's headline line
+grew past that window and the round's entire perf story was recorded as
+``parsed: null``.  These tests pin the contract:
+
+* the final stdout line parses standalone, carries the headline metric,
+  and stays under the byte budget even for a 45-query run;
+* per-query detail survives on earlier stdout lines and in the committed
+  ``BENCH_DETAIL.json`` artifact;
+* ``prev_round_comparison`` walks past unparseable BENCH files (r14's
+  ``parsed: null``) and can recover a compact-headline round's query map
+  from the detail artifact — but never from a rehearsal detail that has
+  no driver BENCH file yet.
+
+No SparkSession needed: pure stdlib.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import bench
+
+
+def _synthetic_out(n_queries: int = 45) -> dict:
+    queries = {
+        f"tier_{i % 9}_operator_with_a_long_descriptive_name_{i:03d}": round(
+            0.317 * (i + 1) % 7.0, 3
+        )
+        for i in range(n_queries)
+    }
+    spread = {
+        q: sorted(round(v * f, 3) for f in (1.0, 1.21, 1.44))
+        for q, v in queries.items()
+    }
+    regressions = [
+        {
+            "query": q,
+            "ratio": 1.31,
+            "prev_sec": round(v / 1.31, 3),
+            "now_spread_sec": spread[q],
+            "within_spread_heuristic": True,
+        }
+        for q, v in list(queries.items())[:15]
+    ]
+    return {
+        "metric": "headline_queries_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "queries_spread": spread,
+        "sf": 0.1,
+        "calib_sec": 1.748,
+        "calib_pre_sec": 1.748,
+        "calib_post_sec": 1.901,
+        "calib_ref_sec": 1.6,
+        "value_normalized": 48.123,
+        "prev_bench": "BENCH_r13.json",
+        "queries_common_prev": 37,
+        "raw_common_now_sec": 47.9,
+        "raw_common_prev_sec": 52.5,
+        "ratio_vs_prev_common": 0.912,
+        "ratio_vs_prev_common_med": 0.969,
+        "regressions_1p25x": regressions,
+    }
+
+
+class TestFinalLine:
+    def test_final_line_parses_and_fits_budget(self):
+        detail_lines, final_line = bench.render_output(_synthetic_out())
+        assert len(final_line) <= bench.FINAL_LINE_MAX_BYTES
+        assert len(final_line) < 1800  # driver tail-capture hard bound
+        doc = json.loads(final_line)
+        assert doc["metric"] == "headline_queries_wall"
+        assert doc["value_normalized"] == 48.123
+        assert doc["ratio_vs_prev_common"] == 0.912
+        assert doc["calib_pre_sec"] == 1.748
+        assert doc["n_queries"] == 45
+        assert doc["regressions_1p25x_count"] == 15
+        # the bulky maps must NOT be on the final line
+        assert "queries" not in doc
+        assert "queries_spread" not in doc
+        assert "regressions_1p25x" not in doc
+
+    def test_detail_lines_carry_the_maps(self):
+        out = _synthetic_out()
+        detail_lines, _ = bench.render_output(out)
+        parsed = [json.loads(line) for line in detail_lines]
+        kinds = {p["bench_detail"] for p in parsed}
+        assert kinds == {"queries", "queries_spread", "regressions_1p25x"}
+        by_kind = {p["bench_detail"]: p for p in parsed}
+        assert by_kind["queries"]["queries"] == out["queries"]
+        assert (
+            by_kind["regressions_1p25x"]["regressions_1p25x"]
+            == out["regressions_1p25x"]
+        )
+
+    def test_final_line_sheds_keys_rather_than_outgrow_budget(self):
+        out = _synthetic_out()
+        out["prev_bench"] = "B" * 3000  # pathological future field
+        _, final_line = bench.render_output(out)
+        assert len(final_line) <= bench.FINAL_LINE_MAX_BYTES
+        doc = json.loads(final_line)
+        assert doc["metric"] == "headline_queries_wall"
+        assert doc["value_normalized"] == 48.123
+
+    def test_full_print_path_last_line_contract(self, capsys):
+        """Render through the exact print sequence main() uses and
+        assert the LAST stdout line parses standalone (VERDICT r14 #8)."""
+        detail_lines, final_line = bench.render_output(_synthetic_out(40))
+        for line in detail_lines:
+            print(line)
+        print(final_line)
+        stdout = capsys.readouterr().out
+        last = stdout.rstrip("\n").rsplit("\n", 1)[-1]
+        assert len(last) < 1800
+        assert json.loads(last)["metric"] == "headline_queries_wall"
+
+
+def _write_bench(tmp_path, name: str, parsed) -> None:
+    (tmp_path / name).write_text(
+        json.dumps({"n": 0, "rc": 0, "tail": "...", "parsed": parsed})
+    )
+
+
+class TestPrevRoundWalkback:
+    def test_skips_parsed_null(self, tmp_path):
+        _write_bench(
+            tmp_path,
+            "BENCH_r13.json",
+            {"queries": {"q1": 1.0, "q5": 2.0}},
+        )
+        _write_bench(tmp_path, "BENCH_r14.json", None)  # r14's real state
+        q, name = bench._load_prev_queries(str(tmp_path))
+        assert name == "BENCH_r13.json"
+        assert q == {"q1": 1.0, "q5": 2.0}
+
+    def test_skips_compact_headline_without_queries(self, tmp_path):
+        _write_bench(tmp_path, "BENCH_r13.json", {"queries": {"q1": 1.0}})
+        _write_bench(
+            tmp_path,
+            "BENCH_r15.json",
+            {"metric": "headline_queries_wall", "value": 50.0},
+        )
+        q, name = bench._load_prev_queries(str(tmp_path))
+        assert name == "BENCH_r13.json"
+
+    def test_detail_fills_compact_round(self, tmp_path):
+        """r16 view: BENCH_r15 is compact (no queries), but the detail
+        artifact committed during r15 (stamped after_bench=r14) carries
+        r15's map — the walkback must surface IT, not fall to r13."""
+        _write_bench(tmp_path, "BENCH_r14.json", None)
+        _write_bench(
+            tmp_path,
+            "BENCH_r15.json",
+            {"metric": "headline_queries_wall", "value": 50.0},
+        )
+        (tmp_path / bench.DETAIL_FILE).write_text(
+            json.dumps(
+                {
+                    "after_bench": "BENCH_r14.json",
+                    "queries": {"q1": 0.9, "q5": 1.8},
+                }
+            )
+        )
+        q, name = bench._load_prev_queries(str(tmp_path))
+        assert q == {"q1": 0.9, "q5": 1.8}
+        assert name == f"BENCH_r15.json (via {bench.DETAIL_FILE})"
+
+    def test_rehearsal_detail_is_ignored(self, tmp_path):
+        """A detail stamped with the CURRENT newest BENCH file belongs to
+        a round with no driver BENCH yet (a local rehearsal, possibly a
+        different host) — the driver must compare against the last real
+        driver round instead."""
+        _write_bench(tmp_path, "BENCH_r13.json", {"queries": {"q1": 1.0}})
+        _write_bench(tmp_path, "BENCH_r14.json", None)
+        (tmp_path / bench.DETAIL_FILE).write_text(
+            json.dumps(
+                {
+                    "after_bench": "BENCH_r14.json",  # newest → pending round
+                    "queries": {"q1": 0.001},
+                }
+            )
+        )
+        q, name = bench._load_prev_queries(str(tmp_path))
+        assert name == "BENCH_r13.json"
+        assert q == {"q1": 1.0}
+
+    def test_comparison_fields_and_heuristic_name(self, tmp_path):
+        _write_bench(
+            tmp_path,
+            "BENCH_r13.json",
+            {"queries": {"q1": 1.0, "q5": 2.0, "gone": 9.9}},
+        )
+        _write_bench(tmp_path, "BENCH_r14.json", None)
+        times = {"q1": 1.4, "q5": 1.9, "new_entry": 0.5}
+        spread = {"q1": [1.4, 1.45, 1.5], "q5": [1.9, 2.0, 2.1]}
+        cmp = bench.prev_round_comparison(times, str(tmp_path), spread)
+        assert cmp["prev_bench"] == "BENCH_r13.json"
+        assert cmp["queries_common_prev"] == 2
+        assert cmp["raw_common_now_sec"] == 3.3
+        assert cmp["raw_common_prev_sec"] == 3.0
+        assert cmp["ratio_vs_prev_common"] == 1.1
+        regs = cmp["regressions_1p25x"]
+        assert [r["query"] for r in regs] == ["q1"]
+        assert "within_spread_heuristic" in regs[0]
+        assert "within_spread" not in regs[0]
+
+    def test_no_usable_prev_returns_none(self, tmp_path):
+        _write_bench(tmp_path, "BENCH_r14.json", None)
+        assert bench.prev_round_comparison({"q1": 1.0}, str(tmp_path)) is None
+
+
+class TestWriteDetail:
+    def test_stamps_after_bench_and_roundtrips(self, tmp_path):
+        _write_bench(tmp_path, "BENCH_r14.json", None)
+        out = _synthetic_out(5)
+        bench.write_detail(out, str(tmp_path))
+        doc = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
+        assert doc["after_bench"] == "BENCH_r14.json"
+        assert doc["queries"] == out["queries"]
+        assert not (tmp_path / (bench.DETAIL_FILE + ".tmp")).exists()
+
+    def test_no_prior_bench_stamps_null(self, tmp_path):
+        bench.write_detail(_synthetic_out(2), str(tmp_path))
+        doc = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
+        assert doc["after_bench"] is None

@@ -123,3 +123,48 @@ def test_multiline_quoted_newline_parity(spark, tmp_path):
     default = read_hfp_csv(spark, str(p))
     # splittable reader breaks the quoted row at the newline → 3 rows
     assert default.count() == 3
+
+
+def test_sink_schema_matches_inferred(spark, fixture_root, tmp_path):
+    """SINK_SCHEMA (the pinned existing_keys read schema — saves the
+    eager footer-schema job per read, VERDICT r14 #5) must equal what
+    Spark would infer from files ParquetSink actually writes; a drift
+    would silently null out mismatched columns in the dedup scan."""
+    from hfp_loader_spark.sink import SINK_SCHEMA
+
+    root, _ = fixture_root
+    sink = ParquetSink(str(tmp_path / "stage"))
+    hfp_load(spark, str(root), DATE, sink)
+    for table in ("stopevent", "otherevent", "vehicleposition", "unsignedevent"):
+        inferred = spark.read.parquet(sink.table_path(table)).schema
+        assert [(f.name, f.dataType) for f in inferred] == [
+            (f.name, f.dataType) for f in SINK_SCHEMA
+        ], table
+
+
+def test_existing_keys_missing_table_still_empty(spark, tmp_path):
+    """The pinned-schema read keeps the first-load contract: missing
+    table directory → empty key set, not an error."""
+    sink = ParquetSink(str(tmp_path / "nosuch"))
+    df = sink.existing_keys(spark, "vehicleposition", DATE)
+    assert df.columns == ["uuid"]
+    assert df.count() == 0
+
+
+def test_typed_projection_cache_survives_across_plans(spark, fixture_root):
+    """The memoized 44-column list (r15 driver-time shave) must yield
+    identical plans when reused across different source DataFrames."""
+    from hfp_loader_spark.operators.transform import (
+        _typed_columns,
+        typed_projection,
+    )
+    from hfp_loader_spark.sources.csv_source import read_hfp_group
+
+    root, _ = fixture_root
+    raw1 = read_hfp_group(spark, str(root), "stopEvent", DATE)
+    raw2 = read_hfp_group(spark, str(root), "otherEvent", DATE)
+    assert _typed_columns() is _typed_columns()  # cache hit, same JVM
+    a = typed_projection(raw1)
+    b = typed_projection(raw2)
+    assert a.schema == b.schema
+    assert a.count() > 0 and b.count() > 0
