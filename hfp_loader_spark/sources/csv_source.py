@@ -76,11 +76,34 @@ def read_hfp_csv(
     df = reader.csv(paths)
 
     # skip_lines_with_empty_values: drop rows where every field is null/''.
-    any_nonempty = reduce(
+    return df.filter(_any_nonempty_expr())
+
+
+# Building the 44-term all-empty predicate costs ~1.2 s of driver time
+# in py4j round trips per call (measured r15: ~130 JVM calls per term),
+# and a day-load builds it once per event group.  Like the typed
+# projection's column list (operators/transform.py), the unresolved
+# expression is DataFrame-independent — cache it per py4j gateway
+# (reference held so the identity can't be recycled by GC).
+_ANY_NONEMPTY_CACHE: tuple[object, object] | None = None
+
+
+def _any_nonempty_expr():
+    global _ANY_NONEMPTY_CACHE
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is not None and _ANY_NONEMPTY_CACHE is not None and (
+        _ANY_NONEMPTY_CACHE[0] is gw
+    ):
+        return _ANY_NONEMPTY_CACHE[1]
+    expr = reduce(
         lambda a, b: a | b,
         [(F.col(c).isNotNull() & (F.length(c) > 0)) for c in HFP_COLUMNS],
     )
-    return df.filter(any_nonempty)
+    if gw is not None:
+        _ANY_NONEMPTY_CACHE = (gw, expr)
+    return expr
 
 
 def read_hfp_group(
