@@ -324,7 +324,12 @@ def render_output(out: dict) -> tuple[list[str], str]:
     final["detail_file"] = DETAIL_FILE
     detail_lines = [
         json.dumps({"bench_detail": k, k: out[k]})
-        for k in ("queries", "queries_spread", "regressions_1p25x")
+        for k in (
+            "queries",
+            "queries_spread",
+            "queries_build",
+            "regressions_1p25x",
+        )
         if k in out
     ]
     final_line = json.dumps(final)
@@ -544,9 +549,22 @@ def main() -> None:
     # jitter landing on random queries); the minimum is the
     # reproducible cost of the plan itself, and the per-entry
     # [min, med, max] gives the round-over-round ratio its error bar.
+    #
+    # ``build`` additionally times ONE builder() call (plan
+    # construction only, no action) per entry — r15 found several
+    # entries are 80-95% DRIVER-side plan building (py4j expression
+    # trees; bounded driver-iteration rounds): their wall swings with
+    # host Python speed, not plan quality, and this map lets a round-
+    # over-round regression be attributed mechanically.  Detail-only:
+    # ``times`` keeps the exact r13/r14 semantics (build + execute).
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    build: dict[str, float] = {}
     for name in HEADLINE:
+        builder = catalog.REGISTRY[name].builder
+        t0 = time.perf_counter()
+        builder(spark, sf_dir)
+        build[name] = round(time.perf_counter() - t0, 3)
         runs = sorted(round(run(name), 3) for _ in range(3))
         times[name] = runs[0]
         spread[name] = runs
@@ -604,6 +622,7 @@ def main() -> None:
         "calib_post_sec": calib_post,
         "calib_ref_sec": CALIB_REF,
         "value_normalized": normalized,
+        "queries_build": build,
     }
     if rejected:
         out["calib_rejected"] = rejected

@@ -57,6 +57,7 @@ def _synthetic_out(n_queries: int = 45) -> dict:
         "unit": "sec",
         "queries": queries,
         "queries_spread": spread,
+        "queries_build": {q: round(v * 0.3, 3) for q, v in queries.items()},
         "sf": 0.1,
         "calib_sec": 1.748,
         "calib_pre_sec": 1.748,
@@ -88,6 +89,7 @@ class TestFinalLine:
         # the bulky maps must NOT be on the final line
         assert "queries" not in doc
         assert "queries_spread" not in doc
+        assert "queries_build" not in doc
         assert "regressions_1p25x" not in doc
 
     def test_detail_lines_carry_the_maps(self):
@@ -95,7 +97,12 @@ class TestFinalLine:
         detail_lines, _ = bench.render_output(out)
         parsed = [json.loads(line) for line in detail_lines]
         kinds = {p["bench_detail"] for p in parsed}
-        assert kinds == {"queries", "queries_spread", "regressions_1p25x"}
+        assert kinds == {
+            "queries",
+            "queries_spread",
+            "queries_build",
+            "regressions_1p25x",
+        }
         by_kind = {p["bench_detail"]: p for p in parsed}
         assert by_kind["queries"]["queries"] == out["queries"]
         assert (
