@@ -345,3 +345,50 @@ def test_ivfpq_adc_scan_prunes_cells_and_columns(spark, sf_dir):
     assert all(
         "embedding" not in s for s in adc_schemas
     ), f"ADC scan reads full vectors: {adc_schemas}"
+
+
+def test_agg_monthly_orders_two_tier_shape(spark, sf_dir):
+    """r15 two-tier adoptee (VERDICT r14 #7): the monthly rollup must
+    keep the two-tier shape bounded — the big orders scan feeds ONE
+    map-side combine over (month, input-partition) long partials, the
+    decimal sum runs over ≤ |months| × n_partitions partial rows — and
+    its sum/avg share a single cents partial (term dedup: a second
+    per-row round+multiply+cast would be a silent cost regression)."""
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    df = REGISTRY["agg_monthly_orders"].builder(spark, sf_dir)
+    df.collect()  # let AQE finalize
+    p = physical_profile(df)
+    assert not p["cartesian_products"]
+    assert not p["python_row_evals"]
+    assert p["exchanges"] <= 4, p["exchanges"]
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "__p_0" in analyzed  # shared cents partial exists
+    assert "__p_1" not in analyzed  # sum and avg dedupe onto ONE term
+
+
+def test_two_tier_dedupes_shared_terms(spark):
+    """money_sum + money_avg over the same column contribute ONE tier-1
+    partial (keyed on the term's canonical expression string — the
+    ADVICE r14 unambiguity contract is documented on the helper)."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.plans import money as m
+
+    df = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50), ("b", 4.75)], "g string, p double"
+    )
+    out = m.two_tier_group_agg(
+        df,
+        ["g"],
+        [
+            m.agg_money_sum("s", F.col("p")),
+            m.agg_money_avg("a", F.col("p")),
+            m.agg_count("n"),
+        ],
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "__p_0" in analyzed and "__p_1" not in analyzed
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["s"] == 3.75 and rows["a"]["n"] == 2
+    assert rows["b"]["s"] == 4.75 and rows["b"]["a"] == 4.75
