@@ -182,6 +182,25 @@ class TestPrevRoundWalkback:
         assert q == {"q1": 0.9, "q5": 1.8}
         assert name == f"BENCH_r15.json (via {bench.DETAIL_FILE})"
 
+    def test_newer_parseable_bench_beats_older_detail(self, tmp_path):
+        """Walk order: a newer BENCH file WITH queries wins over a
+        detail artifact that filled an older compact round."""
+        _write_bench(tmp_path, "BENCH_r14.json", None)
+        _write_bench(
+            tmp_path,
+            "BENCH_r15.json",
+            {"metric": "headline_queries_wall", "value": 50.0},
+        )
+        _write_bench(tmp_path, "BENCH_r16.json", {"queries": {"q1": 0.8}})
+        (tmp_path / bench.DETAIL_FILE).write_text(
+            json.dumps(
+                {"after_bench": "BENCH_r14.json", "queries": {"q1": 0.9}}
+            )
+        )
+        q, name = bench._load_prev_queries(str(tmp_path))
+        assert name == "BENCH_r16.json"
+        assert q == {"q1": 0.8}
+
     def test_rehearsal_detail_is_ignored(self, tmp_path):
         """A detail stamped with the CURRENT newest BENCH file belongs to
         a round with no driver BENCH yet (a local rehearsal, possibly a
