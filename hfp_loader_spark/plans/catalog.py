@@ -90,6 +90,31 @@ def _micros(iso_ts: str) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
+#: (path, size, mtime_ns) → probed StructType.  A bare
+#: ``spark.read.parquet`` fires 2-3 eager metadata jobs (footer schema +
+#: listing) PER CALL, and every builder calls load_table 1-6 times —
+#: across a bench run that is hundreds of pure-scheduling jobs.  The
+#: stat stamp invalidates when the driver regenerates testdata in
+#: place; StructType is pure Python, so the cache survives JVM
+#: restarts.  Bounded: ~10 tables × the SFs touched in one process.
+_TABLE_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:  # remote / unstat-able source — probe live
+        return spark.read.parquet(path).schema
+    schema = _TABLE_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _TABLE_SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -108,7 +133,8 @@ def load_table(
     ``ts_µs <= t`` ⟺ ``ts_ns < (t+1µs)·1000``.
     """
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     dtypes = dict(df.dtypes)
     for col, op, iso_ts in ts_pushdown or ():
         us = _micros(iso_ts)

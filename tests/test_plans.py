@@ -402,3 +402,26 @@ def test_registry_order_converges_to_full_external_coverage(monkeypatch):
         catalog.REGISTRY.clear()
         catalog.REGISTRY.update(full)
         catalog._order_registry()
+
+
+def test_table_schema_cache_matches_inferred(spark, sf_dir):
+    """load_table's stat-stamped schema cache (r15) must hand Spark the
+    exact schema a bare inferred read would see — a drift would
+    silently null out renamed columns rather than fail."""
+    import os
+
+    from hfp_loader_spark.plans.catalog import (
+        _TABLE_SCHEMA_CACHE,
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        path = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        inferred = spark.read.parquet(path).schema
+        load_table(spark, sf_dir, t)  # populates the cache
+        st = os.stat(path)
+        cached = _TABLE_SCHEMA_CACHE[(path, st.st_size, st.st_mtime_ns)]
+        assert cached == inferred, t
