@@ -195,6 +195,41 @@ def _load_prev_queries(repo_dir: str) -> tuple[dict | None, str | None]:
     return None, None
 
 
+def _calibrate_arrow(spark) -> float:
+    """Python-worker-lane calibration (r15): a fixed Arrow mapInPandas
+    workload — 4M rows through pandas batches, one numpy reduction per
+    batch.  The JVM probe (:func:`_calibrate`) cannot see Python fork /
+    Arrow serde / numpy host speed, and the similarity tier's entries
+    are exactly that lane: three independent r14/r15 runs showed sim_*
+    entries 1.4-1.6× while the JVM calib read only 1.1-1.2× — this
+    probe makes that residual mechanically attributable.  No reference
+    constant yet; rounds compare the published values directly."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def batch_sum(it):
+        import numpy as np
+
+        total = 0.0
+        for pdf in it:
+            v = pdf["id"].to_numpy(dtype="float64")
+            total += float(np.sqrt(v + 1.5).sum())
+        yield pd.DataFrame({"s": [total]})
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(4_000_000, numPartitions=8)
+            .mapInPandas(batch_sum, "s double")
+            .agg({"s": "sum"})
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    return min(once() for _ in range(3))
+
+
 def prev_round_comparison(
     times: dict[str, float],
     repo_dir: str,
@@ -291,6 +326,7 @@ FINAL_LINE_KEYS = (
     "calib_sec",
     "calib_pre_sec",
     "calib_post_sec",
+    "calib_arrow_sec",
     "calib_ref_sec",
     "calib_rejected",
     "value_normalized",
@@ -608,6 +644,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     calib_post = round(_calibrate(spark), 3)
+    calib_arrow = round(_calibrate_arrow(spark), 3)
     calib = min(calib_pre, calib_post)
     normalized, rejected = normalize_total(total, calib)
     out = {
@@ -620,6 +657,7 @@ def main() -> None:
         "calib_sec": calib,
         "calib_pre_sec": calib_pre,
         "calib_post_sec": calib_post,
+        "calib_arrow_sec": calib_arrow,
         "calib_ref_sec": CALIB_REF,
         "value_normalized": normalized,
         "queries_build": build,

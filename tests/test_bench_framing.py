@@ -62,6 +62,7 @@ def _synthetic_out(n_queries: int = 45) -> dict:
         "calib_sec": 1.748,
         "calib_pre_sec": 1.748,
         "calib_post_sec": 1.901,
+        "calib_arrow_sec": 0.784,
         "calib_ref_sec": 1.6,
         "value_normalized": 48.123,
         "prev_bench": "BENCH_r13.json",
@@ -84,6 +85,7 @@ class TestFinalLine:
         assert doc["value_normalized"] == 48.123
         assert doc["ratio_vs_prev_common"] == 0.912
         assert doc["calib_pre_sec"] == 1.748
+        assert doc["calib_arrow_sec"] == 0.784
         assert doc["n_queries"] == 45
         assert doc["regressions_1p25x_count"] == 15
         # the bulky maps must NOT be on the final line
