@@ -632,7 +632,11 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         return dt
 
-    hfp_runs = sorted(round(run_hfp_load(), 3) for _ in range(2))
+    # min-of-3 since r15 (was 2): the day load is the largest, most
+    # scheduling-sensitive entry — its spread spans 3.5-6.5 s on one
+    # host depending on co-load, and a 2-sample min repeatedly sampled
+    # the slow tail.
+    hfp_runs = sorted(round(run_hfp_load(), 3) for _ in range(3))
     times["hfp_load_day_e2e"] = hfp_runs[0]
     spread["hfp_load_day_e2e"] = hfp_runs
 
@@ -641,7 +645,7 @@ def main() -> None:
     # the O(delta) promise (an append rescanning the log, a compaction
     # rereading history per batch) now moves BENCH, not only tests.
     life_runs = sorted(
-        round(run_stream_lifecycle(spark, sf_dir), 3) for _ in range(2)
+        round(run_stream_lifecycle(spark, sf_dir), 3) for _ in range(3)
     )
     times["stream_ingest_lifecycle"] = life_runs[0]
     spread["stream_ingest_lifecycle"] = life_runs
