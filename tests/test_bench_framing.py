@@ -261,3 +261,68 @@ class TestWriteDetail:
         bench.write_detail(_synthetic_out(2), str(tmp_path))
         doc = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
         assert doc["after_bench"] is None
+
+
+def test_headline_entries_all_registered():
+    """A renamed/deleted catalog entry must fail HERE, not as a KeyError
+    inside the driver's bench run."""
+    from bench import HEADLINE
+
+    from hfp_loader_spark.plans.catalog import REGISTRY
+
+    missing = [n for n in HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(HEADLINE)) == len(HEADLINE)  # no duplicate entries
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _q_names = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=60
+    )
+    _times = st.floats(
+        min_value=0.0, max_value=10_000.0, allow_nan=False, allow_infinity=False
+    )
+
+    @given(
+        queries=st.dictionaries(_q_names, _times, min_size=0, max_size=80),
+        prev_name=st.one_of(st.none(), _q_names),
+        ratio=st.one_of(st.none(), _times),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_final_line_contract_property(queries, prev_name, ratio):
+        """For ANY query map size/naming, the final line parses
+        standalone, stays under the driver capture bound, and keeps the
+        headline metric — the r14 failure can't come back by growth."""
+        out = {
+            "metric": "headline_queries_wall",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": queries,
+            "queries_spread": {q: [v, v, v] for q, v in queries.items()},
+            "queries_build": dict(queries),
+            "calib_sec": 1.9,
+            "calib_pre_sec": 1.9,
+            "calib_post_sec": 2.0,
+            "calib_arrow_sec": 0.8,
+            "calib_ref_sec": 1.6,
+            "value_normalized": 1.0,
+        }
+        if prev_name is not None:
+            out["prev_bench"] = f"BENCH_{prev_name}.json"
+        if ratio is not None:
+            out["ratio_vs_prev_common"] = round(ratio, 3)
+        detail_lines, final_line = bench.render_output(out)
+        assert len(final_line) <= bench.FINAL_LINE_MAX_BYTES
+        doc = json.loads(final_line)
+        assert doc["metric"] == "headline_queries_wall"
+        assert doc["n_queries"] == len(queries)
+        assert "queries" not in doc
+        for line in detail_lines:
+            json.loads(line)
+
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
