@@ -326,3 +326,39 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis is baked in
     pass
+
+
+class TestBenchReport:
+    def test_classification(self):
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools",
+            ),
+        )
+        import bench_report
+
+        detail = {
+            "calib_sec": 1.922,  # host 1.10x vs 1.748 ref
+            "queries": {"a": 2.0, "b": 4.0, "c": 1.0, "d": 3.0},
+            "queries_build": {"a": 0.1, "b": 3.5, "c": 0.2, "d": 0.3},
+            "regressions_1p25x": [
+                # inside 1.10 * 1.15 = 1.264 -> host-band
+                {"query": "a", "ratio": 1.26, "within_spread_heuristic": False},
+                # 87% build -> build-bound
+                {"query": "b", "ratio": 1.5, "within_spread_heuristic": False},
+                # fits own spread -> jitter
+                {"query": "c", "ratio": 1.4, "within_spread_heuristic": True},
+                # none of the above -> investigate
+                {"query": "d", "ratio": 1.6, "within_spread_heuristic": False},
+            ],
+        }
+        rows = bench_report.classify(detail, 1.748)
+        kinds = {r["query"]: r["class"] for r in rows}
+        assert kinds == {
+            "a": "host-band",
+            "b": "build-bound",
+            "c": "jitter",
+            "d": "investigate",
+        }
