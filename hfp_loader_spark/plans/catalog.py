@@ -104,8 +104,19 @@ def _table_schema(spark: SparkSession, path: str):
     import os
 
     try:
-        st = os.stat(path)
-        key = (path, st.st_size, st.st_mtime_ns)
+        if os.path.isdir(path):
+            # per-FILE stamp: rewriting a part in place changes the
+            # file's mtime but not the directory's — a dir-level stat
+            # would serve a stale schema after in-place regeneration
+            stamp = tuple(
+                (n, st.st_size, st.st_mtime_ns)
+                for n in sorted(os.listdir(path))
+                for st in (os.stat(os.path.join(path, n)),)
+            )
+        else:
+            st = os.stat(path)
+            stamp = ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+        key = (path, stamp)
     except OSError:  # remote / unstat-able source — probe live
         return spark.read.parquet(path).schema
     schema = _TABLE_SCHEMA_CACHE.get(key)

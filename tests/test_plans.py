@@ -423,5 +423,6 @@ def test_table_schema_cache_matches_inferred(spark, sf_dir):
         inferred = spark.read.parquet(path).schema
         load_table(spark, sf_dir, t)  # populates the cache
         st = os.stat(path)
-        cached = _TABLE_SCHEMA_CACHE[(path, st.st_size, st.st_mtime_ns)]
+        key = (path, ((os.path.basename(path), st.st_size, st.st_mtime_ns),))
+        cached = _TABLE_SCHEMA_CACHE[key]
         assert cached == inferred, t
