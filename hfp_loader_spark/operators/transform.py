@@ -102,6 +102,15 @@ def typed_column(name: str) -> Column:
 # DataFrame-independent, so one list serves every plan; the cache holds
 # the py4j gateway it was built against (identity-compared, reference
 # held so the id can't be recycled) and rebuilds if the JVM changed.
+#
+# Constraint (ADVICE r15): the cached Alias expressions carry fixed JVM
+# exprIds, so every typed projection in the process shares identical
+# output exprIds.  Safe for self-joins/unions of two typed_projection
+# outputs because Spark's DeduplicateRelations re-aliases one side
+# during analysis (locked by test_transform.py::
+# test_two_typed_projections_self_join); if a future Spark version ever
+# drops that rescue, the symptom is an ambiguous-attribute analysis
+# error and the fix is rebuilding the list per call site.
 _TYPED_COLS_CACHE: tuple[object, list[Column]] | None = None
 
 

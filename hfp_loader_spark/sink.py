@@ -94,7 +94,32 @@ class ParquetSink:
             if is_path_not_found(e):
                 return spark.createDataFrame([], "uuid string")
             raise
-        return df.where(F.col("oday") == F.to_date(F.lit(date))).select("uuid")
+        # Fail-loud backstop (ADVICE r15): a pinned read schema NULLs any
+        # column the on-disk files lack instead of erroring, so a sink
+        # table written by an older layout without ``uuid`` would yield
+        # null keys and silently re-insert the whole day — the exact
+        # failure the "any other read error propagates" contract rules
+        # out.  Our own write path never stores a null uuid (null-uuid
+        # rows are filtered before write), so a null here can only mean
+        # schema drift; raise in-row, no extra action.
+        checked_uuid = (
+            F.when(
+                F.col("uuid").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "existing_keys: null uuid in sink table "
+                        f"'{table}' — on-disk schema is missing/nulling "
+                        "the dedup key (older layout?); refusing to "
+                        "serve a key scan that would re-insert the day"
+                    )
+                ),
+            )
+            .otherwise(F.col("uuid"))
+            .alias("uuid")
+        )
+        return df.where(F.col("oday") == F.to_date(F.lit(date))).select(
+            checked_uuid
+        )
 
 
 class JdbcSink:

@@ -67,15 +67,14 @@ _SCHEMA_PROBE_CACHE: dict[tuple, object] = {}
 
 
 def _probe_schema(spark: SparkSession, path: str):
-    import os
+    # RECURSIVE stamp (ADVICE r15, same fix as plans.catalog._path_stamp):
+    # a nested partition dir whose leaf is rewritten in place changes
+    # neither the subdir's size nor necessarily its mtime, so a
+    # top-level-only stamp would serve a stale schema one level down.
+    from hfp_loader_spark.plans.catalog import _path_stamp
 
     try:
-        names = sorted(os.listdir(path))
-        stamp = tuple(
-            (n, st.st_size, st.st_mtime_ns)
-            for n in names
-            for st in (os.stat(os.path.join(path, n)),)
-        )
+        stamp = _path_stamp(path)
     except OSError:
         # non-local / unstat-able source (abfss:// etc.) — probe live
         return spark.read.parquet(path).schema

@@ -32,6 +32,25 @@ def test_corrupt_table_raises_not_empty(spark, tmp_path):
         sink.existing_keys(spark, "vehicleposition", "2021-02-09").count()
 
 
+def test_column_dropped_table_raises_not_reinserts(spark, tmp_path):
+    """ADVICE r15: the pinned SINK_SCHEMA read NULLs (not errors) any
+    column the on-disk files lack, so a sink table written by an older
+    layout without ``uuid`` would silently re-insert the whole day.
+    existing_keys must refuse loudly instead."""
+    stage = tmp_path / "stage" / "vehicleposition"
+    stage.parent.mkdir(parents=True)
+    # an "older layout" table: has oday but NO uuid column
+    spark.sql(
+        "SELECT DATE '2021-02-09' AS oday, 1001 AS vehicle_number"
+    ).write.parquet(str(stage))
+    sink = ParquetSink(str(tmp_path / "stage"))
+    keys = sink.existing_keys(spark, "vehicleposition", "2021-02-09")
+    # collect(), not count(): count prunes the projection away, while the
+    # real consumer (the dedup anti-join) evaluates uuid — as collect does
+    with pytest.raises(Exception, match="null uuid|refusing"):
+        keys.collect()
+
+
 def test_missing_blobs_skip_group(spark, tmp_path):
     report = LoadReport(date="2021-02-09")
     sink = ParquetSink(str(tmp_path / "stage"))

@@ -422,7 +422,40 @@ def test_table_schema_cache_matches_inferred(spark, sf_dir):
             continue
         inferred = spark.read.parquet(path).schema
         load_table(spark, sf_dir, t)  # populates the cache
+        stamp, cached = _TABLE_SCHEMA_CACHE[path]
         st = os.stat(path)
-        key = (path, ((os.path.basename(path), st.st_size, st.st_mtime_ns),))
-        cached = _TABLE_SCHEMA_CACHE[key]
+        assert stamp == (
+            (os.path.basename(path), st.st_size, st.st_mtime_ns),
+        ), t
         assert cached == inferred, t
+
+
+def test_table_schema_stamp_sees_nested_rewrite(spark, tmp_path):
+    """The stamp must recurse (ADVICE r15): rewriting a LEAF file inside
+    a partition subdirectory changes neither the subdir's size nor the
+    top-level listing, so a non-recursive stamp would serve the stale
+    schema.  Also locks the path-keyed eviction: the regenerated table
+    REPLACES its entry instead of accreting a second one."""
+    from hfp_loader_spark.plans.catalog import (
+        _TABLE_SCHEMA_CACHE,
+        _table_schema,
+    )
+
+    root = str(tmp_path / "t.parquet")
+    sub = tmp_path / "t.parquet" / "p=1"
+    sub.mkdir(parents=True)
+    spark.range(3).selectExpr("id AS a").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sub / "leaf"))
+    assert [f.name for f in _table_schema(spark, root).fields] == ["a", "p"]
+    n_entries = len(_TABLE_SCHEMA_CACHE)
+    # rewrite the nested leaf in place with a DIFFERENT schema
+    spark.range(3).selectExpr(
+        "id AS a", "id * 2 AS b"
+    ).coalesce(1).write.mode("overwrite").parquet(str(sub / "leaf"))
+    assert [f.name for f in _table_schema(spark, root).fields] == [
+        "a",
+        "b",
+        "p",
+    ]
+    assert len(_TABLE_SCHEMA_CACHE) == n_entries  # replaced, not accreted

@@ -112,6 +112,26 @@ def test_bigint_columns(spark):
     assert out["version"] == 1
 
 
+def test_two_typed_projections_self_join(spark):
+    """Locks the cached-exprId constraint (ADVICE r15): the memoized
+    typed-column list gives every typed projection identical output
+    exprIds, so joining/unioning two of them leans on Spark's
+    DeduplicateRelations re-aliasing one side.  If a Spark upgrade ever
+    drops that rescue this fails with an ambiguous-attribute analysis
+    error — the signal to rebuild the column list per call site."""
+    row = {c: None for c in HFP_COLUMNS}
+    row.update(uuid="u-1", route_id="2551", tsi="10")
+    df = spark.createDataFrame(
+        [tuple(row[c] for c in HFP_COLUMNS)], RAW_SCHEMA
+    )
+    a = typed_projection(df)
+    b = typed_projection(df).withColumnRenamed("route_id", "route_b")
+    joined = a.join(b, "uuid").select("uuid", "route_id", "route_b")
+    assert joined.collect() == [("u-1", "2551", "2551")]
+    unioned = typed_projection(df).unionByName(typed_projection(df))
+    assert unioned.count() == 2
+
+
 def test_schema_types(spark):
     from hfp_loader_spark.schema import TYPED_SCHEMA
 
