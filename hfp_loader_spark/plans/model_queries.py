@@ -721,6 +721,94 @@ def _corpus_key(sf_dir: str) -> str:
     ).hexdigest()[:12]
 
 
+def _corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
+    """Content identity of the corpus a model was trained on: md5 over
+    the recursive per-file (name, size, mtime_ns) stamp of the table —
+    the same invalidation contract as the schema cache
+    (catalog._path_stamp).  Regenerated testdata under the same path →
+    different stamp → stored model is stale and retrains."""
+    from hfp_loader_spark.plans.catalog import _path_stamp
+
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    return _hashlib.md5(repr(_path_stamp(path)).encode()).hexdigest()
+
+
+def _model_store(
+    spark: SparkSession, sf_dir: str, name: str, train
+) -> tuple[list, list]:
+    """Cross-PROCESS train-once for the serve models (VERDICT r15 #2):
+    the in-process ``_IVF_SERVE_MODEL`` / ``_PQ_SERVE_MODEL`` memos
+    still paid the full Lloyd trajectory (4-6 s of localCheckpoint
+    rounds) once per fresh process — the single largest first-call
+    plan-build cost in BENCH_DETAIL.  A trained model is a bounded
+    integer table (≤ nlist·2 or m·ksub·2 rows), so it persists as ONE
+    versioned snapshot next to the other serve artifacts, stamped with
+    the corpus content stamp; a warm process loads it in ~0.2 s, a
+    regenerated corpus mismatches the stamp and retrains.  Fail-soft
+    only for an unstat-able corpus (remote path): train live.
+
+    ``train`` returns ``(assign_frame, probe_frame)`` where each frame
+    is a sorted list of ``(cluster, cq)`` (IVF) or ``(grp, cluster,
+    cq)`` (grouped PQ) tuples; the store normalizes IVF rows onto
+    ``grp = -1`` and strips it back off on load.
+    """
+    from hfp_loader_spark.versioned import (
+        _read_manifest,
+        commit_snapshot,
+        latest_version,
+        read_snapshot,
+    )
+
+    root = f"{_INDEX_BASE}/{name}_model_{_corpus_key(sf_dir)}"
+    try:
+        stamp = _corpus_stamp(sf_dir)
+    except OSError:
+        return train()
+    head = latest_version(spark, root)
+    if head is not None:
+        meta = _read_manifest(spark, root, head).meta
+        if (
+            meta.get("kind") == f"{name}_serve_model"
+            and meta.get("scale") == _KM_SCALE
+            and meta.get("corpus_stamp") == stamp
+        ):
+            frames: dict[str, list] = {"assign": [], "probe": []}
+            for r in read_snapshot(spark, root, head).collect():
+                frames[r["role"]].append(
+                    (r["grp"], r["cluster"], list(r["cq"]))
+                )
+            if frames["assign"] and frames["probe"]:
+
+                def frame(role: str) -> list:
+                    rows = sorted(frames[role])
+                    if rows[0][0] == -1:  # IVF rows ride grp = -1
+                        return [(cl, cq) for _, cl, cq in rows]
+                    return rows
+
+                return frame("assign"), frame("probe")
+    model = train()
+    rows = []
+    for role, fr in zip(("assign", "probe"), model):
+        for t in fr:
+            g, cl, cq = (-1, *t) if len(t) == 2 else t
+            rows.append((role, int(g), int(cl), [int(v) for v in cq]))
+    df = spark.createDataFrame(
+        rows, "role string, grp int, cluster int, cq array<long>"
+    )
+    commit_snapshot(
+        spark,
+        df,
+        root,
+        mode="overwrite",
+        meta={
+            "kind": f"{name}_serve_model",
+            "scale": _KM_SCALE,
+            "corpus_stamp": stamp,
+        },
+    )
+    return model
+
+
 #: sf_dir → (index_root, model_fingerprint): the cell-partitioned serve
 #: layout validated/hydrated this process.
 _IVF_INDEX_READY: dict[str, tuple[str, str]] = {}
@@ -803,18 +891,24 @@ def _ivf_serve_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
 
     model = _IVF_SERVE_MODEL.get(sf_dir)
     if model is None:
-        emb = _t(spark, sf_dir, "embeddings")
-        # ONE training run yields both lag frames (VERDICT r11 #2):
-        # collecting cent_prev materializes the checkpointed rounds
-        # 1..iters−1; the final round reuses them.
-        _, cent_prev, cent = kmeans_fixed_point_trajectory(
-            emb, _KM_K, _KM_ITERS, scale=_KM_SCALE
-        )
 
-        def rows(c) -> list[tuple[int, list[int]]]:
-            return sorted((r["cluster"], list(r["cq"])) for r in c.collect())
+        def train() -> tuple[list, list]:
+            emb = _t(spark, sf_dir, "embeddings")
+            # ONE training run yields both lag frames (VERDICT r11 #2):
+            # collecting cent_prev materializes the checkpointed rounds
+            # 1..iters−1; the final round reuses them.
+            _, cent_prev, cent = kmeans_fixed_point_trajectory(
+                emb, _KM_K, _KM_ITERS, scale=_KM_SCALE
+            )
 
-        model = (rows(cent_prev), rows(cent))
+            def rows(c) -> list[tuple[int, list[int]]]:
+                return sorted(
+                    (r["cluster"], list(r["cq"])) for r in c.collect()
+                )
+
+            return (rows(cent_prev), rows(cent))
+
+        model = _model_store(spark, sf_dir, "ivf", train)
         _IVF_SERVE_MODEL[sf_dir] = model
     return model
 
@@ -1032,40 +1126,52 @@ def _pq_serve_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
 
     model = _PQ_SERVE_MODEL.get(sf_dir)
     if model is None:
-        sub = _PQ_EX_DIM // _PQ_EX_M
-        sliced = (
-            _t(spark, sf_dir, "embeddings")
-            .where(F.size("embedding") == _PQ_EX_DIM)
-            .select(
-                "vec_id",
-                quantize_vec(F.col("embedding"), _KM_SCALE).alias("_q"),
-            )
-            .select(
-                "vec_id",
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.slice("_q", j * sub + 1, sub)
-                            for j in range(_PQ_EX_M)
-                        ]
-                    )
-                ).alias("grp", "q"),
-            )
-        )
 
-        # ONE grouped training run yields both codebook generations
-        # (VERDICT r11 #2) — cent_prev is checkpointed at the final-round
-        # boundary, so both collects share the rounds-1..iters−1 work.
-        _, books_prev, books_last = kmeans_fixed_point_grouped_trajectory(
-            sliced, _PQ_EX_KSUB, _KM_ITERS, group_col="grp", qvec_col="q"
-        )
-
-        def rows(b) -> list[tuple[int, int, list[int]]]:
-            return sorted(
-                (r["grp"], r["cluster"], list(r["cq"])) for r in b.collect()
+        def train() -> tuple[list, list]:
+            sub = _PQ_EX_DIM // _PQ_EX_M
+            sliced = (
+                _t(spark, sf_dir, "embeddings")
+                .where(F.size("embedding") == _PQ_EX_DIM)
+                .select(
+                    "vec_id",
+                    quantize_vec(F.col("embedding"), _KM_SCALE).alias("_q"),
+                )
+                .select(
+                    "vec_id",
+                    F.posexplode(
+                        F.array(
+                            *[
+                                F.slice("_q", j * sub + 1, sub)
+                                for j in range(_PQ_EX_M)
+                            ]
+                        )
+                    ).alias("grp", "q"),
+                )
             )
 
-        model = (rows(books_prev), rows(books_last))
+            # ONE grouped training run yields both codebook generations
+            # (VERDICT r11 #2) — cent_prev is checkpointed at the
+            # final-round boundary, so both collects share the
+            # rounds-1..iters−1 work.
+            _, books_prev, books_last = (
+                kmeans_fixed_point_grouped_trajectory(
+                    sliced,
+                    _PQ_EX_KSUB,
+                    _KM_ITERS,
+                    group_col="grp",
+                    qvec_col="q",
+                )
+            )
+
+            def rows(b) -> list[tuple[int, int, list[int]]]:
+                return sorted(
+                    (r["grp"], r["cluster"], list(r["cq"]))
+                    for r in b.collect()
+                )
+
+            return (rows(books_prev), rows(books_last))
+
+        model = _model_store(spark, sf_dir, "pq", train)
         _PQ_SERVE_MODEL[sf_dir] = model
     return model
 

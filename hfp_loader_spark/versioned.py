@@ -217,6 +217,38 @@ def read_snapshot(
     return reader.parquet(*[f"{root}/{d}" for d in info.data_dirs])
 
 
+def stamped_snapshot(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    build,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Serve-or-build for STAMPED INDEX ARTIFACTS (dup-edge lists, CC
+    labels, serve models): if the head manifest's meta contains every
+    ``(key, value)`` of ``meta`` the committed snapshot is served with
+    one manifest read; otherwise ``build()`` runs, its result commits
+    under ``meta``, and the freshly committed snapshot is served.  Both
+    branches return a plain committed-parquet scan, so consumer plans
+    are identical warm and cold.
+
+    The caller's ``meta`` is the artifact's full identity: put the
+    input-content stamp (e.g. ``plans.catalog._path_stamp`` digest) AND
+    a definition hash in it — a regenerated input or a changed
+    definition then mismatches and rebuilds.  Concurrency inherits
+    :func:`commit_snapshot`'s optimistic protocol: two racing builders
+    both produce correct content; the loser's retry lands a second
+    (equivalent) version."""
+    root = root.rstrip("/")
+    head = latest_version(spark, root)
+    if head is not None:
+        stamped = _read_manifest(spark, root, head).meta
+        if all(stamped.get(k) == v for k, v in meta.items()):
+            return read_snapshot(spark, root, head)
+    head = commit_snapshot(spark, build(), root, mode=mode, meta=meta)
+    return read_snapshot(spark, root, head)
+
+
 def vacuum(spark: SparkSession, root: str) -> list[str]:
     """Delete data dirs referenced by NO manifest (failed/raced commits).
 

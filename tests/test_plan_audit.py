@@ -118,7 +118,11 @@ HEADLINE_INVARIANTS = {
     "events_funnel_windowed": dict(max_exchanges=4, bnlj=0),
     "dedup_duplicate_clusters": dict(max_exchanges=6, bnlj=0),
     "graph_khop_reachability": dict(max_exchanges=2, bnlj=0),
-    "graph_pagerank_cust_supp": dict(max_exchanges=2, bnlj=0),
+    # r16: the 5 pagerank rounds chain LAZILY into one declarative plan
+    # (per-round localCheckpoint cost ~2× the computation at sf0.1), so
+    # the final plan carries every round's join+agg exchange: ~6 per
+    # round off the two checkpointed inputs. 32 caps 5 rounds with slack.
+    "graph_pagerank_cust_supp": dict(max_exchanges=32, bnlj=0),
     "semdedup_keep_list": dict(max_exchanges=4, bnlj=0),
     "decontaminate_ngram_overlap": dict(max_exchanges=10, bnlj=0),
     "sample_dsir_importance": dict(

@@ -262,3 +262,33 @@ def test_truncate_history_reclaims_storage_keeping_head(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_last"):
         truncate_history(spark, root, keep_last=0)
     assert truncate_history(spark, str(tmp_path / "none")) == []
+
+
+def test_stamped_snapshot_serves_builds_and_invalidates(spark, tmp_path):
+    """stamped_snapshot (r16, VERDICT r15 #2): first call builds and
+    commits under the stamp meta; a second call with the SAME stamp
+    serves the committed parquet WITHOUT invoking build(); a changed
+    stamp (regenerated corpus / new definition) rebuilds.  This is the
+    serve-or-build contract the persisted dup-edge/CC-label/serve-model
+    artifacts rely on for their warm-process fast path."""
+    from hfp_loader_spark.versioned import stamped_snapshot
+
+    root = str(tmp_path / "idx")
+    calls = []
+
+    def build_v(tag):
+        def build():
+            calls.append(tag)
+            return _df(spark, [(1, tag)])
+
+        return build
+
+    out1 = stamped_snapshot(spark, root, {"stamp": "s1"}, build_v("a"))
+    assert [r["v"] for r in out1.collect()] == ["a"]
+    out2 = stamped_snapshot(spark, root, {"stamp": "s1"}, build_v("b"))
+    assert [r["v"] for r in out2.collect()] == ["a"]  # served, not rebuilt
+    assert calls == ["a"]
+    out3 = stamped_snapshot(spark, root, {"stamp": "s2"}, build_v("c"))
+    assert [r["v"] for r in out3.collect()] == ["c"]  # stale stamp rebuilt
+    assert calls == ["a", "c"]
+    assert latest_version(spark, root) == 2
