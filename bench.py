@@ -114,6 +114,17 @@ HEADLINE = [
 #: (VERDICT r9 #5); the bench now self-normalizes.
 CALIB_REF = 1.60
 
+#: Python-worker-lane reference (VERDICT r15 #3): wall seconds of
+#: :func:`_calibrate_arrow` measured IN-BENCH on the round-15 healthy
+#: host (the round that introduced the probe).  The published
+#: ``calib_arrow_ratio = calib_arrow_sec / CALIB_ARROW_REF`` makes
+#: sim-tier host sag mechanically attributable: a round whose JVM probe
+#: is flat but whose arrow ratio reads 1.4× has a slow PYTHON lane
+#: (fork / Arrow serde / numpy), which is exactly the residual that
+#: muddied r14.  Attribution only — the headline normalization stays on
+#: the JVM probe, since most headline entries are pure-JVM plans.
+CALIB_ARROW_REF = 0.753
+
 
 def _calibrate(spark) -> float:
     """Fixed CPU-bound measurement, independent of sf_dir and of every
@@ -202,8 +213,10 @@ def _calibrate_arrow(spark) -> float:
     Arrow serde / numpy host speed, and the similarity tier's entries
     are exactly that lane: three independent r14/r15 runs showed sim_*
     entries 1.4-1.6× while the JVM calib read only 1.1-1.2× — this
-    probe makes that residual mechanically attributable.  No reference
-    constant yet; rounds compare the published values directly."""
+    probe makes that residual mechanically attributable.  Compared
+    against :data:`CALIB_ARROW_REF` (pinned r16 from the r15 healthy
+    host) via the published ``calib_arrow_ratio``, clamped like the JVM
+    probe."""
     import pandas as pd
 
     from pyspark.sql import functions as F  # noqa: F401
@@ -328,7 +341,10 @@ FINAL_LINE_KEYS = (
     "calib_post_sec",
     "calib_arrow_sec",
     "calib_ref_sec",
+    "calib_arrow_ref_sec",
+    "calib_arrow_ratio",
     "calib_rejected",
+    "calib_arrow_rejected",
     "value_normalized",
     "prev_bench",
     "queries_common_prev",
@@ -379,6 +395,7 @@ def render_output(out: dict) -> tuple[list[str], str]:
             "raw_common_prev_sec",
             "raw_common_now_sec",
             "queries_common_prev",
+            "calib_arrow_rejected",
             "calib_rejected",
             "prev_bench",
         ):
@@ -406,6 +423,28 @@ def write_detail(out: dict, repo_dir: str) -> None:
     with open(tmp, "w") as fh:
         json.dump(doc, fh, indent=1)
     os.replace(tmp, os.path.join(repo_dir, DETAIL_FILE))
+
+
+def arrow_attribution(calib_arrow: float) -> dict:
+    """Python-lane attribution fields (VERDICT r15 #3), clamped exactly
+    like the JVM probe — a broken probe must not publish a bogus
+    attribution.  ``calib_arrow_ratio`` > 1 = the Python-worker lane is
+    slower than the reference host, which is where sim_* / Arrow-UDF
+    entries would sag while pure-JVM plans stay flat."""
+    if (
+        calib_arrow > 0
+        and CALIB_ARROW_REF / 5.0 <= calib_arrow <= CALIB_ARROW_REF * 5.0
+    ):
+        return {
+            "calib_arrow_ratio": round(calib_arrow / CALIB_ARROW_REF, 3)
+        }
+    return {
+        "calib_arrow_rejected": (
+            f"calib_arrow_sec {calib_arrow} outside "
+            f"[{CALIB_ARROW_REF / 5.0:.3g}, {CALIB_ARROW_REF * 5.0:.3g}]"
+            " — arrow ratio not published"
+        )
+    }
 
 
 def normalize_total(total: float, calib: float) -> tuple[float, str | None]:
@@ -667,9 +706,11 @@ def main() -> None:
         "calib_post_sec": calib_post,
         "calib_arrow_sec": calib_arrow,
         "calib_ref_sec": CALIB_REF,
+        "calib_arrow_ref_sec": CALIB_ARROW_REF,
         "value_normalized": normalized,
         "queries_build": build,
     }
+    out.update(arrow_attribution(calib_arrow))
     if rejected:
         out["calib_rejected"] = rejected
     repo_dir = os.path.dirname(os.path.abspath(__file__))

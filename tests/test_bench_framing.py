@@ -94,6 +94,30 @@ class TestFinalLine:
         assert "queries_build" not in doc
         assert "regressions_1p25x" not in doc
 
+    def test_arrow_attribution_ratio_and_clamp(self):
+        """VERDICT r15 #3: the Python-lane probe now has a pinned
+        reference; a plausible reading publishes the attribution ratio,
+        an implausible one (>5x off) publishes a rejection note instead
+        — never a bogus ratio — and the fields fit the final line."""
+        ok = bench.arrow_attribution(bench.CALIB_ARROW_REF * 1.4)
+        assert ok == {"calib_arrow_ratio": 1.4}
+        low = bench.arrow_attribution(bench.CALIB_ARROW_REF / 6.0)
+        high = bench.arrow_attribution(bench.CALIB_ARROW_REF * 6.0)
+        zero = bench.arrow_attribution(0.0)
+        for rej in (low, high, zero):
+            assert "calib_arrow_ratio" not in rej
+            assert "outside" in rej["calib_arrow_rejected"]
+        out = _synthetic_out()
+        out["calib_arrow_ref_sec"] = bench.CALIB_ARROW_REF
+        out.update(bench.arrow_attribution(0.784))
+        _, final_line = bench.render_output(out)
+        assert len(final_line) <= bench.FINAL_LINE_MAX_BYTES
+        doc = json.loads(final_line)
+        assert doc["calib_arrow_ref_sec"] == bench.CALIB_ARROW_REF
+        assert doc["calib_arrow_ratio"] == round(
+            0.784 / bench.CALIB_ARROW_REF, 3
+        )
+
     def test_detail_lines_carry_the_maps(self):
         out = _synthetic_out()
         detail_lines, _ = bench.render_output(out)
