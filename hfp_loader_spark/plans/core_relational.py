@@ -79,8 +79,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag", "l_linestatus"],
         [
-            _m.agg_qty_sum("sum_qty", F.col("l_quantity")),
-            _m.agg_money_sum("sum_base_price", F.col("l_extendedprice")),
+            _m.agg_qty_sum("sum_qty", F.col("l_quantity"), slot="qty"),
+            _m.agg_money_sum(
+                "sum_base_price", F.col("l_extendedprice"), slot="price"
+            ),
             _m.agg_disc_rev_sum(
                 "sum_disc_price",
                 F.col("l_extendedprice"),
@@ -92,8 +94,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_discount"),
                 F.col("l_tax"),
             ),
-            _m.agg_qty_avg("avg_qty", F.col("l_quantity")),
-            _m.agg_money_avg("avg_price", F.col("l_extendedprice")),
+            _m.agg_qty_avg("avg_qty", F.col("l_quantity"), slot="qty"),
+            _m.agg_money_avg(
+                "avg_price", F.col("l_extendedprice"), slot="price"
+            ),
             _m.agg_pct_avg("avg_disc", F.col("l_discount")),
             _m.agg_count("count_order"),
         ],
@@ -437,8 +441,12 @@ def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["order_month"],
         [
             _m.agg_count("n_orders"),
-            _m.agg_money_sum("total_price", F.col("o_totalprice")),
-            _m.agg_money_avg("avg_price", F.col("o_totalprice")),
+            _m.agg_money_sum(
+                "total_price", F.col("o_totalprice"), slot="price"
+            ),
+            _m.agg_money_avg(
+                "avg_price", F.col("o_totalprice"), slot="price"
+            ),
         ],
     )
 

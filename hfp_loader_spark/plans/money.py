@@ -186,27 +186,45 @@ def qty_avg(col: Column, decimals: int = 4) -> Column:
 class ExactAgg(NamedTuple):
     """One aggregate of a two-tier exact group aggregation: ``term`` is
     the exact LONG row term (None → plain row count) and ``final`` maps
-    (decimal-exact sum, bigint group count) to the display column."""
+    (decimal-exact sum, bigint group count) to the display column.
+
+    ``slot`` (VERDICT r15 #6) names the tier-1 partial this aggregate
+    reads: two aggregates carrying the SAME slot string share one
+    per-row term (sum_qty/avg_qty compute ``_qty(l_quantity)`` once —
+    each extra term costs a round + multiply + cast per row, measured
+    ~0.1 s on Q1 at sf0.1).  ``slot=None`` falls back to the term's
+    OBJECT IDENTITY, so sharing is always an explicit caller opt-in —
+    two genuinely different columns that merely render identically
+    (same-named columns off an unaliased self-join) can never silently
+    share a partial, which the previous repr-keyed dedup allowed in
+    principle."""
 
     name: str
     term: Column | None
     final: Callable[[Column | None, Column], Column]
+    slot: str | None = None
 
 
-def agg_qty_sum(name: str, col: Column, round_to: int = 2) -> ExactAgg:
+def agg_qty_sum(
+    name: str, col: Column, round_to: int = 2, slot: str | None = None
+) -> ExactAgg:
     return ExactAgg(
         name,
         _qty(col),
         lambda s, n: F.round(s.cast("double"), round_to) + F.lit(0.0),
+        slot,
     )
 
 
-def agg_money_sum(name: str, col: Column, round_to: int = 2) -> ExactAgg:
+def agg_money_sum(
+    name: str, col: Column, round_to: int = 2, slot: str | None = None
+) -> ExactAgg:
     return ExactAgg(
         name,
         _cents(col),
         lambda s, n: F.round(s.cast("double") / 100.0, round_to)
         + F.lit(0.0),
+        slot,
     )
 
 
@@ -237,21 +255,27 @@ def agg_charge_sum(
     )
 
 
-def agg_qty_avg(name: str, col: Column, decimals: int = 4) -> ExactAgg:
+def agg_qty_avg(
+    name: str, col: Column, decimals: int = 4, slot: str | None = None
+) -> ExactAgg:
     return ExactAgg(
-        name, _qty(col), lambda s, n: _int_avg(s, n, decimals, 1)
+        name, _qty(col), lambda s, n: _int_avg(s, n, decimals, 1), slot
     )
 
 
-def agg_money_avg(name: str, col: Column, decimals: int = 4) -> ExactAgg:
+def agg_money_avg(
+    name: str, col: Column, decimals: int = 4, slot: str | None = None
+) -> ExactAgg:
     return ExactAgg(
-        name, _cents(col), lambda s, n: _int_avg(s, n, decimals, 100)
+        name, _cents(col), lambda s, n: _int_avg(s, n, decimals, 100), slot
     )
 
 
-def agg_pct_avg(name: str, col: Column, decimals: int = 4) -> ExactAgg:
+def agg_pct_avg(
+    name: str, col: Column, decimals: int = 4, slot: str | None = None
+) -> ExactAgg:
     return ExactAgg(
-        name, _pct(col), lambda s, n: _int_avg(s, n, decimals, 100)
+        name, _pct(col), lambda s, n: _int_avg(s, n, decimals, 100), slot
     )
 
 
@@ -282,13 +306,13 @@ def two_tier_group_agg(
       and no catalog entry toggles it, so the contract holds everywhere
       in this repo — external callers juggling the flag must rebuild
       the plan after flipping it.
-    * **Agg terms must be unambiguous columns of ``df``.**  Identical
-      row terms share one tier-1 partial, keyed on the term's canonical
-      expression string — two GENUINELY DIFFERENT columns that render
-      identically (e.g. same-named columns surviving a self-join
-      without aliasing) would silently share a partial.  Every caller
-      in this repo aggregates post-projection single-source columns;
-      keep it that way (alias self-join sides before aggregating)."""
+    * **Partial sharing is slot-keyed (VERDICT r15 #6).**  Two
+      aggregates share one tier-1 partial iff they carry the same
+      explicit ``slot`` string (or are literally the same ``Column``
+      object); distinct columns can never silently share however they
+      render.  The caller owns slot-string correctness: assigning one
+      slot to two semantically different terms is a bug on the same
+      footing as aliasing two different columns to one name."""
     ansi = (
         df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") or ""
     ).lower() == "true"
@@ -303,19 +327,18 @@ def two_tier_group_agg(
                 for a in aggs
             ]
         )
-    # Dedupe identical row terms (sum_qty/avg_qty, sum_base_price/
-    # avg_price share one): each extra per-row term costs a round +
-    # multiply + cast per row in tier 1 — measured ~0.1 s each on Q1 at
-    # sf0.1 — while sharing a partial is free.  Column exprs don't
-    # compare, their canonical string forms do.
-    slot_of: dict[str, int] = {}
+    # Share tier-1 partials across aggregates by EXPLICIT slot string
+    # (sum_qty/avg_qty both declare slot="qty" and compute the row term
+    # once), falling back to the term's object identity — see the
+    # ExactAgg.slot docstring for why repr-keyed dedup was retired.
+    slot_of: dict[object, int] = {}
     slots: list[Column] = []
     agg_slot: list[int | None] = []
     for a in aggs:
         if a.term is None:
             agg_slot.append(None)
             continue
-        key = repr(a.term)
+        key: object = a.slot if a.slot is not None else id(a.term)
         if key not in slot_of:
             slot_of[key] = len(slots)
             slots.append(a.term)

@@ -372,9 +372,9 @@ def test_agg_monthly_orders_two_tier_shape(spark, sf_dir):
 
 
 def test_two_tier_dedupes_shared_terms(spark):
-    """money_sum + money_avg over the same column contribute ONE tier-1
-    partial (keyed on the term's canonical expression string — the
-    ADVICE r14 unambiguity contract is documented on the helper)."""
+    """money_sum + money_avg declaring the same slot contribute ONE
+    tier-1 partial (explicit slot keys, VERDICT r15 #6 — the repr-keyed
+    dedup is retired)."""
     from pyspark.sql import functions as F
 
     from hfp_loader_spark.plans import money as m
@@ -386,8 +386,8 @@ def test_two_tier_dedupes_shared_terms(spark):
         df,
         ["g"],
         [
-            m.agg_money_sum("s", F.col("p")),
-            m.agg_money_avg("a", F.col("p")),
+            m.agg_money_sum("s", F.col("p"), slot="p"),
+            m.agg_money_avg("a", F.col("p"), slot="p"),
             m.agg_count("n"),
         ],
     )
@@ -396,3 +396,37 @@ def test_two_tier_dedupes_shared_terms(spark):
     rows = {r["g"]: r for r in out.collect()}
     assert rows["a"]["s"] == 3.75 and rows["a"]["n"] == 2
     assert rows["b"]["s"] == 4.75 and rows["b"]["a"] == 4.75
+
+
+def test_two_tier_same_rendered_terms_never_share_without_slot(spark):
+    """The planted collision the repr-keyed dedup allowed in principle
+    (VERDICT r15 #6): two aggregates over DIFFERENT columns that render
+    identically — same-named columns off a self-join — must get their
+    own tier-1 partials and correct, different values when no slot is
+    assigned."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.plans import money as m
+
+    left = spark.createDataFrame(
+        [("a", 1.00), ("b", 2.00)], "g string, p double"
+    )
+    right = spark.createDataFrame(
+        [("a", 10.00), ("b", 20.00)], "g string, p double"
+    )
+    joined = left.join(right, "g")
+    # both terms render as p#... 's canonical repr 'Column<p>' shapes;
+    # identity keys keep them apart
+    out = m.two_tier_group_agg(
+        joined,
+        ["g"],
+        [
+            m.agg_money_sum("s_left", left["p"]),
+            m.agg_money_sum("s_right", right["p"]),
+        ],
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "__p_0" in analyzed and "__p_1" in analyzed  # NOT shared
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["s_left"] == 1.00 and rows["a"]["s_right"] == 10.00
+    assert rows["b"]["s_left"] == 2.00 and rows["b"]["s_right"] == 20.00
