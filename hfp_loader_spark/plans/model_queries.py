@@ -757,6 +757,7 @@ def _model_store(
         commit_snapshot,
         latest_version,
         read_snapshot,
+        truncate_history,
     )
 
     root = f"{_INDEX_BASE}/{name}_model_{_corpus_key(sf_dir)}"
@@ -806,6 +807,15 @@ def _model_store(
             "corpus_stamp": stamp,
         },
     )
+    try:
+        # cache, not history: keep the new head + one predecessor (a
+        # concurrent process mid-read survives one generation); reclaim
+        # is best-effort, serving is not — a racing truncate or FS
+        # hiccup (a py4j error, not OSError) must never fail the train
+        # that just committed correctly
+        truncate_history(spark, root, keep_last=2)
+    except Exception:
+        pass
     return model
 
 

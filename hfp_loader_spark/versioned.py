@@ -223,6 +223,7 @@ def stamped_snapshot(
     meta: dict,
     build,
     mode: str = "overwrite",
+    keep_last: int | None = 2,
 ) -> DataFrame:
     """Serve-or-build for STAMPED INDEX ARTIFACTS (dup-edge lists, CC
     labels, serve models): if the head manifest's meta contains every
@@ -238,7 +239,15 @@ def stamped_snapshot(
     definition then mismatches and rebuilds.  Concurrency inherits
     :func:`commit_snapshot`'s optimistic protocol: two racing builders
     both produce correct content; the loser's retry lands a second
-    (equivalent) version."""
+    (equivalent) version.
+
+    These artifacts are CACHES, not history: after a rebuild the
+    superseded generations are truncated down to ``keep_last`` (the
+    just-committed head plus one predecessor, so a concurrent process
+    mid-read of the previous head survives one generation) — without
+    this, every testdata regeneration under the same path would leave
+    another full copy of the artifact behind forever.  Pass
+    ``keep_last=None`` to retain full history."""
     root = root.rstrip("/")
     head = latest_version(spark, root)
     if head is not None:
@@ -246,6 +255,14 @@ def stamped_snapshot(
         if all(stamped.get(k) == v for k, v in meta.items()):
             return read_snapshot(spark, root, head)
     head = commit_snapshot(spark, build(), root, mode=mode, meta=meta)
+    if keep_last is not None:
+        try:
+            truncate_history(spark, root, keep_last=keep_last)
+        except Exception:
+            # reclaim is best-effort, serving is not: a racing truncate
+            # or FS hiccup (surfacing as a py4j error, not OSError) must
+            # never fail the build that just committed correctly
+            pass
     return read_snapshot(spark, root, head)
 
 

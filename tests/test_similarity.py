@@ -1092,3 +1092,64 @@ def test_stream_ingest_compact_materialize_serve_chain(
         )
     )
     assert served2 == served
+
+
+def test_model_store_serves_retrains_and_truncates(spark, tmp_path, monkeypatch):
+    """_model_store (r16, VERDICT r15 #2): first call trains and
+    commits; a second call in the same (or a fresh) process serves the
+    persisted model WITHOUT invoking train; a touched corpus file
+    (changed content stamp) retrains; superseded generations truncate
+    to two (cache semantics).  Covers both the IVF (cluster, cq) and
+    grouped-PQ (grp, cluster, cq) frame shapes through the grp=-1
+    normalization."""
+    import shutil
+    import os
+
+    from hfp_loader_spark.plans import model_queries as mq
+    from hfp_loader_spark.versioned import table_history
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    shutil.copyfile(src, corpus / "embeddings.parquet")
+    monkeypatch.setattr(mq, "_INDEX_BASE", str(tmp_path / "idx"))
+
+    calls = []
+
+    def train_ivf():
+        calls.append("ivf")
+        return ([(0, [1, 2]), (1, [3, 4])], [(0, [5, 6]), (1, [7, 8])])
+
+    got = mq._model_store(spark, str(corpus), "tivf", train_ivf)
+    assert calls == ["ivf"]
+    assert got == ([(0, [1, 2]), (1, [3, 4])], [(0, [5, 6]), (1, [7, 8])])
+    served = mq._model_store(spark, str(corpus), "tivf", train_ivf)
+    assert calls == ["ivf"]  # served, not retrained
+    assert served == ([(0, [1, 2]), (1, [3, 4])], [(0, [5, 6]), (1, [7, 8])])
+
+    # grouped-PQ shape round-trips through the grp=-1 normalization
+    def train_pq():
+        calls.append("pq")
+        return (
+            [(0, 0, [1]), (0, 1, [2]), (1, 0, [3])],
+            [(0, 0, [4]), (0, 1, [5]), (1, 0, [6])],
+        )
+
+    mq._model_store(spark, str(corpus), "tpq", train_pq)
+    pq_served = mq._model_store(spark, str(corpus), "tpq", train_pq)
+    assert calls == ["ivf", "pq"]
+    assert pq_served == (
+        [(0, 0, [1]), (0, 1, [2]), (1, 0, [3])],
+        [(0, 0, [4]), (0, 1, [5]), (1, 0, [6])],
+    )
+
+    # a regenerated corpus (different content stamp) retrains
+    p = corpus / "embeddings.parquet"
+    st = p.stat()
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    mq._model_store(spark, str(corpus), "tivf", train_ivf)
+    assert calls == ["ivf", "pq", "ivf"]
+
+    # cache semantics: history truncates to the head + one predecessor
+    root = f"{mq._INDEX_BASE}/tivf_model_{mq._corpus_key(str(corpus))}"
+    assert {s.version for s in table_history(spark, root)} == {1, 2}

@@ -292,3 +292,11 @@ def test_stamped_snapshot_serves_builds_and_invalidates(spark, tmp_path):
     assert [r["v"] for r in out3.collect()] == ["c"]  # stale stamp rebuilt
     assert calls == ["a", "c"]
     assert latest_version(spark, root) == 2
+    # cache semantics: superseded generations truncate to keep_last=2 —
+    # a third generation drops version 1's manifest (and its orphaned
+    # data), the previous head survives one generation
+    out4 = stamped_snapshot(spark, root, {"stamp": "s3"}, build_v("d"))
+    assert [r["v"] for r in out4.collect()] == ["d"]
+    assert latest_version(spark, root) == 3
+    ops = {s.version for s in table_history(spark, root)}
+    assert ops == {2, 3}
