@@ -136,9 +136,9 @@ def pagerank(
     rank_{i+1}(v) = (1-d)/N + d · Σ_{u→v} rank_i(u) / outdeg(u)
 
     Each iteration is one join + one aggregate + one left join.  The
-    edge-with-outdegree frame is built ONCE, in the same pass that
-    mines the edges (degree via a per-src count window — r16, outdeg
-    was re-joined per round), and the rounds chain LAZILY into one
+    edge-with-outdegree frame is built ONCE
+    (:func:`prepare_pagerank_edges` — r16, outdeg was re-joined per
+    round), and the rounds chain LAZILY into one
     declarative plan: for a fixed small
     ``n_iter``, per-round ``localCheckpoint`` materialization cost ~2×
     the whole computation at sf0.1 (measured 3.26 s → 1.56 s), whereas
