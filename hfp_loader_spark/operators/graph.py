@@ -156,11 +156,13 @@ def pagerank(
 
     ``prepared=True`` declares ``edges`` is ALREADY the output of
     :func:`prepare_pagerank_edges` (distinct ``(e_src, e_dst)`` rows
-    carrying ``_deg``) — e.g. served from a stamped snapshot — so the
-    distinct+window pass is skipped and only the checkpoint runs; a
-    non-distinct or wrongly-degreed prepared frame is the caller's
-    correctness bug, exactly like any other index-artifact contract.
-    ``nodes`` (single ``id`` column, distinct) optionally skips the
+    carrying ``_deg``) AND cheap to iterate on — served from a
+    committed snapshot or already checkpointed — so the distinct+degree
+    pass AND the checkpoint are both skipped: the n_iter rounds scan
+    the caller's frame as-is.  A non-distinct or wrongly-degreed
+    prepared frame is the caller's correctness bug, exactly like any
+    other index-artifact contract.  ``nodes`` (single ``id`` column,
+    distinct, same materialization contract) optionally skips the
     vertex-set derivation too — callers persisting the edge index can
     persist the vertex list beside it and serve both from one scan."""
     if checkpoint_interval < 1:
@@ -171,8 +173,8 @@ def pagerank(
     ew = (
         edges.select("e_src", "e_dst", "_deg")
         if prepared
-        else prepare_pagerank_edges(edges, src, dst)
-    ).localCheckpoint()
+        else prepare_pagerank_edges(edges, src, dst).localCheckpoint()
+    )
     # every vertex appears in ew (a src row carries its own edges; a
     # sink appears as some row's dst), so the vertex set derives from
     # the checkpointed frame — no second pass over the raw edges
@@ -181,8 +183,10 @@ def pagerank(
         if nodes is not None
         else ew.select(
             F.explode(F.array("e_src", "e_dst")).alias("id")
-        ).distinct()
-    ).localCheckpoint()
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     n = nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -448,6 +448,16 @@ def dedup_minhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Memo retention contract (both dicts): the cached frame is a LAZY
+#: scan over the committed snapshot's files, so it stays correct only
+#: while that version survives.  ``stamped_snapshot`` retains the head
+#: plus ONE predecessor, so a corpus regenerated mid-process serves the
+#: memoized (stale) frame loudly-intact for one generation; a SECOND
+#: mid-process regeneration can vacuum the memoized version's files,
+#: turning later actions into FileNotFoundException — loud, and the
+#: same "regenerate inputs → restart the session" contract every memo
+#: in this package already carries (the pre-r16 localCheckpoint memo
+#: was equally stale after regeneration, just silently so).
 _CLUSTER_COMPONENTS: dict[tuple[int, str], DataFrame] = {}
 
 

@@ -751,72 +751,63 @@ def _model_store(
     is a sorted list of ``(cluster, cq)`` (IVF) or ``(grp, cluster,
     cq)`` (grouped PQ) tuples; the store normalizes IVF rows onto
     ``grp = -1`` and strips it back off on load.
+
+    The serve-or-build/stamp/truncate skeleton is
+    ``versioned.stamped_snapshot`` — this function only owns the
+    frame↔row codec.  Both branches decode from the committed snapshot
+    (not the in-memory trained lists), so a codec asymmetry would fail
+    the train-time caller immediately instead of surfacing one process
+    later.  A committed model missing either frame raises — the loud
+    twin of ``operators.similarity.load_fixed_point_model``'s
+    incomplete-frame check; silently retraining over a half-written
+    artifact would mask whatever produced it.
     """
-    from hfp_loader_spark.versioned import (
-        _read_manifest,
-        commit_snapshot,
-        latest_version,
-        read_snapshot,
-        truncate_history,
-    )
+    from hfp_loader_spark.versioned import stamped_snapshot
 
     root = f"{_INDEX_BASE}/{name}_model_{_corpus_key(sf_dir)}"
     try:
         stamp = _corpus_stamp(sf_dir)
     except OSError:
         return train()
-    head = latest_version(spark, root)
-    if head is not None:
-        meta = _read_manifest(spark, root, head).meta
-        if (
-            meta.get("kind") == f"{name}_serve_model"
-            and meta.get("scale") == _KM_SCALE
-            and meta.get("corpus_stamp") == stamp
-        ):
-            frames: dict[str, list] = {"assign": [], "probe": []}
-            for r in read_snapshot(spark, root, head).collect():
-                frames[r["role"]].append(
-                    (r["grp"], r["cluster"], list(r["cq"]))
-                )
-            if frames["assign"] and frames["probe"]:
 
-                def frame(role: str) -> list:
-                    rows = sorted(frames[role])
-                    if rows[0][0] == -1:  # IVF rows ride grp = -1
-                        return [(cl, cq) for _, cl, cq in rows]
-                    return rows
+    def build():
+        rows = []
+        for role, fr in zip(("assign", "probe"), train()):
+            for t in fr:
+                g, cl, cq = (-1, *t) if len(t) == 2 else t
+                rows.append((role, int(g), int(cl), [int(v) for v in cq]))
+        return spark.createDataFrame(
+            rows, "role string, grp int, cluster int, cq array<long>"
+        )
 
-                return frame("assign"), frame("probe")
-    model = train()
-    rows = []
-    for role, fr in zip(("assign", "probe"), model):
-        for t in fr:
-            g, cl, cq = (-1, *t) if len(t) == 2 else t
-            rows.append((role, int(g), int(cl), [int(v) for v in cq]))
-    df = spark.createDataFrame(
-        rows, "role string, grp int, cluster int, cq array<long>"
-    )
-    commit_snapshot(
+    snap = stamped_snapshot(
         spark,
-        df,
         root,
-        mode="overwrite",
-        meta={
+        {
             "kind": f"{name}_serve_model",
             "scale": _KM_SCALE,
             "corpus_stamp": stamp,
         },
+        build,
     )
-    try:
-        # cache, not history: keep the new head + one predecessor (a
-        # concurrent process mid-read survives one generation); reclaim
-        # is best-effort, serving is not — a racing truncate or FS
-        # hiccup (a py4j error, not OSError) must never fail the train
-        # that just committed correctly
-        truncate_history(spark, root, keep_last=2)
-    except Exception:
-        pass
-    return model
+    frames: dict[str, list] = {"assign": [], "probe": []}
+    for r in snap.collect():
+        frames[r["role"]].append((r["grp"], r["cluster"], list(r["cq"])))
+    if not frames["assign"] or not frames["probe"]:
+        raise ValueError(
+            f"{name} serve model at {root} is missing a frame "
+            f"(assign={len(frames['assign'])}, "
+            f"probe={len(frames['probe'])} rows) — refusing to serve "
+            "an incomplete model"
+        )
+
+    def frame(role: str) -> list:
+        rows = sorted(frames[role])
+        if rows[0][0] == -1:  # IVF rows ride grp = -1
+            return [(cl, cq) for _, cl, cq in rows]
+        return rows
+
+    return frame("assign"), frame("probe")
 
 
 #: sf_dir → (index_root, model_fingerprint): the cell-partitioned serve
