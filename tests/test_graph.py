@@ -160,3 +160,37 @@ def test_cluster_keepers_excludes_null_scores(spark):
     # component 1: NULL member 2 neither wins nor counts
     # component 20: all members unscored → no keeper row at all
     assert out == {1: (3, 2, 0.7)}
+
+
+def test_pagerank_prepared_path_is_byte_identical(spark):
+    """The prepared/served contract (r16): handing pagerank a
+    pre-materialized prepare_pagerank_edges frame (plus an explicit
+    vertex frame, as the stamped-snapshot serve path does) must produce
+    byte-identical ranks to the self-mining path — the warm-serve
+    rewrite can never drift the arithmetic."""
+    from hfp_loader_spark.operators.graph import (
+        pagerank,
+        prepare_pagerank_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (2, 3)],  # incl. dup edge
+        "src long, dst long",
+    )
+    base = {
+        r["id"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()
+    }
+
+    ew = prepare_pagerank_edges(edges).localCheckpoint()
+    nodes = (
+        ew.selectExpr("explode(array(e_src, e_dst)) AS id")
+        .distinct()
+        .localCheckpoint()
+    )
+    served = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            ew, n_iter=5, prepared=True, nodes=nodes
+        ).collect()
+    }
+    assert served == base  # exact float equality: same plan arithmetic
