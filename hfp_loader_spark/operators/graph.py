@@ -205,7 +205,14 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0 and i != n_iter - 1:
             ranks = ranks.localCheckpoint()
-    return ranks
+    # LAZY checkpoint of the returned frame: the first action
+    # materializes the rounds exactly once and pins the values, so a
+    # consumer running several actions (count + collect, a retry) never
+    # recomputes — and never observes bitwise-different ranks from a
+    # different task-completion order of the double sums (the float
+    # drift class the cross-engine determinism notes guard against).
+    # Costs nothing until an action runs; the frame is vertex-sized.
+    return ranks.localCheckpoint(eager=False)
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

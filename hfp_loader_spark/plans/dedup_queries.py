@@ -452,16 +452,16 @@ def dedup_minhash_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: scan over the committed snapshot's files, so it stays correct only
 #: while that version survives.  ``stamped_snapshot`` retains the head
 #: plus ONE predecessor, so a corpus regenerated mid-process serves the
-#: memoized (stale) frame loudly-intact for one generation; a SECOND
-#: mid-process regeneration can vacuum the memoized version's files,
-#: turning later actions into FileNotFoundException — loud, and the
-#: same "regenerate inputs → restart the session" contract every memo
-#: in this package already carries (the pre-r16 localCheckpoint memo
-#: was equally stale after regeneration, just silently so).
-_CLUSTER_COMPONENTS: dict[tuple[int, str], DataFrame] = {}
+#: memoized frame intact for one generation.  The memo key INCLUDES
+#: the corpus content stamp, so a corpus regenerated mid-process
+#: simply misses the memo and re-serves/re-mines — a fresh stamp can
+#: never be paired with stale memoized content (the poisoning vector:
+#: _components committing CC labels computed from a stale edge memo
+#: UNDER the new stamp, which every later process would then serve).
+_CLUSTER_COMPONENTS: dict[tuple, DataFrame] = {}
 
 
-_DUP_EDGES: dict[tuple[str, str], DataFrame] = {}
+_DUP_EDGES: dict[tuple, DataFrame] = {}
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,17 +479,22 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a regenerated corpus or a changed definition re-mines.  Both
     branches serve from the committed parquet, so consumer plans are
     identical warm and cold."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    import hashlib
+
+    from hfp_loader_spark.plans.model_queries import (
+        _INDEX_BASE,
+        _corpus_key,
+        _corpus_stamp,
+    )
+    from hfp_loader_spark.versioned import stamped_snapshot
+
+    try:
+        stamp = _corpus_stamp(sf_dir, "documents")
+    except OSError:
+        stamp = None  # unstat-able corpus (remote path)
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
     edges = _DUP_EDGES.get(key)
     if edges is None:
-        import hashlib
-
-        from hfp_loader_spark.plans.model_queries import (
-            _INDEX_BASE,
-            _corpus_key,
-            _corpus_stamp,
-        )
-        from hfp_loader_spark.versioned import stamped_snapshot
 
         def mine() -> DataFrame:
             return jaccard_pairs(
@@ -497,10 +502,8 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 threshold=0.8,
             ).select("doc_a", "doc_b")
 
-        try:
-            stamp = _corpus_stamp(sf_dir, "documents")
-        except OSError:
-            # unstat-able corpus (remote path) — mine live, don't persist
+        if stamp is None:
+            # no content identity to stamp — mine live, don't persist
             edges = mine().localCheckpoint()
             _DUP_EDGES[key] = edges
             return edges
@@ -545,27 +548,30 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId is stable for the session's lifetime and never reused
     # by a successor (id(...) values can be — a GC'd session could alias a
     # fresh one onto a cache entry bound to a dead SparkContext)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    import hashlib
+
+    from hfp_loader_spark.plans.model_queries import (
+        _INDEX_BASE,
+        _corpus_key,
+        _corpus_stamp,
+    )
+    from hfp_loader_spark.versioned import stamped_snapshot
+
+    try:
+        stamp = _corpus_stamp(sf_dir, "documents")
+    except OSError:
+        stamp = None  # unstat-able corpus
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
     comp = _CLUSTER_COMPONENTS.get(key)
     if comp is None:
-        import hashlib
-
-        from hfp_loader_spark.plans.model_queries import (
-            _INDEX_BASE,
-            _corpus_key,
-            _corpus_stamp,
-        )
-        from hfp_loader_spark.versioned import stamped_snapshot
 
         def run_cc() -> DataFrame:
             return connected_components_alternating(
                 _dup_edges(spark, sf_dir), src="doc_a", dst="doc_b"
             )
 
-        try:
-            stamp = _corpus_stamp(sf_dir, "documents")
-        except OSError:
-            # unstat-able corpus — compute live (the CC loop's own
+        if stamp is None:
+            # no content identity — compute live (the CC loop's own
             # localCheckpoint backs the frame), don't persist
             comp = run_cc()
             _CLUSTER_COMPONENTS[key] = comp

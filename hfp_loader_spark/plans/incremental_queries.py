@@ -14,10 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hfp_loader_spark.operators.graph import (
-    pagerank,
-    prepare_pagerank_edges,
-)
+from hfp_loader_spark.operators.graph import pagerank
 from hfp_loader_spark.operators.relational import merge_upsert, scd2_intervals
 from hfp_loader_spark.plans.catalog import _t, defquery
 
@@ -235,10 +232,11 @@ def _pagerank_oracle() -> str:
 #: (applicationId, sf_dir) → checkpointed (edge-with-degree, vertex)
 #: split of the served shipment-graph artifact: repeated builder calls
 #: in one process (bench's build + timed runs) reuse ONE materialization
-#: instead of re-checkpointing the artifact per call.  Same
-#: memo-staleness contract as dedup_queries._DUP_EDGES: a corpus
-#: regenerated MID-PROCESS is served stale until a new session/process;
-#: the cross-process stamp handles the normal regeneration path.
+#: instead of re-checkpointing the artifact per call.  The key
+#: includes the input content stamp (same contract as
+#: dedup_queries._DUP_EDGES), so a corpus regenerated mid-process
+#: misses the memo and re-serves instead of pairing stale frames with
+#: a fresh generation.
 _CS_GRAPH: dict = {}
 
 
@@ -263,16 +261,28 @@ def graph_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey"
         )
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-        ew = prepare_pagerank_edges(
-            orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-                (F.col("o_custkey") * 2).alias("src"),
-                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        # checkpoint the distinct edge set BEFORE fanning out: the
+        # degree aggregate, the degree join's probe side, and the
+        # vertex derivation all reference it, and Spark shares no
+        # subtrees across a union — uncheckpointed, the expensive
+        # orders⋈lineitem mining join would execute ~4× in the one
+        # artifact-build write
+        e = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("e_src"),
+                (F.col("l_suppkey") * 2 + 1).alias("e_dst"),
             )
+            .distinct()
+            .localCheckpoint()
+        )
+        ew = e.join(
+            e.groupBy("e_src").agg(F.count("*").alias("_deg")), "e_src"
         )
         # vertex rows ride the same artifact (role 'n', degree NULL) so
         # a warm process serves edges AND the vertex set from one scan
         nodes = (
-            ew.select(
+            e.select(
                 F.explode(F.array("e_src", "e_dst")).alias("e_src")
             )
             .distinct()
@@ -304,18 +314,20 @@ def graph_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hfp_loader_spark.versioned import stamped_snapshot
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    try:
+        stamp = hashlib.md5(
+            (
+                _corpus_stamp(sf_dir, "orders")
+                + _corpus_stamp(sf_dir, "lineitem")
+            ).encode()
+        ).hexdigest()
+    except OSError:
+        stamp = None  # unstat-able inputs (remote path)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, stamp)
     split = _CS_GRAPH.get(memo_key)
     if split is None:
-        try:
-            stamp = hashlib.md5(
-                (
-                    _corpus_stamp(sf_dir, "orders")
-                    + _corpus_stamp(sf_dir, "lineitem")
-                ).encode()
-            ).hexdigest()
-        except OSError:
-            # unstat-able inputs (remote path) — mine live, don't persist
+        if stamp is None:
+            # no content identity — mine live, don't persist
             graph = mine()
         else:
             defn = "cust*2 -> supp*2+1 | distinct | _deg | +node rows"

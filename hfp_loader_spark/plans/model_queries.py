@@ -734,7 +734,7 @@ def _corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
 
 
 def _model_store(
-    spark: SparkSession, sf_dir: str, name: str, train
+    spark: SparkSession, sf_dir: str, name: str, train, defn: str
 ) -> tuple[list, list]:
     """Cross-PROCESS train-once for the serve models (VERDICT r15 #2):
     the in-process ``_IVF_SERVE_MODEL`` / ``_PQ_SERVE_MODEL`` memos
@@ -752,7 +752,12 @@ def _model_store(
     cq)`` (grouped PQ) tuples; the store normalizes IVF rows onto
     ``grp = -1`` and strips it back off on load.
 
-    The serve-or-build/stamp/truncate skeleton is
+    ``defn`` is the TRAINING DEFINITION (every hyperparameter the
+    trained frames depend on — k, iteration count, PQ geometry): it
+    rides the snapshot meta beside the corpus stamp, so changing a
+    hyperparameter retrains instead of serving the old-geometry model
+    (the same definition-hash contract the dup-edge/CC artifacts
+    carry).  The serve-or-build/stamp/truncate skeleton is
     ``versioned.stamped_snapshot`` — this function only owns the
     frame↔row codec.  Both branches decode from the committed snapshot
     (not the in-memory trained lists), so a codec asymmetry would fail
@@ -787,6 +792,7 @@ def _model_store(
             "kind": f"{name}_serve_model",
             "scale": _KM_SCALE,
             "corpus_stamp": stamp,
+            "defn": defn,
         },
         build,
     )
@@ -909,7 +915,13 @@ def _ivf_serve_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
 
             return (rows(cent_prev), rows(cent))
 
-        model = _model_store(spark, sf_dir, "ivf", train)
+        model = _model_store(
+            spark,
+            sf_dir,
+            "ivf",
+            train,
+            defn=f"k={_KM_K}|iters={_KM_ITERS}",
+        )
         _IVF_SERVE_MODEL[sf_dir] = model
     return model
 
@@ -1172,7 +1184,16 @@ def _pq_serve_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
 
             return (rows(books_prev), rows(books_last))
 
-        model = _model_store(spark, sf_dir, "pq", train)
+        model = _model_store(
+            spark,
+            sf_dir,
+            "pq",
+            train,
+            defn=(
+                f"m={_PQ_EX_M}|ksub={_PQ_EX_KSUB}|dim={_PQ_EX_DIM}"
+                f"|iters={_KM_ITERS}"
+            ),
+        )
         _PQ_SERVE_MODEL[sf_dir] = model
     return model
 

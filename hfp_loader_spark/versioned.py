@@ -257,7 +257,17 @@ def stamped_snapshot(
     head = commit_snapshot(spark, build(), root, mode=mode, meta=meta)
     if keep_last is not None:
         try:
-            truncate_history(spark, root, keep_last=keep_last)
+            # the 10-minute vacuum grace protects a RACING builder's
+            # just-written (manifest-less) data dir from being reaped
+            # before its manifest lands — without it, this automatic
+            # truncate could corrupt the racer's commit and the head
+            # would point at deleted files
+            truncate_history(
+                spark,
+                root,
+                keep_last=keep_last,
+                vacuum_min_age_seconds=600.0,
+            )
         except Exception:
             # reclaim is best-effort, serving is not: a racing truncate
             # or FS hiccup (surfacing as a py4j error, not OSError) must
@@ -266,27 +276,52 @@ def stamped_snapshot(
     return read_snapshot(spark, root, head)
 
 
-def vacuum(spark: SparkSession, root: str) -> list[str]:
+def vacuum(
+    spark: SparkSession, root: str, min_age_seconds: float = 0.0
+) -> list[str]:
     """Delete data dirs referenced by NO manifest (failed/raced commits).
 
     Safe because unreferenced dirs are unreadable by construction; dirs
-    referenced by ANY version are kept (time travel stays intact)."""
+    referenced by ANY version are kept (time travel stays intact).
+
+    ``min_age_seconds`` guards the one window where "unreferenced" is
+    NOT "dead": a concurrent :func:`commit_snapshot` writes its data
+    dir FIRST and its manifest second, so a vacuum running between the
+    two steps would reap a dir whose manifest is about to land —
+    leaving a head that points at deleted files.  AUTOMATIC vacuums
+    (the cache truncation ``stamped_snapshot`` runs after every
+    rebuild) must pass a grace period comfortably above any plausible
+    commit duration; explicit janitor calls on quiesced tables keep the
+    default 0.  This is the same dir-age retention rule Delta's VACUUM
+    and Iceberg's orphan-file removal ship for the identical race."""
     root = root.rstrip("/")
     fs, P = _fs(spark, root)
     live: set[str] = set()
     for info in table_history(spark, root):
         live.update(info.data_dirs)
     removed = []
+    now_ms = None
     for status in fs.listStatus(P(root)):
         name = status.getPath().getName()
         if name.startswith("d-") and name not in live:
+            if min_age_seconds > 0:
+                if now_ms is None:
+                    now_ms = (
+                        spark._jvm.java.lang.System.currentTimeMillis()
+                    )
+                age = (now_ms - status.getModificationTime()) / 1000.0
+                if age < min_age_seconds:
+                    continue  # possibly an in-flight commit's dir
             fs.delete(status.getPath(), True)
             removed.append(name)
     return removed
 
 
 def truncate_history(
-    spark: SparkSession, root: str, keep_last: int = 1
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 1,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` versions, then vacuum —
     the storage-reclaim valve that completes the compaction story
@@ -303,7 +338,9 @@ def truncate_history(
     pointing at deleted data.  Concurrent READERS of a dropped version
     must be outside their retention window by contract — the same
     rule every table format ships (Iceberg ``expireSnapshots``, Delta
-    ``VACUUM`` retention)."""
+    ``VACUUM`` retention).  ``vacuum_min_age_seconds`` passes through
+    to :func:`vacuum` — REQUIRED (non-zero) when concurrent WRITERS may
+    be mid-commit, see the vacuum docstring."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (a table needs a head)")
     head = latest_version(spark, root)
@@ -316,7 +353,7 @@ def truncate_history(
         if fs.exists(target):
             fs.delete(target, False)
             dropped.append(v)
-    vacuum(spark, root)
+    vacuum(spark, root, min_age_seconds=vacuum_min_age_seconds)
     return dropped
 
 

@@ -1094,7 +1094,9 @@ def test_stream_ingest_compact_materialize_serve_chain(
     assert served2 == served
 
 
-def test_model_store_serves_retrains_and_truncates(spark, tmp_path, monkeypatch):
+def test_model_store_serves_retrains_and_truncates(
+    spark, sf_dir, tmp_path, monkeypatch
+):
     """_model_store (r16, VERDICT r15 #2): first call trains and
     commits; a second call in the same (or a fresh) process serves the
     persisted model WITHOUT invoking train; a touched corpus file
@@ -1110,7 +1112,7 @@ def test_model_store_serves_retrains_and_truncates(spark, tmp_path, monkeypatch)
 
     corpus = tmp_path / "corpus"
     corpus.mkdir()
-    src = "/root/testdata/sf0.001/embeddings.parquet"
+    src = f"{sf_dir}/embeddings.parquet"
     shutil.copyfile(src, corpus / "embeddings.parquet")
     monkeypatch.setattr(mq, "_INDEX_BASE", str(tmp_path / "idx"))
 
@@ -1120,10 +1122,12 @@ def test_model_store_serves_retrains_and_truncates(spark, tmp_path, monkeypatch)
         calls.append("ivf")
         return ([(0, [1, 2]), (1, [3, 4])], [(0, [5, 6]), (1, [7, 8])])
 
-    got = mq._model_store(spark, str(corpus), "tivf", train_ivf)
+    got = mq._model_store(spark, str(corpus), "tivf", train_ivf, defn="d1")
     assert calls == ["ivf"]
     assert got == ([(0, [1, 2]), (1, [3, 4])], [(0, [5, 6]), (1, [7, 8])])
-    served = mq._model_store(spark, str(corpus), "tivf", train_ivf)
+    served = mq._model_store(
+        spark, str(corpus), "tivf", train_ivf, defn="d1"
+    )
     assert calls == ["ivf"]  # served, not retrained
     assert served == ([(0, [1, 2]), (1, [3, 4])], [(0, [5, 6]), (1, [7, 8])])
 
@@ -1135,21 +1139,27 @@ def test_model_store_serves_retrains_and_truncates(spark, tmp_path, monkeypatch)
             [(0, 0, [4]), (0, 1, [5]), (1, 0, [6])],
         )
 
-    mq._model_store(spark, str(corpus), "tpq", train_pq)
-    pq_served = mq._model_store(spark, str(corpus), "tpq", train_pq)
+    mq._model_store(spark, str(corpus), "tpq", train_pq, defn="d1")
+    pq_served = mq._model_store(
+        spark, str(corpus), "tpq", train_pq, defn="d1"
+    )
     assert calls == ["ivf", "pq"]
     assert pq_served == (
         [(0, 0, [1]), (0, 1, [2]), (1, 0, [3])],
         [(0, 0, [4]), (0, 1, [5]), (1, 0, [6])],
     )
 
+    # a changed training definition (hyperparameter bump) retrains
+    mq._model_store(spark, str(corpus), "tivf", train_ivf, defn="d2-k16")
+    assert calls == ["ivf", "pq", "ivf"]
+
     # a regenerated corpus (different content stamp) retrains
     p = corpus / "embeddings.parquet"
     st = p.stat()
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
-    mq._model_store(spark, str(corpus), "tivf", train_ivf)
-    assert calls == ["ivf", "pq", "ivf"]
+    mq._model_store(spark, str(corpus), "tivf", train_ivf, defn="d2-k16")
+    assert calls == ["ivf", "pq", "ivf", "ivf"]
 
     # cache semantics: history truncates to the head + one predecessor
     root = f"{mq._INDEX_BASE}/tivf_model_{mq._corpus_key(str(corpus))}"
-    assert {s.version for s in table_history(spark, root)} == {1, 2}
+    assert {s.version for s in table_history(spark, root)} == {2, 3}

@@ -300,3 +300,28 @@ def test_stamped_snapshot_serves_builds_and_invalidates(spark, tmp_path):
     assert latest_version(spark, root) == 3
     ops = {s.version for s in table_history(spark, root)}
     assert ops == {2, 3}
+
+
+def test_vacuum_grace_spares_recent_unreferenced_dirs(spark, tmp_path):
+    """The in-flight-commit race (r16 review): commit_snapshot writes
+    its data dir BEFORE its manifest, so a vacuum with a grace period
+    must SPARE a fresh unreferenced dir (possibly a racing builder's)
+    and an ungraced vacuum may reap it.  The automatic cache truncation
+    stamped_snapshot runs passes a 10-minute grace for exactly this."""
+    import os
+
+    from hfp_loader_spark.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    commit_snapshot(spark, _df(spark, [(1, "a")]), root)
+    orphan = os.path.join(root, "d-orphan-fresh")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+
+    assert vacuum(spark, root, min_age_seconds=600) == []  # spared
+    assert os.path.isdir(orphan)
+    assert vacuum(spark, root) == ["d-orphan-fresh"]  # ungraced reap
+    assert not os.path.isdir(orphan)
+    # the committed version is untouched either way
+    assert [r["k"] for r in read_snapshot(spark, root).collect()] == [1]
