@@ -64,7 +64,7 @@ def kmeans_fixed_point(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
-    checkpoint: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means, ``iters`` assignment/update rounds, deterministic
     end to end: centroids initialize from the ``k`` lowest-id vectors
@@ -78,11 +78,18 @@ def kmeans_fixed_point(
     exact quantized squared distance.  ``dist_q / scale²`` recovers the
     float-space squared distance to quantization error.
 
-    ``checkpoint=True`` truncates lineage with a lazy
-    ``localCheckpoint(eager=False)`` per iteration — use it for real
-    iteration counts; the default keeps plan construction job-free so
-    catalog builders stay lazy (iteration depth here is small and
-    Catalyst handles the nested-join plan fine)."""
+    ``checkpoint=True`` (the default since optimization r16) truncates
+    lineage with a lazy ``localCheckpoint(eager=False)`` on the k-row
+    centroid frame per iteration.  ``eager=False`` keeps plan
+    construction job-free (a catalog builder must not run Spark jobs),
+    and the checkpoint changes NO value — it only pins each round's
+    centroids so round i+1 references them instead of replaying rounds
+    1..i: uncheckpointed, the unrolled recurrence re-executes earlier
+    rounds' corpus aggregates inside every later round's broadcast (70
+    parquet scans of the corpus at iters=3 in the sim_ann_ivf_exact_cells
+    plan; 2.2 s → 0.49 s measured on the training subtree at sf0.1).
+    Pass ``checkpoint=False`` only when the caller wants one purely
+    declarative plan (e.g. to inspect the full recurrence)."""
     assign, _ = kmeans_fixed_point_model(
         emb, k, iters, id_col, vec_col, scale, checkpoint
     )
@@ -96,7 +103,7 @@ def kmeans_fixed_point_model(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
-    checkpoint: bool = False,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`kmeans_fixed_point` returning the MODEL too:
     ``(assign, centroids)`` where ``centroids`` is the k-row
@@ -130,7 +137,7 @@ def kmeans_fixed_point_trajectory(
     round (and the assignment) reuse it.  Values are bit-identical to
     two separate runs — same trajectory, same SQL twins."""
     return _kmeans_fp_run(
-        emb, k, iters, id_col, vec_col, scale, False, keep_prev=True
+        emb, k, iters, id_col, vec_col, scale, True, keep_prev=True
     )
 
 
@@ -229,6 +236,7 @@ def kmeans_fixed_point_grouped(
     group_col: str = "grp",
     id_col: str = "vec_id",
     qvec_col: str = "q",
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fixed-point Lloyd's k-means run INDEPENDENTLY per group in ONE
     plan — G parallel clusterings (one per ``group_col`` value) whose
@@ -250,9 +258,16 @@ def kmeans_fixed_point_grouped(
     clustering; a single plan trains all groups, so the G clusterings
     share every shuffle.  Scale shape per iteration: broadcast of the
     G·k centroid frame joined on the group key, then one
-    (group, cluster, pos) update aggregate."""
+    (group, cluster, pos) update aggregate.
+
+    ``checkpoint=True`` (default) lazily pins the G·k-row centroid
+    frame per round — same no-value-change lineage truncation as
+    :func:`kmeans_fixed_point`; without it the unrolled recurrence
+    replays earlier rounds' corpus aggregates inside later rounds'
+    broadcasts."""
     assign, _, cent = _kmeans_fp_grouped_run(
-        vecs, k, iters, group_col, id_col, qvec_col, keep_prev=False
+        vecs, k, iters, group_col, id_col, qvec_col,
+        checkpoint=checkpoint, keep_prev=False,
     )
     return assign, cent
 
@@ -264,6 +279,7 @@ def kmeans_fixed_point_grouped_trajectory(
     group_col: str = "grp",
     id_col: str = "vec_id",
     qvec_col: str = "q",
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Grouped sibling of :func:`kmeans_fixed_point_trajectory`:
     ``(assign, cent_prev, cent)`` from ONE grouped training run —
@@ -273,7 +289,8 @@ def kmeans_fixed_point_grouped_trajectory(
     recurrence once, not twice (VERDICT r11 #2).  Bit-identical to two
     separate runs."""
     return _kmeans_fp_grouped_run(
-        vecs, k, iters, group_col, id_col, qvec_col, keep_prev=True
+        vecs, k, iters, group_col, id_col, qvec_col,
+        checkpoint=checkpoint, keep_prev=True,
     )
 
 
@@ -284,6 +301,7 @@ def _kmeans_fp_grouped_run(
     group_col: str,
     id_col: str,
     qvec_col: str,
+    checkpoint: bool,
     keep_prev: bool,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     q = vecs.where(F.size(F.col(qvec_col)) > 0).select(
@@ -343,6 +361,11 @@ def _kmeans_fp_grouped_run(
             "cluster",
             F.coalesce(F.col("nq"), F.col("cq")).alias("cq"),
         )
+        if checkpoint:
+            # lazy pin of the G·k-row centroid frame — truncates the
+            # recurrence so round i+1 references round i's result
+            # instead of replaying rounds 1..i (no value change)
+            cent = cent.localCheckpoint(eager=False)
     return (
         assign.select(
             F.col("_g").alias(group_col),

@@ -45,9 +45,14 @@ ALLOWED_HINTED_QUERY_SETS = {
     # is bounded by a per-group row_number() <= k FILTER (G·k rows by
     # construction) rather than a structural GlobalLimit the walker can
     # prove (the scalar k-means path uses orderBy().limit() and does
-    # not flag) — bounded query-set-style justification, k=16×8 / 4×10.
+    # not flag) — bounded query-set-style justification, k=16×8.
+    # (emb_kmeans_by_label dropped from the list in optimization r16:
+    # with the per-round lazy localCheckpoint the hinted centroid frame
+    # is a truncated ExistingRDD, so no hint sits over a raw parquet
+    # scan in its plan anymore.  sim_ann_pq_exact_codes still flags via
+    # the round-0 seed-centroid broadcast, whose lineage reaches the
+    # embeddings scan before any checkpoint exists.)
     "sim_ann_pq_exact_codes": ["embeddings"],
-    "emb_kmeans_by_label": ["embeddings"],
 }
 
 #: Per-headline-query physical invariants, measured at sf0.001 with a

@@ -1163,3 +1163,26 @@ def test_model_store_serves_retrains_and_truncates(
     # cache semantics: history truncates to the head + one predecessor
     root = f"{mq._INDEX_BASE}/tivf_model_{mq._corpus_key(str(corpus))}"
     assert {s.version for s in table_history(spark, root)} == {2, 3}
+
+
+def test_index_base_defaults_to_fresh_per_process_dir():
+    """Measurement-isolation contract (optimization r16): without an
+    explicit ``SPARK_GRAFT_INDEX_DIR``, the serve-artifact root is a
+    FRESH per-process temp dir — two processes can never share trained
+    models/mined indexes by accident, so every bench/oracle invocation
+    derives its artifacts from the parquet inputs.  Cross-process
+    persistence is opt-in via the env var only."""
+    import os
+    import re
+
+    from hfp_loader_spark.plans import model_queries as mq
+
+    if os.environ.get("SPARK_GRAFT_INDEX_DIR"):
+        assert mq._INDEX_BASE == os.environ["SPARK_GRAFT_INDEX_DIR"]
+        return
+    # default: a mkdtemp-created dir unique to this process...
+    assert re.search(r"spark_graft_serve_index_", mq._INDEX_BASE)
+    assert os.path.isdir(mq._INDEX_BASE)
+    # ...and a second resolution never aliases the first (no fixed path
+    # a later process would silently inherit)
+    assert mq._default_index_base() != mq._INDEX_BASE
