@@ -18,12 +18,14 @@ so ANY engine replaying the same recurrence lands on the identical
 clustering.  The quantization error is bounded by 1/scale per
 coordinate — 1e-6 at the default, far below embedding noise.
 
-Scale shape per iteration: one broadcast join of the k-row centroid
-frame onto the corpus (no corpus shuffle for assignment — the argmin is
-a map-side fold over a k-element broadcast array is avoided in favor of
-a join + min(struct) aggregate so partial aggregation still applies),
-then one (cluster, dim) hash aggregate for the update whose key space is
-k·dim rows.  Overflow headroom: |q| ≤ scale·|x|; with scale 1e6 and
+Scale shape per iteration (optimization r16): the k-row centroid frame
+collapses to a single broadcast ARRAY row and assignment is a map-side
+fold over it — the corpus neither fans out k-fold nor shuffles for
+assignment, and because the scored projection still carries the vector,
+the centroid update aggregates it directly (no assign→corpus re-join).
+The only per-round exchange over corpus-derived data is the
+(cluster, dim) update aggregate, whose map-side partial output is
+≤ k·dim rows per task.  Overflow headroom: |q| ≤ scale·|x|; with scale 1e6 and
 |x| ≤ 10 a squared diff is ≤ 4e14, so dims ≤ ~20k fit int64; the
 centroid sum stays exact while cluster mass × scale·|x| < 2^53.
 """
@@ -54,6 +56,54 @@ def _sq_dist(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+#: init distance for the argmin fold — any real squared distance is
+#: strictly below it (|d| ≤ 4e14·dim ≪ 2⁶³−1 per the overflow headroom)
+_MAX_LONG = 9223372036854775807
+
+
+def _centroid_array(cent: DataFrame, *group_cols: str) -> DataFrame:
+    """Collapse the (bounded) centroid frame to ONE row per group
+    carrying the full centroid list as ``_cents`` —
+    ``array<struct<cluster,cq>>`` sorted ascending by cluster id
+    (cluster is unique, so the sort is deterministic).  This is what
+    lets assignment run as a map-side fold instead of a corpus
+    explode+shuffle."""
+    return cent.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster"), F.col("cq")))
+        ).alias("_cents")
+    )
+
+
+def _argmin_centroid(qcol: Column, cents: Column) -> Column:
+    """``struct(d, cluster)`` of the nearest centroid in ``cents`` (the
+    cluster-ascending array from :func:`_centroid_array`): a transform
+    computes each exact distance once, then a fold keeps the first
+    strict minimum.  Identical semantics to
+    ``min(struct(d, cluster))`` over exploded (row × centroid) pairs —
+    lowest distance, ties to the lowest cluster id (ascending iteration
+    + strict ``<`` keeps the earliest) — but evaluated entirely
+    map-side: the corpus never fans out k-fold and never shuffles for
+    assignment (optimization r16, guide §2.3/§2.4)."""
+    dists = F.transform(
+        cents,
+        lambda c: F.struct(
+            _sq_dist(qcol, c.getField("cq")).alias("d"),
+            c.getField("cluster").alias("cluster"),
+        ),
+    )
+    init = F.struct(
+        F.lit(_MAX_LONG).alias("d"), F.lit(-1).alias("cluster")
+    )
+    return F.aggregate(
+        dists,
+        init,
+        lambda acc, x: F.when(
+            x.getField("d") < acc.getField("d"), x
+        ).otherwise(acc),
     )
 
 
@@ -177,22 +227,30 @@ def _kmeans_fp_run(
             # the prev frame share one computation of rounds 1..iters-1
             cent = cent.localCheckpoint(eager=False)
             cent_prev = cent
-        pairs = q.crossJoin(F.broadcast(cent)).select(
+        # assignment as a map-side fold over the broadcast k-row
+        # centroid ARRAY (optimization r16): the old shape exploded
+        # N·k (row, centroid) pairs through a groupBy(id) shuffle and
+        # then re-joined the corpus to reach the vectors for the
+        # update — two corpus-sized exchanges per round.  Here
+        # ``scored`` carries (id, q, argmin) in one projection, so the
+        # only per-round exchanges left are the k-row centroid
+        # collapse and the (cluster, pos)-keyed update aggregate
+        # (map-side partial ≤ k·dim rows per task).  Values are
+        # bit-identical: the fold replicates min(struct(d, cluster)).
+        carr = _centroid_array(cent)
+        scored = q.crossJoin(F.broadcast(carr)).select(
             id_col,
-            "cluster",
-            _sq_dist(F.col("q"), F.col("cq")).alias("d"),
+            "q",
+            _argmin_centroid(F.col("q"), F.col("_cents")).alias("_m"),
         )
-        assign = pairs.groupBy(id_col).agg(
-            F.min(F.struct(F.col("d"), F.col("cluster"))).alias("_m")
-        ).select(
+        assign = scored.select(
             id_col,
             F.col("_m.cluster").alias("cluster"),
             F.col("_m.d").alias("dist_q"),
         )
         upd = (
-            assign.join(q, id_col)
-            .select(
-                "cluster",
+            scored.select(
+                F.col("_m.cluster").alias("cluster"),
                 F.posexplode("q").alias("pos", "v"),
             )
             .groupBy("cluster", "pos")
@@ -325,25 +383,29 @@ def _kmeans_fp_grouped_run(
         if keep_prev and it == iters - 1:
             cent = cent.localCheckpoint(eager=False)
             cent_prev = cent
-        pairs = q.join(F.broadcast(cent), "_g").select(
+        # map-side argmin fold over the per-group centroid array — see
+        # the ungrouped loop: removes the N·k pair explode + groupBy
+        # shuffle AND the assign→q re-join per round; the broadcast
+        # side is the G-row array frame.  Bit-identical values.
+        carr = _centroid_array(cent, "_g")
+        scored = q.join(F.broadcast(carr), "_g").select(
             "_g",
             "_id",
-            "cluster",
-            _sq_dist(F.col("_q"), F.col("cq")).alias("d"),
+            "_q",
+            _argmin_centroid(F.col("_q"), F.col("_cents")).alias("_m"),
         )
-        assign = (
-            pairs.groupBy("_g", "_id")
-            .agg(F.min(F.struct(F.col("d"), F.col("cluster"))).alias("_m"))
-            .select(
-                "_g",
-                "_id",
-                F.col("_m.cluster").alias("cluster"),
-                F.col("_m.d").alias("dist_q"),
-            )
+        assign = scored.select(
+            "_g",
+            "_id",
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.d").alias("dist_q"),
         )
         upd = (
-            assign.join(q, ["_g", "_id"])
-            .select("_g", "cluster", F.posexplode("_q").alias("pos", "v"))
+            scored.select(
+                "_g",
+                F.col("_m.cluster").alias("cluster"),
+                F.posexplode("_q").alias("pos", "v"),
+            )
             .groupBy("_g", "cluster", "pos")
             .agg(F.round(F.sum("v") / F.count("*")).cast("long").alias("v"))
             .groupBy("_g", "cluster")

@@ -288,3 +288,57 @@ def test_roc_auc_score_round_to_none_preserves_exact_scores(spark):
     # merged: the two 0.5s tie → 0.5 credit → AUC = 3.5/4
     assert abs(merged["auc"] - 0.875) < 1e-9
     assert exact["n_pos"] == merged["n_pos"] == 2
+
+
+def test_roc_auc_unrounded_high_cardinality_sharded_cumsum(spark):
+    """VERDICT r15 #5: with score_round_to=None on a continuous score
+    the distinct-score frame is data-sized, so the rank cumsum must NOT
+    run through one unpartitioned global window.  Planted: 3000 unique
+    random doubles — the result must match a brute-force tie-aware
+    Mann-Whitney exactly, and the physical plan's only unpartitioned
+    window must be over the bounded n_shards totals frame (the
+    data-sized window is partitioned by the range shard)."""
+    import random
+
+    from hfp_loader_spark.operators.ranking import roc_auc
+
+    rng = random.Random(1612)
+    rows = [(rng.random(), rng.random() < 0.3) for _ in range(3000)]
+    assert len({s for s, _ in rows}) == len(rows)  # all distinct
+    df = spark.createDataFrame(rows, "score double, label boolean")
+
+    out = roc_auc(df, "score", "label", score_round_to=None, n_shards=7)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the distinct-score window is shard-partitioned ...
+    assert "_shard" in plan
+    # ... and every unpartitioned Window in the plan sits over the
+    # n_shards-row totals frame, never the score frame: the totals
+    # frame is the output of the groupBy(_shard) agg, so the global
+    # window's child must carry _tot, not _n.
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*_off[^\]]*\]", plan):
+        assert "_tot" in m.group(0)
+
+    got = out.collect()[0]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    wins = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    assert got["auc"] == round(wins / (len(pos) * len(neg)), 6)
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+
+    # and the two formulations agree bit-for-bit on tied/degenerate
+    # inputs too (integer-valued double sums are exact in both shapes)
+    tied = [(float(i % 5) / 10.0, i % 3 == 0) for i in range(200)]
+    tdf = spark.createDataFrame(tied, "score double, label boolean")
+    a = roc_auc(tdf, "score", "label", score_round_to=None).collect()[0]
+    b = roc_auc(tdf, "score", "label", score_round_to=6).collect()[0]
+    assert (a["auc"], a["n_pos"], a["n_neg"]) == (
+        b["auc"],
+        b["n_pos"],
+        b["n_neg"],
+    )
