@@ -159,6 +159,25 @@ def _calibrate(spark) -> float:
 DETAIL_FILE = "BENCH_DETAIL.json"
 
 
+def _round_bench_files(repo_dir: str) -> list[str]:
+    """Driver ROUND files ``BENCH_r<digits>.json`` sorted by round, the
+    shared universe for after_bench stamping and the walkback.  The
+    driver's scaling runs (``BENCH_r16_c8.json``) are excluded: a
+    same-round lower-core wrapper sorting after the round file made the
+    stamp and the walkback disagree about "the newest bench file"
+    (VERDICT r16 #5 — the r16 detail ended the round stamped with its
+    OWN round's file and the driver could not align it)."""
+    import glob
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), p))
+    return [p for _, p in sorted(out)]
+
+
 def _load_prev_queries(repo_dir: str) -> tuple[dict | None, str | None]:
     """Newest usable previous per-query time map (VERDICT r14 #2).
 
@@ -175,9 +194,7 @@ def _load_prev_queries(repo_dir: str) -> tuple[dict | None, str | None]:
     BENCH file yet (a local rehearsal) and is deliberately ignored — the
     driver's comparison must never target rehearsal numbers from a
     different host."""
-    import glob
-
-    prevs = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    prevs = _round_bench_files(repo_dir)
     detail_after = None
     detail_q = None
     try:
@@ -335,6 +352,7 @@ FINAL_LINE_KEYS = (
     "value",
     "unit",
     "sf",
+    "cpus",
     "n_queries",
     "calib_sec",
     "calib_pre_sec",
@@ -373,7 +391,7 @@ def render_output(out: dict) -> tuple[list[str], str]:
     final = {k: out[k] for k in FINAL_LINE_KEYS if k in out}
     final["n_queries"] = len(out.get("queries") or {})
     final["regressions_1p25x_count"] = len(out.get("regressions_1p25x") or [])
-    final["detail_file"] = DETAIL_FILE
+    final["detail_file"] = out.get("detail_file", DETAIL_FILE)
     detail_lines = [
         json.dumps({"bench_detail": k, k: out[k]})
         for k in (
@@ -406,23 +424,56 @@ def render_output(out: dict) -> tuple[list[str], str]:
     return detail_lines, final_line
 
 
-def write_detail(out: dict, repo_dir: str) -> None:
+def write_detail(out: dict, repo_dir: str, cpus: int | None = None) -> str:
     """Persist the FULL result doc (per-query times, spreads, regression
-    list, calib bracket) to ``DETAIL_FILE`` so the next round's
-    comparison can target this round even though the driver's BENCH file
-    now carries only the compact headline.  ``after_bench`` stamps the
-    newest BENCH_r*.json existing at run time — i.e. the PREVIOUS
+    list, calib bracket) so the next round's comparison can target this
+    round even though the driver's BENCH file carries only the compact
+    headline.  ``after_bench`` stamps the newest ROUND file
+    (``BENCH_r<digits>.json``) existing at run time — i.e. the PREVIOUS
     round — which is how :func:`_load_prev_queries` aligns the detail
-    with the BENCH file the driver writes for THIS run afterwards."""
-    import glob
+    with the BENCH file the driver writes for THIS run afterwards.
 
-    prevs = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    Per-run evidence is never clobbered (VERDICT r16 #5: the driver's
+    same-round 8-core scaling run overwrote the 32-core detail and the
+    round's per-query comparison was lost):
+
+    * every run additionally writes ``BENCH_DETAIL_c<cpus>.json`` —
+      the per-run record, keyed by core count, that a later run at a
+      different core count can never touch;
+    * the canonical ``DETAIL_FILE`` (the walkback's comparison
+      baseline) is only (over)written by a run with ``cpus`` >= the
+      canonical's recorded ``cpus`` — the full-core run owns it, a
+      subsequent scaling run at fewer cores leaves it intact.  A
+      canonical without a ``cpus`` field (pre-r17 format) is always
+      replaceable.
+
+    Returns the per-run keyed filename (published as ``detail_file``
+    on the final line, so each BENCH_r*.json points at the detail that
+    belongs to ITS run)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    prevs = _round_bench_files(repo_dir)
     doc = dict(out)
     doc["after_bench"] = os.path.basename(prevs[-1]) if prevs else None
-    tmp = os.path.join(repo_dir, DETAIL_FILE + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh, indent=1)
-    os.replace(tmp, os.path.join(repo_dir, DETAIL_FILE))
+    doc["cpus"] = cpus
+
+    def _write(name: str) -> None:
+        tmp = os.path.join(repo_dir, name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        os.replace(tmp, os.path.join(repo_dir, name))
+
+    keyed = f"BENCH_DETAIL_c{cpus}.json"
+    _write(keyed)
+    canonical_cpus = None
+    try:
+        with open(os.path.join(repo_dir, DETAIL_FILE)) as fh:
+            canonical_cpus = json.load(fh).get("cpus")
+    except Exception:
+        pass
+    if not isinstance(canonical_cpus, int) or cpus >= canonical_cpus:
+        _write(DETAIL_FILE)
+    return keyed
 
 
 def arrow_attribution(calib_arrow: float) -> dict:
@@ -713,13 +764,16 @@ def main() -> None:
     out.update(arrow_attribution(calib_arrow))
     if rejected:
         out["calib_rejected"] = rejected
+    out["cpus"] = int(
+        os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+    )
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # comparison BEFORE write_detail: the on-disk detail file is still
     # the PREVIOUS round's at this point and must be readable as such
     cmp = prev_round_comparison(times, repo_dir, spread)
     if cmp:
         out.update(cmp)
-    write_detail(out, repo_dir)
+    out["detail_file"] = write_detail(out, repo_dir, out["cpus"])
     detail_lines, final_line = render_output(out)
     for line in detail_lines:
         print(line)

@@ -94,7 +94,19 @@ def bpe_train(
 
     Scale: the corpus contributes one tokenize+count pass; rounds
     iterate on the distinct-word frame (vocab-bounded, lazily
-    localCheckpointed per round so plan depth stays linear)."""
+    localCheckpointed ONCE per round so plan depth stays linear).
+    Optimization r17: the winning pair rides the vocab checkpoint as
+    three constant columns instead of being checkpointed separately —
+    r16's two pins per round meant two sequential plan-finalization
+    barriers on the driver (each ``localCheckpoint`` materializes its
+    AQE stages), and the bench showed the 6-merge entry spending most
+    of its wall there; one pin per round halves the barriers while
+    keeping exactly ONE pair-count aggregate per round (recomputing
+    ``best`` for the output would have doubled the vocab-sized pass at
+    scale).  The merge row is recovered from any vocab row (the joined
+    pair columns are identical on every row); a pair-less round leaves
+    them NULL on every row, so the rank degrades to no output row
+    exactly as before."""
     from hfp_loader_spark.operators.relational import global_top_k
     from hfp_loader_spark.operators.text import tokens
 
@@ -120,14 +132,6 @@ def bpe_train(
         )
         best = global_top_k(
             pairs, [F.desc("cnt"), F.asc("l"), F.asc("r2")], 1
-        ).localCheckpoint(eager=False)
-        merge_frames.append(
-            best.select(
-                F.lit(rank).alias("merge_rank"),
-                F.col("l").alias("pair_left"),
-                F.col("r2").alias("pair_right"),
-                F.col("cnt").alias("pair_count"),
-            )
         )
         vocab = (
             vocab.join(F.broadcast(best), F.lit(True), "left")
@@ -137,9 +141,23 @@ def bpe_train(
                 _greedy_merge(
                     F.col("syms"), F.col("l"), F.col("r2")
                 ).alias("syms"),
+                "l",
+                "r2",
+                "cnt",
             )
             .localCheckpoint(eager=False)
         )
+        merge_frames.append(
+            vocab.where(F.col("l").isNotNull())
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("l").alias("pair_left"),
+                F.col("r2").alias("pair_right"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        vocab = vocab.select("word", "freq", "syms")
     out = merge_frames[0]
     for mf in merge_frames[1:]:
         out = out.unionByName(mf)

@@ -128,6 +128,13 @@ def kmeans_fixed_point(
     exact quantized squared distance.  ``dist_q / scale²`` recovers the
     float-space squared distance to quantization error.
 
+    Precondition (ADVICE r16): ``id_col`` must be unique.  The map-side
+    argmin emits one assignment row per INPUT row; with duplicate ids
+    (especially carrying different vectors) both the output cardinality
+    and the centroid update differ from a groupBy(id)-deduplicating
+    formulation — the bit-identical cross-engine contract is stated for
+    unique ids only.  Deduplicate upstream if the corpus can repeat ids.
+
     ``checkpoint=True`` (the default since optimization r16) truncates
     lineage with a lazy ``localCheckpoint(eager=False)`` on the k-row
     centroid frame per iteration.  ``eager=False`` keeps plan
@@ -138,7 +145,13 @@ def kmeans_fixed_point(
     rounds' corpus aggregates inside every later round's broadcast (70
     parquet scans of the corpus at iters=3 in the sim_ann_ivf_exact_cells
     plan; 2.2 s → 0.49 s measured on the training subtree at sf0.1).
-    Pass ``checkpoint=False`` only when the caller wants one purely
+    Cluster caveat (ADVICE r16): ``localCheckpoint`` stores unreplicated
+    executor-local blocks — under executor loss or dynamic allocation
+    the job fails irrecoverably instead of recomputing, and the plan is
+    no longer purely declarative.  Deployments with preemptible
+    executors should pass ``checkpoint=False`` (or wire reliable
+    ``sparkContext.setCheckpointDir`` checkpointing around the loop).
+    Pass ``checkpoint=False`` also when the caller wants one purely
     declarative plan (e.g. to inspect the full recurrence)."""
     assign, _ = kmeans_fixed_point_model(
         emb, k, iters, id_col, vec_col, scale, checkpoint
@@ -191,6 +204,32 @@ def kmeans_fixed_point_trajectory(
     )
 
 
+def _apply_update(carr_cents: Column, upd: Column) -> Column:
+    """Next round's ``_cents`` array from the current one and the
+    per-round update list ``upd`` = array<struct<cluster,pos,v>> sorted
+    ascending by (cluster, pos): each centroid's new coordinates are the
+    update entries filtered to its cluster id (pos-ascending because the
+    list is sorted), and a cluster with NO update entries (lost all
+    members — or the update side is NULL entirely) keeps its previous
+    coordinates.  Pure array expressions over model-sized data: the
+    k-row update join + re-collapse the r16 shape paid one exchange per
+    round for is gone (optimization r17)."""
+    def one(c: Column) -> Column:
+        mine = F.filter(
+            upd,
+            lambda s: s.getField("cluster") == c.getField("cluster"),
+        )
+        nq = F.transform(mine, lambda s: s.getField("v"))
+        return F.struct(
+            c.getField("cluster").alias("cluster"),
+            F.when(F.size(nq) > 0, nq)
+            .otherwise(c.getField("cq"))
+            .alias("cq"),
+        )
+
+    return F.transform(carr_cents, one)
+
+
 def _kmeans_fp_run(
     emb: DataFrame,
     k: int,
@@ -219,25 +258,34 @@ def _kmeans_fp_run(
         )
     )
 
+    # The loop STATE is the collapsed one-row centroid-array frame
+    # (optimization r17), not the k-row (cluster, cq) frame: the r16
+    # shape re-collapsed the k rows into the broadcast array EVERY
+    # round (a SinglePartition exchange) and rebuilt the k rows from
+    # the update via a join (another exchange + a broadcast).  Keeping
+    # the array form as the recurrence state leaves exactly TWO
+    # exchanges per round — the (cluster, pos) update aggregate
+    # (map-side partial ≤ k·dim rows per task) and the k·dim-row
+    # collapse of its output — and shrinks what each per-round
+    # localCheckpoint pins to ONE array row.  Values are bit-identical:
+    # the update algebra (round(Σv/n) per occupied position,
+    # pos-ascending assembly, empty clusters keep their centroid) is
+    # unchanged, it just runs inside array expressions
+    # (:func:`_apply_update`) instead of a join.
+    carr = _centroid_array(cent)
     assign = None
-    cent_prev = cent
+    carr_prev = carr
     for it in range(iters):
         if keep_prev and it == iters - 1:
             # pin c_{iters-1} so the final round AND a later collect of
             # the prev frame share one computation of rounds 1..iters-1
-            cent = cent.localCheckpoint(eager=False)
-            cent_prev = cent
-        # assignment as a map-side fold over the broadcast k-row
-        # centroid ARRAY (optimization r16): the old shape exploded
-        # N·k (row, centroid) pairs through a groupBy(id) shuffle and
-        # then re-joined the corpus to reach the vectors for the
-        # update — two corpus-sized exchanges per round.  Here
-        # ``scored`` carries (id, q, argmin) in one projection, so the
-        # only per-round exchanges left are the k-row centroid
-        # collapse and the (cluster, pos)-keyed update aggregate
-        # (map-side partial ≤ k·dim rows per task).  Values are
+            carr = carr.localCheckpoint(eager=False)
+            carr_prev = carr
+        # assignment as a map-side fold over the broadcast one-row
+        # centroid ARRAY (optimization r16): ``scored`` carries
+        # (id, q, argmin) in one projection — the corpus never fans out
+        # k-fold and never shuffles for assignment.  Values are
         # bit-identical: the fold replicates min(struct(d, cluster)).
-        carr = _centroid_array(cent)
         scored = q.crossJoin(F.broadcast(carr)).select(
             id_col,
             "q",
@@ -259,22 +307,28 @@ def _kmeans_fp_run(
                 .cast("long")
                 .alias("v")
             )
-            .groupBy("cluster")
+            .groupBy()
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("v")))
-                    ),
-                    lambda s: s.getField("v"),
-                ).alias("nq")
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cluster"), F.col("pos"), F.col("v"))
+                    )
+                ).alias("_upd")
             )
         )
-        cent = cent.join(upd, "cluster", "left").select(
-            "cluster", F.coalesce(F.col("nq"), F.col("cq")).alias("cq")
+        carr = carr.crossJoin(F.broadcast(upd)).select(
+            _apply_update(F.col("_cents"), F.col("_upd")).alias("_cents")
         )
         if checkpoint:
-            cent = cent.localCheckpoint(eager=False)
-    return assign, cent_prev, cent
+            carr = carr.localCheckpoint(eager=False)
+
+    def explode_carr(c: DataFrame) -> DataFrame:
+        e = c.select(F.explode("_cents").alias("_c"))
+        return e.select(
+            F.col("_c.cluster").alias("cluster"), F.col("_c.cq").alias("cq")
+        )
+
+    return assign, explode_carr(carr_prev), explode_carr(carr)
 
 
 def kmeans_cluster_profile(assign: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -377,17 +431,21 @@ def _kmeans_fp_grouped_run(
             F.col("_q").alias("cq"),
         )
     )
+    # loop state = the G-row per-group centroid-array frame — see the
+    # ungrouped loop for the r17 rationale (two exchanges per round:
+    # the (g, cluster, pos) update aggregate with map-side partials and
+    # the G·k·dim-row collapse; the per-round k-row re-collapse and
+    # update join of the r16 shape are gone).  Bit-identical values.
+    carr = _centroid_array(cent, "_g")
     assign = None
-    cent_prev = cent
+    carr_prev = carr
     for it in range(iters):
         if keep_prev and it == iters - 1:
-            cent = cent.localCheckpoint(eager=False)
-            cent_prev = cent
-        # map-side argmin fold over the per-group centroid array — see
-        # the ungrouped loop: removes the N·k pair explode + groupBy
-        # shuffle AND the assign→q re-join per round; the broadcast
-        # side is the G-row array frame.  Bit-identical values.
-        carr = _centroid_array(cent, "_g")
+            carr = carr.localCheckpoint(eager=False)
+            carr_prev = carr
+        # map-side argmin fold over the per-group centroid array — the
+        # broadcast side is the G-row array frame; the corpus never
+        # fans out k-fold and never shuffles for assignment.
         scored = q.join(F.broadcast(carr), "_g").select(
             "_g",
             "_id",
@@ -408,26 +466,33 @@ def _kmeans_fp_grouped_run(
             )
             .groupBy("_g", "cluster", "pos")
             .agg(F.round(F.sum("v") / F.count("*")).cast("long").alias("v"))
-            .groupBy("_g", "cluster")
+            .groupBy("_g")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("v")))
-                    ),
-                    lambda s: s.getField("v"),
-                ).alias("nq")
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cluster"), F.col("pos"), F.col("v"))
+                    )
+                ).alias("_upd")
             )
         )
-        cent = cent.join(upd, ["_g", "cluster"], "left").select(
+        carr = carr.join(F.broadcast(upd), "_g", "left").select(
             "_g",
-            "cluster",
-            F.coalesce(F.col("nq"), F.col("cq")).alias("cq"),
+            _apply_update(F.col("_cents"), F.col("_upd")).alias("_cents"),
         )
         if checkpoint:
-            # lazy pin of the G·k-row centroid frame — truncates the
+            # lazy pin of the G-row array frame — truncates the
             # recurrence so round i+1 references round i's result
             # instead of replaying rounds 1..i (no value change)
-            cent = cent.localCheckpoint(eager=False)
+            carr = carr.localCheckpoint(eager=False)
+
+    def explode_carr(c: DataFrame) -> DataFrame:
+        e = c.select("_g", F.explode("_cents").alias("_c"))
+        return e.select(
+            F.col("_g").alias(group_col),
+            F.col("_c.cluster").alias("cluster"),
+            F.col("_c.cq").alias("cq"),
+        )
+
     return (
         assign.select(
             F.col("_g").alias(group_col),
@@ -435,8 +500,8 @@ def _kmeans_fp_grouped_run(
             "cluster",
             "dist_q",
         ),
-        cent_prev.select(F.col("_g").alias(group_col), "cluster", "cq"),
-        cent.select(F.col("_g").alias(group_col), "cluster", "cq"),
+        explode_carr(carr_prev),
+        explode_carr(carr),
     )
 
 

@@ -396,7 +396,16 @@ def _sharded_score_cumsum(g: DataFrame, n_shards: int) -> DataFrame:
     ``n_shards``-row totals frame.  Degenerate ranges (all scores
     equal, or an infinite bound making the shard expression NaN)
     collapse every row into one shard — correct, just unsharded.
-    Returns ``(_npos, _n, _below)``."""
+    Returns ``(_npos, _n, _below)``.
+
+    Plan note (ADVICE r16): ``g`` (the distinct-score frame) feeds
+    three branches — the bounds aggregate, the per-shard window side,
+    and the totals→offsets side.  Collapsing those to one corpus pass
+    relies on Spark's ReuseExchange deduplicating the identical
+    shuffle subtree (on by default, ``spark.sql.exchange.reuse``); with
+    reuse disabled the plan is still correct, just recomputes ``g`` per
+    branch.  Callers on exotic configs can localCheckpoint/persist
+    ``g`` before calling if that matters."""
     from pyspark.sql import Window
 
     bounds = g.agg(

@@ -1578,7 +1578,13 @@ def ivf_exact_cells_top_k(
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_cvec")
     ).withColumn("_cnorm", norm(F.col("_cvec")))
-    cand = probes.join(
+    # probes is bounded by construction (≤ |queries|·nprobe rows) but
+    # the planner can no longer see that: the centroid frames behind it
+    # are checkpointed RDDs with no size statistics (optimization r17),
+    # so the estimate-driven plan would shuffle the CORPUS-sized assign
+    # side by cluster.  Hint the bounded side explicitly — the same
+    # shape the pretrained serve path uses (guide §3.1).
+    cand = F.broadcast(probes).join(
         assign.select(id_col, "cluster"), "cluster"
     ).join(c, id_col)
     scored = cand.select(
@@ -1767,8 +1773,13 @@ def pq_exact_codes_top_k(
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_qvec")
     ).withColumn("_qnorm", norm(F.col("_qvec")))
+    # short is bounded by construction (<= |queries|*shortlist rows);
+    # hint it so the corpus side of the rerank fetch never shuffles -
+    # the trained-codebook frames behind it are checkpointed RDDs
+    # without size statistics (optimization r17), which would otherwise
+    # flip this to an estimate-driven corpus shuffle on id.
     scored = (
-        short.join(c, id_col)
+        F.broadcast(short).join(c, id_col)
         .join(F.broadcast(q), query_id_col)
         .select(
             query_id_col,

@@ -317,6 +317,26 @@ _REVERIFY_ITEMS: tuple[tuple[str, int], ...] = (
     # money sum/avg switched to long-partial → decimal-final.  (q3 was
     # measured and stays single-tier: per-order grouping — see PERF.md.)
     ("agg_monthly_orders", 15),
+    # r16 rewrites (VERDICT r16 #1): the optimization round's riskiest
+    # changes — per-round checkpoint + map-side argmin fold in the
+    # k-means consumers, persisted serve artifacts, lazy pagerank
+    # rounds, sharded AUC cumsum — shipped with local tri-SF oracle
+    # evidence only; the driver window never saw the new code paths.
+    # (dedup_duplicate_clusters WAS sampled green in r16 on the new
+    # code, so its row below is already satisfied and stays for the
+    # record.)
+    ("emb_kmeans_clusters", 16),
+    ("emb_kmeans_by_label", 16),
+    ("emb_cell_drift_retrain", 16),
+    ("sim_ann_ivf_exact_cells", 16),
+    ("sim_ann_pq_exact_codes", 16),
+    ("sim_ann_ivf", 16),
+    ("sim_ann_pq", 16),
+    ("sim_ann_ivfpq", 16),
+    ("dedup_duplicate_clusters", 16),
+    ("graph_pagerank_cust_supp", 16),
+    ("geo_cell_pagerank", 16),
+    ("quality_classifier_auc", 16),
 )
 # a dict literal silently keeps the LAST duplicate key (it did, for q9,
 # r13 vs r14 — ADVICE r14); build from pairs and fail loud instead

@@ -286,6 +286,62 @@ class TestWriteDetail:
         doc = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
         assert doc["after_bench"] is None
 
+    def test_scaling_wrappers_invisible_to_stamp_and_walkback(
+        self, tmp_path
+    ):
+        """VERDICT r16 #5 root cause: the driver's BENCH_r16_c8.json
+        wrapper sorted after BENCH_r16.json, so the stamp and the
+        walkback disagreed about the newest bench file.  Round files
+        are strictly BENCH_r<digits>.json."""
+        _write_bench(tmp_path, "BENCH_r15.json", {"queries": {"q1": 1.0}})
+        _write_bench(tmp_path, "BENCH_r16.json", {"metric": "m"})
+        _write_bench(tmp_path, "BENCH_r16_c8.json", {"metric": "m"})
+        names = [
+            os.path.basename(p)
+            for p in bench._round_bench_files(str(tmp_path))
+        ]
+        assert names == ["BENCH_r15.json", "BENCH_r16.json"]
+        bench.write_detail(_synthetic_out(2), str(tmp_path), cpus=32)
+        doc = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
+        assert doc["after_bench"] == "BENCH_r16.json"  # not the _c8 file
+
+    def test_scaling_run_never_clobbers_canonical(self, tmp_path):
+        """The exact r16 failure: the 8-core scaling run must not
+        overwrite the full-core run's canonical detail — it gets its
+        own keyed file instead."""
+        out32 = _synthetic_out(3)
+        name32 = bench.write_detail(out32, str(tmp_path), cpus=32)
+        assert name32 == "BENCH_DETAIL_c32.json"
+        out8 = dict(_synthetic_out(3), value=99.9)
+        name8 = bench.write_detail(out8, str(tmp_path), cpus=8)
+        assert name8 == "BENCH_DETAIL_c8.json"
+        canon = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
+        assert canon["cpus"] == 32 and canon["value"] == out32["value"]
+        keyed8 = json.loads((tmp_path / name8).read_text())
+        assert keyed8["cpus"] == 8 and keyed8["value"] == 99.9
+        keyed32 = json.loads((tmp_path / name32).read_text())
+        assert keyed32["value"] == out32["value"]
+
+    def test_higher_core_run_takes_canonical(self, tmp_path):
+        bench.write_detail(
+            dict(_synthetic_out(2), value=8.0), str(tmp_path), cpus=8
+        )
+        bench.write_detail(
+            dict(_synthetic_out(2), value=32.0), str(tmp_path), cpus=32
+        )
+        canon = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
+        assert canon["cpus"] == 32 and canon["value"] == 32.0
+
+    def test_legacy_canonical_without_cpus_is_replaceable(self, tmp_path):
+        (tmp_path / bench.DETAIL_FILE).write_text(
+            json.dumps({"queries": {"q1": 1.0}})  # pre-r17 format
+        )
+        bench.write_detail(
+            dict(_synthetic_out(2), value=7.0), str(tmp_path), cpus=8
+        )
+        canon = json.loads((tmp_path / bench.DETAIL_FILE).read_text())
+        assert canon["cpus"] == 8 and canon["value"] == 7.0
+
 
 def test_headline_entries_all_registered():
     """A renamed/deleted catalog entry must fail HERE, not as a KeyError

@@ -186,3 +186,72 @@ def test_trajectory_returns_both_lag_frames_from_one_run(spark, sf_dir):
     assert rows(gp) == rows(gp_ref)
     assert rows(gc) == rows(gc_ref)
     assert rows(ga) == rows(ga_ref)
+
+
+def test_apply_update_array_algebra(spark):
+    """Optimization r17: the per-round centroid update runs as array
+    expressions over the collapsed state frame (``_apply_update``), not
+    a k-row join — pin its algebra: updated clusters take the new
+    pos-ascending coordinates, clusters absent from the update (or a
+    NULL update list, the left-join-miss case) keep their previous
+    centroid."""
+    from pyspark.sql import functions as F
+
+    from hfp_loader_spark.operators.clustering import _apply_update
+
+    cents = [
+        {"cluster": 0, "cq": [1, 2]},
+        {"cluster": 1, "cq": [3, 4]},
+        {"cluster": 2, "cq": [5, 6]},
+    ]
+    rows = [
+        # full update for 0, partial none for 1, update for 2
+        (
+            cents,
+            [
+                {"cluster": 0, "pos": 0, "v": 10},
+                {"cluster": 0, "pos": 1, "v": 11},
+                {"cluster": 2, "pos": 0, "v": 20},
+                {"cluster": 2, "pos": 1, "v": 21},
+            ],
+        ),
+        # empty update list: everything keeps its centroid
+        (cents, []),
+        # NULL update list (left-join miss): everything keeps its centroid
+        (cents, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cents array<struct<cluster:int,cq:array<long>>>, "
+        "upd array<struct<cluster:int,pos:int,v:long>>",
+    )
+    out = df.select(
+        _apply_update(F.col("cents"), F.col("upd")).alias("r")
+    ).collect()
+    as_pairs = lambda r: [(c["cluster"], c["cq"]) for c in r["r"]]
+    assert as_pairs(out[0]) == [(0, [10, 11]), (1, [3, 4]), (2, [20, 21])]
+    assert as_pairs(out[1]) == [(0, [1, 2]), (1, [3, 4]), (2, [5, 6])]
+    assert as_pairs(out[2]) == [(0, [1, 2]), (1, [3, 4]), (2, [5, 6])]
+
+
+def test_kmeans_round_exchange_shape(spark, two_blobs):
+    """Optimization r17: with the collapsed-array state, one Lloyd
+    round's centroid plan carries exactly TWO corpus-fed exchanges —
+    the (cluster, pos) update aggregate (map-side partials) and the
+    k·dim-row collapse into the update list.  The r16 shape paid a
+    third (the k-row frame re-collapse) plus an update join per round."""
+    from hfp_loader_spark.operators.clustering import (
+        kmeans_fixed_point_model,
+    )
+
+    _, cent = kmeans_fixed_point_model(
+        two_blobs, 2, 1, checkpoint=False
+    )
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    # the only hash exchange over corpus-derived rows is the update agg
+    assert len(hashes) == 1 and hashes[0].startswith("cluster"), hashes
+    # the collapse of its bounded output is the only other shuffle
+    assert plan.count("Exchange SinglePartition") <= 2, plan

@@ -319,8 +319,36 @@ def test_roc_auc_unrounded_high_cardinality_sharded_cumsum(spark):
     # window's child must carry _tot, not _n.
     import re
 
-    for m in re.finditer(r"Window \[[^\]]*_off[^\]]*\]", plan):
-        assert "_tot" in m.group(0)
+    # ADVICE r16: the old `Window [...]` regex was written for the
+    # SIMPLE explain format and matched nothing in "formatted" output —
+    # the guard was vacuous.  Parse the formatted node structure
+    # instead: each `(N) Window` node's Arguments line carries 2 bracket
+    # groups when unpartitioned ([exprs], [order]) and 3 when
+    # partitioned ([exprs], [partition], [order]).  Every unpartitioned
+    # window must sit over the n_shards-row totals frame (Input carries
+    # _tot), never the distinct-score frame (_n/_s).
+    lines = plan.splitlines()
+    win_nodes = []
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Window", line.strip()):
+            node = {"input": "", "args": ""}
+            for j in range(i + 1, min(i + 6, len(lines))):
+                ls = lines[j].strip()
+                if ls.startswith("Input"):
+                    node["input"] = ls
+                elif ls.startswith("Arguments:"):
+                    node["args"] = ls
+            win_nodes.append(node)
+    assert win_nodes, "no Window node found — explain format drifted?"
+    unpartitioned = [
+        n for n in win_nodes if n["args"].count("], [") == 1
+    ]
+    # the totals-frame offset window exists and is the ONLY global one
+    assert unpartitioned, "expected one unpartitioned totals window"
+    for n in unpartitioned:
+        assert "_tot" in n["input"], (
+            "global window over a non-totals frame:\n" + n["input"]
+        )
 
     got = out.collect()[0]
     pos = [s for s, l in rows if l]
