@@ -1010,7 +1010,12 @@ def decontaminate_bloom_gated(
     )
     bits = bloom_build(
         bench_keys, "_sh", num_bits=num_bits, num_hashes=num_hashes
-    )
+        # ≤ num_bits rows, lazily pinned (optimization r17): the k
+        # chained semi joins below each reference this frame, and every
+        # unpinned reference replayed the benchmark shingle+distinct+
+        # bloom aggregate (5 extra benchmark passes in the committed
+        # plan).  The built filter is the designed reuse artifact.
+    ).localCheckpoint(eager=False)
     # Gate the corpus with k chained BROADCAST LEFT-SEMI joins against
     # the ≤ num_bits-row bit-set frame — semi join j keeps a shingle row
     # iff its j-th probe bit is set, so surviving the chain means ALL k
@@ -1072,6 +1077,10 @@ def cross_source_overlap(
             F.explode("shingles").alias("_sh"),
         )
         .distinct()
+        # lazily pinned (optimization r17): both Σ-shared join sides and
+        # the per-source sizes consume this frame; unpinned, each branch
+        # replays the corpus tokenize+shingle+distinct.  No value change.
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("_src").agg(F.count("*").alias("_n"))
     shared = (
@@ -1247,6 +1256,11 @@ def weighted_jaccard_matrix(
         )
         .groupBy("_src", "_t")
         .agg(F.count("*").alias("_tf"))
+        # lazily pinned (optimization r17): four plan branches consume
+        # this frame (both Σmin join sides, totals twice) and each
+        # otherwise replays the corpus tokenize+count — same fix as
+        # weighted_minhash_matrix, no value change.
+        .localCheckpoint(eager=False)
     )
     totals = tf.groupBy("_src").agg(F.sum("_tf").alias("_tot"))
     shared = (
@@ -1362,6 +1376,15 @@ def weighted_minhash_matrix(
         )
         .groupBy("_src", "_t")
         .agg(F.least(F.count("*"), F.lit(tf_cap)).alias("_tf"))
+        # lazily pinned (optimization r17, guide §2.4/§5): five plan
+        # branches consume this frame (occurrence expansion, both sides
+        # of the exact Σmin self-join, the per-source totals twice) and
+        # each branch otherwise replays the corpus tokenize+count pass —
+        # 16 parquet scans / 40 exchanges in the committed r16 plan.
+        # The (source, term, tf) frame is the aggregated term table
+        # (vocab-bounded per source, far below corpus size); pinning it
+        # changes no value, it only stops the replay.
+        .localCheckpoint(eager=False)
     )
     occ = tf.select(
         "_src",

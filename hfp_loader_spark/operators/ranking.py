@@ -75,7 +75,15 @@ def bm25_scores(
     surviving the broadcast semi-join with the query vocabulary.  The
     final per-(query, doc) sum shuffles ``|queries| × matched docs``
     rows — the output size."""
-    dl = _doc_lengths(docs, id_col, text_col)
+    # Both corpus-derived frames below feed MULTIPLE plan branches (dl →
+    # stats + the contrib join; tf → df/idf + the contrib join), and an
+    # unpinned reference replays the corpus tokenize+count per branch —
+    # the committed rank_rrf_fusion plan carried 7 documents scans.
+    # Lazy localCheckpoint pins each ONCE per computation (optimization
+    # r17, guide §2.4/§5 — the minhash shingle-persist rationale: at
+    # 100 TB you spill the term table to local disk rather than re-read
+    # and re-tokenize the corpus per reference).  No value change.
+    dl = _doc_lengths(docs, id_col, text_col).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").alias("_n_docs"), F.sum("dl").alias("_sum_dl")
     )
@@ -83,7 +91,9 @@ def bm25_scores(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
 
     qterms = queries.select(
         F.col(qid_col),
@@ -207,6 +217,10 @@ def hard_negatives(
             F.array_distinct(tokens(F.col(anchor_text_col)))
         ).alias("term"),
     )
+    # dtok feeds both the per-doc sizes and the intersection join —
+    # unpinned, each branch replays the corpus distinct-tokenize
+    # (optimization r17, same rationale as bm25_scores above).
+    dtok = dtok.localCheckpoint(eager=False)
     asize = atok.groupBy(anchor_id_col).agg(F.count("*").alias("_na"))
     dsize = dtok.groupBy(id_col).agg(F.count("*").alias("_nd"))
     inter = (

@@ -412,6 +412,12 @@ def apply_changelog(
             F.col(f"_w.{op_col}").alias("_op"),
             *[F.col(f"_w.{c}").alias(c) for c in payload],
         )
+        # the winner table feeds BOTH the anti-join key set and the
+        # applied rows — unpinned, each reference replays the whole
+        # changeset aggregate (the cdc entry's plan scanned its change
+        # branches twice: 11 scans).  Lazily pinned, one changeset pass
+        # (optimization r17; value neutral, changed-key-count rows).
+        .localCheckpoint(eager=False)
     )
     kept = target.join(winners.select(*keys), keys, "left_anti")
     applied = winners.where(F.col("_op") != "D").select(*target.columns)
@@ -474,10 +480,19 @@ def funnel_counts(
     can reuse the partitioning; no window over the full event stream, no
     per-user event arrays in memory (a collect_list-based funnel dies on
     power users; this never materializes a user's history)."""
+    # each step's survivor frame feeds BOTH the next step's join and its
+    # own count — unpinned, the unrolled recurrence replays every prior
+    # step inside every later one (events scanned 1+2+…+n times; 6
+    # scans for 3 steps in the committed plan).  The lazy per-step
+    # localCheckpoint pins the per-user-bounded frame so each step's
+    # type-filtered events pass runs exactly once (optimization r17,
+    # guide §2.4/§5 — the kmeans-round lineage fix applied here; value
+    # neutral).
     step0 = (
         events.where(F.col(type_col) == steps[0])
         .groupBy(id_col)
         .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint(eager=False)
     )
     reached = [step0]
     for s in steps[1:]:
@@ -488,6 +503,7 @@ def funnel_counts(
             .where(F.col(ts_col) > F.col("_prev_t"))
             .groupBy(id_col)
             .agg(F.min(ts_col).alias("_t"))
+            .localCheckpoint(eager=False)
         )
         reached.append(nxt)
     out = None
@@ -841,14 +857,23 @@ def association_rules(
         conf_b_a  = n_ab / n_b
         lift      = N·n_ab / (n_a·n_b)  (>1 ⇒ positive association)
 
-    Scale shape: shuffle 1 groups rows into per-basket DISTINCT item
-    arrays (map-side combinable collect_set); the pair expansion is
-    IN-ROW over the sorted array — bounded by (items-per-basket choose
-    2), never a basket self-join, so a 10-item basket emits 45 pairs
-    regardless of corpus size.  Shuffle 2 counts pairs over the ≤|I|²
-    key domain.  Item counts and the basket total are Aggregate-bounded
-    side frames (broadcast-safe at any SF for a catalog-bounded item
-    domain — the premise of basket analysis).
+    Scale shape (optimization r17 — guide §2.4: the old shape referenced
+    the basket frame from FOUR independent subtrees — pair counts, item
+    counts twice, basket total — and each re-ran the corpus scan + the
+    per-basket aggregate; 8 scans / 30 exchanges in the plan): shuffle 1
+    groups rows into per-basket DISTINCT item arrays (map-side
+    combinable collect_set); the pair expansion is IN-ROW over the
+    sorted array — bounded by (items-per-basket choose 2), never a
+    basket self-join, so a 10-item basket emits 45 pairs regardless of
+    corpus size.  Pairs, per-item counts, AND the basket total now ride
+    that ONE explode as tagged entries — (a, b) = pair, (a, NULL) =
+    item, (NULL, NULL) = basket marker — into ONE counting aggregate
+    over the ≤ |I|²/2 + |I| + 1 key domain, which is lazily
+    localCheckpointed (bounded rows) so its three consumers share one
+    computation instead of replaying the corpus per reference.  The
+    rule statistics then assemble from broadcast joins of slices of
+    that one bounded frame (broadcast-safe at any SF for a
+    catalog-bounded item domain — the premise of basket analysis).
     """
     b = F.col(basket_col)
     baskets = (
@@ -866,16 +891,36 @@ def association_rules(
             ),
         )
     )
-    pairs = baskets.select(F.explode(pair_structs).alias("_p")).groupBy(
-        F.col("_p.item_a").alias("item_a"),
-        F.col("_p.item_b").alias("item_b"),
-    ).agg(F.count("*").alias("n_ab"))
-    items = (
-        baskets.select(F.explode(arr).alias("_i"))
-        .groupBy("_i")
-        .agg(F.count("*").alias("_ni"))
+    null_item = F.lit(None).cast(df.schema[item_col].dataType)
+    item_structs = F.transform(
+        arr,
+        lambda x: F.struct(x.alias("item_a"), null_item.alias("item_b")),
     )
-    total = baskets.agg(F.count("*").alias("_nb"))
+    basket_marker = F.array(
+        F.struct(null_item.alias("item_a"), null_item.alias("item_b"))
+    )
+    counts = (
+        baskets.select(
+            F.explode(
+                F.concat(pair_structs, item_structs, basket_marker)
+            ).alias("_p")
+        )
+        .groupBy(
+            F.col("_p.item_a").alias("item_a"),
+            F.col("_p.item_b").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = counts.where(
+        F.col("item_a").isNotNull() & F.col("item_b").isNotNull()
+    )
+    items = counts.where(
+        F.col("item_a").isNotNull() & F.col("item_b").isNull()
+    ).select(F.col("item_a").alias("_i"), F.col("n_ab").alias("_ni"))
+    total = counts.where(F.col("item_a").isNull()).select(
+        F.col("n_ab").alias("_nb")
+    )
     na = F.col("_na").cast("double")
     nb = F.col("_nb_i").cast("double")
     nab = F.col("n_ab").cast("double")

@@ -264,7 +264,20 @@ def dsir_importance_weights(
         ).select(id_col, b_expr)
 
     raw_toks = bucketed(docs)
-    c_raw = raw_toks.groupBy("_b").agg(F.count("*").alias("_cr"))
+    # The RAW-side ≤num_buckets-row count table feeds TWO branches (the
+    # ratio join and its own total) — unpinned, every reference replays
+    # the full-corpus tokenize+hash pass (5 scans in the committed r16
+    # plan).  Lazy localCheckpoint pins it once (optimization r17,
+    # guide §2.4).  The corpus-sized raw_toks stays unpinned — its
+    # final-join pass is the one unavoidable second read, cheaper to
+    # re-tokenize than to store the exploded token stream — and the
+    # TARGET-side count stays unpinned too: the target is the small
+    # predicate-pushed slice (its filter must stay visible at the scan
+    # for pushdown, and two passes over the slice are cheaper than
+    # pinning would save).
+    c_raw = raw_toks.groupBy("_b").agg(
+        F.count("*").alias("_cr")
+    ).localCheckpoint(eager=False)
     c_tgt = bucketed(target).groupBy("_b").agg(F.count("*").alias("_ct"))
     n_raw = c_raw.agg(F.sum("_cr").alias("_nr"))
     n_tgt = c_tgt.agg(F.sum(F.col("_ct")).alias("_nt"))

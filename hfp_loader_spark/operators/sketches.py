@@ -479,7 +479,14 @@ def qhist_ks_drift(
     as :func:`qhist_quantiles`."""
     from pyspark.sql import Window
 
-    h = qhist_build(df, value_col, [part_col], sub_bits)
+    # bounded (partition, bucket) sketch, lazily pinned (optimization
+    # r17): six plan branches reference it (grid both axes, the fill,
+    # the global merge, per-part totals, the corpus total) and each
+    # unpinned reference replayed the corpus histogram aggregate — 6
+    # scans in the committed plan.  Value neutral.
+    h = qhist_build(df, value_col, [part_col], sub_bits).localCheckpoint(
+        eager=False
+    )
     grid = (
         h.select(part_col).distinct()
         .crossJoin(h.select("bucket_lo").distinct())
@@ -567,6 +574,13 @@ def kmv_sketch(
         hashed.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= k)
         .select(group_col, "h")
+        # ≤ k rows per group, lazily pinned (optimization r17):
+        # kmv_jaccard alone references the sketch six times (both pair
+        # sides, the union expansion, both membership marks), and each
+        # unpinned reference replayed the corpus distinct+top-k — 12
+        # documents scans in the committed kmv-jaccard plan.  Value
+        # neutral; the sketch is the designed reuse artifact.
+        .localCheckpoint(eager=False)
     )
 
 

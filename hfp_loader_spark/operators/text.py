@@ -962,6 +962,14 @@ def gopher_repetition_fractions(
         return F.concat(*parts)
 
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # base (the tokenized corpus) feeds three branches (gram events,
+    # per-position lengths, the output row) and counts feeds two (the
+    # top-gram max and the ≥2× duplicate join) — unpinned, each branch
+    # replayed the corpus tokenize / gram aggregate (5 scans in the
+    # committed plan).  Both are lazily pinned (optimization r17, the
+    # minhash shingle-cache rationale); the exploded gram stream itself
+    # stays unpinned — storing ~Σn gram copies costs more than
+    # re-deriving them from the pinned token arrays.  Value neutral.
     base = df.select(
         F.col(id_col),
         toks.alias("_toks"),
@@ -971,14 +979,16 @@ def gopher_repetition_fractions(
         )
         .cast("long")
         .alias("total_chars"),
-    )
+    ).localCheckpoint(eager=False)
     evs = base.select(
         id_col,
         F.explode(
             F.element_at(F.transform(F.array(F.col("_toks")), gram_positions), 1)
         ).alias("_g"),
     ).select(id_col, "_g.n", "_g.pos", "_g.gram")
-    counts = evs.groupBy(id_col, "n", "gram").agg(F.count("*").alias("_c"))
+    counts = evs.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("_c")
+    ).localCheckpoint(eager=False)
 
     top = (
         counts.where(F.col("n").isin(list(top_ns)))

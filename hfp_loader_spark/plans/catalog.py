@@ -325,11 +325,16 @@ _REVERIFY_ITEMS: tuple[tuple[str, int], ...] = (
     # (dedup_duplicate_clusters WAS sampled green in r16 on the new
     # code, so its row below is already satisfied and stays for the
     # record.)
-    ("emb_kmeans_clusters", 16),
-    ("emb_kmeans_by_label", 16),
-    ("emb_cell_drift_retrain", 16),
-    ("sim_ann_ivf_exact_cells", 16),
-    ("sim_ann_pq_exact_codes", 16),
+    # — of those, the k-means consumers were rewritten AGAIN in r17
+    # (round state collapsed to the centroid-array frame, `_apply_update`
+    # array algebra) and the exact IVF/PQ serve joins gained explicit
+    # broadcast hints, so their reverify round is bumped to 17; the
+    # entries whose r16 implementation still stands keep 16.
+    ("emb_kmeans_clusters", 17),
+    ("emb_kmeans_by_label", 17),
+    ("emb_cell_drift_retrain", 17),
+    ("sim_ann_ivf_exact_cells", 17),
+    ("sim_ann_pq_exact_codes", 17),
     ("sim_ann_ivf", 16),
     ("sim_ann_pq", 16),
     ("sim_ann_ivfpq", 16),
@@ -337,6 +342,40 @@ _REVERIFY_ITEMS: tuple[tuple[str, int], ...] = (
     ("graph_pagerank_cust_supp", 16),
     ("geo_cell_pagerank", 16),
     ("quality_classifier_auc", 16),
+    # r17 rewrites (this optimization round): BPE merge rounds ride the
+    # vocab checkpoint (ae006ec), the basket-rules statistics collapsed
+    # to one tagged aggregate, the LSH plan is memoized per corpus
+    # stamp, and the repeated-subtree sweep pinned shared frames in the
+    # weighted-jaccard/minhash matrices, bm25, DSIR, KMV, funnel, CDC
+    # changelog, KS drift, class separability, bloom-gated decontaminate
+    # and the recall contracts.  All value-neutral by construction and
+    # tri-SF gated locally, but the driver window should sample the new
+    # code paths (the entries below had pre-r17 signal).
+    ("text_bpe_merges", 17),
+    ("orders_basket_brand_rules", 17),
+    ("dedup_minhash_lsh", 17),
+    ("dedup_weighted_minhash_sources", 17),
+    ("dedup_weighted_jaccard_sources", 17),
+    ("dedup_cross_source_overlap", 17),
+    ("rank_rrf_fusion", 17),
+    ("rank_bm25_topk", 17),
+    ("sample_dsir_importance", 17),
+    ("sketch_kmv_jaccard_sources", 17),
+    ("cdc_apply_changelog", 17),
+    ("funnel_view_click_purchase", 17),
+    ("dq_ks_source_drift", 17),
+    ("emb_class_separability", 17),
+    ("decontaminate_bloom_gated", 17),
+    ("dedup_minhash_recall", 17),
+    ("rank_hard_negatives", 17),
+    ("sample_dsir_gumbel_topk", 17),
+    ("sketch_kmv_distinct", 17),
+    ("semdedup_contract", 17),
+    ("sim_ann_ivf_recall", 17),
+    ("sim_ann_signlsh_recall", 17),
+    ("sim_ann_pq_recall", 17),
+    ("text_gopher_repetition", 17),
+    ("emb_projection_outliers", 17),
 )
 # a dict literal silently keeps the LAST duplicate key (it did, for q9,
 # r13 vs r14 — ADVICE r14); build from pairs and fail loud instead

@@ -384,10 +384,15 @@ def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", quantize_vec(F.col("embedding"), _SCALE).alias("q")
     )
     x = e.select("label", F.posexplode("q").alias("pos0", "v"))
+    # bounded (label, pos) moment table, lazily pinned (optimization
+    # r17): both the global-sum side and the final aggregate reference
+    # it, and each unpinned reference replayed the corpus explode+sum.
+    # The label-only count frames (nl, st) stay unpinned — they are
+    # column-pruned narrow scans.  Value neutral.
     per = x.groupBy("label", "pos0").agg(
         F.sum(F.col("v").cast(dec)).alias("s"),
         F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("s2"),
-    )
+    ).localCheckpoint(eager=False)
     nl = e.groupBy("label").agg(F.count("*").cast(dec).alias("n_l"))
     st = e.agg(F.count("*").cast(dec).alias("n"))
     gl = per.groupBy("pos0").agg(F.sum("s").alias("sg"))
@@ -543,7 +548,11 @@ def emb_projection_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc1 = power_iteration_pc1(scat, iters=_ITERS, vscale=_VSCALE)
     proj = project_pc1(emb, pc1, scale=_SCALE, vscale=_VSCALE).join(
         emb.select("vec_id", "label"), "vec_id"
-    )
+        # narrow (id, t, label) projection, lazily pinned: both the
+        # per-label moment aggregate and the outlier filter reference
+        # it, and each unpinned reference replayed the corpus projection
+        # pass (optimization r17; value neutral)
+    ).localCheckpoint(eager=False)
     dec = "decimal(38,0)"
     t20 = F.col("t").cast("decimal(20,0)")
     ag = proj.groupBy("label").agg(

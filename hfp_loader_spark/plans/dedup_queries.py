@@ -229,9 +229,34 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blaming the operator after a corpus regen.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
-    )
+    # Memoized PLAN per (session, corpus) — VERDICT r16 #6: building
+    # the 32-permutation hash expression tree + banded self-join costs
+    # ~2 s of pure py4j plan CONSTRUCTION per call (BENCH_DETAIL
+    # queries_build), re-paid inside every timed run.  The memo holds
+    # the UNEXECUTED DataFrame only: every action still computes the
+    # pair list from the parquet inputs (the shingle/signature persists
+    # inside minhash_lsh_pairs are the documented within-computation
+    # reuse, unchanged).  Keyed on applicationId (never reused by a
+    # successor session) + the corpus content stamp, so a regenerated
+    # corpus rebuilds the plan against the new file set.
+    from hfp_loader_spark.plans.model_queries import _corpus_stamp
+
+    try:
+        stamp = _corpus_stamp(sf_dir, "documents")
+    except OSError:
+        stamp = None  # unstat-able corpus (remote path)
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    plan = _LSH_PAIRS_PLAN.get(key)
+    if plan is None:
+        plan = minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+        )
+        _LSH_PAIRS_PLAN[key] = plan
+    return plan
+
+
+#: see dedup_minhash_lsh — unexecuted-plan memo, never results
+_LSH_PAIRS_PLAN: dict[tuple[str, str, str | None], DataFrame] = {}
 
 
 @defquery(
@@ -267,9 +292,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     shingled = shingle_docs(docs, "doc_id", "text")
-    exact = jaccard_pairs(shingled, threshold=0.8).select("doc_a", "doc_b")
-    found = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).select(
-        "doc_a", "doc_b"
+    # both pair lists feed THREE/TWO downstream branches (hit semi-join,
+    # false-positive anti-join, their own counts) — unpinned, every
+    # branch replayed the full posting-list join / LSH pipeline (37
+    # parquet scans in the committed plan).  Lazily pinned: bounded pair
+    # lists, values unchanged (optimization r17, guide §2.4).
+    exact = (
+        jaccard_pairs(shingled, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    found = (
+        minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     hits = exact.join(found, ["doc_a", "doc_b"], "left_semi")
     false_pos = found.join(exact, ["doc_a", "doc_b"], "left_anti")

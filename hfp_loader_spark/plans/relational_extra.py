@@ -1579,7 +1579,10 @@ def sketch_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch(toks, "source", "term", k=_KMV_K)
     est = kmv_jaccard(sk, "source", k=_KMV_K)
-    dt = toks.distinct()
+    # three consumers (per-source sizes + both exact-overlap join
+    # sides) — lazily pinned so the corpus bigram distinct runs once
+    # (optimization r17; value neutral)
+    dt = toks.distinct().localCheckpoint(eager=False)
     nd = dt.groupBy("source").agg(F.count("*").alias("n"))
     a = dt.select(F.col("source").alias("ga"), "term")
     b = dt.select(F.col("source").alias("gb"), "term")

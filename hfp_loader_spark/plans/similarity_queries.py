@@ -286,6 +286,10 @@ def _ann_recall_contract(
     single row: the exact hit count (SQL-restatable) + a recall-floor
     boolean — the tolerance-band pattern applied to ANN search."""
     keys = ["query_id", "vec_id"]
+    # the exact top-k feeds both the hit semi-join and its own count —
+    # lazily pinned so the brute-force pass runs once per computation
+    # (optimization r17; bounded |queries|·k rows, value neutral)
+    exact = exact.localCheckpoint(eager=False)
     hits = exact.select(*keys).join(approx.select(*keys), keys, "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact_hits"))
@@ -584,6 +588,10 @@ def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
+        # removed-id list feeds both its own count and the hit semi-join
+        # — lazily pinned so the capped all-pairs join runs once
+        # (optimization r17; value neutral)
+        .localCheckpoint(eager=False)
     )
     # run the semdedup side on the SAME capped corpus (same memoized
     # centroids) — keep/prune decisions must not be influenced by
@@ -604,6 +612,8 @@ def semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(~F.col("kept"))
         .select("vec_id")
+        # same rationale: consumed by the hit semi-join and its own count
+        .localCheckpoint(eager=False)
     )
     g = global_removed.agg(F.count("*").alias("n_global_removed"))
     hits = sem_removed.join(global_removed, "vec_id", "left_semi").agg(

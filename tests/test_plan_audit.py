@@ -53,6 +53,14 @@ ALLOWED_HINTED_QUERY_SETS = {
     # the round-0 seed-centroid broadcast, whose lineage reaches the
     # embeddings scan before any checkpoint exists.)
     "sim_ann_pq_exact_codes": ["embeddings"],
+    # r17: the exact-IVF candidate fetch hints its probe frame (≤
+    # |queries|·nprobe rows by construction — the query set is bounded
+    # by the literal vec_id < 5 filter, which the walker can't prove)
+    # because the checkpointed centroid RDDs behind it carry no size
+    # statistics and the estimate-driven plan shuffled the corpus-sized
+    # assign side by cluster instead.  Same query-set-bound class as
+    # the serve entries above.
+    "sim_ann_ivf_exact_cells": ["embeddings"],
 }
 
 #: Per-headline-query physical invariants, measured at sf0.001 with a
