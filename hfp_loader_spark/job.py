@@ -11,9 +11,17 @@ Spark restatement: per event group ONE lazy plan
 [route] → append`` — Catalyst pipelines scan/project/filter/probe into a
 single whole-stage-codegen pass; executors provide the parallelism the
 reference approximated with overlapped I/O (INSERT_CONCURRENCY=100 in-flight
-INSERTs, constants.ts:51).  The group loop stays sequential in the driver to
-preserve the reference's side-effect ordering (hfpTask.ts:83-86) — each
-group's plan is fully parallel internally, so this costs nothing at scale.
+INSERTs, constants.ts:51).  The three group loads run CONCURRENTLY from a
+small driver thread pool (optimization r17, guide §2.6 — Spark happily
+schedules several jobs at once and FIFO scheduling back-fills one group's
+straggler tail with the next group's tasks): the groups are independent by
+construction — they route to DISJOINT table sets (stopevent / otherevent /
+vehicleposition+unsignedevent), and the reference's own existence checks
+probe only the group's own tables (hfpTask.ts:97-115), so no group reads
+what another writes.  The reference's sequential order (hfpTask.ts:83-86)
+was I/O pacing, not a data dependency; results and the idempotency
+contract are unchanged, and each group's report row is computed exactly as
+before.
 
 Row counters (hfpTask.ts:18-31's insertsQueued/insertsCompleted) map to
 ``DataFrame.observe`` metrics collected during the write action — no extra
@@ -137,8 +145,30 @@ def hfp_load(
     """
     validate_date(date)
     report = LoadReport(date=date)
-    for group in event_groups or EVENT_GROUPS:
-        load_event_group(spark, sink, storage_root, group, date, report)
+    groups = list(event_groups or EVENT_GROUPS)
+    if len(groups) <= 1:
+        for group in groups:
+            load_event_group(spark, sink, storage_root, group, date, report)
+        return report
+    # Concurrent group loads (guide §2.6): each group gets its OWN report
+    # so no thread shares mutable state; the per-table rows merge after —
+    # table sets are disjoint across groups, so the merge is a plain
+    # union.  Errors propagate exactly as the sequential loop's did: the
+    # first failing group raises after the in-flight groups finish
+    # (pool shutdown joins them), nothing is silently swallowed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_group(group: str) -> LoadReport:
+        sub = LoadReport(date=date)
+        load_event_group(spark, sink, storage_root, group, date, sub)
+        return sub
+
+    with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+        for sub in pool.map(run_group, groups):
+            for table, n in sub.inserted_by_table.items():
+                report.inserted_by_table[table] = (
+                    report.inserted_by_table.get(table, 0) + n
+                )
     return report
 
 

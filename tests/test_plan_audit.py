@@ -146,11 +146,17 @@ HEADLINE_INVARIANTS = {
     "rank_rrf_fusion": dict(max_exchanges=16, bnlj=6),
     "sim_mmr_rerank": dict(max_exchanges=4, bnlj=0),
     "emb_power_iteration_pc1": dict(max_exchanges=2, bnlj=4),
-    "orders_basket_brand_rules": dict(max_exchanges=14, bnlj=2),
+    # r17: pairs/items/total collapsed into one tagged aggregate behind a
+    # lazy pin — the final plan is broadcast joins over the bounded
+    # counts frame (0 visible exchanges in the committed dump; margin
+    # for AQE variation).  Cap tightened to pin the win.
+    "orders_basket_brand_rules": dict(max_exchanges=6, bnlj=2),
     # r11: +1 exchange (bounded distinct over sources) — the ADVICE r10
     # fix that makes tokenless sources appear in the matrix like the
     # exact sibling's; measured 22.
-    "dedup_weighted_minhash_sources": dict(max_exchanges=24, bnlj=2),
+    # r17: the (source, term, tf) table pinned — its five consumers no
+    # longer replay the corpus pass (26->14 exchanges in the dumps).
+    "dedup_weighted_minhash_sources": dict(max_exchanges=18, bnlj=2),
     # r11 (VERDICT r10 #1): the corpus-scale-training trilogy.  Their
     # plans inline the ENTIRE fixed-point training loop (iters ×
     # per-round broadcast join + re-aggregate), so the exchange counts
