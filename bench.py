@@ -152,6 +152,35 @@ def _calibrate(spark) -> float:
     return min(once() for _ in range(3))
 
 
+#: Job-scheduling-latency reference (r17): median milliseconds of a
+#: trivial 4-partition collect on the r15/r16-era reference host class
+#: (~25-50 ms in healthy local mode).  The JVM compute probe
+#: (:func:`_calibrate`, ONE large job) cannot see per-job scheduler
+#: latency, yet the checkpoint-barrier-heavy entries (k-means training,
+#: BPE rounds, streaming micro-batches) run DOZENS of tiny jobs per
+#: timed run — on a host where this probe reads 150-300 ms (observed
+#: during r17's build windows) those entries inflate 2-3× while calib
+#: stays flat.  Attribution only, like ``calib_arrow_ratio``: published
+#: as ``calib_sched_ms`` so a swing concentrated in barrier-heavy
+#: entries is mechanically attributable to scheduler health.
+CALIB_SCHED_REF_MS = 40.0
+
+
+def _calibrate_sched(spark) -> float:
+    """Median wall milliseconds of 10 trivial 4-partition jobs — the
+    per-job scheduling + result-fetch floor every localCheckpoint
+    barrier and micro-batch pays.  Independent of sf_dir and of data
+    volume by construction."""
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(100, numPartitions=4).collect()
+        return (time.perf_counter() - t0) * 1000.0
+
+    once()  # absorb first-call overhead
+    runs = sorted(once() for _ in range(10))
+    return runs[len(runs) // 2]
+
+
 #: Name of the committed full-detail artifact (per-query times, spreads,
 #: regression list).  The driver's BENCH_r*.json captures only the last
 #: ~2000 stdout chars, so the detail lives here and in earlier stdout
@@ -361,6 +390,7 @@ FINAL_LINE_KEYS = (
     "calib_ref_sec",
     "calib_arrow_ref_sec",
     "calib_arrow_ratio",
+    "calib_sched_ms",
     "calib_rejected",
     "calib_arrow_rejected",
     "value_normalized",
@@ -743,6 +773,7 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     calib_post = round(_calibrate(spark), 3)
     calib_arrow = round(_calibrate_arrow(spark), 3)
+    calib_sched = round(_calibrate_sched(spark), 1)
     calib = min(calib_pre, calib_post)
     normalized, rejected = normalize_total(total, calib)
     out = {
@@ -756,6 +787,7 @@ def main() -> None:
         "calib_pre_sec": calib_pre,
         "calib_post_sec": calib_post,
         "calib_arrow_sec": calib_arrow,
+        "calib_sched_ms": calib_sched,
         "calib_ref_sec": CALIB_REF,
         "calib_arrow_ref_sec": CALIB_ARROW_REF,
         "value_normalized": normalized,
